@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/**
+ * Bounded top-k merge with the reference's exact ordering contract:
+ * ascending (distance, id) with ties broken by smaller id, and duplicate
+ * ids (same vector found in several partitions) collapsed
+ * (reference: data/result/SearchResult.java sort():55-72,
+ * append()/dedup:106-114, merge combine():143-183).
+ */
+object TopK {
+
+  /** Merge two (dist,id)-ascending lists into one, keep k, drop duplicate ids.
+   * Inputs must already be sorted by (dist, id). */
+  def merge(
+      ids1: Array[Long], d1: Array[Double],
+      ids2: Array[Long], d2: Array[Double],
+      k: Int): (Array[Long], Array[Double]) = {
+    val outIds = new Array[Long](k)
+    val outD = new Array[Double](k)
+    val seen = new java.util.HashSet[Long](k * 2)
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < ids1.length || j < ids2.length)) {
+      val take1 =
+        if (j >= ids2.length) true
+        else if (i >= ids1.length) false
+        else d1(i) < d2(j) || (d1(i) == d2(j) && ids1(i) <= ids2(j))
+      val (id, d) = if (take1) { val r = (ids1(i), d1(i)); i += 1; r }
+                    else { val r = (ids2(j), d2(j)); j += 1; r }
+      if (seen.add(id)) { outIds(n) = id; outD(n) = d; n += 1 }
+    }
+    (java.util.Arrays.copyOf(outIds, n), java.util.Arrays.copyOf(outD, n))
+  }
+
+  /** Sort parallel (id, dist) arrays by (dist asc, id asc) — the canonical
+   * result order (SearchResult.sort). */
+  def sorted(ids: Array[Long], dists: Array[Double]): (Array[Long], Array[Double]) = {
+    val idx = ids.indices.toArray.sortBy(i => (dists(i), ids(i)))
+    (idx.map(ids), idx.map(dists))
+  }
+}
+
+/** Accumulated top-k state: parallel arrays sorted by (dist, id), length <= k. */
+final case class TopKBuffer(ids: Array[Long], dists: Array[Double])
+
+final case class TopKResult(ids: Array[Long], dists: Array[Double])
+
+/** Typed two-phase aggregator: per-partition partial top-k + final merge —
+ * Spark's partial/final aggregation gives the reference's
+ * per-partition-search + kNN-merge (C1 + C3) shape for free. */
+final class TopKAggregator(k: Int)
+    extends Aggregator[(Long, Double), TopKBuffer, TopKResult] {
+
+  override def zero: TopKBuffer = TopKBuffer(Array.empty, Array.empty)
+
+  override def reduce(b: TopKBuffer, in: (Long, Double)): TopKBuffer = {
+    val (id, dist) = in
+    val n = b.ids.length
+    if (n >= k && (dist > b.dists(n - 1) || (dist == b.dists(n - 1) && id > b.ids(n - 1)))) b
+    else {
+      // insertion position by (dist, id)
+      var pos = 0
+      while (pos < n && (b.dists(pos) < dist || (b.dists(pos) == dist && b.ids(pos) < id))) pos += 1
+      val m = math.min(n + 1, k)
+      val ids = new Array[Long](m)
+      val ds = new Array[Double](m)
+      System.arraycopy(b.ids, 0, ids, 0, pos)
+      System.arraycopy(b.dists, 0, ds, 0, pos)
+      ids(pos) = id; ds(pos) = dist
+      val tail = m - pos - 1
+      if (tail > 0) {
+        System.arraycopy(b.ids, pos, ids, pos + 1, tail)
+        System.arraycopy(b.dists, pos, ds, pos + 1, tail)
+      }
+      TopKBuffer(ids, ds)
+    }
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    val (ids, ds) = TopK.merge(a.ids, a.dists, b.ids, b.dists, k)
+    TopKBuffer(ids, ds)
+  }
+
+  override def finish(b: TopKBuffer): TopKResult = TopKResult(b.ids, b.dists)
+
+  override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
+  override def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
+}
