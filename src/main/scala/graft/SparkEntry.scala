@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{PartitionQueries, Relational, TextQueries, VectorQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * `queries` is the full operator surface (one entry per implemented
+ * operator from SURVEY.md §2 plus the training-data-pipeline extensions);
+ * `oracleSql` holds the DuckDB twin for every SQL-expressible entry.
+ */
 object SparkEntry {
+
+  /** Session settings every entry point needs (the events table stores
+   * TIMESTAMP(NANOS) which Spark only reads as raw int64). */
+  def configure(builder: SparkSession.Builder): SparkSession.Builder =
+    builder
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    VectorQueries.knn(Metric.L2)(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ VectorQueries.queries ++ TextQueries.queries ++
+      PartitionQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
+      PartitionQueries.oracles
 }

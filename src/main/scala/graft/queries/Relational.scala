@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator coverage: scan, project/filter, hash/broadcast join,
+ * semi/anti join, partial+final aggregation, distinct aggregation, window
+ * functions, sort/limit top-k, set operations, rollup, interval join,
+ * time-windowed and sessionized event aggregation.
+ *
+ * Every query has a DuckDB oracle twin in [[Relational.oracles]]; all
+ * floating outputs go through the DECIMAL-sum trick (Tables.dsum) or are
+ * single deterministic double ops, so results hash-match cross-engine.
+ */
+object Relational {
+  import Tables.{dsum, dsumSql}
+
+  private val thirtyMinNs = 1800000000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    "q2_top_revenue_orders" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val rev = li.groupBy("l_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      rev.join(o, rev("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    "q3_revenue_by_nation" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    "q4_semi_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+    },
+
+    "q5_anti_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers_without_orders"))
+    },
+
+    "q6_window_topn" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+    },
+
+    "q7_distinct_agg" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_items"),
+          max(col("l_quantity")).as("max_qty"))
+    },
+
+    "q8_setops" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val a = li.where(col("l_returnflag") === "R").select(col("l_partkey"))
+      val b = li.where(col("l_linestatus") === "F").select(col("l_partkey"))
+      a.except(b).select(lit("except").as("op"), col("l_partkey"))
+        .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("l_partkey")))
+    },
+
+    "q9_events_hourly" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("hour_bucket", floor(col("tsn") / lit(3600000000000L)))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    },
+
+    "q10_sessionize" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+      e.withColumn("prev", lag(col("tsn"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tsn") - col("prev") > thirtyMinNs, 1).otherwise(0))
+        .withColumn("sess", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"), min(col("tsn")).as("t_start"),
+          max(col("tsn")).as("t_end"))
+    },
+
+    "q11_interval_join" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_shipped_30d"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    "q12_rollup" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsumSql("l_quantity")} AS sum_qty,
+         |${dsumSql("l_extendedprice")} AS sum_base_price,
+         |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+         |COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_top_revenue_orders" ->
+      s"""WITH rev AS (
+         |  SELECT l_orderkey, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT o_orderkey, o_orderpriority, revenue
+         |FROM rev JOIN orders ON l_orderkey = o_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q3_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q5_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers_without_orders
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q6_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q7_distinct_agg" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+        |COUNT(*) AS n_items, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q8_setops" ->
+      """SELECT 'except' AS op, l_partkey FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT
+        |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F')
+        |UNION ALL
+        |SELECT 'intersect' AS op, l_partkey FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F')""".stripMargin,
+
+    "q9_events_hourly" ->
+      s"""SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS hour_bucket,
+         |event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q10_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+         |x AS (SELECT user_id, event_id, tsn,
+         |  lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM e),
+         |b AS (SELECT user_id, tsn,
+         |  CASE WHEN prev IS NULL OR tsn - prev > $thirtyMinNs THEN 1 ELSE 0 END AS brk,
+         |  event_id FROM x),
+         |s AS (SELECT user_id, tsn,
+         |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess FROM b)
+         |SELECT user_id, sess, COUNT(*) AS n_events,
+         |  MIN(tsn) AS t_start, MAX(tsn) AS t_end
+         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    "q11_interval_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_shipped_30d,
+         |${dsumSql("l_extendedprice")} AS sum_price
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  AND l_shipdate >= o_orderdate
+         |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q12_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+}

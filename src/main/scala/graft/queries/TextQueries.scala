@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data-pipeline text operators over the `documents` table:
+ * token statistics, quality signals, marker-based language scoring,
+ * content-normalized exact dedup, n-gram Jaccard similarity join, and
+ * document fingerprints. Every computation is expressed with functions
+ * whose semantics are identical in Spark and DuckDB (integer arithmetic,
+ * md5, non-overlapping replace, binary string sort), so each query has an
+ * exact oracle twin.
+ *
+ * (MinHash/SimHash approximate dedup live in graft.ops.Dedup — their hash
+ * pipelines are engine-internal and validated by recall specs instead.)
+ */
+object TextQueries {
+  /** Jaccard threshold + id cap for the exact pairwise similarity join
+   * (the scalable path is MinHash-LSH; the exact join is the oracle). */
+  val JaccardThreshold = 0.6
+  val JaccardMaxDocId = 300
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars_nospace"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(split(trim(col("text")), "\\s+"))).as("avg_token_len"))
+    },
+
+    "text_quality" -> { (s, dir) =>
+      val nchars = length(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        nchars.as("n_chars"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("punct_chars"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("digit_chars"),
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") / nchars)
+          .as("punct_ratio"))
+    },
+
+    "text_langid" -> { (s, dir) =>
+      // occurrence counts of language marker words via the non-overlapping
+      // replace trick — identical semantics in both engines.
+      def occ(w: String) = {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        ((length(padded) - length(regexp_replace(padded, s" $w ", ""))) /
+          (w.length + 2)).cast("long")
+      }
+      Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        occ("the").as("n_the"), occ("data").as("n_data"),
+        occ("merge").as("n_merge"))
+    },
+
+    "text_dedup_exact" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val keepers = d.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+      d.join(keepers, "h")
+        .select(col("doc_id"), col("keeper"),
+          (col("doc_id") =!= col("keeper")).as("is_dup"))
+    },
+
+    "text_dedup_norm" -> { (s, dir) =>
+      // content-normalized key: md5 of the sorted token multiset —
+      // catches word-order shuffles of the same bag of words.
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", sort_array(split(col("text"), " ")))).as("h"))
+      val keepers = d.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+      d.join(keepers, "h")
+        .select(col("doc_id"), col("keeper"),
+          (col("doc_id") =!= col("keeper")).as("is_dup"))
+    },
+
+    "text_jaccard_pairs" -> { (s, dir) =>
+      // exact 3-gram Jaccard similarity join (id-capped; MinHash-LSH is
+      // the scale path, this is its oracle)
+      val grams = Tables(s, dir, "documents")
+        .where(col("doc_id") < JaccardMaxDocId)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
+          .as("gram"))
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("sa")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("sb")), "j")
+        .select(col("i"), col("j"),
+          (col("c").cast("double") / (col("sa") + col("sb") - col("c"))).as("jacc"))
+        .where(col("jacc") >= JaccardThreshold)
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), md5(col("text")).as("fp"),
+        length(col("text")).as("n_chars"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |length(replace(text, ' ', '')) AS n_chars_nospace,
+        |CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |  / len(string_split_regex(trim(text), '\s+')) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars,
+        |length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+        |CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |  / length(text) AS punct_ratio
+        |FROM documents""".stripMargin,
+
+    "text_langid" -> {
+      def occ(w: String) =
+        s"CAST((length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' $w ', '', 'g'))) / ${w.length + 2} AS BIGINT)"
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |${occ("the")} AS n_the, ${occ("data")} AS n_data,
+         |${occ("merge")} AS n_merge
+         |FROM documents""".stripMargin
+    },
+
+    "text_dedup_exact" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |k AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+        |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
+        |FROM d JOIN k ON d.h = k.h""".stripMargin,
+
+    "text_dedup_norm" ->
+      """WITH d AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS h
+        |  FROM documents),
+        |k AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+        |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
+        |FROM d JOIN k ON d.h = k.h""".stripMargin,
+
+    "text_jaccard_pairs" ->
+      s"""WITH g AS (SELECT doc_id,
+         |  unnest(list_distinct([substr(text, i, 3)
+         |    for i in range(1, length(text) - 1)])) AS gram
+         |  FROM documents WHERE doc_id < $JaccardMaxDocId),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT i, j,
+         |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jacc
+         |FROM inter JOIN sizes sa ON i = sa.doc_id
+         |JOIN sizes sb ON j = sb.doc_id
+         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $JaccardThreshold""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, length(text) AS n_chars
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Distances, TopKAggregator}
+
+/**
+ * The reference's core capability re-expressed Spark-first: streaming kNN
+ * search = (partition fan-out) -> per-partition top-k -> global top-k merge
+ * (reference: function/RocksDBKeyedProcessFunction.java C1 +
+ * PartialResultProcessFunction.java C3), with the freshness/TTL predicate
+ * as an interval filter (reference: hnswlib.h:135-146 FilterSeqTs, V3).
+ *
+ * The exact (brute-force) variants here are the correctness oracle: the
+ * per-(query, partition) partial top-k runs as Spark partial aggregation
+ * (map-side combine) of a typed TopKAggregator, so only k rows per query
+ * per partition reach the shuffle — the same dataflow shape the reference
+ * hand-builds, but planned by Catalyst.
+ *
+ * Result contract: ascending (distance, id), ties by smaller id, k=10;
+ * output one row per (qid, rank).
+ */
+object VectorQueries {
+  val K = 10
+  /** queries = every 10th vector (deterministic, sf-proportional). */
+  val QueryMod = 10
+  /** freshness: eventTime := vec_id, query time := qid, ttl window. */
+  val Ttl = 150L
+  val NumPartitions = 8
+
+  private def topkUdaf = udaf(new TopKAggregator(K),
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+
+  private def queryDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  /** Explode a (qid, ids, dists) top-k row back to ranked rows. */
+  private def ranked(df: DataFrame): DataFrame =
+    df.select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
+        col("topk.dists").as("dist"))))
+      .select(col("qid"), (col("pos") + 1).as("rn"),
+        col("col.id").as("id"), col("col.dist").as("dist"))
+
+  /** Brute-force kNN: broadcast queries x corpus, partial top-k per input
+   * partition, merge in final aggregation. */
+  def knn(metric: graft.Metric)(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+    val pairs = base.join(broadcast(queryDf(s, dir)))
+      .select(col("qid"), col("vec_id").as("id"),
+        Distances.forMetric(metric, col("qv"), col("embedding")).as("dist"))
+    ranked(pairs.groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk")))
+  }
+
+  /** kNN with the freshness predicate: only vectors with
+   * eventTime (:= vec_id) in [qid - ttl, qid] are searchable. */
+  def knnTtl(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+    val pairs = base.join(broadcast(queryDf(s, dir)),
+        col("vec_id") >= col("qid") - Ttl && col("vec_id") <= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        Distances.l2(col("qv"), col("embedding")).as("dist"))
+    ranked(pairs.groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk")))
+  }
+
+  /** Explicit two-stage pipeline: simple partitioner (P1: pmod(id, n)),
+   * per-(query, partition) top-k, then global merge — result must equal
+   * the single-stage exact kNN (the reference's broadcast-query path). */
+  def knnPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+      .withColumn("pid", pmod(col("vec_id"), lit(NumPartitions)))
+    val pairs = base.join(broadcast(queryDf(s, dir)))
+      .select(col("qid"), col("pid"), col("vec_id").as("id"),
+        Distances.l2(col("qv"), col("embedding")).as("dist"))
+    val partial = pairs.groupBy("qid", "pid")
+      .agg(topkUdaf(col("id"), col("dist")).as("topk"))
+    // re-flatten partials and merge to global top-k (C3)
+    val flat = partial.select(col("qid"),
+        explode(arrays_zip(col("topk.ids"), col("topk.dists"))).as("e"))
+      .select(col("qid"), col("e.ids").as("id"), col("e.dists").as("dist"))
+    ranked(flat.groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk")))
+  }
+
+  /** Near-duplicate detection on embeddings: 20 globally closest pairs by
+   * cosine distance (i < j), ties by (i, j). */
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "embeddings").select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = Tables(s, dir, "embeddings").select(col("vec_id").as("j"), col("embedding").as("vb"))
+    a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"), Distances.cosine(col("va"), col("vb")).as("dist"))
+      .orderBy(col("dist"), col("i"), col("j"))
+      .limit(20)
+  }
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  /** DuckDB twin of the sequential-double-accumulation distance exprs. */
+  private def l2Sql(a: String, b: String) =
+    s"list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))^2 for x in list_zip($a, $b)])"
+  private def dotSql(a: String, b: String) =
+    s"list_sum([ CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) for x in list_zip($a, $b)])"
+  private def normSql(a: String) = s"list_sum([ CAST(y AS DOUBLE)^2 for y in $a])"
+  private def ipSql(a: String, b: String) = s"1.0 - ${dotSql(a, b)}"
+  private def cosSql(a: String, b: String) =
+    s"1.0 - ${dotSql(a, b)} / sqrt(${normSql(a)} * ${normSql(b)})"
+
+  private def knnOracle(distExpr: String, extraPred: String = "true") =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $QueryMod = 0),
+       |d AS (SELECT q.qid, b.vec_id AS id, $distExpr AS dist
+       |  FROM q, embeddings b WHERE $extraPred),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+       |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_l2" -> knn(graft.Metric.L2) _,
+    "knn_ip" -> knn(graft.Metric.IP) _,
+    "knn_cosine" -> knn(graft.Metric.Cosine) _,
+    "knn_ttl" -> (knnTtl _),
+    "knn_partitioned" -> (knnPartitioned _),
+    "embed_neardup" -> (nearDupPairs _))
+
+  def oracles: Map[String, String] = Map(
+    "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
+    "knn_ip" -> knnOracle(ipSql("q.qv", "b.embedding")),
+    "knn_cosine" -> knnOracle(cosSql("q.qv", "b.embedding")),
+    "knn_ttl" -> knnOracle(l2Sql("q.qv", "b.embedding"),
+      s"b.vec_id >= q.qid - $Ttl AND b.vec_id <= q.qid"),
+    "knn_partitioned" -> knnOracle(l2Sql("q.qv", "b.embedding")),
+    "embed_neardup" ->
+      s"""SELECT a.vec_id AS i, b.vec_id AS j,
+         |${cosSql("a.embedding", "b.embedding")} AS dist
+         |FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+         |ORDER BY dist, i, j LIMIT 20""".stripMargin)
+}
