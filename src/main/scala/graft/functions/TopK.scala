@@ -57,22 +57,42 @@ final class TopKAggregator(k: Int)
 
   override def reduce(b: TopKBuffer, in: (Long, Double)): TopKBuffer = {
     val (id, dist) = in
-    val n = b.ids.length
-    if (n >= k && (dist > b.dists(n - 1) || (dist == b.dists(n - 1) && id > b.ids(n - 1)))) b
+    // dedup: the same id can arrive once per probed partition when storage
+    // is replicated (LSH/odyssey fan-out); keep the single best entry
+    var existing = -1
+    var e = 0
+    while (e < b.ids.length && existing < 0) { if (b.ids(e) == id) existing = e; e += 1 }
+    val base =
+      if (existing < 0) b
+      else if (b.dists(existing) <= dist) return b
+      else {
+        val n0 = b.ids.length
+        val ids2 = new Array[Long](n0 - 1)
+        val ds2 = new Array[Double](n0 - 1)
+        System.arraycopy(b.ids, 0, ids2, 0, existing)
+        System.arraycopy(b.dists, 0, ds2, 0, existing)
+        System.arraycopy(b.ids, existing + 1, ids2, existing, n0 - 1 - existing)
+        System.arraycopy(b.dists, existing + 1, ds2, existing, n0 - 1 - existing)
+        TopKBuffer(ids2, ds2)
+      }
+    val n = base.ids.length
+    if (n >= k && (dist > base.dists(n - 1) ||
+        (dist == base.dists(n - 1) && id > base.ids(n - 1)))) base
     else {
       // insertion position by (dist, id)
       var pos = 0
-      while (pos < n && (b.dists(pos) < dist || (b.dists(pos) == dist && b.ids(pos) < id))) pos += 1
+      while (pos < n && (base.dists(pos) < dist ||
+          (base.dists(pos) == dist && base.ids(pos) < id))) pos += 1
       val m = math.min(n + 1, k)
       val ids = new Array[Long](m)
       val ds = new Array[Double](m)
-      System.arraycopy(b.ids, 0, ids, 0, pos)
-      System.arraycopy(b.dists, 0, ds, 0, pos)
+      System.arraycopy(base.ids, 0, ids, 0, pos)
+      System.arraycopy(base.dists, 0, ds, 0, pos)
       ids(pos) = id; ds(pos) = dist
       val tail = m - pos - 1
       if (tail > 0) {
-        System.arraycopy(b.ids, pos, ids, pos + 1, tail)
-        System.arraycopy(b.dists, pos, ds, pos + 1, tail)
+        System.arraycopy(base.ids, pos, ids, pos + 1, tail)
+        System.arraycopy(base.dists, pos, ds, pos + 1, tail)
       }
       TopKBuffer(ids, ds)
     }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** Quality gate for the approximate operators: recall@10 against the
+ * exact (oracled) kNN on the same corpus — the reference's own
+ * correctness metric (StreamSearchJobTest.java recall evaluation, C8). */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkEntry.configure(SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val exact: Map[Long, Set[Long]] = {
+    spark.sparkContext.setLogLevel("ERROR")
+    VectorQueries.queries("knn_l2")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+  }
+
+  private def recall(name: String): Double = {
+    val approx = AnnQueries.queries(name)(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+    val per = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    val r = per.sum / per.size
+    info(s"$name recall@10 = $r")
+    r
+  }
+
+  // The sf embeddings are near-uniform on the unit sphere (measured:
+  // 10-NN dist^2 ~1.48 vs random-pair ~2.0). IVF is genuinely
+  // probe-fraction-limited there (8/16 cells -> ~0.84); the LSH/SFC
+  // variants reach ~1.0 because wide hashes concentrate mass.
+  test("ann_lsh_hnsw recall@10 >= 0.9") { assert(recall("ann_lsh_hnsw") >= 0.9) }
+  test("ann_ivf recall@10 >= 0.8 on near-uniform corpus") {
+    assert(recall("ann_ivf") >= 0.8)
+  }
+  test("ann_sfc recall@10 >= 0.85") { assert(recall("ann_sfc") >= 0.85) }
+
+  test("LSH+HNSW reaches recall@10 >= 0.9 on clustered data") {
+    import graft.Metric
+    import graft.ops.Ann
+    import graft.partitioners.LshPartitioner
+    val rnd = new java.util.Random(42L)
+    val dim = 32
+    val centers = Array.fill(32)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 3200).map { i =>
+      val c = centers(i % 32)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f), i.toLong)
+    }
+    import spark.implicits._
+    val vdf = vecs.toDF("id", "vec", "eventTime")
+    val qdf = vecs.filter(_._1 % 40 == 0)
+      .map(v => (v._1, v._2, Long.MaxValue / 2, Long.MaxValue / 2))
+      .toDF("qid", "qv", "qtime", "ttl")
+    val model = LshPartitioner.seeded(16, dim, numFamilies = 6,
+      numHashes = 2, width = 4.0f, seed = 38324L)
+    val approx = Ann.search(vdf, qdf, model, 10, Metric.L2, useHnsw = true)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    // exact truth by brute force (small corpus)
+    val truth = qdf.collect().map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      qid -> vecs.map(v => (v._1, graft.functions.Distances.l2(qv, v._2)))
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val rs = truth.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).count(t.contains).toDouble / 10 }
+    val mean = rs.sum / rs.size
+    info(s"clustered-corpus LSH recall@10 = $mean")
+    assert(mean >= 0.9, s"recall $mean")
+  }
+
+  test("dedup_minhash candidates cover the high-jaccard exact pairs") {
+    val exactPairs = TextQueries.queries("text_jaccard_pairs")(spark, dir)
+      .collect().filter(_.getDouble(2) >= 0.65)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = AnnQueries.queries("dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exactPairs.nonEmpty) {
+      val covered = exactPairs.count(cand.contains).toDouble / exactPairs.size
+      info(s"minhash coverage of jaccard>=0.65 pairs: $covered (${exactPairs.size} pairs)")
+      assert(covered >= 0.8, s"covered=$covered")
+    } else info("no exact pairs above 0.65 — coverage vacuously true")
+  }
+}

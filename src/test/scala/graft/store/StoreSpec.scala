@@ -1,0 +1,82 @@
+package graft.store
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Metric
+import graft.functions.Distances
+
+class StoreSpec extends AnyFunSuite {
+  private def randomVecs(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private def bruteForce(vecs: Array[Array[Float]], q: Array[Float], k: Int,
+      live: Int => Boolean = _ => true): Array[Long] =
+    vecs.indices.filter(live)
+      .map(i => (i.toLong, Distances.l2(q, vecs(i))))
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toArray
+
+  test("ExactStore matches brute force, honors ttl window and deletes") {
+    val vecs = randomVecs(500, 16, 1L)
+    val s = new ExactStore(Metric.L2)
+    vecs.zipWithIndex.foreach { case (v, i) => s.put(i.toLong, i.toLong, v) }
+    val q = vecs(7)
+    assert(s.search(q, 10).map(_._1).sameElements(bruteForce(vecs, q, 10)))
+    // freshness: only ts in [100, 200]
+    val got = s.search(q, 10, 100L, 200L).map(_._1)
+    assert(got.forall(id => id >= 100 && id <= 200))
+    // delete the best hit (itself)
+    s.delete(7L)
+    assert(!s.search(q, 10).map(_._1).contains(7L))
+    // upsert: re-insert id 7 with a new vector far away
+    s.put(7L, 999L, Array.fill(16)(100f))
+    assert(!s.search(q, 10).map(_._1).contains(7L)) // new version is far
+    assert(s.size == 500)
+  }
+
+  test("HnswStore recall@10 >= 0.9 vs brute force on 2000 gaussian vectors") {
+    val vecs = randomVecs(2000, 32, 2L)
+    val s = new HnswStore(Metric.L2, m = 16, efConstruction = 128, efSearch = 64)
+    vecs.zipWithIndex.foreach { case (v, i) => s.put(i.toLong, 0L, v) }
+    val rnd = new java.util.Random(3L)
+    val recalls = (0 until 50).map { _ =>
+      val q = vecs(rnd.nextInt(2000))
+      val truth = bruteForce(vecs, q, 10).toSet
+      val got = s.search(q, 10).map(_._1)
+      got.count(truth.contains).toDouble / 10
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean recall $mean")
+  }
+
+  test("HnswStore: deletes, upserts and freshness filtering") {
+    val vecs = randomVecs(300, 16, 4L)
+    val s = new HnswStore(Metric.L2, efSearch = 64)
+    vecs.zipWithIndex.foreach { case (v, i) => s.put(i.toLong, i.toLong, v) }
+    val q = vecs(5)
+    assert(s.search(q, 5).map(_._1).contains(5L))
+    s.delete(5L)
+    assert(!s.search(q, 5).map(_._1).contains(5L))
+    assert(s.size == 299)
+    // freshness window excludes old elements
+    val fresh = s.search(q, 10, 250L, 400L).map(_._1)
+    assert(fresh.nonEmpty && fresh.forall(id => id >= 250))
+    // upsert: new version of id 10 at the query point wins
+    s.put(10L, 300L, q.clone())
+    val top = s.search(q, 3).map(_._1)
+    assert(top.contains(10L))
+    assert(s.size == 299) // id 5 deleted; id 10 upsert replaces, not adds
+  }
+
+  test("HnswStore is deterministic for the same insert sequence") {
+    val vecs = randomVecs(400, 16, 6L)
+    def build() = {
+      val s = new HnswStore(Metric.L2, seed = 99L)
+      vecs.zipWithIndex.foreach { case (v, i) => s.put(i.toLong, 0L, v) }
+      s
+    }
+    val a = build(); val b = build()
+    val q = randomVecs(1, 16, 7L)(0)
+    assert(a.search(q, 10).sameElements(b.search(q, 10)))
+  }
+}
