@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Metric
+import graft.functions.Distances
+import graft.partitioners.SimplePartitioner
+import graft.streaming.VectorStreamJob._
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def vec(seed: Int, dim: Int = 8): Array[Float] = {
+    val r = new java.util.Random(seed)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  test("streaming insert/delete/query matches a replayed exact store") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(4), k = 5, Metric.L2,
+      maxTtl = 1000000L) { merged =>
+      merged.collect().foreach(r =>
+        results.synchronized { results += ((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) })
+    }
+
+    // batch 1: 50 inserts then a query at t=100
+    val inserts = (0 until 50).map(i => StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0))
+    input.addData(inserts :+ StreamEvent("q", 1000L, vec(3), 100L, 1000000L, 5): _*)
+    q.processAllAvailable()
+
+    // oracle: exact top-5 over the 50 inserts
+    val truth1 = (0 until 50).map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5)
+    val got1 = results.synchronized { results.filter(_._1 == 1000L).sortBy(_._2) }
+    assert(got1.map(_._3) == truth1.map(_._1), s"got $got1 want $truth1")
+
+    // batch 2: delete best hit (id 3), upsert id 7 onto the query point,
+    // then re-query
+    input.addData(
+      StreamEvent("d", 3L, null, 200L, 0L, 0),
+      StreamEvent("i", 7L, vec(3), 201L, 0L, 0),
+      StreamEvent("q", 1001L, vec(3), 300L, 1000000L, 5))
+    q.processAllAvailable()
+    val got2 = results.synchronized { results.filter(_._1 == 1001L).sortBy(_._2) }
+    assert(!got2.map(_._3).contains(3L), "deleted id must not appear")
+    assert(got2.head._3 == 7L, s"upserted id 7 at dist 0 must rank first: $got2")
+
+    // batch 3: freshness — query with small ttl sees only recent inserts
+    input.addData(
+      StreamEvent("i", 900L, vec(90), 10000L, 0L, 0),
+      StreamEvent("q", 1002L, vec(90), 10005L, 10L, 5))
+    q.processAllAvailable()
+    val got3 = results.synchronized { results.filter(_._1 == 1002L) }
+    assert(got3.map(_._3).toSet == Set(900L), s"ttl window must exclude old: $got3")
+    q.stop()
+  }
+
+  test("state eviction drops entries older than maxTtl") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 10, Metric.L2,
+      maxTtl = 100L) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getLong(2))) })
+    }
+    input.addData(StreamEvent("i", 1L, vec(1), 0L, 0L, 0))
+    q.processAllAvailable()
+    // advance time far beyond maxTtl; id 1 must be evicted from state
+    input.addData(StreamEvent("i", 2L, vec(2), 10000L, 0L, 0))
+    q.processAllAvailable()
+    // a query with a huge ttl still cannot see id 1 (it left the store)
+    input.addData(StreamEvent("q", 500L, vec(1), 10001L, 100000L, 10))
+    q.processAllAvailable()
+    val got = results.synchronized { results.filter(_._1 == 500L).map(_._2).toSet }
+    assert(got == Set(2L), s"evicted id 1 must be gone: $got")
+    q.stop()
+  }
+}
