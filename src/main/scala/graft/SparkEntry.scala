@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnnQueries, PartitionQueries, Relational, TextQueries, VectorQueries}
+import graft.queries.{AnnQueries, EvalQueries, PartitionQueries, Relational, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -26,11 +26,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ VectorQueries.queries ++ TextQueries.queries ++
-      PartitionQueries.queries ++ AnnQueries.queries
+      PartitionQueries.queries ++ AnnQueries.queries ++ EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
-      PartitionQueries.oracles
+      PartitionQueries.oracles ++ EvalQueries.oracles
 }

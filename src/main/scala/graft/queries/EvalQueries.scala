@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.ops.Recall
+
+/**
+ * Evaluation + multimodal operators with full oracles:
+ *
+ *  - eval_recall: recall@10 of the TTL-restricted kNN against the
+ *    unrestricted kNN (C8 machinery; values < 1 where the freshness
+ *    window hides true neighbors) — the oracle recomputes both searches
+ *    and the intersection in SQL.
+ *  - multimodal_decode: documents' text bytes as an opaque BINARY media
+ *    column through the batched decode plumbing; the stub codec derives
+ *    metadata + byte-nibble features, all replicated in SQL (ASCII
+ *    corpus makes ascii() == byte value).
+ */
+object EvalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_recall" -> { (s, dir) =>
+      Recall.atK(
+        VectorQueries.queries("knn_ttl")(s, dir),
+        VectorQueries.queries("knn_l2")(s, dir), VectorQueries.K)
+    },
+
+    "multimodal_decode" -> { (s, dir) =>
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), lit("image").as("media_type"),
+          col("text").cast("binary").as("media"))
+      Multimodal.decode(media)
+        .select(col("id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.channels").as("channels"),
+          col("meta.durationMs").as("duration_ms"),
+          element_at(col("features"), 5).cast("double").as("f4"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "eval_recall" -> {
+      def knn(extraPred: String) =
+        s"""SELECT qid, id FROM (
+           |  SELECT q.qid, b.vec_id AS id, row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))^2
+           |      for x in list_zip(q.qv, b.embedding)]), b.vec_id) AS rn
+           |  FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           |        WHERE vec_id % ${VectorQueries.QueryMod} = 0) q,
+           |       embeddings b WHERE $extraPred) WHERE rn <= ${VectorQueries.K}""".stripMargin
+      s"""WITH a AS (${knn(s"b.vec_id >= q.qid - ${VectorQueries.Ttl} AND b.vec_id <= q.qid")}),
+         |b AS (${knn("true")})
+         |SELECT a.qid, CAST(COUNT(*) AS DOUBLE) / ${VectorQueries.K} AS recall
+         |FROM a JOIN b ON a.qid = b.qid AND a.id = b.id
+         |GROUP BY a.qid""".stripMargin
+    },
+
+    "multimodal_decode" ->
+      """SELECT doc_id AS id,
+        |(ascii(substr(text, 1, 1)) * 16 + ascii(substr(text, 2, 1)) % 16) + 1 AS width,
+        |(ascii(substr(text, 3, 1)) * 16 + ascii(substr(text, 4, 1)) % 16) + 1 AS height,
+        |3 AS channels,
+        |CAST(length(text) AS BIGINT) AS duration_ms,
+        |CAST(CAST(length(regexp_replace(text, '[^@-O]', '', 'g')) AS FLOAT)
+        |  / CAST(length(text) AS FLOAT) AS DOUBLE) AS f4
+        |FROM documents""".stripMargin)
+}
