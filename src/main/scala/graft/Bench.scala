@@ -1,24 +1,126 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-round benchmark: times every SparkEntry query at the given sf, plus
+ * the vec-bench workload (FIXTURES.md: 128-dim vectors derived
+ * deterministically from lineitem so vector scale tracks sf) measuring
+ * exact-kNN throughput, ANN (IVF cells + per-partition HNSW) throughput,
+ * and ANN recall vs the exact run.
+ *
+ * Prints ONE JSON line:
+ * {"metric":"total","value":sec,...,"queries":{...},"sf":...}
+ */
 object Bench {
+
+  /** lineitem -> (id, vec ARRAY<FLOAT>(128), eventTime) — deterministic
+   * per id, computed executor-side in one pass. Mixture of 256 Gaussian
+   * clusters (center + noise) so the corpus has SIFT-like locality for
+   * the ANN path (pure-random vectors would cap any ANN's recall at the
+   * probe fraction by construction). */
+  def derivedVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val centers = Array.tabulate(256) { c =>
+      val r = new java.util.Random(c * 7919L + 1)
+      Array.fill(128)(r.nextGaussian().toFloat)
+    }
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .as[(Long, Int)]
+      .map { case (ok, ln) =>
+        val id = ok * 8 + ln
+        val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L)
+        val center = centers((id % 256).toInt)
+        (id, center.map(x => x + rnd.nextGaussian().toFloat * 0.25f), id)
+      }
+      .toDF("id", "vec", "eventTime")
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkEntry.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).select(sum("id")).collect() // JVM/codegen warmup
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      }
+      results(name) = sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // vec-bench: derived 128-dim corpus at sf scale
+    import graft.ops.Ann
+    import graft.partitioners.KMeansPartitioner
+    // lineitem is a single parquet file: without an explicit repartition
+    // the whole derived corpus sits in 1-2 partitions and every downstream
+    // stage runs near-serial — repartition to the core count first
+    val vecs = derivedVectors(spark, sfDir).repartition(cpus.toInt).cache()
+    val nVec = vecs.count()
+    val queries = vecs.where(col("id") % 571 === 0)
+      .select(col("id").as("qid"), col("vec").as("qv"),
+        lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      .cache()
+    val nQ = queries.count()
+
+    // exact brute-force kNN (partial top-k aggregation)
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new graft.functions.TopKAggregator(10),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val (exactRows, exactSec) = time {
+      vecs.join(broadcast(queries.select(col("qid"), col("qv"))))
+        .select(col("qid"), col("id"),
+          graft.functions.Distances.l2(col("qv"), col("vec")).as("dist"))
+        .groupBy("qid").agg(topk(col("id"), col("dist")).as("t"))
+        .select(col("qid"), col("t.ids").as("ids")).collect()
+    }
+    results("bench_exact_knn") = exactSec
+
+    // ANN: k-means cells + per-partition HNSW
+    val sample = vecs.limit(20000).select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val (model, fitSec) = time {
+      KMeansPartitioner.fit(sample, k = cpus.toInt, replicationFactor = 1,
+        iterations = 5, seed = 42L, queryProbes = 4)
+    }
+    results("bench_ann_fit") = fitSec
+    val (annRows, annSec) = time {
+      Ann.search(vecs, queries, model, 10, Metric.L2, useHnsw = true,
+        hnswM = 16, efConstruction = 64, efSearch = 64)
+        .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    }
+    results("bench_ann_ivf_hnsw") = annSec
+
+    val truth = exactRows.map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val recalls = annRows.map { r =>
+      val t = truth(r.getLong(0))
+      r.getSeq[Long](1).count(t.contains).toDouble / t.size
+    }
+    val annRecall = if (recalls.nonEmpty) recalls.sum / recalls.length else 0.0
+    // throughput: corpus build + all queries over the ANN wall time
+    val vecPerSec = (nVec + nQ) / annSec
+
+    val total = results.values.filter(_ >= 0).sum
+    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)}}""")
     spark.stop()
   }
 }

@@ -18,6 +18,11 @@ object SparkEntry {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the top-k merge aggregates over thousands of query-id groups; the
+      // default fallback (128 keys) silently degrades ObjectHashAggregate
+      // to sort-based agg — a full sort + spill of every (query, vector)
+      // pair. Keep the hash path for realistic query counts.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

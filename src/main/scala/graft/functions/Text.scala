@@ -80,29 +80,28 @@ object Text {
 
   // ---- MinHash ---------------------------------------------------------
 
-  /** numHashes universal-hash parameters (a*x+b mod p), seeded. */
+  /** numHashes universal-hash parameters (a*x+b mod p), seeded.
+   * p = 2^31-1 (Mersenne) keeps every product inside a long — the hash
+   * loop is plain integer arithmetic (hot path: |shingles| x numHashes
+   * per document). */
   final case class MinHasher(numHashes: Int, seed: Long) extends Serializable {
-    private val P = (1L << 61) - 1
+    private val P = 2147483647L // 2^31 - 1
     private val (as, bs) = {
       val rnd = new java.util.Random(seed)
       val a = Array.fill(numHashes)(math.abs(rnd.nextLong()) % (P - 1) + 1)
       val b = Array.fill(numHashes)(math.abs(rnd.nextLong()) % P)
       (a, b)
     }
-    private def mulmod(a: Long, b: Long): Long =
-      new java.math.BigInteger(java.lang.Long.toUnsignedString(a))
-        .multiply(new java.math.BigInteger(java.lang.Long.toUnsignedString(b)))
-        .mod(java.math.BigInteger.valueOf(P)).longValue()
 
     /** MinHash signature over the document's w-shingles. */
     def signature(text: String, w: Int): Array[Long] = {
       val sh = shingles(text, w)
       val sig = Array.fill(numHashes)(Long.MaxValue)
       sh.foreach { s =>
-        val x = fnv1a64(s) & Long.MaxValue // non-negative
+        val x = (fnv1a64(s) & Long.MaxValue) % P
         var i = 0
         while (i < numHashes) {
-          val h = (mulmod(as(i), x % P) + bs(i)) % P
+          val h = (as(i) * x + bs(i)) % P
           if (h < sig(i)) sig(i) = h
           i += 1
         }

@@ -22,6 +22,24 @@ import graft.functions.Text
  */
 object Dedup {
 
+  /** Remove super-buckets before a band self-join. A bucket holding more
+   * than `maxBucketSize` documents is non-discriminative (its band says
+   * "similar to everything") and would make the join quadratic in the
+   * hottest key — the classic LSH skew pathology. Dropped buckets cost no
+   * real recall for pair-finding: any truly near-duplicate pair collides
+   * in several independent bands, so discriminative bands still emit it.
+   * This cap is what keeps candidate generation near-linear at corpus
+   * scale. */
+  private def dropSuperBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val sizes = banded.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("_bucket_n"))
+      .where(col("_bucket_n") <= maxBucketSize)
+      .select(col("band_idx").as("_bi"), col("band_key").as("_bk"))
+    banded.join(broadcast(sizes),
+      banded("band_idx") === col("_bi") && banded("band_key") === col("_bk"))
+      .drop("_bi", "_bk")
+  }
+
   /** MinHash-LSH candidate pairs (i < j) with estimated Jaccard >= threshold.
    * Output: (i, j, est_jaccard). */
   def minhashPairs(
@@ -30,7 +48,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleWidth: Int = 3,
       threshold: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 500): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hasher = Text.MinHasher(numHashes, seed)
@@ -44,41 +63,54 @@ object Dedup {
       }
       .toDF("doc_id", "sig", "bands")
 
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val banded = dropSuperBuckets(
+      sigs.select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
+      maxBucketSize)
 
-    val pairs = banded.as("a").join(banded.as("b"),
+    // join on bare ids only — carrying the 64-slot signatures through the
+    // candidate join multiplies shuffle volume ~100x; re-attach them to
+    // the (much smaller) deduped pair set afterwards
+    val keys = banded.select(col("doc_id"), col("band_idx"), col("band_key"))
+    val pairs = keys.as("a").join(keys.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .dropDuplicates("i", "j")
 
+    val sigOnly = sigs.select(col("doc_id"), col("sig"))
     val est = udf((a: Seq[Long], bSig: Seq[Long]) =>
       Text.minhashSimilarity(a.toArray, bSig.toArray))
-    pairs.select(col("i"), col("j"), est(col("sig_a"), col("sig_b")).as("est_jaccard"))
+    pairs
+      .join(sigOnly.select(col("doc_id").as("i"), col("sig").as("sig_a")), "i")
+      .join(sigOnly.select(col("doc_id").as("j"), col("sig").as("sig_b")), "j")
+      .select(col("i"), col("j"), est(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
   /** SimHash near-duplicate pairs (i < j) within the given Hamming radius.
-   * Band width 16 over 4 bands: complete for radius <= 3. */
+   * Band width 16 over 4 bands: complete for radius <= 3 (up to bands
+   * dropped by the super-bucket cap). */
   def simhashPairs(
       docs: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 500): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, Text.simhash(text)) }
       .toDF("doc_id", "sh")
-    val banded = sigs.select(col("doc_id"), col("sh"),
-      explode(expr(
-        "array(" + (0 until 4).map(i =>
-          s"named_struct('band_idx', $i, 'band_key', shiftright(sh, ${i * 16}) % 65536)")
-          .mkString(",") + ")")).as("b"))
-      .select(col("doc_id"), col("sh"),
-        col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
+    val banded = dropSuperBuckets(
+      sigs.select(col("doc_id"), col("sh"),
+        explode(expr(
+          "array(" + (0 until 4).map(i =>
+            s"named_struct('band_idx', $i, 'band_key', shiftright(sh, ${i * 16}) % 65536)")
+            .mkString(",") + ")")).as("b"))
+        .select(col("doc_id"), col("sh"),
+          col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key")),
+      maxBucketSize)
     val ham = udf((a: Long, b: Long) => Text.hammingDistance(a, b))
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -63,16 +63,27 @@ final class HnswStore(
     def compare(a: Cand, b: Cand): Int = -byDistAsc.compare(a, b)
   }
 
+  // visited-flag epoch array: one clear-free reset per search (hot path —
+  // a HashSet here dominates build time with boxing/rehash)
+  private var visitedEpoch = new Array[Int](1024)
+  private var epoch = 0
+
   /** Beam search on one layer from an entry node; returns up to ef closest
    * (internal) candidates, ascending. */
   private def searchLayer(q: Array[Float], entry: Int, ef: Int, layer: Int): Array[Cand] = {
-    val visited = new java.util.HashSet[Integer]()
+    if (visitedEpoch.length < labels.length) {
+      visitedEpoch = java.util.Arrays.copyOf(visitedEpoch,
+        math.max(labels.length, visitedEpoch.length * 2))
+    }
+    epoch += 1
+    val visited = visitedEpoch
+    val ep = epoch
     val candidates = new java.util.PriorityQueue[Cand](byDistAsc) // to expand
     val found = new java.util.PriorityQueue[Cand](byDistDesc)     // best ef, max on top
     val d0 = dist(q, vecs(entry))
     candidates.add(new Cand(entry, d0))
     found.add(new Cand(entry, d0))
-    visited.add(entry)
+    visited(entry) = ep
     while (!candidates.isEmpty) {
       val c = candidates.poll()
       if (found.size() >= ef && c.d > found.peek().d) {
@@ -82,7 +93,8 @@ final class HnswStore(
         var i = 0
         while (i < nbrs.length) {
           val nb = nbrs(i)
-          if (visited.add(nb)) {
+          if (visited(nb) != ep) {
+            visited(nb) = ep
             val d = dist(q, vecs(nb))
             if (found.size() < ef || d < found.peek().d) {
               candidates.add(new Cand(nb, d))
