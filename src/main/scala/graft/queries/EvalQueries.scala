@@ -26,6 +26,24 @@ object EvalQueries {
         VectorQueries.queries("knn_l2")(s, dir), VectorQueries.K)
     },
 
+    "knn_coldtier" -> { (s, dir) =>
+      // seal the corpus into 3 overlapping segments, search through the
+      // cold tier in lossless mode (factor 1.0) — must equal exact kNN
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cold").toString
+      val e = Tables(s, dir, "embeddings")
+      (0 until 3).foreach { i =>
+        graft.store.ColdTier.seal(
+          e.where(col("vec_id") % 3 === i)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("vec_id").as("eventTime")), tmp, i.toLong)
+      }
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+        graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0)
+    },
+
     "multimodal_decode" -> { (s, dir) =>
       val media = Tables(s, dir, "documents")
         .select(col("doc_id").as("id"), lit("image").as("media_type"),
@@ -42,7 +60,7 @@ object EvalQueries {
       def knn(extraPred: String) =
         s"""SELECT qid, id FROM (
            |  SELECT q.qid, b.vec_id AS id, row_number() OVER (PARTITION BY q.qid
-           |    ORDER BY list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))^2
+           |    ORDER BY list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
            |      for x in list_zip(q.qv, b.embedding)]), b.vec_id) AS rn
            |  FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
            |        WHERE vec_id % ${VectorQueries.QueryMod} = 0) q,
@@ -53,6 +71,17 @@ object EvalQueries {
          |FROM a JOIN b ON a.qid = b.qid AND a.id = b.id
          |GROUP BY a.qid""".stripMargin
     },
+
+    "knn_coldtier" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+         |    for x in list_zip(q.qv, b.embedding)]) AS dist
+         |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
 
     "multimodal_decode" ->
       """SELECT doc_id AS id,

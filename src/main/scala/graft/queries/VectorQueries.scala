@@ -96,10 +96,10 @@ object VectorQueries {
 
   /** DuckDB twin of the sequential-double-accumulation distance exprs. */
   private def l2Sql(a: String, b: String) =
-    s"list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))^2 for x in list_zip($a, $b)])"
+    s"list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) for x in list_zip($a, $b)])"
   private def dotSql(a: String, b: String) =
     s"list_sum([ CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) for x in list_zip($a, $b)])"
-  private def normSql(a: String) = s"list_sum([ CAST(y AS DOUBLE)^2 for y in $a])"
+  private def normSql(a: String) = s"list_sum([ CAST(y AS DOUBLE)*CAST(y AS DOUBLE) for y in $a])"
   private def ipSql(a: String, b: String) = s"1.0 - ${dotSql(a, b)}"
   private def cosSql(a: String, b: String) =
     s"1.0 - ${dotSql(a, b)} / sqrt(${normSql(a)} * ${normSql(b)})"

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.StagedRate
+
+class StagedRateSpec extends AnyFunSuite {
+  test("staged thresholds select rates; sign semantics from the reference") {
+    val r = StagedRate(Seq(100L, 1000L), Seq(10.0, 0.0, -2.0))
+    assert(r.rateAt(0) == 10.0)
+    assert(r.rateAt(100) == 0.0)     // unlimited stage
+    assert(r.rateAt(5000) == -2.0)   // one record per 2s
+    assert(r.recordsPerSecond(-2.0) == 0.5)
+    assert(r.rowsForWindow(0, 2000) == 20)
+    assert(r.rowsForWindow(100, 1000) == Long.MaxValue)
+    assert(r.rowsForWindow(5000, 10000) == 5)
+    intercept[IllegalArgumentException](StagedRate(Seq(1L), Seq(1.0)))
+  }
+}
+
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[2]")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("registered SQL functions evaluate and appear in spark.sql") {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT l2_distance(array(1.0F, 2.0F), array(1.0F, 4.0F)) AS l2,
+        |       dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dp,
+        |       cosine_distance(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cd,
+        |       ip_distance(array(1.0F, 1.0F), array(2.0F, 3.0F)) AS ip
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 4.0)
+    assert(row.getDouble(1) == 11.0)
+    assert(math.abs(row.getDouble(2)) < 1e-12)
+    assert(row.getDouble(3) == -4.0)
+    // aggregate registered
+    import spark.implicits._
+    val t = Seq((1L, 0.5), (2L, 0.1), (3L, 0.9)).toDF("id", "d")
+    t.createOrReplaceTempView("t")
+    val res = spark.sql("SELECT topk_merge(id, d) AS r FROM t").collect()(0)
+    assert(res.getStruct(0).getSeq[Long](0) == Seq(2L, 1L, 3L))
+  }
+
+  test("GraftExtensions injects functions at session build") {
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    // same underlying context; function available in new session state
+    val v = s2.sql("SELECT l2_distance(array(0.0F), array(3.0F)) AS d")
+      .collect()(0).getDouble(0)
+    assert(v == 9.0)
+  }
+}
