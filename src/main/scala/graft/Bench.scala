@@ -94,16 +94,22 @@ object Bench {
     results("bench_exact_knn") = exactSec
 
     // ANN: k-means cells + per-partition HNSW
-    val sample = vecs.limit(20000).select("vec").collect()
+    val sample = vecs.limit(8192).select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
     val (model, fitSec) = time {
-      KMeansPartitioner.fit(sample, k = cpus.toInt, replicationFactor = 1,
-        iterations = 5, seed = 42L, queryProbes = 4)
+      // cells + skew salting: k-means cells bound probe counts; salting
+      // splits oversized cells so no single task builds a straggler index
+      // (queries probe all sub-partitions of a probed cell — recall
+      // unaffected)
+      val cells = KMeansPartitioner.fit(sample, k = cpus.toInt * 2,
+        replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 8)
+      graft.partitioners.SaltedPartitioner.fromSample(cells, sample, nVec,
+        targetPerPartition = math.max(4000L, nVec / (cpus.toInt * 8)))
     }
     results("bench_ann_fit") = fitSec
     val (annRows, annSec) = time {
       Ann.search(vecs, queries, model, 10, Metric.L2, useHnsw = true,
-        hnswM = 16, efConstruction = 64, efSearch = 64)
+        hnswM = 16, efConstruction = 48, efSearch = 64)
         .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     }
     results("bench_ann_ivf_hnsw") = annSec

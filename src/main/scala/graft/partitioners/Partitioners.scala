@@ -259,10 +259,28 @@ final case class KMeansPartitioner(
     centroids: Array[Array[Float]], replicationFactor: Int,
     queryProbes: Int) extends PartitionerModel {
   override def numPartitions: Int = centroids.length
-  private def nearest(vec: Array[Float], r: Int): Array[Int] =
-    centroids.indices
-      .map(i => (i, graft.functions.Distances.l2(centroids(i), vec)))
-      .sortBy { case (i, d) => (d, i) }.take(r).map(_._1).toArray
+  private def nearest(vec: Array[Float], r: Int): Array[Int] = {
+    // allocation-free bounded selection — this runs once per routed row
+    val k = centroids.length
+    val outI = new Array[Int](r)
+    val outD = new Array[Double](r)
+    var m = 0
+    var i = 0
+    while (i < k) {
+      val d = graft.functions.Distances.l2(centroids(i), vec)
+      if (m < r || d < outD(m - 1) || (d == outD(m - 1) && i < outI(m - 1))) {
+        var pos = if (m < r) m else r - 1
+        while (pos > 0 && (outD(pos - 1) > d ||
+            (outD(pos - 1) == d && outI(pos - 1) > i))) {
+          outD(pos) = outD(pos - 1); outI(pos) = outI(pos - 1); pos -= 1
+        }
+        outD(pos) = d; outI(pos) = i
+        if (m < r) m += 1
+      }
+      i += 1
+    }
+    if (m == r) outI else java.util.Arrays.copyOf(outI, m)
+  }
   override def dataPartitions(vec: Array[Float], id: Long): Array[Int] =
     nearest(vec, replicationFactor)
   /** IVF semantics: probe the queryProbes nearest cells. */
@@ -321,6 +339,43 @@ object KMeansPartitioner {
     }
     KMeansPartitioner(centroids, replicationFactor,
       if (queryProbes > 0) queryProbes else replicationFactor)
+  }
+}
+
+/** Skew salting over any base partitioner: a base partition with more
+ * than its fair share of vectors is split into `splits(p)` sub-partitions
+ * by id hash; queries probe every sub-partition of each probed base
+ * partition, so routing semantics (and recall) are unchanged while the
+ * per-task index build is bounded — the vector-engine analog of AQE skew
+ * salting. */
+final case class SaltedPartitioner(base: PartitionerModel, splits: Array[Int])
+    extends PartitionerModel {
+  private val offsets: Array[Int] = splits.scanLeft(0)(_ + _)
+  override def numPartitions: Int = offsets.last
+  @inline private def salt(id: Long, c: Int): Int =
+    offsets(c) + java.lang.Math.floorMod(java.lang.Long.hashCode(id * 0x9E3779B97F4A7C15L), splits(c))
+  override def dataPartitions(vec: Array[Float], id: Long): Array[Int] =
+    base.dataPartitions(vec, id).map(c => salt(id, c))
+  override def queryPartitions(vec: Array[Float]): Array[Int] =
+    base.queryPartitions(vec).flatMap(c =>
+      Array.range(offsets(c), offsets(c) + splits(c)))
+}
+
+object SaltedPartitioner {
+  /** Derive split factors from a sample routed through the base model so
+   * no sub-partition expects more than `targetPerPartition` of the
+   * `totalCount`-row corpus. */
+  def fromSample(base: PartitionerModel, sample: Array[Array[Float]],
+      totalCount: Long, targetPerPartition: Long): SaltedPartitioner = {
+    val counts = new Array[Long](base.numPartitions)
+    sample.zipWithIndex.foreach { case (v, i) =>
+      base.dataPartitions(v, i.toLong).foreach(counts(_) += 1)
+    }
+    val scale = totalCount.toDouble / math.max(1, sample.length)
+    val splits = counts.map { c =>
+      math.max(1, math.ceil(c * scale / targetPerPartition).toInt)
+    }
+    SaltedPartitioner(base, splits)
   }
 }
 

@@ -13,10 +13,16 @@ import graft.Metric
  * Implementation follows the published HNSW algorithm (Malkov & Yashunin,
  * TPAMI 2018): exponential level draw (mL = 1/ln(M)), greedy descent on
  * upper layers, beam search (efConstruction / efSearch) on the lower
- * layers, neighbor lists pruned to M (2M at layer 0).
+ * layers, neighbor selection with the paper's diversity heuristic
+ * (Alg. 4 — plain closest-M disconnects clustered data into cliques),
+ * neighbor lists pruned to M (2M at layer 0).
  *
  * Deterministic: level draws are seeded from (seed, insertion order), so
  * the same insert sequence builds the same graph on every executor.
+ *
+ * Hot paths are allocation-free: primitive growable arrays for element
+ * storage, epoch-stamped visited flags, and primitive binary heaps for
+ * the beam (a boxed PriorityQueue here dominates build time).
  *
  * Single-threaded by design — one instance per partition per task.
  */
@@ -31,196 +37,181 @@ final class HnswStore(
   private val maxM0 = 2 * m
   private val mL = 1.0 / math.log(m.toDouble)
 
-  // element storage (internal index = insertion order)
-  private val labels = new scala.collection.mutable.ArrayBuffer[Long]()
-  private val tss = new scala.collection.mutable.ArrayBuffer[Long]()
-  private val vecs = new scala.collection.mutable.ArrayBuffer[Array[Float]]()
-  private val levels = new scala.collection.mutable.ArrayBuffer[Int]()
-  // neighbors(layer)(node) = array of internal ids
-  private val neighbors = new scala.collection.mutable.ArrayBuffer[
-    scala.collection.mutable.ArrayBuffer[Array[Int]]]()
+  // element storage (internal id = insertion order), primitive + growable
+  private var cap = 1024
+  private var labels = new Array[Long](cap)
+  private var tss = new Array[Long](cap)
+  private var vecs = new Array[Array[Float]](cap)
+  private var n = 0
+  // neighbors(layer)(node) = array of internal ids; layers grow rarely
+  private var neighbors = new Array[Array[Array[Int]]](0)
   private var entryPoint = -1
   private var maxLevel = -1
   private val rnd = new java.util.Random(seed)
-  // label -> latest live internal id (versioned upsert; delete removes)
   private val latest = new java.util.HashMap[Long, Int]()
 
   override def size: Int = latest.size()
 
-  private def levelFor(): Int = {
-    val u = rnd.nextDouble()
-    (-math.log(u) * mL).toInt
-  }
-
-  private final class Cand(val id: Int, val d: Double)
-  private val byDistAsc = new java.util.Comparator[Cand] {
-    def compare(a: Cand, b: Cand): Int = {
-      val c = java.lang.Double.compare(a.d, b.d)
-      if (c != 0) c else Integer.compare(a.id, b.id)
+  private def grow(): Unit = {
+    cap *= 2
+    labels = java.util.Arrays.copyOf(labels, cap)
+    tss = java.util.Arrays.copyOf(tss, cap)
+    vecs = java.util.Arrays.copyOf(vecs, cap)
+    var l = 0
+    while (l < neighbors.length) {
+      neighbors(l) = java.util.Arrays.copyOf(neighbors(l), cap)
+      l += 1
     }
   }
-  private val byDistDesc = new java.util.Comparator[Cand] {
-    def compare(a: Cand, b: Cand): Int = -byDistAsc.compare(a, b)
+
+  private def levelFor(): Int = (-math.log(rnd.nextDouble()) * mL).toInt
+
+  // ---- primitive heaps (parallel dist/id arrays) -----------------------
+
+  /** Binary heap over (dist, id); `sign` +1 = min-heap, -1 = max-heap.
+   * Ties ordered by smaller id first in a min-heap (matching the
+   * reference's (dist, id) ascending contract). */
+  private final class Heap(capacity0: Int, sign: Int) {
+    var ds = new Array[Double](capacity0)
+    var ids = new Array[Int](capacity0)
+    var size = 0
+    @inline private def lt(d1: Double, i1: Int, d2: Double, i2: Int): Boolean =
+      if (d1 != d2) (if (sign > 0) d1 < d2 else d1 > d2)
+      else (if (sign > 0) i1 < i2 else i1 > i2)
+    def clear(): Unit = size = 0
+    def add(d: Double, id: Int): Unit = {
+      if (size == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, size * 2)
+        ids = java.util.Arrays.copyOf(ids, size * 2)
+      }
+      var i = size
+      size += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (lt(d, id, ds(p), ids(p))) {
+          ds(i) = ds(p); ids(i) = ids(p); i = p
+        } else {
+          ds(i) = d; ids(i) = id; return
+        }
+      }
+      ds(0) = d; ids(0) = id
+    }
+    def topDist: Double = ds(0)
+    def topId: Int = ids(0)
+    def poll(): Unit = {
+      size -= 1
+      val d = ds(size); val id = ids(size)
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1
+        if (l >= size) { ds(i) = d; ids(i) = id; return }
+        var c = l
+        val r = l + 1
+        if (r < size && lt(ds(r), ids(r), ds(l), ids(l))) c = r
+        if (lt(ds(c), ids(c), d, id)) {
+          ds(i) = ds(c); ids(i) = ids(c); i = c
+        } else { ds(i) = d; ids(i) = id; return }
+      }
+    }
   }
 
-  // visited-flag epoch array: one clear-free reset per search (hot path —
-  // a HashSet here dominates build time with boxing/rehash)
+  // scratch state reused across searches (single-threaded store)
   private var visitedEpoch = new Array[Int](1024)
   private var epoch = 0
+  private val candHeap = new Heap(256, +1)  // to expand, closest first
+  private val foundHeap = new Heap(256, -1) // best ef, worst on top
+  // searchLayer result buffers (ascending (dist, id))
+  private var resD = new Array[Double](256)
+  private var resI = new Array[Int](256)
+  private var resN = 0
 
-  /** Beam search on one layer from an entry node; returns up to ef closest
-   * (internal) candidates, ascending. */
-  private def searchLayer(q: Array[Float], entry: Int, ef: Int, layer: Int): Array[Cand] = {
-    if (visitedEpoch.length < labels.length) {
-      visitedEpoch = java.util.Arrays.copyOf(visitedEpoch,
-        math.max(labels.length, visitedEpoch.length * 2))
+  /** Beam search on one layer; fills resD/resI/resN ascending. */
+  private def searchLayer(q: Array[Float], entry: Int, ef: Int, layer: Int): Unit = {
+    if (visitedEpoch.length < n) {
+      visitedEpoch = java.util.Arrays.copyOf(visitedEpoch, math.max(n, visitedEpoch.length * 2))
     }
     epoch += 1
-    val visited = visitedEpoch
     val ep = epoch
-    val candidates = new java.util.PriorityQueue[Cand](byDistAsc) // to expand
-    val found = new java.util.PriorityQueue[Cand](byDistDesc)     // best ef, max on top
+    val visited = visitedEpoch
+    candHeap.clear(); foundHeap.clear()
     val d0 = dist(q, vecs(entry))
-    candidates.add(new Cand(entry, d0))
-    found.add(new Cand(entry, d0))
+    candHeap.add(d0, entry)
+    foundHeap.add(d0, entry)
     visited(entry) = ep
-    while (!candidates.isEmpty) {
-      val c = candidates.poll()
-      if (found.size() >= ef && c.d > found.peek().d) {
-        candidates.clear()
+    val layerNbrs = neighbors(layer)
+    while (candHeap.size > 0) {
+      val cd = candHeap.topDist
+      val cid = candHeap.topId
+      if (foundHeap.size >= ef && cd > foundHeap.topDist) {
+        candHeap.clear()
       } else {
-        val nbrs = neighbors(layer)(c.id)
+        candHeap.poll()
+        val nbrs = layerNbrs(cid)
         var i = 0
         while (i < nbrs.length) {
           val nb = nbrs(i)
           if (visited(nb) != ep) {
             visited(nb) = ep
             val d = dist(q, vecs(nb))
-            if (found.size() < ef || d < found.peek().d) {
-              candidates.add(new Cand(nb, d))
-              found.add(new Cand(nb, d))
-              if (found.size() > ef) found.poll()
+            if (foundHeap.size < ef || d < foundHeap.topDist) {
+              candHeap.add(d, nb)
+              foundHeap.add(d, nb)
+              if (foundHeap.size > ef) foundHeap.poll()
             }
           }
           i += 1
         }
       }
     }
-    val out = new Array[Cand](found.size())
-    var i = out.length - 1
-    while (i >= 0) { out(i) = found.poll(); i -= 1 }
-    out
+    // drain max-heap into ascending arrays
+    resN = foundHeap.size
+    if (resD.length < resN) {
+      resD = new Array[Double](resN * 2)
+      resI = new Array[Int](resN * 2)
+    }
+    var i = resN - 1
+    while (i >= 0) {
+      resD(i) = foundHeap.topDist; resI(i) = foundHeap.topId
+      foundHeap.poll(); i -= 1
+    }
   }
 
-  /** Neighbor selection with the paper's diversity heuristic (Malkov &
-   * Yashunin, Alg. 4): keep candidate e only if it is closer to the base
-   * point than to every already-selected neighbor — preserves long-range
-   * inter-cluster links (plain closest-M disconnects clustered data into
-   * cliques), then backfill with the skipped closest ones (keepPruned). */
-  private def selectNeighbors(cands: Array[Cand], max: Int): Array[Int] = {
-    if (cands.length <= max) return cands.map(_.id)
-    val selected = new scala.collection.mutable.ArrayBuffer[Cand](max)
-    val skipped = new scala.collection.mutable.ArrayBuffer[Cand]()
+  /** Diversity-heuristic selection (Alg. 4) over ascending (d, id) arrays;
+   * returns selected internal ids, backfilled with skipped (keepPruned). */
+  private def selectNeighbors(cd: Array[Double], ci: Array[Int], cn: Int,
+      max: Int): Array[Int] = {
+    if (cn <= max) return java.util.Arrays.copyOf(ci, cn)
+    val out = new Array[Int](max)
+    val outD = new Array[Double](max)
+    var selected = 0
+    val skipped = new Array[Int](cn)
+    var nSkipped = 0
     var i = 0
-    while (i < cands.length && selected.length < max) {
-      val c = cands(i)
+    while (i < cn && selected < max) {
+      val cand = ci(i)
+      val cd0 = cd(i)
       var good = true
       var j = 0
-      while (good && j < selected.length) {
-        if (dist(vecs(c.id), vecs(selected(j).id)) < c.d) good = false
+      while (good && j < selected) {
+        if (dist(vecs(cand), vecs(out(j))) < cd0) good = false
         j += 1
       }
-      if (good) selected += c else skipped += c
+      if (good) { out(selected) = cand; outD(selected) = cd0; selected += 1 }
+      else { skipped(nSkipped) = cand; nSkipped += 1 }
       i += 1
     }
     var s = 0
-    while (selected.length < max && s < skipped.length) {
-      selected += skipped(s); s += 1
+    while (selected < max && s < nSkipped) {
+      out(selected) = skipped(s); selected += 1; s += 1
     }
-    selected.map(_.id).toArray
+    if (selected == max) out else java.util.Arrays.copyOf(out, selected)
   }
 
-  override def put(label: Long, ts: Long, vec: Array[Float]): Unit = {
-    val id = labels.length
-    val level = levelFor()
-    labels += label; tss += ts; vecs += vec; levels += level
-    while (neighbors.length <= level) {
-      val layer = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
-      var i = 0
-      while (i < labels.length - 1) { layer += Array.empty[Int]; i += 1 }
-      neighbors += layer
-    }
-    var l = 0
-    while (l < neighbors.length) {
-      if (neighbors(l).length < labels.length) neighbors(l) += Array.empty[Int]
-      l += 1
-    }
-    latest.put(label, id)
-    if (entryPoint == -1) { entryPoint = id; maxLevel = level; return }
-
-    var ep = entryPoint
-    // greedy descent through layers above the node's level
-    var lc = maxLevel
-    while (lc > level) {
-      var changed = true
-      var best = dist(vec, vecs(ep))
-      while (changed) {
-        changed = false
-        val nbrs = neighbors(lc)(ep)
-        var i = 0
-        while (i < nbrs.length) {
-          val d = dist(vec, vecs(nbrs(i)))
-          if (d < best) { best = d; ep = nbrs(i); changed = true }
-          i += 1
-        }
-      }
-      lc -= 1
-    }
-    // insert at layers min(level, maxLevel) .. 0
-    lc = math.min(level, maxLevel)
-    while (lc >= 0) {
-      val cands = searchLayer(vec, ep, efConstruction, lc)
-      val maxConn = if (lc == 0) maxM0 else m
-      val selected = selectNeighbors(cands, m)
-      neighbors(lc)(id) = selected
-      // bidirectional links with pruning
-      var i = 0
-      while (i < selected.length) {
-        val nb = selected(i)
-        val cur = neighbors(lc)(nb)
-        if (cur.length < maxConn) {
-          neighbors(lc)(nb) = cur :+ id
-        } else {
-          // prune with the same diversity heuristic
-          val all = (cur :+ id).map(x => new Cand(x, dist(vecs(nb), vecs(x))))
-          java.util.Arrays.sort(all, byDistAsc)
-          neighbors(lc)(nb) = selectNeighbors(all, maxConn)
-        }
-        i += 1
-      }
-      if (cands.nonEmpty) ep = cands(0).id
-      lc -= 1
-    }
-    if (level > maxLevel) { maxLevel = level; entryPoint = id }
-  }
-
-  override def delete(label: Long): Unit = latest.remove(label)
-
-  /** True iff internal id is the live version of its label and fresh. */
-  private def accept(id: Int, tsFloor: Long, tsCeil: Long): Boolean = {
-    val t = tss(id)
-    t >= tsFloor && t <= tsCeil && {
-      val live = latest.get(labels(id))
-      live != null && live == id
-    }
-  }
-
-  override def search(q: Array[Float], k: Int, tsFloor: Long,
-      tsCeil: Long): Array[(Long, Double)] = {
-    if (entryPoint == -1 || latest.isEmpty) return Array.empty
-    var ep = entryPoint
-    var lc = maxLevel
-    while (lc > 0) {
+  private def greedyDescend(q: Array[Float], from: Int, fromLevel: Int,
+      toLevel: Int): Int = {
+    var ep = from
+    var lc = fromLevel
+    while (lc > toLevel) {
       var changed = true
       var best = dist(q, vecs(ep))
       while (changed) {
@@ -235,23 +226,102 @@ final class HnswStore(
       }
       lc -= 1
     }
+    ep
+  }
+
+  override def put(label: Long, ts: Long, vec: Array[Float]): Unit = {
+    if (n == cap) grow()
+    val id = n
+    val level = levelFor()
+    labels(id) = label; tss(id) = ts; vecs(id) = vec
+    n += 1
+    while (neighbors.length <= level) {
+      neighbors = java.util.Arrays.copyOf(neighbors, neighbors.length + 1)
+      neighbors(neighbors.length - 1) = new Array[Array[Int]](cap)
+    }
+    var l = 0
+    while (l <= level) { neighbors(l)(id) = HnswStore.EmptyInts; l += 1 }
+    latest.put(label, id)
+    if (entryPoint == -1) { entryPoint = id; maxLevel = level; return }
+
+    var ep = greedyDescend(vec, entryPoint, maxLevel, math.min(level, maxLevel))
+    var lc = math.min(level, maxLevel)
+    while (lc >= 0) {
+      searchLayer(vec, ep, efConstruction, lc)
+      val maxConn = if (lc == 0) maxM0 else m
+      val selected = selectNeighbors(resD, resI, resN, m)
+      neighbors(lc)(id) = selected
+      var i = 0
+      while (i < selected.length) {
+        val nb = selected(i)
+        val cur = neighbors(lc)(nb)
+        if (cur.length < maxConn) {
+          val grown = java.util.Arrays.copyOf(cur, cur.length + 1)
+          grown(cur.length) = id
+          neighbors(lc)(nb) = grown
+        } else {
+          // prune with the same diversity heuristic over (cur + id)
+          val cn = cur.length + 1
+          val pd = new Array[Double](cn)
+          val pi = new Array[Int](cn)
+          var j = 0
+          while (j < cur.length) { pd(j) = dist(vecs(nb), vecs(cur(j))); pi(j) = cur(j); j += 1 }
+          pd(cur.length) = dist(vecs(nb), vecs(id)); pi(cur.length) = id
+          // insertion sort by (d, id) — cn is small (<= 2M+1)
+          j = 1
+          while (j < cn) {
+            val dj = pd(j); val ij = pi(j)
+            var k = j - 1
+            while (k >= 0 && (pd(k) > dj || (pd(k) == dj && pi(k) > ij))) {
+              pd(k + 1) = pd(k); pi(k + 1) = pi(k); k -= 1
+            }
+            pd(k + 1) = dj; pi(k + 1) = ij
+            j += 1
+          }
+          neighbors(lc)(nb) = selectNeighbors(pd, pi, cn, maxConn)
+        }
+        i += 1
+      }
+      if (resN > 0) ep = resI(0)
+      lc -= 1
+    }
+    if (level > maxLevel) { maxLevel = level; entryPoint = id }
+  }
+
+  override def delete(label: Long): Unit = latest.remove(label)
+
+  /** True iff internal id is the live version of its label and fresh. */
+  @inline private def accept(id: Int, tsFloor: Long, tsCeil: Long): Boolean = {
+    val t = tss(id)
+    t >= tsFloor && t <= tsCeil && {
+      val live = latest.get(labels(id))
+      live != null && live == id
+    }
+  }
+
+  override def search(q: Array[Float], k: Int, tsFloor: Long,
+      tsCeil: Long): Array[(Long, Double)] = {
+    if (entryPoint == -1 || latest.isEmpty) return Array.empty
+    val ep = greedyDescend(q, entryPoint, maxLevel, 0)
     // over-fetch so the accept-filter (deletes, versions, freshness) can
-    // drop candidates and still leave k (reference filters inside the
-    // C++ search; filtering post-beam with a widened ef is the standard
-    // library workaround)
+    // drop candidates and still leave k (the reference filters inside the
+    // C++ search; widened ef is the standard library workaround)
     val ef = math.max(efSearch, k * 4)
-    val cands = searchLayer(q, ep, ef, 0)
+    searchLayer(q, ep, ef, 0)
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](k)
     val seenLabels = new java.util.HashSet[Long]()
     var i = 0
-    while (i < cands.length && out.length < k) {
-      val c = cands(i)
-      if (accept(c.id, tsFloor, tsCeil) && seenLabels.add(labels(c.id))) {
-        out += ((labels(c.id), c.d))
+    while (i < resN && out.length < k) {
+      val id = resI(i)
+      if (accept(id, tsFloor, tsCeil) && seenLabels.add(labels(id))) {
+        out += ((labels(id), resD(i)))
       }
       i += 1
     }
-    // ensure (dist, id-label) tie order
     out.sortBy { case (l, d) => (d, l) }.toArray
   }
+}
+
+object HnswStore {
+  private val EmptyInts = new Array[Int](0)
 }
