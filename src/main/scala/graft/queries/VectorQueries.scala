@@ -113,8 +113,26 @@ object VectorQueries {
        |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
        |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin
 
+  /** kNN over a corpus with a versioned delete log applied (V4): vectors
+   * whose id matches the deterministic delete pattern are tombstoned at a
+   * later event time and must not appear in results. */
+  def knnWithDeletes(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").as("eventTime"))
+    val deletes = Tables(s, dir, "embeddings")
+      .where(col("vec_id") % 17 === 3)
+      .select(col("vec_id").as("id"), (col("vec_id") + 1000000L).as("eventTime"))
+    val live = graft.ops.Ann.applyDeletes(base, deletes)
+    val pairs = live.join(broadcast(queryDf(s, dir)))
+      .select(col("qid"), col("id"),
+        Distances.l2(col("qv"), col("vec")).as("dist"))
+    ranked(pairs.groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_l2" -> knn(graft.Metric.L2) _,
+    "knn_deletes" -> (knnWithDeletes _),
     "knn_ip" -> knn(graft.Metric.IP) _,
     "knn_cosine" -> knn(graft.Metric.Cosine) _,
     "knn_ttl" -> (knnTtl _),
@@ -123,6 +141,8 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
+    "knn_deletes" -> knnOracle(l2Sql("q.qv", "b.embedding"),
+      "b.vec_id % 17 <> 3"),
     "knn_ip" -> knnOracle(ipSql("q.qv", "b.embedding")),
     "knn_cosine" -> knnOracle(cosSql("q.qv", "b.embedding")),
     "knn_ttl" -> knnOracle(l2Sql("q.qv", "b.embedding"),

@@ -1,0 +1,27 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.SparkEntry.configure(SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    def check(name: String): Unit = {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      def has(s: String) = plan.contains(s)
+      println(s"== $name: pushedFilters=${has("PushedFilters: [Is") || has("PushedFilters: [In") || plan.contains("PushedFilters: [")} " +
+        s"broadcast=${has("BroadcastHashJoin") || has("BroadcastNestedLoopJoin")} " +
+        s"wscg=${has("WholeStageCodegen")} " +
+        s"sortMerge=${has("SortMergeJoin")} objHashAgg=${has("ObjectHashAggregate")}")
+      // show scan lines (pruning evidence)
+      plan.linesIterator.filter(l => l.contains("ReadSchema") || l.contains("PushedFilters"))
+        .take(3).foreach(l => println("   " + l.trim.take(160)))
+    }
+    Seq("q1_pricing_summary", "q3_revenue_by_nation", "q6_window_topn",
+      "q11_interval_join", "knn_l2", "knn_ttl", "text_jaccard_pairs",
+      "dedup_minhash").foreach(check)
+    spark.stop()
+  }
+}
