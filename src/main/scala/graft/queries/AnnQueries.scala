@@ -62,6 +62,15 @@ object AnnQueries {
         Metric.L2, useHnsw = true)
     },
 
+    "ann_odyssey" -> { (s, dir) =>
+      val sample = Tables(s, dir, "embeddings").limit(5000)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val model = OdysseyPartitioner.fit(sample, numPartitions = 12,
+        replicationFactor = 3, paaSize = 4, width = 2, lambda = 4)
+      Ann.search(vectorsDf(s, dir), queriesDf(s, dir), model, K,
+        Metric.L2, useHnsw = false)
+    },
+
     "dedup_minhash" -> { (s, dir) =>
       Dedup.minhashPairs(Tables(s, dir, "documents"), numHashes = 64,
         rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)

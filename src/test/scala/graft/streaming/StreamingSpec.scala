@@ -63,6 +63,29 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("LSH fan-out: completeness counting over partial partition probes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.partitioners.LshPartitioner
+    val model = LshPartitioner.seeded(8, 8, 3, 2, 4.0f, 38324L)
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = VectorStreamJob.run(input.toDS(), model, k = 5, Metric.L2,
+      maxTtl = 1000000L) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getLong(2))) })
+    }
+    val vecs = (0 until 200).map(i => StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0))
+    input.addData(vecs :+ StreamEvent("q", 900L, vec(17), 500L, 1000000L, 5): _*)
+    q.processAllAvailable()
+    val got = results.synchronized { results.filter(_._1 == 900L).map(_._2) }
+    // query must complete (numPartitionsSent partials merged) and find its
+    // own vector (identical vector shares every probed partition)
+    assert(got.nonEmpty, "query did not complete")
+    assert(got.contains(17L))
+    q.stop()
+  }
+
   test("state eviction drops entries older than maxTtl") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
