@@ -62,6 +62,20 @@ object AnnQueries {
         Metric.L2, useHnsw = true)
     },
 
+    "ann_lsh_random" -> { (s, dir) =>
+      val base = LshPartitioner.seeded(numPartitions = 16, dim = Dim,
+        numFamilies = 4, numHashes = 2, width = 4.0f, seed = 38324L)
+      Ann.search(vectorsDf(s, dir), queriesDf(s, dir),
+        LshRandomPartitioner(base, 7L), K, Metric.L2, useHnsw = true)
+    },
+
+    "ann_lsh_proximity" -> { (s, dir) =>
+      val fams = Array(graft.functions.L2HashFamily.seeded(Dim, 3, 4.0f, 5L))
+      Ann.search(vectorsDf(s, dir), queriesDf(s, dir),
+        LshProximityPartitioner(16, fams, proximity = 1), K, Metric.L2,
+        useHnsw = false)
+    },
+
     "ann_odyssey" -> { (s, dir) =>
       val sample = Tables(s, dir, "embeddings").limit(5000)
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)

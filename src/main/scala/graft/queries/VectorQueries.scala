@@ -130,8 +130,25 @@ object VectorQueries {
     ranked(pairs.groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk")))
   }
 
+  /** The same kNN expressed entirely through the registered SQL surface
+   * (GraftFunctions + spark.sql window) — proves the SQL API end-to-end. */
+  def knnViaSql(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    Tables(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    s.sql(
+      s"""SELECT qid, rn, id, dist FROM (
+         |  SELECT q.vec_id AS qid, b.vec_id AS id,
+         |         l2_distance(q.embedding, b.embedding) AS dist,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY l2_distance(q.embedding, b.embedding), b.vec_id) AS rn
+         |  FROM graft_embeddings q JOIN graft_embeddings b
+         |  WHERE q.vec_id % $QueryMod = 0)
+         |WHERE rn <= $K""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_l2" -> knn(graft.Metric.L2) _,
+    "knn_sql" -> (knnViaSql _),
     "knn_deletes" -> (knnWithDeletes _),
     "knn_ip" -> knn(graft.Metric.IP) _,
     "knn_cosine" -> knn(graft.Metric.Cosine) _,
@@ -143,6 +160,7 @@ object VectorQueries {
     "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
     "knn_deletes" -> knnOracle(l2Sql("q.qv", "b.embedding"),
       "b.vec_id % 17 <> 3"),
+    "knn_sql" -> knnOracle(l2Sql("q.qv", "b.embedding")),
     "knn_ip" -> knnOracle(ipSql("q.qv", "b.embedding")),
     "knn_cosine" -> knnOracle(cosSql("q.qv", "b.embedding")),
     "knn_ttl" -> knnOracle(l2Sql("q.qv", "b.embedding"),
