@@ -71,7 +71,7 @@ final class HnswStore(
   /** Binary heap over (dist, id); `sign` +1 = min-heap, -1 = max-heap.
    * Ties ordered by smaller id first in a min-heap (matching the
    * reference's (dist, id) ascending contract). */
-  private final class Heap(capacity0: Int, sign: Int) {
+  private final class Heap(capacity0: Int, sign: Int) extends Serializable {
     var ds = new Array[Double](capacity0)
     var ids = new Array[Int](capacity0)
     var size = 0
@@ -289,6 +289,14 @@ final class HnswStore(
   }
 
   override def delete(label: Long): Unit = latest.remove(label)
+
+  /** Live (label, ts, vec) triples — used for compaction rebuilds. */
+  def liveEntries: Iterator[(Long, Long, Array[Float])] = {
+    import scala.jdk.CollectionConverters._
+    latest.entrySet().iterator().asScala
+      .map(e => (e.getKey.longValue(), tss(e.getValue), vecs(e.getValue)))
+      .toArray.sortBy(x => (x._2, x._1)).iterator
+  }
 
   /** True iff internal id is the live version of its label and fresh. */
   @inline private def accept(id: Int, tsFloor: Long, tsCeil: Long): Boolean = {

@@ -70,6 +70,61 @@ object VectorStreamJob {
     }
   }
 
+  final case class HnswState(bytes: Array[Byte], inserted: Long)
+
+  /** C1 with an HNSW hot tier held in state as a serialized index —
+   * inserts are incremental (the reference's HNSW memtable, V1); the
+   * graph keeps tombstoned nodes (like the reference) and is compacted
+   * (rebuilt from live entries) when more than half its nodes are dead. */
+  def partialsHnsw(routed: Dataset[Routed], metric: Metric, maxTtl: Long,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64)
+      : Dataset[PartialResult] = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    def serialize(s: graft.store.HnswStore): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(s); oos.close(); bos.toByteArray
+    }
+    def deserialize(b: Array[Byte]): graft.store.HnswStore = {
+      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+      val s = ois.readObject().asInstanceOf[graft.store.HnswStore]
+      ois.close(); s
+    }
+    routed.groupByKey(_.pid).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (pid: Int, events: Iterator[Routed], state: GroupState[HnswState]) => {
+        var store = state.getOption.map(s => deserialize(s.bytes))
+          .getOrElse(new graft.store.HnswStore(metric, m, efConstruction, efSearch,
+            seed = 42L + pid))
+        var inserted = state.getOption.map(_.inserted).getOrElse(0L)
+        val out = new scala.collection.mutable.ArrayBuffer[PartialResult]()
+        val evs = events.toArray.sortBy(r => (r.ev.eventTime, r.ev.id))
+        evs.foreach { r =>
+          val ev = r.ev
+          ev.kind match {
+            case "i" => store.put(ev.id, ev.eventTime, ev.vec); inserted += 1
+            case "d" => store.delete(ev.id)
+            case "q" =>
+              val ttl = math.min(ev.ttl, maxTtl)
+              val res = store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
+              out += PartialResult(ev.id, pid, r.numPartitionsSent,
+                res.map(_._1), res.map(_._2), ev.eventTime)
+          }
+        }
+        // compaction: rebuild when most graph nodes are dead versions
+        if (inserted > 64 && store.size * 2 < inserted) {
+          val fresh = new graft.store.HnswStore(metric, m, efConstruction,
+            efSearch, seed = 42L + pid)
+          store.liveEntries.foreach { case (label, ts, vec) => fresh.put(label, ts, vec) }
+          store = fresh
+          inserted = store.size.toLong
+        }
+        state.update(HnswState(serialize(store), inserted))
+        out.iterator
+      })
+  }
+
   /** The keyed insert-&-search operator (C1). */
   def partials(routed: Dataset[Routed], metric: Metric, maxTtl: Long)
       : Dataset[PartialResult] = {
@@ -149,9 +204,11 @@ object VectorStreamJob {
   /** Wire the full pipeline onto a streaming Dataset; results are appended
    * per micro-batch via foreachBatch into `sink`. */
   def run(events: Dataset[StreamEvent], model: PartitionerModel, k: Int,
-      metric: Metric, maxTtl: Long)(sink: DataFrame => Unit)
+      metric: Metric, maxTtl: Long, useHnsw: Boolean = false)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val p = partials(route(events, model), metric, maxTtl)
+    val routed = route(events, model)
+    val p = if (useHnsw) partialsHnsw(routed, metric, maxTtl)
+            else partials(routed, metric, maxTtl)
     p.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[PartialResult], _: Long) =>

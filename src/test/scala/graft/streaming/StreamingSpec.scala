@@ -63,6 +63,31 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("HNSW hot-tier state: replay equivalence incl. deletes across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000000L, useHnsw = true) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2))) })
+    }
+    val inserts = (0 until 50).map(i => StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0))
+    input.addData(inserts: _*)
+    q.processAllAvailable() // state must survive the batch boundary
+    input.addData(
+      StreamEvent("d", 3L, null, 200L, 0L, 0),
+      StreamEvent("q", 2000L, vec(3), 300L, 1000000L, 5))
+    q.processAllAvailable()
+    val got = results.synchronized { results.filter(_._1 == 2000L).sortBy(_._2).map(_._3) }
+    val truth = (0 until 50).filter(_ != 3)
+      .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    assert(got == truth, s"got $got want $truth")
+    q.stop()
+  }
+
   test("LSH fan-out: completeness counting over partial partition probes") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
