@@ -133,6 +133,54 @@ object Relational {
       Tables(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    "q13_conditional_agg" -> { (s, dir) =>
+      // CASE-based conditional aggregation (promo-share shape)
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          dsum(when(col("p_type").startsWith("STANDARD"),
+            col("l_extendedprice")).otherwise(lit(0.0))).as("standard_rev"),
+          dsum(col("l_extendedprice")).as("total_rev"),
+          count(when(col("l_quantity") > 25, 1)).as("n_bulk"))
+    },
+
+    "q14_having" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .where(col("n_orders") >= 5)
+    },
+
+    "q15_scalar_subquery" -> { (s, dir) =>
+      // customers above their nation's average balance
+      val c = Tables(s, dir, "customer")
+      val avgByNation = c.groupBy("c_nationkey")
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("nation_avg"))
+      c.join(broadcast(avgByNation), "c_nationkey")
+        .where(col("c_acctbal") > col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_above_avg"))
+    },
+
+    "q16_exists_corr" -> { (s, dir) =>
+      // orders having at least one bulk lineitem (correlated EXISTS)
+      val o = Tables(s, dir, "orders")
+      val bulk = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"))
+      o.join(bulk, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders_with_bulk"))
+    },
+
+    "q17_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -229,5 +277,40 @@ object Relational {
     "q12_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |${dsumSql("l_quantity")} AS sum_qty
-         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q13_conditional_agg" ->
+      s"""SELECT p_brand,
+         |${dsumSql("CASE WHEN p_type LIKE 'STANDARD%' THEN l_extendedprice ELSE 0.0 END")} AS standard_rev,
+         |${dsumSql("l_extendedprice")} AS total_rev,
+         |COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "q14_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |${dsumSql("o_totalprice")} AS spend
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5""".stripMargin,
+
+    "q15_scalar_subquery" ->
+      s"""WITH a AS (SELECT c_nationkey,
+         |  ${dsumSql("c_acctbal")} / COUNT(*) AS nation_avg
+         |  FROM customer GROUP BY c_nationkey)
+         |SELECT c.c_nationkey, COUNT(*) AS n_above_avg
+         |FROM customer c JOIN a ON c.c_nationkey = a.c_nationkey
+         |WHERE c.c_acctbal > a.nation_avg
+         |GROUP BY c.c_nationkey""".stripMargin,
+
+    "q16_exists_corr" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders_with_bulk
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin)
 }
