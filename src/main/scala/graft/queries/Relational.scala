@@ -262,7 +262,7 @@ object Relational {
          |s AS (SELECT user_id, tsn,
          |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id
          |    ROWS UNBOUNDED PRECEDING) AS sess FROM b)
-         |SELECT user_id, sess, COUNT(*) AS n_events,
+         |SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
          |  MIN(tsn) AS t_start, MAX(tsn) AS t_end
          |FROM s GROUP BY user_id, sess""".stripMargin,
 
@@ -310,7 +310,7 @@ object Relational {
 
     "q17_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin)
 }

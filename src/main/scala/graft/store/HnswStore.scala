@@ -48,7 +48,10 @@ final class HnswStore(
   private var entryPoint = -1
   private var maxLevel = -1
   private val rnd = new java.util.Random(seed)
-  private val latest = new java.util.HashMap[Long, Int]()
+  // Boxed value type: get() on a missing key must return null, not a
+  // 0-unboxed primitive (a [Long, Int] map silently turns "deleted" into
+  // "internal id 0", resurrecting the first-inserted element).
+  private val latest = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
 
   override def size: Int = latest.size()
 
@@ -303,7 +306,7 @@ final class HnswStore(
     val t = tss(id)
     t >= tsFloor && t <= tsCeil && {
       val live = latest.get(labels(id))
-      live != null && live == id
+      live != null && live.intValue() == id
     }
   }
 
