@@ -34,8 +34,15 @@ object SparkEntry {
       PartitionQueries.queries ++ AnnQueries.queries ++ EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    Relational.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
-      PartitionQueries.oracles ++ EvalQueries.oracles
+    * the same parquet tables (plus the deterministic routing/signature aux
+    * parquet the ANN/dedup entries materialize — see
+    * [[graft.queries.OracleAux]]). Aux paths are resolved for the given
+    * sf dir. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    (Relational.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
+      PartitionQueries.oracles ++ AnnQueries.oracles ++ EvalQueries.oracles)
+      .map { case (k, v) => k -> graft.queries.OracleAux.substitute(v, sfDir) }
+
+  /** Default-sf view of [[oracleSqlFor]] (the driver gates at sf0.01). */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -10,76 +10,86 @@ import graft.functions.Text
  * same bucket-join machinery as the vector partitioners):
  *
  *  - MinHash + LSH banding: shingle -> minhash signature -> band keys ->
- *    bucket self-join -> signature-estimated Jaccard filter. Candidate
- *    generation never compares all pairs: cost is sum of bucket sizes
- *    squared, which stays near-linear when duplicates are sparse.
+ *    per-bucket pair generation -> signature-estimated Jaccard filter.
+ *    Candidate generation never compares all pairs: cost is sum of bucket
+ *    sizes squared, which stays near-linear when duplicates are sparse.
  *  - SimHash: 64-bit token-weight fingerprint; 16-bit band exact-match
  *    buckets guarantee every pair within Hamming distance 3 shares a band
  *    (pigeonhole over 4 bands), then exact Hamming filter.
+ *
+ * Candidate pairs are produced by ONE shuffle of the banded table
+ * (groupBy band -> in-bucket pair enumeration). A bucket larger than
+ * `maxBucketSize` is non-discriminative (its band says "similar to
+ * everything") and is dropped whole — the classic LSH skew guard; truly
+ * near-duplicate pairs collide in several independent bands, so
+ * discriminative bands still emit them. This cap is what keeps candidate
+ * generation near-linear at corpus scale (no quadratic hot key, no
+ * driver-side bucket statistics).
  *
  * All hashes are the deterministic, JVM-independent ones in
  * [[graft.functions.Text]], so signatures agree across executors.
  */
 object Dedup {
 
-  /** Remove super-buckets before a band self-join. A bucket holding more
-   * than `maxBucketSize` documents is non-discriminative (its band says
-   * "similar to everything") and would make the join quadratic in the
-   * hottest key — the classic LSH skew pathology. Dropped buckets cost no
-   * real recall for pair-finding: any truly near-duplicate pair collides
-   * in several independent bands, so discriminative bands still emit it.
-   * This cap is what keeps candidate generation near-linear at corpus
-   * scale. */
-  private def dropSuperBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val sizes = banded.groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("_bucket_n"))
-      .where(col("_bucket_n") <= maxBucketSize)
-      .select(col("band_idx").as("_bi"), col("band_key").as("_bk"))
-    banded.join(broadcast(sizes),
-      banded("band_idx") === col("_bi") && banded("band_key") === col("_bk"))
-      .drop("_bi", "_bk")
-  }
-
-  /** MinHash-LSH candidate pairs (i < j) with estimated Jaccard >= threshold.
-   * Output: (i, j, est_jaccard). */
-  def minhashPairs(
+  /** One pass over the corpus: (doc_id, sig ARRAY<LONG>, bands ARRAY<LONG>). */
+  def minhashSignatures(
       docs: DataFrame, // (doc_id LONG, text STRING)
       numHashes: Int = 64,
       rowsPerBand: Int = 4,
       shingleWidth: Int = 3,
-      threshold: Double = 0.5,
-      seed: Long = 42L,
-      maxBucketSize: Int = 500): DataFrame = {
+      seed: Long = 42L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hasher = Text.MinHasher(numHashes, seed)
     val b = spark.sparkContext.broadcast(hasher)
-
-    val sigs = docs.select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val sig = b.value.signature(text, shingleWidth)
         (id, sig, b.value.bandKeys(sig, rowsPerBand))
       }
       .toDF("doc_id", "sig", "bands")
+  }
 
-    val banded = dropSuperBuckets(
-      sigs.select(col("doc_id"), col("sig"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key"))),
-      maxBucketSize)
-
-    // join on bare ids only — carrying the 64-slot signatures through the
-    // candidate join multiplies shuffle volume ~100x; re-attach them to
-    // the (much smaller) deduped pair set afterwards
-    val keys = banded.select(col("doc_id"), col("band_idx"), col("band_key"))
-    val pairs = keys.as("a").join(keys.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+  /** Candidate (i < j) pairs sharing a band bucket of size <= maxBucketSize:
+   * one shuffle on the band key, pairs enumerated inside each bucket. */
+  private def bucketPairs(
+      banded: Dataset[(Long, Int, Long)], // (doc_id, band_idx, band_key)
+      maxBucketSize: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.groupByKey { case (_, bi, bk) => (bi, bk) }
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Long, Int, Long)]) =>
+        val ids = it.map(_._1).toArray
+        if (ids.length > maxBucketSize) Iterator.empty
+        else {
+          java.util.Arrays.sort(ids)
+          for {
+            a <- ids.iterator.zipWithIndex
+            j <- (a._2 + 1) until ids.length
+          } yield (a._1, ids(j))
+        }
+      }
+      .toDF("i", "j")
       .dropDuplicates("i", "j")
+  }
 
-    val sigOnly = sigs.select(col("doc_id"), col("sig"))
+  /** MinHash-LSH candidate pairs (i < j) with estimated Jaccard >= threshold
+   * from a precomputed signature table. Output: (i, j, est_jaccard). */
+  def minhashPairsFromSigs(
+      sigBands: DataFrame, // (doc_id, sig, bands) from [[minhashSignatures]]
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 500): DataFrame = {
+    val spark = sigBands.sparkSession
+    import spark.implicits._
+    val banded = sigBands
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .as[(Long, Int, Long)]
+    val pairs = bucketPairs(banded, maxBucketSize)
+    // join on bare ids only — carrying the 64-slot signatures through the
+    // candidate join multiplies shuffle volume ~100x; attach them to the
+    // (much smaller) deduped pair set afterwards
+    val sigOnly = sigBands.select(col("doc_id"), col("sig"))
     val est = udf((a: Seq[Long], bSig: Seq[Long]) =>
       Text.minhashSimilarity(a.toArray, bSig.toArray))
     pairs
@@ -89,38 +99,59 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** SimHash near-duplicate pairs (i < j) within the given Hamming radius.
-   * Band width 16 over 4 bands: complete for radius <= 3 (up to bands
-   * dropped by the super-bucket cap). */
+  /** MinHash-LSH near-duplicate pairs, end to end. */
+  def minhashPairs(
+      docs: DataFrame,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 500): DataFrame =
+    minhashPairsFromSigs(
+      minhashSignatures(docs, numHashes, rowsPerBand, shingleWidth, seed),
+      threshold, maxBucketSize)
+
+  /** SimHash banding: (doc_id, sh, band_idx, band_key) — 4 x 16-bit bands. */
+  def simhashBands(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = Text.simhash(text)
+        (0 until 4).map(i => (id, sh, i, (sh >> (i * 16)) % 65536L))
+      }
+      .toDF("doc_id", "sh", "band_idx", "band_key")
+  }
+
+  /** SimHash near-duplicate pairs (i < j) within the given Hamming radius
+   * from a precomputed band table. Band width 16 over 4 bands: complete
+   * for radius <= 3 (up to bands dropped by the super-bucket cap). */
+  def simhashPairsFromBands(
+      banded: DataFrame, // (doc_id, sh, band_idx, band_key)
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 500): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val pairs = bucketPairs(
+      banded.select(col("doc_id"), col("band_idx"), col("band_key"))
+        .as[(Long, Int, Long)], maxBucketSize)
+    val sh = banded.select(col("doc_id"), col("sh")).dropDuplicates("doc_id")
+    val ham = udf((a: Long, b: Long) => Text.hammingDistance(a, b))
+    pairs
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sh_a")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("sh_b")), "j")
+      .select(col("i"), col("j"), ham(col("sh_a"), col("sh_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-duplicate pairs, end to end. */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 500): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sigs = docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, Text.simhash(text)) }
-      .toDF("doc_id", "sh")
-    val banded = dropSuperBuckets(
-      sigs.select(col("doc_id"), col("sh"),
-        explode(expr(
-          "array(" + (0 until 4).map(i =>
-            s"named_struct('band_idx', $i, 'band_key', shiftright(sh, ${i * 16}) % 65536)")
-            .mkString(",") + ")")).as("b"))
-        .select(col("doc_id"), col("sh"),
-          col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key")),
-      maxBucketSize)
-    val ham = udf((a: Long, b: Long) => Text.hammingDistance(a, b))
-    banded.as("a").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        ham(col("a.sh"), col("b.sh")).as("hamming"))
-      .dropDuplicates("i", "j")
-      .where(col("hamming") <= maxHamming)
-  }
+      maxBucketSize: Int = 500): DataFrame =
+    simhashPairsFromBands(simhashBands(docs), maxHamming, maxBucketSize)
 
   /** Exact dedup at scale: keep the smallest id per identical content hash.
    * (SQL-oracled variant lives in TextQueries; this is the library form.) */

@@ -7,15 +7,21 @@ import graft.ops.{Ann, Dedup}
 import graft.partitioners._
 
 /**
- * Approximate operators (no SQL oracle — the driver records rows-only;
- * quality is enforced by the recall/completeness ScalaTest specs in
- * AnnRecallSpec, which compare these against the exact oracled queries):
+ * Partitioned-ANN entries — every P2-P7 routing path under the hard
+ * DuckDB gate. The routing models are seeded and deterministic, so each
+ * entry (a) materializes its routing as aux parquet ((pid, id) for data,
+ * (pid, qid) for queries — [[OracleAux]]) and (b) searches with the exact
+ * per-partition store. The oracle replays the same semantics in SQL:
+ * candidates = distinct (qid, id) sharing a probed partition, then global
+ * top-k by (dist, id). Per-partition top-k + merge equals global top-k
+ * over the candidate set (any global winner is within its own partition's
+ * top-k), so the SQL twin is exact, not just row-count-equal.
  *
- *  - ann_lsh_hnsw: P2 LSH fan-out + per-partition HNSW (the reference's
- *    core configuration, reference params.yaml partitioner family)
- *  - ann_ivf: P7 k-means cells with multi-probe (IVF-style)
- *  - ann_sfc: P5 LSH + Hilbert curve equi-depth partitions
- *  - dedup_minhash / dedup_simhash: banded near-dup candidate generation
+ * HNSW quality on the same routing is enforced by AnnRecallSpec
+ * (recall >= 0.9 vs these exact entries) and benched in Bench
+ * (bench_ann_ivf_hnsw); the hash gate requires the deterministic exact
+ * store (reference's own oracle is recall on exact ground truth,
+ * StreamSearchJobTest.java:36-130).
  */
 object AnnQueries {
   val K = 10
@@ -33,64 +39,129 @@ object AnnQueries {
 
   private val Dim = 64
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_lsh_hnsw" -> { (s, dir) =>
-      // coarse hashes (high collision for near neighbors) x many families
-      // (many probes) — recall comes from the union over families
-      val model = LshPartitioner.seeded(numPartitions = 16, dim = Dim,
-        numFamilies = 8, numHashes = 2, width = 4.0f, seed = 38324L)
-      Ann.search(vectorsDf(s, dir), queriesDf(s, dir), model, K,
-        Metric.L2, useHnsw = true)
-    },
+  /** Dump routing aux tables and run the exact partitioned search. */
+  private def gated(name: String, s: SparkSession, dir: String,
+      model: PartitionerModel): DataFrame = {
+    import s.implicits._
+    val b = s.sparkContext.broadcast(model)
+    val dr = vectorsDf(s, dir).select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => b.value.dataPartitions(v, id).map(pid => (pid, id)) }
+      .toDF("pid", "id")
+    val qr = queriesDf(s, dir).select(col("qid"), col("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, v) => b.value.queryPartitions(v).map(pid => (pid, qid)) }
+      .toDF("pid", "qid")
+    OracleAux.write(dr, dir, s"${name}_dr")
+    OracleAux.write(qr, dir, s"${name}_qr")
+    Ann.search(vectorsDf(s, dir), queriesDf(s, dir), model, K, Metric.L2,
+      useHnsw = false)
+  }
 
-    "ann_ivf" -> { (s, dir) =>
-      val sample = Tables(s, dir, "embeddings").limit(5000)
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      val model = KMeansPartitioner.fit(sample, k = 16, replicationFactor = 1,
-        iterations = 8, seed = 42L, queryProbes = 8)
-      Ann.search(vectorsDf(s, dir), queriesDf(s, dir), model, K,
-        Metric.L2, useHnsw = false)
-    },
+  /** SQL replay of a routed exact search from the aux routing tables. */
+  private def routedOracle(name: String): String =
+    s"""WITH dr AS (SELECT * FROM ${OracleAux.ref(s"${name}_dr")}),
+       |qr AS (SELECT * FROM ${OracleAux.ref(s"${name}_qr")}),
+       |cand AS (SELECT DISTINCT qr.qid, dr.id FROM qr JOIN dr ON qr.pid = dr.pid),
+       |d AS (SELECT c.qid, c.id,
+       |  ${VectorQueries.l2Sql("q.embedding", "b.embedding")} AS dist
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+       |  JOIN embeddings b ON b.vec_id = c.id),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+       |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin
 
-    "ann_sfc" -> { (s, dir) =>
-      val sample = Tables(s, dir, "embeddings").limit(5000)
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      val model = LshSfcPartitioner.fit(sample, numPartitions = 8, dim = Dim,
-        numFamilies = 4, numHashes = 4, width = 2.0f, bits = 7,
-        curveName = "hilbert", seed = 38324L)
-      Ann.search(vectorsDf(s, dir), queriesDf(s, dir), model, K,
-        Metric.L2, useHnsw = true)
-    },
+  private def sample(s: SparkSession, dir: String): Array[Array[Float]] =
+    Tables(s, dir, "embeddings").limit(5000)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
 
-    "ann_lsh_random" -> { (s, dir) =>
-      val base = LshPartitioner.seeded(numPartitions = 16, dim = Dim,
-        numFamilies = 4, numHashes = 2, width = 4.0f, seed = 38324L)
-      Ann.search(vectorsDf(s, dir), queriesDf(s, dir),
-        LshRandomPartitioner(base, 7L), K, Metric.L2, useHnsw = true)
-    },
+  // one model builder per entry so `queries` and `oracles` stay in sync
+  private def models: Map[String, (SparkSession, String) => PartitionerModel] = Map(
+    // coarse hashes (high collision for near neighbors) x many families
+    // (many probes) — recall comes from the union over families (P2)
+    "ann_lsh" -> ((_, _) => LshPartitioner.seeded(numPartitions = 16, dim = Dim,
+      numFamilies = 8, numHashes = 2, width = 4.0f, seed = 38324L)),
 
-    "ann_lsh_proximity" -> { (s, dir) =>
-      val fams = Array(graft.functions.L2HashFamily.seeded(Dim, 3, 4.0f, 5L))
-      Ann.search(vectorsDf(s, dir), queriesDf(s, dir),
-        LshProximityPartitioner(16, fams, proximity = 1), K, Metric.L2,
-        useHnsw = false)
-    },
+    // P7 k-means cells with multi-probe (IVF-style)
+    "ann_ivf" -> ((s, dir) => KMeansPartitioner.fit(sample(s, dir), k = 16,
+      replicationFactor = 1, iterations = 8, seed = 42L, queryProbes = 8)),
 
-    "ann_odyssey" -> { (s, dir) =>
-      val sample = Tables(s, dir, "embeddings").limit(5000)
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      val model = OdysseyPartitioner.fit(sample, numPartitions = 12,
-        replicationFactor = 3, paaSize = 4, width = 2, lambda = 4)
-      Ann.search(vectorsDf(s, dir), queriesDf(s, dir), model, K,
-        Metric.L2, useHnsw = false)
-    },
+    // P5 LSH + Hilbert curve equi-depth partitions (static fit)
+    "ann_sfc" -> ((s, dir) => LshSfcPartitioner.fit(sample(s, dir),
+      numPartitions = 8, dim = Dim, numFamilies = 4, numHashes = 4,
+      width = 2.0f, bits = 7, curveName = "hilbert", seed = 38324L)),
 
-    "dedup_minhash" -> { (s, dir) =>
-      Dedup.minhashPairs(Tables(s, dir, "documents"), numHashes = 64,
-        rowsPerBand = 4, shingleWidth = 3, threshold = 0.5)
-    },
+    // P3 LSH + seeded random extra probes
+    "ann_lsh_random" -> ((_, _) => LshRandomPartitioner(
+      LshPartitioner.seeded(numPartitions = 16, dim = Dim, numFamilies = 4,
+        numHashes = 2, width = 4.0f, seed = 38324L), 7L)),
 
-    "dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 16)
-    })
+    // P4 hash-cube proximity probing
+    "ann_lsh_proximity" -> ((_, _) => LshProximityPartitioner(16,
+      Array(graft.functions.L2HashFamily.seeded(Dim, 3, 4.0f, 5L)),
+      proximity = 1)),
+
+    // P6 SAX replication groups with hot-word spreading
+    "ann_odyssey" -> ((s, dir) => OdysseyPartitioner.fit(sample(s, dir),
+      numPartitions = 12, replicationFactor = 3, paaSize = 4, width = 2,
+      lambda = 4)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    models.map { case (name, mk) =>
+      name -> ((s: SparkSession, dir: String) => gated(name, s, dir, mk(s, dir)))
+    } ++ Map[String, (SparkSession, String) => DataFrame](
+      "dedup_minhash" -> { (s, dir) =>
+        val sb = Dedup.minhashSignatures(Tables(s, dir, "documents"),
+          numHashes = MinhashNumHashes, rowsPerBand = 4, shingleWidth = 3)
+          .persist()
+        OracleAux.write(sb.select(col("doc_id"), col("sig")), dir,
+          "dedup_minhash_sig")
+        OracleAux.write(sb.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key"))), dir,
+          "dedup_minhash_bands")
+        Dedup.minhashPairsFromSigs(sb, MinhashThreshold, MaxBucketSize)
+      },
+      "dedup_simhash" -> { (s, dir) =>
+        val bands = Dedup.simhashBands(Tables(s, dir, "documents")).persist()
+        OracleAux.write(bands, dir, "dedup_simhash_bands")
+        Dedup.simhashPairsFromBands(bands, SimhashMaxHamming, MaxBucketSize)
+      })
+
+  val MinhashNumHashes = 64
+  val MinhashThreshold = 0.5
+  val SimhashMaxHamming = 16
+  val MaxBucketSize = 500
+
+  def oracles: Map[String, String] =
+    models.keys.map(name => name -> routedOracle(name)).toMap ++ Map(
+      "dedup_minhash" ->
+        s"""WITH s AS (SELECT * FROM ${OracleAux.ref("dedup_minhash_sig")}),
+           |b AS (SELECT * FROM ${OracleAux.ref("dedup_minhash_bands")}),
+           |ok AS (SELECT band_idx, band_key FROM b
+           |  GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize),
+           |kept AS (SELECT b.* FROM b JOIN ok USING (band_idx, band_key)),
+           |pairs AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j
+           |  FROM kept a JOIN kept b2 ON a.band_idx = b2.band_idx
+           |  AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+           |est AS (SELECT p.i, p.j,
+           |  CAST(list_sum([CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END
+           |    for x in list_zip(sa.sig, sb.sig)]) AS DOUBLE)
+           |    / $MinhashNumHashes AS est_jaccard
+           |  FROM pairs p JOIN s sa ON sa.doc_id = p.i
+           |  JOIN s sb ON sb.doc_id = p.j)
+           |SELECT i, j, est_jaccard FROM est
+           |WHERE est_jaccard >= $MinhashThreshold""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH b AS (SELECT * FROM ${OracleAux.ref("dedup_simhash_bands")}),
+           |ok AS (SELECT band_idx, band_key FROM b
+           |  GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize),
+           |kept AS (SELECT b.* FROM b JOIN ok USING (band_idx, band_key)),
+           |pairs AS (SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j,
+           |  a.sh AS sha, b2.sh AS shb
+           |  FROM kept a JOIN kept b2 ON a.band_idx = b2.band_idx
+           |  AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id)
+           |SELECT i, j, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+           |FROM pairs WHERE bit_count(xor(sha, shb)) <= $SimhashMaxHamming"""
+          .stripMargin)
 }

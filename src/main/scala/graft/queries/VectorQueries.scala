@@ -95,7 +95,7 @@ object VectorQueries {
   // ---- oracle SQL ------------------------------------------------------
 
   /** DuckDB twin of the sequential-double-accumulation distance exprs. */
-  private def l2Sql(a: String, b: String) =
+  private[queries] def l2Sql(a: String, b: String) =
     s"list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) for x in list_zip($a, $b)])"
   private def dotSql(a: String, b: String) =
     s"list_sum([ CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) for x in list_zip($a, $b)])"

@@ -38,7 +38,7 @@ class AnnRecallSpec extends AnyFunSuite {
   // 10-NN dist^2 ~1.48 vs random-pair ~2.0). IVF is genuinely
   // probe-fraction-limited there (8/16 cells -> ~0.84); the LSH/SFC
   // variants reach ~1.0 because wide hashes concentrate mass.
-  test("ann_lsh_hnsw recall@10 >= 0.9") { assert(recall("ann_lsh_hnsw") >= 0.9) }
+  test("ann_lsh routing recall@10 >= 0.9") { assert(recall("ann_lsh") >= 0.9) }
   test("ann_ivf recall@10 >= 0.8 on near-uniform corpus") {
     assert(recall("ann_ivf") >= 0.8)
   }
