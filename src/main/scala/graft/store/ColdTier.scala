@@ -1,8 +1,10 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Metric
+import graft.functions.{Distances, TopKAggregator}
 
 /**
  * Cold-tier segment storage: sealed vector segments as Parquet files with
@@ -11,21 +13,27 @@ import graft.Metric
  *
  *  - V3 freshness pruning: a segment whose [minTs, maxTs] window is
  *    disjoint from the query's [tsFloor, tsCeil] is never read (the
- *    reference's `lastest_key_time` SST skip, db/version_set.cc:2590-2597;
- *    here it also pushes into Parquet row-group stats).
+ *    reference's `lastest_key_time` SST skip, db/version_set.cc:2590-2597).
  *  - V5/V6 hot-first search with early termination: segments are ordered
  *    per query by centroid proximity ("temperature"); after a first wave
  *    establishes a kth-distance threshold, remaining segments are skipped
  *    when their triangle-inequality lower bound exceeds
  *    `threshold * terminationFactor` (factor 1.0 = provably lossless skip;
  *    < 1.0 = the reference's approximate early termination,
- *    version_set.cc:2640-2652).
+ *    version_set.cc:2640-2652). The lower-bound algebra
+ *    (sqrt(l2²) − radius vs sqrt(kth)) only holds for L2, so pruning is
+ *    L2-only: other metrics scan every fresh segment in one wave.
  *  - V7 eviction: `evict` drops whole segments older than the retention
- *    floor (watermark - maxTtl).
+ *    floor (watermark - maxTtl) via a tmp-write + atomic catalog rename.
  *
- * The catalog is tiny (one row per segment) and lives as Parquet next to
- * the segments; at cluster scale it is broadcast to plan per-query
- * segment lists, so pruning costs no distributed work.
+ * Everything is planned distributed: the catalog (one row per segment) is
+ * broadcast, per-query probe lists are computed in a mapPartitions over
+ * the query set, each wave is ONE multi-segment Parquet scan joined
+ * against the broadcast probe set, and the merge is the same partial
+ * top-k aggregation the exact kNN path uses (k rows per query per
+ * partition reach the shuffle). The only driver materialization is the
+ * catalog itself and the per-wave distinct segment-id list — both bounded
+ * by segment count, never by query or vector count.
  */
 object ColdTier {
 
@@ -34,12 +42,16 @@ object ColdTier {
 
   private def statsPath(dir: String) = s"$dir/_segments"
 
-  /** Seal a batch of vectors (id, vec, eventTime) into a new segment. */
+  /** Seal a batch of vectors (id, vec, eventTime) into a new segment.
+   * Rows carry their segmentId so a multi-segment scan can route them
+   * back to the probes that requested the segment (constant-encoded by
+   * Parquet, costs ~nothing on disk). */
   def seal(vectors: DataFrame, dir: String, segmentId: Long): SegmentStats = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val path = s"$dir/segment-$segmentId"
-    vectors.select(col("id"), col("vec"), col("eventTime"))
+    vectors.select(lit(segmentId).as("segmentId"), col("id"), col("vec"),
+        col("eventTime"))
       .write.mode("overwrite").parquet(path)
     val written = spark.read.parquet(path)
     val dim = written.select(size(col("vec"))).first().getInt(0)
@@ -50,7 +62,7 @@ object ColdTier {
     val centroid = agg.getSeq[Double](3).map(_.toFloat).toArray
     val bc = spark.sparkContext.broadcast(centroid)
     val radius = written.select(
-      max(graft.functions.Distances.l2(col("vec"), typedLit(bc.value))))
+      max(Distances.l2(col("vec"), typedLit(bc.value))))
       .first().getDouble(0)
     val stats = SegmentStats(segmentId, path, agg.getLong(0), agg.getLong(1),
       agg.getLong(2), centroid, math.sqrt(radius))
@@ -60,31 +72,46 @@ object ColdTier {
 
   def catalog(spark: SparkSession, dir: String): Array[SegmentStats] = {
     import spark.implicits._
-    spark.read.parquet(statsPath(dir)).as[SegmentStats].collect()
+    // crash recovery: if a crash in evict() happened after the live catalog
+    // was removed but before the tmp dir was renamed over it, the tmp dir
+    // holds the complete surviving catalog — fall back to it
+    val live = new Path(statsPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fs.exists(live)) live else new Path(statsPath(dir) + ".tmp")
+    spark.read.parquet(src.toString).as[SegmentStats].collect()
   }
 
   /** V7: drop segments entirely older than the retention floor. Returns
    * surviving stats (files of dropped segments are left for out-of-band
-   * deletion — metadata-first eviction like the reference's version edit). */
+   * deletion — metadata-first eviction like the reference's version edit).
+   * The new catalog is written to `.tmp` first, then renamed over the live
+   * path (rename is atomic on HDFS-like filesystems); [[catalog]] falls
+   * back to `.tmp` if a crash lands between delete and rename. */
   def evict(spark: SparkSession, dir: String, retentionFloor: Long): Array[SegmentStats] = {
     import spark.implicits._
     val keep = catalog(spark, dir).filter(_.maxTs >= retentionFloor)
-    keep.toSeq.toDF().write.mode("overwrite").parquet(statsPath(dir) + ".tmp")
-    // atomic-ish swap via rewrite (single-writer catalog assumption)
-    keep.toSeq.toDF().write.mode("overwrite").parquet(statsPath(dir))
+    val live = new Path(statsPath(dir))
+    val tmp = new Path(statsPath(dir) + ".tmp")
+    keep.toSeq.toDF().write.mode("overwrite").parquet(tmp.toString)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    fs.rename(tmp, live)
     keep
   }
 
   /** Search the cold tier: per-query segment pruning (freshness window +
-   * distance lower bound), hot-first two-wave scan.
+   * distance lower bound), hot-first two-wave scan, single top-k merge.
    *
-   * @param queries (qid, qv, qtime, ttl)
+   * @param queries (qid, qv, qtime, ttl) — stays distributed throughout
    * @param firstWaveFraction fraction of candidate segments searched
    *        unconditionally, hottest (nearest centroid) first — the
    *        reference's termination_lower_bound
    * @param terminationFactor multiplier on the wave-1 kth distance used to
    *        skip remaining segments; 1.0 = lossless (triangle inequality),
-   *        lower = more aggressive (reference termination_factor 0.8)
+   *        lower = more aggressive (reference termination_factor 0.8).
+   *        Only applied for L2 (see class doc); a query whose wave 1
+   *        returned fewer than k rows never sets a threshold (an
+   *        under-filled wave underestimates the kth distance).
    */
   def search(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       metric: Metric = Metric.L2,
@@ -92,72 +119,85 @@ object ColdTier {
       terminationFactor: Double = 1.0): DataFrame = {
     import spark.implicits._
     val segs = catalog(spark, dir)
-    val qRows = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
-      .as[(Long, Array[Float], Long, Long)].collect()
+    val bSegs = spark.sparkContext.broadcast(segs)
+    val prune = metric == Metric.L2
 
-    // plan per-query segment lists driver-side from the tiny catalog
-    final case class Probe(qid: Long, segmentId: Long, wave: Int)
-    val probes = qRows.flatMap { case (qid, qv, qtime, ttl) =>
-      val fresh = segs.filter(s => s.maxTs >= qtime - ttl && s.minTs <= qtime)
-      val ordered = fresh.sortBy(s =>
-        (math.sqrt(graft.functions.Distances.l2(qv, s.centroid)) - s.radius, s.segmentId))
-      val wave1 = math.max(1, math.ceil(ordered.length * firstWaveFraction).toInt)
-      ordered.zipWithIndex.map { case (s, i) =>
-        (qid, s.segmentId, if (i < wave1) 1 else 2,
-          math.max(0.0, math.sqrt(graft.functions.Distances.l2(qv, s.centroid)) - s.radius))
-      }
-    }.toSeq.toDF("qid", "segmentId", "wave", "lower_bound")
+    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
 
-    val byQid = qRows.map(q => q._1 -> q).toMap
-    val bq = spark.sparkContext.broadcast(byQid)
-    val dist = graft.functions.Distances.forMetric(metric)
+    // distributed probe planning over the broadcast catalog: one row per
+    // (query, fresh segment), hottest-first wave assignment
+    val probes = q.as[(Long, Array[Float], Long, Long)]
+      .mapPartitions { it =>
+        val cat = bSegs.value
+        it.flatMap { case (qid, qv, qtime, ttl) =>
+          val fresh = cat.filter(s => s.maxTs >= qtime - ttl && s.minTs <= qtime)
+          val lbs = fresh.map { s =>
+            val lb = math.max(0.0,
+              math.sqrt(Distances.l2(qv, s.centroid)) - s.radius)
+            (s.segmentId, lb)
+          }.sortBy { case (sid, lb) => (lb, sid) }
+          val w1 = math.max(1, math.ceil(lbs.length * firstWaveFraction).toInt)
+          lbs.iterator.zipWithIndex.map { case ((sid, lb), i) =>
+            (qid, sid, if (prune && i >= w1) 2 else 1, lb)
+          }
+        }
+      }.toDF("qid", "segmentId", "wave", "lower_bound")
+      .persist()
 
-    def scanWave(probeDf: DataFrame): DataFrame = {
-      val perSeg = probeDf.collect().groupBy(_.getLong(1))
-      val parts = perSeg.toSeq.flatMap { case (segId, rows) =>
-        val seg = segs.find(_.segmentId == segId).get
-        val qids = rows.map(_.getLong(0))
-        Seq((seg.path, qids))
-      }
-      parts.map { case (path, qids) =>
-        val data = spark.read.parquet(path)
-          .select(col("id"), col("vec"), col("eventTime"))
-        val qdf = qids.toSeq.map { qid =>
-          val (_, qv, qtime, ttl) = bq.value(qid)
-          (qid, qv, qtime - ttl, qtime)
-        }.toDF("qid", "qv", "floor_ts", "ceil_ts")
-        data.join(broadcast(qdf),
-            col("eventTime") >= col("floor_ts") && col("eventTime") <= col("ceil_ts"))
+    // one Parquet scan over every segment this wave touches, joined to the
+    // broadcast probe set (per-query freshness bounds applied in the join)
+    def scanWave(waveProbes: DataFrame): DataFrame = {
+      val segIds = waveProbes.select("segmentId").distinct()
+        .as[Long].collect().toSet // catalog-bounded, never query-bounded
+      if (segIds.isEmpty) {
+        spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "dist")
+      } else {
+        val paths = segs.filter(s => segIds(s.segmentId)).map(_.path)
+        val data = spark.read.parquet(paths.toIndexedSeq: _*)
+        val probeQ = waveProbes.join(q, "qid")
+          .select(col("qid"), col("segmentId").as("p_seg"), col("qv"),
+            (col("qtime") - col("ttl")).as("floor_ts"),
+            col("qtime").as("ceil_ts"))
+        data.join(broadcast(probeQ),
+            data("segmentId") === col("p_seg") &&
+            col("eventTime") >= col("floor_ts") &&
+            col("eventTime") <= col("ceil_ts"))
           .select(col("qid"), col("id"),
-            graft.functions.Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("qid")
-              .orderBy(col("dist"), col("id"))))
-          .where(col("rn") <= k)
-          .drop("rn")
-      }.reduceOption(_ unionAll _)
-        .getOrElse(spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "dist"))
+            Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
+      }
     }
 
-    // wave 1: unconditional hot-first scan
-    val wave1 = scanWave(probes.where(col("wave") === 1)).cache()
-    // per-query kth distance -> skip threshold
-    val thresholds = wave1.groupBy("qid")
-      .agg(max(col("dist")).as("kth"))
-      .select(col("qid").as("t_qid"), (sqrt(col("kth")) * terminationFactor).as("thr"))
-    // wave 2: only segments whose lower bound beats the threshold
-    val wave2Probes = probes.where(col("wave") === 2)
-      .join(thresholds, col("qid") === col("t_qid"), "left")
-      .where(col("thr").isNull || col("lower_bound") <= col("thr"))
-      .select(col("qid"), col("segmentId"), col("wave"), col("lower_bound"))
-    val wave2 = scanWave(wave2Probes)
+    val topkUdaf = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
 
-    // final merge
-    wave1.unionAll(wave2)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("qid")
-          .orderBy(col("dist"), col("id"))))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("id"), col("dist"))
+    // wave 1: unconditional hot-first scan, partial top-k per partition
+    val wave1Top = scanWave(probes.where(col("wave") === 1))
+      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
+      .persist()
+
+    // per-query skip threshold — only when wave 1 actually found k results
+    val thresholds = wave1Top.where(size(col("topk.ids")) >= k)
+      .select(col("qid"),
+        (sqrt(element_at(col("topk.dists"), k)) * terminationFactor).as("thr"))
+
+    // wave 2: segments whose lower bound beats the threshold (or whose
+    // query has no threshold yet — under-filled or unseen in wave 1)
+    val wave2 = scanWave(
+      probes.where(col("wave") === 2)
+        .join(thresholds, Seq("qid"), "left")
+        .where(col("thr").isNull || col("lower_bound") <= col("thr"))
+        .select("qid", "segmentId", "wave", "lower_bound"))
+
+    val wave1Flat = wave1Top.select(col("qid"),
+        explode(arrays_zip(col("topk.ids").as("id"),
+          col("topk.dists").as("dist"))).as("e"))
+      .select(col("qid"), col("e.id").as("id"), col("e.dist").as("dist"))
+
+    wave1Flat.unionAll(wave2)
+      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
+      .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
+        col("topk.dists").as("dist"))))
+      .select(col("qid"), (col("pos") + 1).as("rn"),
+        col("col.id").as("id"), col("col.dist").as("dist"))
   }
 }

@@ -61,4 +61,93 @@ class ColdTierSpec extends AnyFunSuite {
     assert(kept.map(_.segmentId).toList == List(2L))
     assert(ColdTier.catalog(spark, dir).length == 1)
   }
+
+  test("100 segments: lossless two-wave search equals brute force") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier100").toString
+    val dim = 4
+    val all = (1 to 100).flatMap { sid =>
+      val rows = (0 until 20).map { i =>
+        val rnd = new java.util.Random(sid * 1000L + i)
+        (sid * 100L + i, Array.fill(dim)(rnd.nextGaussian().toFloat),
+          sid * 10L + i % 10)
+      }
+      ColdTier.seal(rows.toDF("id", "vec", "eventTime"), dir, sid.toLong)
+      rows
+    }
+    assert(ColdTier.catalog(spark, dir).length == 100)
+    val rndQ = new java.util.Random(7L)
+    val qs = (0 until 5).map(i =>
+      (i.toLong, Array.fill(dim)(rndQ.nextGaussian().toFloat), 2000L, 2000L))
+    val got = ColdTier.search(spark, dir,
+        qs.toDF("qid", "qv", "qtime", "ttl"), 10, Metric.L2,
+        firstWaveFraction = 0.1, terminationFactor = 1.0)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toList).toMap
+    qs.foreach { case (qid, qv, qtime, ttl) =>
+      val want = all
+        .filter { case (_, _, ts) => ts >= qtime - ttl && ts <= qtime }
+        .map { case (id, v, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toList
+      assert(got(qid) == want, s"qid=$qid")
+    }
+  }
+
+  test("under-filled wave 1 must not set a skip threshold (lossless)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-uf").toString
+    // segment A: hottest (centroid at origin) but only 2 rows inside the
+    // freshness window; its stale rows push maxTs into overlap
+    val segA = (Seq((1L, Array(0f, 0f), 500L), (2L, Array(0.01f, 0f), 501L)) ++
+      (0 until 50).map(i => (100L + i, Array(0.1f, 0f), 5000L)))
+      .toDF("id", "vec", "eventTime")
+    // segment B: far centroid (wave 2), all rows fresh — holds the results
+    // needed to fill k; a threshold from A's 2 rows would wrongly skip it
+    val segB = (0 until 20).map(i => (200L + i, Array(3f + i * 0.01f, 0f), 600L))
+      .toDF("id", "vec", "eventTime")
+    ColdTier.seal(segA, dir, 1L)
+    ColdTier.seal(segB, dir, 2L)
+    val queries = Seq((9L, Array(0f, 0f), 1000L, 600L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    val got = ColdTier.search(spark, dir, queries, 5, Metric.L2,
+        firstWaveFraction = 0.5, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2))
+    // brute force over fresh rows: ids 1, 2 then nearest three from B
+    assert(got.toList == List(1L, 2L, 200L, 201L, 202L))
+  }
+
+  test("non-L2 metric disables pruning and matches brute force (cosine)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-cos").toString
+    val s1 = mkVecs(200, 8, 11L, 0L)
+    val s2 = mkVecs(200, 8, 12L, 1000L)
+    ColdTier.seal(s1, dir, 1L)
+    ColdTier.seal(s2, dir, 2L)
+    val all = s1.unionAll(s2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = all(17)._2
+    val queries = Seq((3L, qv, 5000L, 100000L)).toDF("qid", "qv", "qtime", "ttl")
+    val got = ColdTier.search(spark, dir, queries, 10, Metric.Cosine,
+        firstWaveFraction = 0.5, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2))
+    val want = all.map { case (id, v) => (id, Distances.cosine(qv, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    assert(got.sameElements(want))
+  }
+
+  test("catalog falls back to .tmp when a crash interrupts evict's swap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-crash").toString
+    ColdTier.seal(mkVecs(50, 4, 21L, 0L), dir, 1L)
+    ColdTier.seal(mkVecs(50, 4, 22L, 10000L), dir, 2L)
+    // simulate the crash window: tmp written, live deleted, rename missed
+    val stats = new org.apache.hadoop.fs.Path(s"$dir/_segments")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_segments.tmp")
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = ColdTier.catalog(spark, dir).filter(_.maxTs >= 5000L)
+    keep.toSeq.toDF().write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(stats, true)
+    assert(ColdTier.catalog(spark, dir).map(_.segmentId).toList == List(2L))
+  }
 }
