@@ -56,14 +56,22 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).select(sum("id")).collect() // JVM/codegen warmup
 
+    // warmup + repeated timed runs (min reported): a single cold pass per
+    // query made round-over-round deltas unattributable — a 5x swing on a
+    // many-jobs query is indistinguishable from a real regression
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(spark, sfDir).count()
+      val warm = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      if (!warm) results(name) = -1.0
+      else {
+        val times = (1 to reps).map(_ => time(fn(spark, sfDir).count())._2)
+        results(name) = times.min
+        spreads(name) = if (times.min > 0) times.max / times.min else 1.0
       }
-      results(name) = sec
     }
 
     // vec-bench: derived 128-dim corpus at sf scale
@@ -126,7 +134,9 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)}}""")
+    val sp = spreads.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"reps":$reps,"warmup":1,"rep_max_over_min":$sp,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)}}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Metric
 import graft.functions.TopKAggregator
-import graft.partitioners.PartitionerModel
+import graft.partitioners.TemporalPartitionerModel
 import graft.store.{ExactStore, HnswStore, VectorStore}
 
 /**
@@ -40,7 +40,7 @@ object Ann {
   def search(
       vectors: DataFrame,
       queries: DataFrame,
-      model: PartitionerModel,
+      model: TemporalPartitionerModel,
       k: Int,
       metric: Metric = Metric.L2,
       useHnsw: Boolean = true,
@@ -56,14 +56,15 @@ object Ann {
       .select(col("id"), col("vec"), col("eventTime"))
       .as[(Long, Array[Float], Long)]
       .flatMap { case (id, vec, ts) =>
-        bModel.value.dataPartitions(vec, id).map(pid => VecRow(pid, id, ts, vec))
+        bModel.value.dataPartitions(vec, id, ts).map(pid => VecRow(pid, id, ts, vec))
       }
 
     val queryRows: Dataset[QueryRow] = queries
       .select(col("qid"), col("qv"), col("qtime"), col("ttl"))
       .as[(Long, Array[Float], Long, Long)]
       .flatMap { case (qid, qv, qtime, ttl) =>
-        bModel.value.queryPartitions(qv).map(pid => QueryRow(pid, qid, qtime, ttl, qv))
+        bModel.value.queryPartitions(qv, qtime, ttl)
+          .map(pid => QueryRow(pid, qid, qtime, ttl, qv))
       }
 
     val partials: Dataset[Partial] = vecRows.groupByKey(_.pid)

@@ -23,12 +23,30 @@ import graft.functions.{HotTracer, L2HashFamily, Sax, SpaceFillingCurve}
  * the sample and broadcast the resulting model so routing itself is
  * embarrassingly parallel).
  */
-trait PartitionerModel extends Serializable {
+/** Time-aware routing contract: models whose routing can depend on event
+ * time (P5's adaptive range history routes an insert by the range version
+ * in effect at its timestamp and fans a query over all still-fresh
+ * versions). Static models ignore the time arguments. */
+trait TemporalPartitionerModel extends Serializable {
   def numPartitions: Int
-  def dataPartitions(vec: Array[Float], id: Long): Array[Int]
-  def queryPartitions(vec: Array[Float]): Array[Int]
+  def dataPartitions(vec: Array[Float], id: Long, ts: Long): Array[Int]
+  def queryPartitions(vec: Array[Float], qtime: Long, ttl: Long): Array[Int]
   /** Routing for a deletion without a vector payload: everywhere. */
   def deleteAllPartitions: Array[Int] = Array.range(0, numPartitions)
+  /** Routing for a deletion that carries its vector: every partition the
+   * id's insert may have been routed to within the retention window
+   * (static models: same as data routing). */
+  def deleteDataPartitions(vec: Array[Float], id: Long, ts: Long,
+      maxTtl: Long): Array[Int] = dataPartitions(vec, id, ts)
+}
+
+trait PartitionerModel extends TemporalPartitionerModel {
+  def dataPartitions(vec: Array[Float], id: Long): Array[Int]
+  def queryPartitions(vec: Array[Float]): Array[Int]
+  final override def dataPartitions(vec: Array[Float], id: Long, ts: Long): Array[Int] =
+    dataPartitions(vec, id)
+  final override def queryPartitions(vec: Array[Float], qtime: Long, ttl: Long): Array[Int] =
+    queryPartitions(vec)
 }
 
 /** P1 `simple`: hash(id) % n for data; queries broadcast to all
@@ -172,43 +190,53 @@ final case class LshSfcPartitioner(
 }
 
 object LshSfcPartitioner {
+  private def gridCoord(h: Int, min: Int, max: Int, bits: Int): Long = {
+    val range = math.max(1, max - min)
+    val clamped = math.min(math.max(h, min), max)
+    ((clamped - min).toDouble / range * ((1 << bits) - 1)).toLong
+  }
+
+  /** Learn one family's re-learnable range model — hash min/max plus
+   * equi-depth curve-value boundaries — from a sample. The hash family
+   * itself is fixed for the partitioner's lifetime (reference: range
+   * update in LSHashSpaceFillingPartitioner.java:179-202 re-learns only
+   * ranges, never hash functions). */
+  private[partitioners] def learn(fam: L2HashFamily, curve: SpaceFillingCurve,
+      sample: Array[Array[Float]], numPartitions: Int, numHashes: Int,
+      bits: Int): LshSfcFamilyModel = {
+    val hashes = sample.map(fam.hash)
+    val mins = Array.tabulate(numHashes)(i => hashes.map(_(i)).min)
+    val maxs = Array.tabulate(numHashes)(i => hashes.map(_(i)).max)
+    val curveValues = hashes.map { h =>
+      curve.index(Array.tabulate(numHashes)(i =>
+        gridCoord(h(i), mins(i), maxs(i), bits)))
+    }.sorted
+    val heads = Array.tabulate(numPartitions - 1) { p =>
+      curveValues(((p + 1).toLong * curveValues.length / numPartitions).toInt
+        .min(curveValues.length - 1))
+    }
+    LshSfcFamilyModel(fam, mins, maxs, heads, curve)
+  }
+
   /** Equi-depth fit over a sample of vectors: learn per-family hash
-   * min/max and curve-value boundaries so partitions get equal counts
-   * (reference: range update in LSHashSpaceFillingPartitioner.java:179-202). */
+   * min/max and curve-value boundaries so partitions get equal counts. */
   def fit(sample: Array[Array[Float]], numPartitions: Int, dim: Int,
       numFamilies: Int, numHashes: Int, width: Float, bits: Int,
       curveName: String, seed: Long): LshSfcPartitioner = {
     val parent = new Random(seed)
     val families = Array.fill(numFamilies)(L2HashFamily(dim, numHashes, width, parent))
     val curve = SpaceFillingCurve(curveName, numHashes, bits)
-    val models = families.map { fam =>
-      val hashes = sample.map(fam.hash)
-      val mins = Array.tabulate(numHashes)(i => hashes.map(_(i)).min)
-      val maxs = Array.tabulate(numHashes)(i => hashes.map(_(i)).max)
-      val pre = LshSfcFamilyModel(fam, mins, maxs, Array.empty, curve)
-      val helper = LshSfcPartitioner(numPartitions, Array(pre), bits)
-      val curveValues = sample.map { v =>
-        val h = fam.hash(v)
-        val coords = Array.tabulate(numHashes)(i =>
-          helper.gridCoordPublic(h(i), mins(i), maxs(i)))
-        curve.index(coords)
-      }.sorted
-      val heads = Array.tabulate(numPartitions - 1) { p =>
-        curveValues(((p + 1).toLong * curveValues.length / numPartitions).toInt
-          .min(curveValues.length - 1))
-      }
-      LshSfcFamilyModel(fam, mins, maxs, heads, curve)
-    }
-    LshSfcPartitioner(numPartitions, models, bits)
+    LshSfcPartitioner(numPartitions,
+      families.map(learn(_, curve, sample, numPartitions, numHashes, bits)), bits)
   }
 
-  implicit private class GridAccess(p: LshSfcPartitioner) {
-    def gridCoordPublic(h: Int, min: Int, max: Int): Long = {
-      val range = math.max(1, max - min)
-      val clamped = math.min(math.max(h, min), max)
-      ((clamped - min).toDouble / range * ((1 << p.bits) - 1)).toLong
-    }
-  }
+  /** Re-learn every family's ranges/boundaries from a fresh sample,
+   * keeping the hash families (so a vector's hash is stable across range
+   * versions — the property P5's history fan-out relies on). */
+  def refit(existing: LshSfcPartitioner, sample: Array[Array[Float]]): LshSfcPartitioner =
+    existing.copy(models = existing.models.map(m =>
+      learn(m.family, m.curve, sample, existing.numPartitions, m.mins.length,
+        existing.bits)))
 }
 
 /** P6 `odyssey`: SAX-word replication groups with hot/skew randomization

@@ -41,16 +41,18 @@ object AnnQueries {
 
   /** Dump routing aux tables and run the exact partitioned search. */
   private def gated(name: String, s: SparkSession, dir: String,
-      model: PartitionerModel): DataFrame = {
+      model: TemporalPartitionerModel): DataFrame = {
     import s.implicits._
     val b = s.sparkContext.broadcast(model)
-    val dr = vectorsDf(s, dir).select(col("id"), col("vec"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) => b.value.dataPartitions(v, id).map(pid => (pid, id)) }
+    val dr = vectorsDf(s, dir).select(col("id"), col("vec"), col("eventTime"))
+      .as[(Long, Array[Float], Long)]
+      .flatMap { case (id, v, ts) =>
+        b.value.dataPartitions(v, id, ts).map(pid => (pid, id)) }
       .toDF("pid", "id")
-    val qr = queriesDf(s, dir).select(col("qid"), col("qv"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, v) => b.value.queryPartitions(v).map(pid => (pid, qid)) }
+    val qr = queriesDf(s, dir).select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+      .as[(Long, Array[Float], Long, Long)]
+      .flatMap { case (qid, v, qtime, ttl) =>
+        b.value.queryPartitions(v, qtime, ttl).map(pid => (pid, qid)) }
       .toDF("pid", "qid")
     OracleAux.write(dr, dir, s"${name}_dr")
     OracleAux.write(qr, dir, s"${name}_qr")
@@ -76,7 +78,27 @@ object AnnQueries {
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
 
   // one model builder per entry so `queries` and `oracles` stay in sync
-  private def models: Map[String, (SparkSession, String) => PartitionerModel] = Map(
+  private def models: Map[String, (SparkSession, String) => TemporalPartitionerModel] = Map(
+    // P5 adaptive range history: three event-time epochs (eventTime :=
+    // vec_id), boundaries re-learned at each epoch start from that
+    // epoch's sample; inserts route by the version at their event time
+    // and the (unbounded-window) queries fan over all versions — the
+    // routing aux tables capture the full history semantics
+    "ann_sfc_adaptive" -> ((s, dir) => {
+      val maxId = Tables(s, dir, "embeddings")
+        .agg(max(col("vec_id"))).first().getLong(0)
+      val epoch = math.max(1L, (maxId + 1) / 3)
+      def epochSample(lo: Long, hi: Long) = Tables(s, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi).limit(3000)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val m0 = AdaptiveLshSfcPartitioner.init(epochSample(0, epoch),
+        numPartitions = 8, dim = Dim, numFamilies = 4, numHashes = 4,
+        width = 2.0f, bits = 7, curveName = "hilbert", seed = 38324L,
+        fromTime = 0L)
+      m0.refit(epochSample(epoch, 2 * epoch), epoch)
+        .refit(epochSample(2 * epoch, maxId + 1), 2 * epoch)
+    }),
+
     // coarse hashes (high collision for near neighbors) x many families
     // (many probes) — recall comes from the union over families (P2)
     "ann_lsh" -> ((_, _) => LshPartitioner.seeded(numPartitions = 16, dim = Dim,

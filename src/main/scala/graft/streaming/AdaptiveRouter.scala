@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.partitioners.AdaptiveLshSfcPartitioner
+import graft.streaming.VectorStreamJob.{Routed, StreamEvent}
+
+/**
+ * P5's adaptive router as its own stateful streaming operator, at the
+ * reference's topology: the partitioner runs at parallelism 1 and keeps
+ * its range history as operator state
+ * (lsh/LSHashSpaceFillingPartitioner.java — the operator re-learns
+ * equi-depth boundaries every updateInterval and fans queries over all
+ * still-fresh historical ranges).
+ *
+ * State per batch = the serialized range history (a few KB of hash
+ * params + boundaries) plus a bounded ring of recent insert vectors (the
+ * re-fit sample). Both are O(model), never O(data), so the per-batch
+ * state round-trip is cheap. Routing decisions:
+ *
+ *  - insert: by the version in effect at its event time; the vector
+ *    joins the re-fit ring;
+ *  - every `updateInterval` of event time: boundaries are re-learned
+ *    from the ring, a new range version opens, versions older than the
+ *    maximum freshness window are expired;
+ *  - query: union fan-out over still-fresh versions (isFresh);
+ *  - delete: value-less to all partitions; with a vector, to every
+ *    partition its insert may have reached within maxTtl.
+ *
+ * Downstream, the routed stream feeds the keyed store operator
+ * ([[VectorStreamJob.partials]]); Structured Streaming does not chain
+ * two arbitrary stateful operators in one query, so a deployment runs
+ * router and store as two queries bridged by an exactly-once channel
+ * (e.g. Kafka or files) — the same split the reference has between its
+ * partitioner operator and keyed backends.
+ */
+object AdaptiveRouter {
+
+  final case class RouterState(modelBytes: Array[Byte],
+      ring: Array[Array[Float]], ringPos: Int, lastFit: Long)
+
+  private def serialize(m: AdaptiveLshSfcPartitioner): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(m); oos.close(); bos.toByteArray
+  }
+  private def deserialize(b: Array[Byte]): AdaptiveLshSfcPartitioner = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    val m = ois.readObject().asInstanceOf[AdaptiveLshSfcPartitioner]
+    ois.close(); m
+  }
+
+  def route(events: Dataset[StreamEvent], init: AdaptiveLshSfcPartitioner,
+      updateInterval: Long, maxTtl: Long, ringCap: Int = 2048): Dataset[Routed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(updateInterval > 0)
+    events.groupByKey(_ => 0).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (_: Int, evs: Iterator[StreamEvent], state: GroupState[RouterState]) => {
+        var model = state.getOption.map(s => deserialize(s.modelBytes))
+          .getOrElse(init)
+        val ring = new Array[Array[Float]](ringCap)
+        var ringN = 0 // filled prefix length
+        var ringPos = state.getOption.map(_.ringPos).getOrElse(0)
+        state.getOption.foreach { s =>
+          s.ring.copyToArray(ring); ringN = s.ring.length
+        }
+        var lastFit = state.getOption.map(_.lastFit)
+          .getOrElse(init.versions.head.fromTime)
+
+        val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
+        evs.toArray.sortBy(e => (e.eventTime, e.id)).foreach { ev =>
+          // re-learn boundaries once the update interval has elapsed
+          if (ev.eventTime >= lastFit + updateInterval && ringN > 0) {
+            model = model.refit(ring.take(ringN), ev.eventTime)
+              .expire(ev.eventTime - maxTtl)
+            lastFit = ev.eventTime
+            ringN = 0; ringPos = 0
+          }
+          ev.kind match {
+            case "i" =>
+              ring(ringPos) = ev.vec
+              ringPos = (ringPos + 1) % ringCap
+              if (ringN < ringCap) ringN += 1
+              model.dataPartitions(ev.vec, ev.id, ev.eventTime)
+                .foreach(p => out += Routed(p, 0, ev))
+            case "d" =>
+              val ps =
+                if (ev.vec == null) model.deleteAllPartitions
+                else model.deleteDataPartitions(ev.vec, ev.id, ev.eventTime, maxTtl)
+              ps.foreach(p => out += Routed(p, 0, ev))
+            case "q" =>
+              val ps = model.queryPartitions(ev.vec, ev.eventTime,
+                math.min(ev.ttl, maxTtl))
+              ps.foreach(p => out += Routed(p, ps.length, ev))
+          }
+        }
+        state.update(RouterState(serialize(model), ring.take(ringN),
+          ringPos, lastFit))
+        out.iterator
+      })
+  }
+}
