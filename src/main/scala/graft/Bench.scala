@@ -131,12 +131,49 @@ object Bench {
     // throughput: corpus build + all queries over the ANN wall time
     val vecPerSec = (nVec + nQ) / annSec
 
+    // streaming latency: route -> keyed HNSW store -> merge over a bounded
+    // event stream; latency_ms is the merge-side stamp minus the routing
+    // stamp (the reference's searchCompleteTime headline metric)
+    import graft.streaming.VectorStreamJob
+    import graft.streaming.VectorStreamJob.StreamEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val streamRows = vecs.limit(20000)
+      .as[(Long, Array[Float], Long)].collect()
+    val input = MemoryStream[StreamEvent]
+    val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sq = VectorStreamJob.run(input.toDS(),
+      graft.partitioners.SimplePartitioner(cpus.toInt), k = 10, Metric.L2,
+      maxTtl = Long.MaxValue / 4, useHnsw = true) { merged =>
+      merged.groupBy("qid").agg(max("latency_ms").as("l")).collect()
+        .foreach(r => latencies.synchronized { latencies += r.getDouble(1) })
+    }
+    val qrnd = new java.util.Random(7L)
+    val (_, streamSec) = time {
+      streamRows.grouped(5000).foreach { chunk =>
+        val inserts = chunk.map { case (id, v, ts) => StreamEvent("i", id, v, ts, 0L, 0) }
+        val queries = (0 until 64).map { i =>
+          val (_, v, _) = chunk(qrnd.nextInt(chunk.length))
+          StreamEvent("q", 1000000000L + i, v, Long.MaxValue / 8, Long.MaxValue / 8, 10)
+        }
+        input.addData(inserts.toIndexedSeq ++ queries: _*)
+        sq.processAllAvailable()
+      }
+    }
+    sq.stop()
+    val sorted = latencies.synchronized { latencies.sorted.toArray }
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) -1.0
+      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    val streamInsertsPerSec = streamRows.length / streamSec
+
     val total = results.values.filter(_ >= 0).sum
     val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"reps":$reps,"warmup":1,"rep_max_over_min":$sp,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)}}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"reps":$reps,"warmup":1,"rep_max_over_min":$sp,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)}}""")
     spark.stop()
   }
 }

@@ -37,8 +37,14 @@ import graft.functions.{Distances, TopKAggregator}
  */
 object ColdTier {
 
+  /** `temperature` is an EWMA of the segment's result-hit counts
+   * (reference V6 access/hit/age statistics, plugin/vectorbackend/util/
+   * metrics.h + db/version_set.cc:2508-2561), maintained off the query
+   * path by [[recordHits]]; it orders equally-bounded segments
+   * hottest-first in wave planning. */
   final case class SegmentStats(segmentId: Long, path: String, count: Long,
-      minTs: Long, maxTs: Long, centroid: Array[Float], radius: Double)
+      minTs: Long, maxTs: Long, centroid: Array[Float], radius: Double,
+      temperature: Double = 0.0)
 
   private def statsPath(dir: String) = s"$dir/_segments"
 
@@ -68,6 +74,53 @@ object ColdTier {
       agg.getLong(2), centroid, math.sqrt(radius))
     Seq(stats).toDF().write.mode("append").parquet(statsPath(dir))
     stats
+  }
+
+  /** V6 statistics maintenance (caller-invoked after consuming results —
+   * the analog of the reference's background stats thread): per-segment
+   * hit counts fold into the temperature EWMA,
+   * `temp' = decay * temp + (1 - decay) * hits`. */
+  def recordHits(spark: SparkSession, dir: String, hits: Map[Long, Long],
+      decay: Double = 0.7): Array[SegmentStats] = {
+    import spark.implicits._
+    val updated = catalog(spark, dir).map { s =>
+      s.copy(temperature =
+        decay * s.temperature + (1 - decay) * hits.getOrElse(s.segmentId, 0L))
+    }
+    val live = new Path(statsPath(dir))
+    val tmp = new Path(statsPath(dir) + ".tmp")
+    updated.toSeq.toDF().write.mode("overwrite").parquet(tmp.toString)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    fs.rename(tmp, live)
+    updated
+  }
+
+  /** Attribute merged results back to segments: one join of result ids
+   * against the segment id columns (a stats pass, not a query path). */
+  def hitCounts(spark: SparkSession, dir: String, results: DataFrame): Map[Long, Long] = {
+    import spark.implicits._
+    val segs = catalog(spark, dir)
+    if (segs.isEmpty) Map.empty
+    else spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
+      .select(col("segmentId"), col("id"))
+      .join(results.select(col("id")).distinct(), "id")
+      .groupBy("segmentId").count()
+      .as[(Long, Long)].collect().toMap
+  }
+
+  /** EWMA of observed kth-result distances (reference adaptive threshold,
+   * db/version_set.cc:2689-2698): feeds [[search]]'s approximate mode as
+   * the skip threshold for queries whose first wave was under-filled. */
+  def learnThreshold(results: DataFrame, k: Int, prev: Option[Double],
+      alpha: Double = 0.2): Option[Double] = {
+    val row = results.where(col("rn") === k)
+      .agg(avg(sqrt(col("dist")))).first()
+    if (row.isNullAt(0)) prev
+    else {
+      val obs = row.getDouble(0)
+      Some(prev.fold(obs)(p => (1 - alpha) * p + alpha * obs))
+    }
   }
 
   def catalog(spark: SparkSession, dir: String): Array[SegmentStats] = {
@@ -108,15 +161,22 @@ object ColdTier {
    *        reference's termination_lower_bound
    * @param terminationFactor multiplier on the wave-1 kth distance used to
    *        skip remaining segments; 1.0 = lossless (triangle inequality),
-   *        lower = more aggressive (reference termination_factor 0.8).
-   *        Only applied for L2 (see class doc); a query whose wave 1
-   *        returned fewer than k rows never sets a threshold (an
-   *        under-filled wave underestimates the kth distance).
+   *        lower = more aggressive (reference termination_factor 0.8,
+   *        vector_options.h:79-96). Only applied for L2 (see class doc);
+   *        a query whose wave 1 returned fewer than k rows never sets a
+   *        per-query threshold (an under-filled wave underestimates the
+   *        kth distance).
+   * @param ewmaThreshold learned kth-distance EWMA ([[learnThreshold]]).
+   *        In approximate mode (factor < 1.0) it is the fallback skip
+   *        threshold for queries with no per-query threshold — the
+   *        reference's adaptive termination (version_set.cc:2689-2698).
+   *        Ignored in lossless mode, which stays provably exact.
    */
   def search(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       metric: Metric = Metric.L2,
       firstWaveFraction: Double = 0.3,
-      terminationFactor: Double = 1.0): DataFrame = {
+      terminationFactor: Double = 1.0,
+      ewmaThreshold: Option[Double] = None): DataFrame = {
     import spark.implicits._
     val segs = catalog(spark, dir)
     val bSegs = spark.sparkContext.broadcast(segs)
@@ -131,11 +191,14 @@ object ColdTier {
         val cat = bSegs.value
         it.flatMap { case (qid, qv, qtime, ttl) =>
           val fresh = cat.filter(s => s.maxTs >= qtime - ttl && s.minTs <= qtime)
+          // hottest-first: lower bound, then temperature (V6) for the
+          // frequent lb=0 ties when the query sits inside several radii
           val lbs = fresh.map { s =>
             val lb = math.max(0.0,
               math.sqrt(Distances.l2(qv, s.centroid)) - s.radius)
-            (s.segmentId, lb)
-          }.sortBy { case (sid, lb) => (lb, sid) }
+            (s.segmentId, lb, s.temperature)
+          }.sortBy { case (sid, lb, temp) => (lb, -temp, sid) }
+            .map { case (sid, lb, _) => (sid, lb) }
           val w1 = math.max(1, math.ceil(lbs.length * firstWaveFraction).toInt)
           lbs.iterator.zipWithIndex.map { case ((sid, lb), i) =>
             (qid, sid, if (prune && i >= w1) 2 else 1, lb)
@@ -180,12 +243,18 @@ object ColdTier {
       .select(col("qid"),
         (sqrt(element_at(col("topk.dists"), k)) * terminationFactor).as("thr"))
 
-    // wave 2: segments whose lower bound beats the threshold (or whose
-    // query has no threshold yet — under-filled or unseen in wave 1)
+    // wave 2: segments whose lower bound beats the threshold; a query
+    // with no per-query threshold (under-filled or unseen in wave 1)
+    // scans everything in lossless mode, or falls back to the learned
+    // EWMA threshold in approximate mode
+    val fallback = ewmaThreshold.filter(_ => terminationFactor < 1.0)
+      .map(e => lit(e * terminationFactor))
+      .getOrElse(lit(null).cast("double"))
     val wave2 = scanWave(
       probes.where(col("wave") === 2)
         .join(thresholds, Seq("qid"), "left")
-        .where(col("thr").isNull || col("lower_bound") <= col("thr"))
+        .withColumn("eff", coalesce(col("thr"), fallback))
+        .where(col("eff").isNull || col("lower_bound") <= col("eff"))
         .select("qid", "segmentId", "wave", "lower_bound"))
 
     val wave1Flat = wave1Top.select(col("qid"),

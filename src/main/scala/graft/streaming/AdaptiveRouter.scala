@@ -71,6 +71,7 @@ object AdaptiveRouter {
 
         val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
         evs.toArray.sortBy(e => (e.eventTime, e.id)).foreach { ev =>
+          val now = System.nanoTime()
           // re-learn boundaries once the update interval has elapsed
           if (ev.eventTime >= lastFit + updateInterval && ringN > 0) {
             model = model.refit(ring.take(ringN), ev.eventTime)
@@ -84,16 +85,16 @@ object AdaptiveRouter {
               ringPos = (ringPos + 1) % ringCap
               if (ringN < ringCap) ringN += 1
               model.dataPartitions(ev.vec, ev.id, ev.eventTime)
-                .foreach(p => out += Routed(p, 0, ev))
+                .foreach(p => out += Routed(p, 0, ev, now))
             case "d" =>
               val ps =
                 if (ev.vec == null) model.deleteAllPartitions
                 else model.deleteDataPartitions(ev.vec, ev.id, ev.eventTime, maxTtl)
-              ps.foreach(p => out += Routed(p, 0, ev))
+              ps.foreach(p => out += Routed(p, 0, ev, now))
             case "q" =>
               val ps = model.queryPartitions(ev.vec, ev.eventTime,
                 math.min(ev.ttl, maxTtl))
-              ps.foreach(p => out += Routed(p, ps.length, ev))
+              ps.foreach(p => out += Routed(p, ps.length, ev, now))
           }
         }
         state.update(RouterState(serialize(model), ring.take(ringN),

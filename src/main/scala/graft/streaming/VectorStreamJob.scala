@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.Metric
 import graft.functions.TopKAggregator
 import graft.partitioners.PartitionerModel
-import graft.store.ExactStore
+import graft.store.{ExactStore, HnswStore}
 
 /**
  * The reference's continuously-running search job under Structured
@@ -16,7 +16,9 @@ import graft.store.ExactStore
  *  - one input stream of insert/delete/query events (event-time stamped);
  *  - fan-out via a broadcast PartitionerModel (replaces the reference's
  *    parallelism-1 partitioner + murmur-key trick — routing is a pure
- *    function, so it runs fully parallel);
+ *    function, so it runs fully parallel); each routed row is stamped
+ *    with its routing wall-clock so merged results can report latency
+ *    (the reference's searchCompleteTime, SearchResult.java:126-133);
  *  - `flatMapGroupsWithState` keyed by partition id holds the partition's
  *    live vectors (hot tier), applies inserts/deletes in event-time order,
  *    answers queries against the store, and evicts entries older than
@@ -26,9 +28,13 @@ import graft.store.ExactStore
  *    fan-out all lands in one batch, so the per-batch merge is complete —
  *    the reference's completeness counter becomes a groupBy).
  *
- * State is the raw vector set (encodable case classes); the per-batch
- * store build is exact. An HNSW hot tier drops in by serializing the
- * index into state — the contract is unchanged (see graft.store).
+ * State is the compact live set + versioned tombstones (flat,
+ * encoder-friendly case classes) — never a serialized index. The HNSW
+ * variant keeps its graph in an executor-local cache validated by the
+ * state's sequence number: on the happy path each batch applies only its
+ * own mutations to the cached graph; after a recovery or executor loss
+ * the graph is rebuilt deterministically from the state's live set (the
+ * reference's memtable-from-WAL recovery, RocksDBRecoveryTest.java:23).
  */
 object VectorStreamJob {
 
@@ -41,15 +47,20 @@ object VectorStreamJob {
       ttl: Long,
       k: Int)
 
-  final case class Routed(pid: Int, numPartitionsSent: Int, ev: StreamEvent)
+  final case class Routed(pid: Int, numPartitionsSent: Int, ev: StreamEvent,
+      ingestNanos: Long)
 
   final case class StoredVec(id: Long, ts: Long, vec: Array[Float])
-  final case class PartitionState(vecs: Array[StoredVec], tombstones: Array[Long],
-      maxTs: Long)
+  /** Versioned tombstone: a delete at `ts` supersedes any insert of the
+   * same id with an event time <= ts that arrives in a later batch. */
+  final case class Tomb(id: Long, ts: Long)
+  final case class PartitionState(vecs: Array[StoredVec], tombstones: Array[Tomb],
+      maxTs: Long, seq: Long, inserted: Long)
 
   final case class PartialResult(
       queryId: Long, pid: Int, numPartitionsSent: Int,
-      ids: Array[Long], dists: Array[Double], queryEventTime: Long)
+      ids: Array[Long], dists: Array[Double], queryEventTime: Long,
+      ingestNanos: Long)
 
   /** Fan events out to partitions (data -> dataPartitions, value-less
    * deletes -> all, queries -> queryPartitions with the sent-count). */
@@ -58,74 +69,154 @@ object VectorStreamJob {
     import spark.implicits._
     val b = spark.sparkContext.broadcast(model)
     events.flatMap { ev =>
+      val now = System.nanoTime()
       ev.kind match {
         case "q" =>
           val ps = b.value.queryPartitions(ev.vec)
-          ps.map(pid => Routed(pid, ps.length, ev))
+          ps.map(pid => Routed(pid, ps.length, ev, now))
         case "d" if ev.vec == null =>
-          b.value.deleteAllPartitions.map(pid => Routed(pid, 0, ev))
+          b.value.deleteAllPartitions.map(pid => Routed(pid, 0, ev, now))
         case _ =>
-          b.value.dataPartitions(ev.vec, ev.id).map(pid => Routed(pid, 0, ev))
+          b.value.dataPartitions(ev.vec, ev.id).map(pid => Routed(pid, 0, ev, now))
       }
     }
   }
 
-  final case class HnswState(bytes: Array[Byte], inserted: Long)
+  /** Executor-local hot-tier index cache (one graph per partition id,
+   * tagged with the state sequence it reflects). A claim with the wrong
+   * sequence — first batch after recovery, executor loss, state moved to
+   * another executor — misses and the graph is rebuilt from state.
+   * `claim` REMOVES the entry (exclusive ownership): Spark may execute a
+   * stateful operator more than once per batch (plan reuse, speculative
+   * or recomputed tasks), and two executions must never mutate the same
+   * graph instance — the loser of the claim race rebuilds from the
+   * (unchanged, versioned) state snapshot, which is correct and merely
+   * slower. */
+  private[streaming] object IndexCache {
+    private val stores =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, HnswStore)]()
+    def claim(pid: Int, seq: Long): Option[HnswStore] =
+      Option(stores.remove(pid)).collect { case (s, st) if s == seq => st }
+    def put(pid: Int, seq: Long, store: HnswStore): Unit =
+      stores.put(pid, (seq, store))
+    /** Test hook: simulate executor loss (forces rebuild-from-state). */
+    def invalidateAll(): Unit = stores.clear()
+  }
 
-  /** C1 with an HNSW hot tier held in state as a serialized index —
-   * inserts are incremental (the reference's HNSW memtable, V1); the
-   * graph keeps tombstoned nodes (like the reference) and is compacted
-   * (rebuilt from live entries) when more than half its nodes are dead. */
+  /** Shared per-batch bookkeeping for both store variants: restore the
+   * live map + tombstones, replay the batch in event-time order against
+   * `store`, and assemble the retained state. Returns partials. */
+  private def replayBatch(
+      pid: Int, events: Iterator[Routed], prev: PartitionState,
+      store: graft.store.VectorStore, maxTtl: Long,
+      onInsert: () => Unit): (Array[PartialResult], PartitionState, Array[Long]) = {
+    val live = new java.util.LinkedHashMap[Long, StoredVec]()
+    prev.vecs.foreach(v => live.put(v.id, v))
+    val dead = new java.util.HashMap[Long, Long]()
+    prev.tombstones.foreach(t => dead.put(t.id, t.ts))
+    var maxTs = prev.maxTs
+    val out = scala.collection.mutable.ArrayBuffer.empty[PartialResult]
+
+    // event-time order within the batch (the reference relies on
+    // arrival order; micro-batching requires an explicit sort)
+    val evs = events.toArray.sortBy(r => (r.ev.eventTime, r.ev.id))
+    evs.foreach { r =>
+      val ev = r.ev
+      if (ev.eventTime > maxTs) maxTs = ev.eventTime
+      ev.kind match {
+        case "i" =>
+          // a tombstone at ts >= insert time supersedes the (late) insert
+          val tomb = dead.get(ev.id)
+          if (tomb == null || tomb < ev.eventTime) {
+            live.put(ev.id, StoredVec(ev.id, ev.eventTime, ev.vec))
+            dead.remove(ev.id)
+            store.put(ev.id, ev.eventTime, ev.vec)
+            onInsert()
+          }
+        case "d" =>
+          live.remove(ev.id)
+          val old = dead.get(ev.id)
+          dead.put(ev.id, if (old == null) ev.eventTime else math.max(old, ev.eventTime))
+          store.delete(ev.id)
+        case "q" =>
+          // maxTtl is the global upper bound on freshness windows
+          // (reference params maxTTL) — clamping makes eviction safe
+          val ttl = math.min(ev.ttl, maxTtl)
+          val res = store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
+          out += PartialResult(ev.id, pid, r.numPartitionsSent,
+            res.map(_._1), res.map(_._2), ev.eventTime, r.ingestNanos)
+      }
+    }
+    // TTL eviction (V7): no future query can reach entries older than
+    // maxTs - maxTtl (queries' event times are >= maxTs going forward);
+    // tombstones age out on the same retention floor
+    val floor = maxTs - maxTtl
+    val kept = new scala.collection.mutable.ArrayBuffer[StoredVec]()
+    val evicted = new scala.collection.mutable.ArrayBuffer[Long]()
+    val it = live.values().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (v.ts >= floor) kept += v else evicted += v.id
+    }
+    val tombs = new scala.collection.mutable.ArrayBuffer[Tomb]()
+    val dit = dead.entrySet().iterator()
+    while (dit.hasNext) {
+      val e = dit.next()
+      if (e.getValue >= floor) tombs += Tomb(e.getKey, e.getValue)
+    }
+    (out.toArray,
+      PartitionState(kept.toArray, tombs.toArray, maxTs, prev.seq + 1, 0L),
+      evicted.toArray)
+  }
+
+  /** C1 with an HNSW hot tier (V1): the graph lives in [[IndexCache]] and
+   * is mutated incrementally per batch — O(batch) index work and O(live)
+   * state encode per batch, vs java-serializing the whole graph in and
+   * out of state. Rebuilt (deterministically, (ts,id)-ordered) from the
+   * state's live set on a cache miss. Tombstoned/evicted nodes stay in
+   * the graph (invisible behind the freshness filter) until compaction
+   * rebuilds it once live entries fall below half the graph size. */
   def partialsHnsw(routed: Dataset[Routed], metric: Metric, maxTtl: Long,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64)
       : Dataset[PartialResult] = {
     val spark = routed.sparkSession
     import spark.implicits._
-    def serialize(s: graft.store.HnswStore): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(s); oos.close(); bos.toByteArray
-    }
-    def deserialize(b: Array[Byte]): graft.store.HnswStore = {
-      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-      val s = ois.readObject().asInstanceOf[graft.store.HnswStore]
-      ois.close(); s
-    }
     routed.groupByKey(_.pid).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout)(
-      (pid: Int, events: Iterator[Routed], state: GroupState[HnswState]) => {
-        var store = state.getOption.map(s => deserialize(s.bytes))
-          .getOrElse(new graft.store.HnswStore(metric, m, efConstruction, efSearch,
-            seed = 42L + pid))
-        var inserted = state.getOption.map(_.inserted).getOrElse(0L)
-        val out = new scala.collection.mutable.ArrayBuffer[PartialResult]()
-        val evs = events.toArray.sortBy(r => (r.ev.eventTime, r.ev.id))
-        evs.foreach { r =>
-          val ev = r.ev
-          ev.kind match {
-            case "i" => store.put(ev.id, ev.eventTime, ev.vec); inserted += 1
-            case "d" => store.delete(ev.id)
-            case "q" =>
-              val ttl = math.min(ev.ttl, maxTtl)
-              val res = store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
-              out += PartialResult(ev.id, pid, r.numPartitionsSent,
-                res.map(_._1), res.map(_._2), ev.eventTime)
-          }
+      (pid: Int, events: Iterator[Routed], state: GroupState[PartitionState]) => {
+        val prev = state.getOption
+          .getOrElse(PartitionState(Array.empty, Array.empty, 0L, 0L, 0L))
+        var inserted = prev.inserted
+        var store = IndexCache.claim(pid, prev.seq).getOrElse {
+          val s = new HnswStore(metric, m, efConstruction, efSearch,
+            seed = 42L + pid)
+          prev.vecs.sortBy(v => (v.ts, v.id)).foreach(v => s.put(v.id, v.ts, v.vec))
+          inserted = prev.vecs.length.toLong
+          s
         }
+        val (out, next0, evicted) = replayBatch(pid, events, prev, store,
+          maxTtl, () => inserted += 1)
+        // evicted entries leave the graph too, so compaction sees them
+        evicted.foreach(store.delete)
         // compaction: rebuild when most graph nodes are dead versions
         if (inserted > 64 && store.size * 2 < inserted) {
-          val fresh = new graft.store.HnswStore(metric, m, efConstruction,
-            efSearch, seed = 42L + pid)
-          store.liveEntries.foreach { case (label, ts, vec) => fresh.put(label, ts, vec) }
+          val fresh = new HnswStore(metric, m, efConstruction, efSearch,
+            seed = 42L + pid)
+          store.liveEntries.toArray.sortBy(e => (e._2, e._1))
+            .foreach { case (label, ts, vec) => fresh.put(label, ts, vec) }
           store = fresh
           inserted = store.size.toLong
         }
-        state.update(HnswState(serialize(store), inserted))
+        val next = next0.copy(inserted = inserted)
+        state.update(next)
+        IndexCache.put(pid, next.seq, store)
         out.iterator
       })
   }
 
-  /** The keyed insert-&-search operator (C1). */
+  /** The keyed insert-&-search operator (C1), exact variant: one store
+   * per batch, restored from state then mutated incrementally in event
+   * order (O(live + batch), not O(live x queries)). */
   def partials(routed: Dataset[Routed], metric: Metric, maxTtl: Long)
       : Dataset[PartialResult] = {
     val spark = routed.sparkSession
@@ -133,87 +224,65 @@ object VectorStreamJob {
     routed.groupByKey(_.pid).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout)(
       (pid: Int, events: Iterator[Routed], state: GroupState[PartitionState]) => {
-        val prev = state.getOption.getOrElse(PartitionState(Array.empty, Array.empty, 0L))
-        val live = new java.util.LinkedHashMap[Long, StoredVec]()
-        prev.vecs.foreach(v => live.put(v.id, v))
-        val dead = new java.util.HashSet[Long]()
-        prev.tombstones.foreach(dead.add(_))
-        var maxTs = prev.maxTs
-        val out = new scala.collection.mutable.ArrayBuffer[PartialResult]()
-
-        // event-time order within the batch (the reference relies on
-        // arrival order; micro-batching requires an explicit sort)
-        val evs = events.toArray.sortBy(r => (r.ev.eventTime, r.ev.id))
-        evs.foreach { r =>
-          val ev = r.ev
-          if (ev.eventTime > maxTs) maxTs = ev.eventTime
-          ev.kind match {
-            case "i" =>
-              live.put(ev.id, StoredVec(ev.id, ev.eventTime, ev.vec))
-              dead.remove(ev.id)
-            case "d" =>
-              live.remove(ev.id)
-              dead.add(ev.id)
-            case "q" =>
-              val store = new ExactStore(metric, math.max(16, live.size()))
-              val it = live.values().iterator()
-              while (it.hasNext) { val v = it.next(); store.put(v.id, v.ts, v.vec) }
-              // maxTtl is the global upper bound on freshness windows
-              // (reference params maxTTL) — clamping makes eviction safe
-              val ttl = math.min(ev.ttl, maxTtl)
-              val res = store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
-              out += PartialResult(ev.id, pid, r.numPartitionsSent,
-                res.map(_._1), res.map(_._2), ev.eventTime)
-          }
-        }
-        // TTL eviction (V7): no future query can reach entries older than
-        // maxTs - maxTtl (queries' event times are >= maxTs going forward)
-        val floor = maxTs - maxTtl
-        val kept = new scala.collection.mutable.ArrayBuffer[StoredVec]()
-        val it = live.values().iterator()
-        while (it.hasNext) { val v = it.next(); if (v.ts >= floor) kept += v }
-        state.update(PartitionState(kept.toArray, dead.toArray.map(Long.unbox), maxTs))
+        val prev = state.getOption
+          .getOrElse(PartitionState(Array.empty, Array.empty, 0L, 0L, 0L))
+        val store = new ExactStore(metric, math.max(16, prev.vecs.length))
+        prev.vecs.foreach(v => store.put(v.id, v.ts, v.vec))
+        val (out, next, _) = replayBatch(pid, events, prev, store, maxTtl, () => ())
+        state.update(next)
         out.iterator
       })
   }
 
   /** C3 merge for a (micro-)batch of partials -> complete SearchResults
-   * (qid, rn, id, dist) — only queries whose partial count matches
-   * numPartitionsSent are complete (always true when the fan-out landed in
-   * one batch). */
+   * (qid, rn, id, dist, latency_ms) — only queries whose partial count
+   * matches numPartitionsSent are complete (always true when the fan-out
+   * landed in one batch). latency_ms is stamped as the merge materializes
+   * (the reference's searchCompleteTime) minus the query's routing stamp:
+   * route -> shuffle -> per-partition search -> shuffle -> merge. */
   def mergePartials(batch: DataFrame, k: Int): DataFrame = {
     val topkUdaf = udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val completeNanos = udf(() => System.nanoTime())
     val flat = batch.select(col("queryId").as("qid"), col("numPartitionsSent"),
+        col("ingestNanos"),
         explode(arrays_zip(col("ids").as("id"), col("dists").as("dist"))).as("e"))
-      .select(col("qid"), col("numPartitionsSent"), col("e.id").as("id"),
-        col("e.dist").as("dist"))
+      .select(col("qid"), col("numPartitionsSent"), col("ingestNanos"),
+        col("e.id").as("id"), col("e.dist").as("dist"))
     val complete = batch.groupBy(col("queryId").as("qid"))
       .agg(countDistinct(col("pid")).as("np"),
         first(col("numPartitionsSent")).as("sent"))
       .where(col("np") === col("sent"))
       .select(col("qid"))
     flat.join(complete, "qid")
-      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
-      .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
-        col("topk.dists").as("dist"))))
+      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"),
+        min(col("ingestNanos")).as("ingest"))
+      .select(col("qid"), col("ingest"), posexplode(arrays_zip(
+        col("topk.ids").as("id"), col("topk.dists").as("dist"))))
       .select(col("qid"), (col("pos") + 1).as("rn"),
-        col("col.id").as("id"), col("col.dist").as("dist"))
+        col("col.id").as("id"), col("col.dist").as("dist"),
+        ((completeNanos() - col("ingest")) / 1e6).as("latency_ms"))
   }
 
   /** Wire the full pipeline onto a streaming Dataset; results are appended
    * per micro-batch via foreachBatch into `sink`. */
   def run(events: Dataset[StreamEvent], model: PartitionerModel, k: Int,
-      metric: Metric, maxTtl: Long, useHnsw: Boolean = false)(sink: DataFrame => Unit)
+      metric: Metric, maxTtl: Long, useHnsw: Boolean = false,
+      checkpointDir: Option[String] = None)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val routed = route(events, model)
     val p = if (useHnsw) partialsHnsw(routed, metric, maxTtl)
             else partials(routed, metric, maxTtl)
-    p.writeStream
+    val w = p.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[PartialResult], _: Long) =>
-        sink(mergePartials(batch.toDF(), k))
+        // mergePartials reads the batch twice (top-k + completeness);
+        // persist so the stateful operator materializes once per batch
+        val cached = batch.persist()
+        try sink(mergePartials(cached.toDF(), k))
+        finally { cached.unpersist(); () }
       }
-      .start()
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
   }
 }

@@ -119,4 +119,43 @@ class PartitionersSpec extends AnyFunSuite {
     val words = vecs.map(v => sax.encode(v))
     assert(words.distinct.length > 10) // gaussian data spreads over words
   }
+
+  test("adaptive P5: version selection, fresh-range fan-out, expiry GC") {
+    val m0 = AdaptiveLshSfcPartitioner.init(vecs, numPartitions = 8, dim = 16,
+      numFamilies = 3, numHashes = 4, width = 4.0f, bits = 7,
+      curveName = "hilbert", seed = 7L, fromTime = 0L)
+    val shifted = vecs.map(_.map(_ + 6f))
+    val m1 = m0.refit(shifted, asOfTime = 1000L)
+    val m2 = m1.refit(vecs, asOfTime = 2000L)
+    assert(m2.versions.map(v => (v.fromTime, v.toTime)) ==
+      Vector((0L, 1000L), (1000L, 2000L), (2000L, Long.MaxValue)))
+    // hash families are preserved across re-fits
+    assert(m2.versions.map(_.partitioner.models.map(_.family).toSeq).distinct.size == 1)
+    // data routes by the version at its timestamp
+    vecs.take(50).zipWithIndex.foreach { case (v, i) =>
+      assert(m2.dataPartitions(v, i.toLong, 500L)
+        .sameElements(m2.versions(0).partitioner.dataPartitions(v, i.toLong)))
+      assert(m2.dataPartitions(v, i.toLong, 1500L)
+        .sameElements(m2.versions(1).partitioner.dataPartitions(v, i.toLong)))
+    }
+    // a query's fan-out covers every version intersecting its window...
+    vecs.take(50).foreach { v =>
+      val qp = m2.queryPartitions(v, qtime = 2100L, ttl = 1500L).toSet
+      assert(m2.versions(1).partitioner.queryPartitions(v).toSet.subsetOf(qp))
+      assert(m2.versions(2).partitioner.queryPartitions(v).toSet.subsetOf(qp))
+    }
+    // ...and no more: a window inside the current version probes it alone
+    vecs.take(50).foreach { v =>
+      assert(m2.queryPartitions(v, qtime = 2500L, ttl = 100L).toSet ==
+        m2.versions(2).partitioner.queryPartitions(v).toSet)
+    }
+    // vector-carrying deletes cover the insert's possible routes
+    vecs.take(50).zipWithIndex.foreach { case (v, i) =>
+      val del = m2.deleteDataPartitions(v, i.toLong, ts = 2100L, maxTtl = 1500L).toSet
+      assert(m2.versions(1).partitioner.dataPartitions(v, i.toLong).toSet.subsetOf(del))
+    }
+    // expiry drops stale versions, never the current one
+    assert(m2.expire(1500L).versions.map(_.fromTime) == Vector(1000L, 2000L))
+    assert(m2.expire(Long.MaxValue).versions.map(_.fromTime) == Vector(2000L))
+  }
 }

@@ -136,6 +136,99 @@ class ColdTierSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("approximate termination (factor 0.8): recall >= 0.9 vs lossless on clustered data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-approx").toString
+    val dim = 8
+    // six tight clusters, one per segment
+    (0 until 6).foreach { c =>
+      val rnd = new java.util.Random(100L + c)
+      val rows = (0 until 40).map { i =>
+        val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.3f)
+        v(0) += 4f * c
+        (c * 100L + i, v, 500L + i)
+      }
+      ColdTier.seal(rows.toDF("id", "vec", "eventTime"), dir, c.toLong)
+    }
+    // queries at centers and at midpoints between clusters
+    val qs = (0 until 6).map { c =>
+      val v = new Array[Float](dim); v(0) = 4f * c
+      (c.toLong, v, 10000L, 100000L)
+    } ++ (0 until 5).map { c =>
+      val v = new Array[Float](dim); v(0) = 4f * c + 2f
+      ((100 + c).toLong, v, 10000L, 100000L)
+    }
+    val qdf = qs.toDF("qid", "qv", "qtime", "ttl")
+    def run(factor: Double) = ColdTier.search(spark, dir, qdf, 10, Metric.L2,
+        firstWaveFraction = 0.2, terminationFactor = factor)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val lossless = run(1.0)
+    val approx = run(0.8)
+    val recalls = qs.map { case (qid, _, _, _) =>
+      approx.getOrElse(qid, Set.empty)
+        .intersect(lossless(qid)).size.toDouble / lossless(qid).size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"approximate-termination recall: $recall")
+  }
+
+  test("EWMA threshold gates under-filled queries only in approximate mode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-ewma").toString
+    // S1: 3 rows at the query point (under-filled for k=5);
+    // S2/S3: 20 rows each at increasing distance
+    ColdTier.seal(Seq((1L, Array(0f, 0f), 500L), (2L, Array(0.01f, 0f), 501L),
+      (3L, Array(0.02f, 0f), 502L)).toDF("id", "vec", "eventTime"), dir, 1L)
+    ColdTier.seal((0 until 20).map(i => (100L + i, Array(2f + i * 0.01f, 0f), 510L))
+      .toDF("id", "vec", "eventTime"), dir, 2L)
+    ColdTier.seal((0 until 20).map(i => (200L + i, Array(10f + i * 0.01f, 0f), 520L))
+      .toDF("id", "vec", "eventTime"), dir, 3L)
+    val qdf = Seq((9L, Array(0f, 0f), 1000L, 100000L)).toDF("qid", "qv", "qtime", "ttl")
+    def run(factor: Double, ewma: Option[Double]) =
+      ColdTier.search(spark, dir, qdf, 5, Metric.L2,
+        firstWaveFraction = 0.01, terminationFactor = factor,
+        ewmaThreshold = ewma).collect()
+    // lossless: no per-query threshold (wave 1 found 3 < 5) -> scan all
+    assert(run(1.0, None).length == 5)
+    // lossless ignores the EWMA — exactness is never traded silently
+    assert(run(1.0, Some(0.1)).length == 5)
+    // approximate + tight EWMA: far segments pruned, only S1 rows left
+    assert(run(0.8, Some(0.1)).map(_.getLong(2)).toSet == Set(1L, 2L, 3L))
+    // approximate + loose EWMA: nothing pruned, equals lossless
+    assert(run(0.8, Some(1000.0)).length == 5)
+  }
+
+  test("learnThreshold: EWMA over per-query kth distances") {
+    import spark.implicits._
+    val results = Seq((1L, 5, 10L, 4.0), (2L, 5, 11L, 16.0), (1L, 1, 12L, 1.0))
+      .toDF("qid", "rn", "id", "dist")
+    // kth rows: sqrt(4)=2 and sqrt(16)=4 -> avg 3
+    assert(ColdTier.learnThreshold(results, 5, None).contains(3.0))
+    // EWMA fold with alpha 0.2: 0.8*10 + 0.2*3
+    assert(ColdTier.learnThreshold(results, 5, Some(10.0)).contains(8.6))
+    // no kth rows observed -> previous value carried
+    assert(ColdTier.learnThreshold(results, 9, Some(7.0)).contains(7.0))
+  }
+
+  test("recordHits folds hit counts into the temperature EWMA; hitCounts attributes results") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-temp").toString
+    ColdTier.seal(mkVecs(50, 4, 31L, 0L), dir, 1L)    // ids 0..49
+    ColdTier.seal(mkVecs(50, 4, 32L, 1000L), dir, 2L) // ids 1000..1049
+    val results = Seq((9L, 1, 5L, 0.1), (9L, 2, 1005L, 0.2), (9L, 3, 1010L, 0.3))
+      .toDF("qid", "rn", "id", "dist")
+    val hits = ColdTier.hitCounts(spark, dir, results)
+    assert(hits == Map(1L -> 1L, 2L -> 2L))
+    val t1 = ColdTier.recordHits(spark, dir, hits, decay = 0.7)
+      .map(s => s.segmentId -> s.temperature).toMap
+    assert(math.abs(t1(1L) - 0.3) < 1e-9 && math.abs(t1(2L) - 0.6) < 1e-9)
+    val t2 = ColdTier.recordHits(spark, dir, Map(1L -> 10L), decay = 0.7)
+      .map(s => s.segmentId -> s.temperature).toMap
+    assert(math.abs(t2(1L) - (0.7 * 0.3 + 3.0)) < 1e-9)
+    assert(math.abs(t2(2L) - 0.7 * 0.6) < 1e-9)
+  }
+
   test("catalog falls back to .tmp when a crash interrupts evict's swap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-crash").toString

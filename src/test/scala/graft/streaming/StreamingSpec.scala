@@ -111,6 +111,92 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("checkpoint recovery: killed query restores state; HNSW graph rebuilt from state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    def start() = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000000L, useHnsw = true, checkpointDir = Some(ckpt)) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2))) })
+    }
+    val q1 = start()
+    input.addData((0 until 50).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // kill: drop every cached graph (executor loss) — recovery must
+    // rebuild the index from the checkpointed state, not lose the corpus
+    VectorStreamJob.IndexCache.invalidateAll()
+    val q2 = start()
+    input.addData(
+      StreamEvent("d", 3L, null, 200L, 0L, 0),
+      StreamEvent("q", 3000L, vec(3), 300L, 1000000L, 5))
+    q2.processAllAvailable()
+    val got = results.synchronized { results.filter(_._1 == 3000L).sortBy(_._2).map(_._3) }
+    val truth = (0 until 50).filter(_ != 3)
+      .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    assert(got == truth, s"post-recovery results must replay-match: got $got want $truth")
+    q2.stop()
+  }
+
+  test("tombstones supersede late inserts and age out; state stays bounded under churn") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 10,
+      Metric.L2, maxTtl = 250L) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getLong(2))) })
+    }
+    // batch 1: insert ids 0..9 (ts 0..9), delete them all (ts 20..29)
+    input.addData(((0 until 10).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)) ++
+      (0 until 10).map(i =>
+        StreamEvent("d", i.toLong, null, 20L + i, 0L, 0))): _*)
+    q.processAllAvailable()
+    // batch 2: a LATE insert of id 5 stamped before its delete (ts 15 < 25)
+    // must be suppressed by the versioned tombstone, not resurrected
+    input.addData(
+      StreamEvent("i", 5L, vec(5), 15L, 0L, 0),
+      StreamEvent("i", 50L, vec(50), 30L, 0L, 0),
+      StreamEvent("q", 9000L, vec(5), 40L, 200L, 10))
+    q.processAllAvailable()
+    val got = results.synchronized { results.filter(_._1 == 9000L).map(_._2).toSet }
+    assert(!got.contains(5L), s"tombstoned id 5 must stay dead: $got")
+    assert(got.contains(50L))
+
+    // churn: stable live set, advancing time — state (live + tombstones)
+    // must stay bounded because both age out on the retention floor
+    def memUsed(): Long =
+      q.lastProgress.stateOperators.apply(0).memoryUsedBytes
+    (0 until 6).foreach { b =>
+      val base = 1000L + b * 100
+      input.addData(((0 until 100).map(i =>
+        StreamEvent("i", base + i, vec(i), base + i, 0L, 0)) ++
+        (0 until 100).map(i =>
+          StreamEvent("d", base - 100 + i, null, base + i, 0L, 0))): _*)
+      q.processAllAvailable()
+    }
+    val early = memUsed()
+    (0 until 6).foreach { b =>
+      val base = 1600L + b * 100
+      input.addData(((0 until 100).map(i =>
+        StreamEvent("i", base + i, vec(i), base + i, 0L, 0)) ++
+        (0 until 100).map(i =>
+          StreamEvent("d", base - 100 + i, null, base + i, 0L, 0))): _*)
+      q.processAllAvailable()
+    }
+    val late = memUsed()
+    assert(late <= early * 2,
+      s"state must not grow under churn (write-only tombstone leak): $early -> $late")
+    q.stop()
+  }
+
   test("state eviction drops entries older than maxTtl") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
