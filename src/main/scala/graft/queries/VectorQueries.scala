@@ -137,12 +137,14 @@ object VectorQueries {
     Tables(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
     s.sql(
       s"""SELECT qid, rn, id, dist FROM (
-         |  SELECT q.vec_id AS qid, b.vec_id AS id,
-         |         l2_distance(q.embedding, b.embedding) AS dist,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |           ORDER BY l2_distance(q.embedding, b.embedding), b.vec_id) AS rn
-         |  FROM graft_embeddings q JOIN graft_embeddings b
-         |  WHERE q.vec_id % $QueryMod = 0)
+         |  SELECT qid, id, dist,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY dist, id) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS qid, b.vec_id AS id,
+         |           l2_distance(q.embedding, b.embedding) AS dist
+         |    FROM graft_embeddings q JOIN graft_embeddings b
+         |    WHERE q.vec_id % $QueryMod = 0))
          |WHERE rn <= $K""".stripMargin)
   }
 
