@@ -54,6 +54,7 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
     spark.range(1000000L).select(sum("id")).collect() // JVM/codegen warmup
 
     // warmup + repeated timed runs (min reported): a single cold pass per
@@ -115,6 +116,16 @@ object Bench {
         targetPerPartition = math.max(4000L, nVec / (cpus.toInt * 8)))
     }
     results("bench_ann_fit") = fitSec
+    // partition balance (max-avg)/avg over routed data counts — the
+    // reference's balance metric
+    // (LSHWithSpaceFillingPartitionFunction.java:201-209)
+    val bModel = spark.sparkContext.broadcast(model)
+    val balRow = vecs.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => bModel.value.dataPartitions(v, id) }
+      .groupBy("value").count()
+      .agg(max("count"), avg("count")).first()
+    val balance = (balRow.getLong(0) - balRow.getDouble(1)) / balRow.getDouble(1)
     val (annRows, annSec) = time {
       Ann.search(vecs, queries, model, 10, Metric.L2, useHnsw = true,
         hnswM = 16, efConstruction = 48, efSearch = 64)
@@ -173,7 +184,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"reps":$reps,"warmup":1,"rep_max_over_min":$sp,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)}}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"reps":$reps,"warmup":1,"rep_max_over_min":$sp,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}""")
     spark.stop()
   }
 }
