@@ -162,9 +162,9 @@ object Bench {
     }
     val qrnd = new java.util.Random(7L)
     val (_, streamSec) = time {
-      streamRows.grouped(5000).foreach { chunk =>
+      streamRows.grouped(2000).foreach { chunk =>
         val inserts = chunk.map { case (id, v, ts) => StreamEvent("i", id, v, ts, 0L, 0) }
-        val queries = (0 until 64).map { i =>
+        val queries = (0 until 32).map { i =>
           val (_, v, _) = chunk(qrnd.nextInt(chunk.length))
           StreamEvent("q", 1000000000L + i, v, Long.MaxValue / 8, Long.MaxValue / 8, 10)
         }
