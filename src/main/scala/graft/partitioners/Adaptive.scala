@@ -44,17 +44,24 @@ final case class AdaptiveLshSfcPartitioner(versions: Vector[RangeVersion])
   override def dataPartitions(vec: Array[Float], id: Long, ts: Long): Array[Int] =
     versionAt(ts).partitioner.dataPartitions(vec, id)
 
-  /** Union fan-out over every version still fresh for [qtime-ttl, qtime]. */
+  /** Union fan-out over every version still fresh for [qtime-ttl, qtime].
+   * A query whose window intersects no version (e.g. entirely before the
+   * first fit) falls back to the version at its qtime — the deterministic
+   * stand-in for the reference's random-partition fallback
+   * (LSHashSpaceFillingPartitioner.java: no-range branch). */
   override def queryPartitions(vec: Array[Float], qtime: Long, ttl: Long): Array[Int] = {
     val set = new java.util.LinkedHashSet[Integer]()
     versions.foreach { v =>
       if (v.fromTime <= qtime && v.toTime >= qtime - ttl)
         v.partitioner.queryPartitions(vec).foreach(set.add(_))
     }
-    val out = new Array[Int](set.size())
-    val it = set.iterator(); var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    if (set.isEmpty) versionAt(qtime).partitioner.queryPartitions(vec)
+    else {
+      val out = new Array[Int](set.size())
+      val it = set.iterator(); var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
   }
 
   /** A delete carrying its vector must reach every partition the id's

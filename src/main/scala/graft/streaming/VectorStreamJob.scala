@@ -55,7 +55,7 @@ object VectorStreamJob {
    * same id with an event time <= ts that arrives in a later batch. */
   final case class Tomb(id: Long, ts: Long)
   final case class PartitionState(vecs: Array[StoredVec], tombstones: Array[Tomb],
-      maxTs: Long, seq: Long, inserted: Long)
+      maxTs: Long, seq: Long, inserted: Long, lastQueryTs: Long = Long.MinValue)
 
   final case class PartialResult(
       queryId: Long, pid: Int, numPartitionsSent: Int,
@@ -109,12 +109,14 @@ object VectorStreamJob {
   private def replayBatch(
       pid: Int, events: Iterator[Routed], prev: PartitionState,
       store: graft.store.VectorStore, maxTtl: Long,
-      onInsert: () => Unit): (Array[PartialResult], PartitionState, Array[Long]) = {
+      onInsert: () => Unit,
+      dropLateQueries: Boolean): (Array[PartialResult], PartitionState, Array[Long]) = {
     val live = new java.util.LinkedHashMap[Long, StoredVec]()
     prev.vecs.foreach(v => live.put(v.id, v))
     val dead = new java.util.HashMap[Long, Long]()
     prev.tombstones.foreach(t => dead.put(t.id, t.ts))
     var maxTs = prev.maxTs
+    var lastQueryTs = prev.lastQueryTs
     val out = scala.collection.mutable.ArrayBuffer.empty[PartialResult]
 
     // event-time order within the batch (the reference relies on
@@ -139,12 +141,20 @@ object VectorStreamJob {
           dead.put(ev.id, if (old == null) ev.eventTime else math.max(old, ev.eventTime))
           store.delete(ev.id)
         case "q" =>
-          // maxTtl is the global upper bound on freshness windows
-          // (reference params maxTTL) — clamping makes eviction safe
-          val ttl = math.min(ev.ttl, maxTtl)
-          val res = store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
-          out += PartialResult(ev.id, pid, r.numPartitionsSent,
-            res.map(_._1), res.map(_._2), ev.eventTime, r.ingestNanos)
+          // reference fidelity (RocksDBKeyedProcessFunction.java:90-93):
+          // optionally drop queries older than the last answered query.
+          // Default is to answer them — the freshness ceiling already
+          // hides newer inserts, so a late answer is still correct up to
+          // deletes applied after its event time
+          if (!(dropLateQueries && ev.eventTime < lastQueryTs)) {
+            if (ev.eventTime > lastQueryTs) lastQueryTs = ev.eventTime
+            // maxTtl is the global upper bound on freshness windows
+            // (reference params maxTTL) — clamping makes eviction safe
+            val ttl = math.min(ev.ttl, maxTtl)
+            val res = store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
+            out += PartialResult(ev.id, pid, r.numPartitionsSent,
+              res.map(_._1), res.map(_._2), ev.eventTime, r.ingestNanos)
+          }
       }
     }
     // TTL eviction (V7): no future query can reach entries older than
@@ -165,7 +175,8 @@ object VectorStreamJob {
       if (e.getValue >= floor) tombs += Tomb(e.getKey, e.getValue)
     }
     (out.toArray,
-      PartitionState(kept.toArray, tombs.toArray, maxTs, prev.seq + 1, 0L),
+      PartitionState(kept.toArray, tombs.toArray, maxTs, prev.seq + 1, 0L,
+        lastQueryTs),
       evicted.toArray)
   }
 
@@ -177,7 +188,8 @@ object VectorStreamJob {
    * the graph (invisible behind the freshness filter) until compaction
    * rebuilds it once live entries fall below half the graph size. */
   def partialsHnsw(routed: Dataset[Routed], metric: Metric, maxTtl: Long,
-      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64)
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64,
+      dropLateQueries: Boolean = false)
       : Dataset[PartialResult] = {
     val spark = routed.sparkSession
     import spark.implicits._
@@ -195,7 +207,7 @@ object VectorStreamJob {
           s
         }
         val (out, next0, evicted) = replayBatch(pid, events, prev, store,
-          maxTtl, () => inserted += 1)
+          maxTtl, () => inserted += 1, dropLateQueries)
         // evicted entries leave the graph too, so compaction sees them
         evicted.foreach(store.delete)
         // compaction: rebuild when most graph nodes are dead versions
@@ -217,7 +229,8 @@ object VectorStreamJob {
   /** The keyed insert-&-search operator (C1), exact variant: one store
    * per batch, restored from state then mutated incrementally in event
    * order (O(live + batch), not O(live x queries)). */
-  def partials(routed: Dataset[Routed], metric: Metric, maxTtl: Long)
+  def partials(routed: Dataset[Routed], metric: Metric, maxTtl: Long,
+      dropLateQueries: Boolean = false)
       : Dataset[PartialResult] = {
     val spark = routed.sparkSession
     import spark.implicits._
@@ -228,7 +241,8 @@ object VectorStreamJob {
           .getOrElse(PartitionState(Array.empty, Array.empty, 0L, 0L, 0L))
         val store = new ExactStore(metric, math.max(16, prev.vecs.length))
         prev.vecs.foreach(v => store.put(v.id, v.ts, v.vec))
-        val (out, next, _) = replayBatch(pid, events, prev, store, maxTtl, () => ())
+        val (out, next, _) = replayBatch(pid, events, prev, store, maxTtl,
+          () => (), dropLateQueries)
         state.update(next)
         out.iterator
       })
@@ -268,11 +282,13 @@ object VectorStreamJob {
    * per micro-batch via foreachBatch into `sink`. */
   def run(events: Dataset[StreamEvent], model: PartitionerModel, k: Int,
       metric: Metric, maxTtl: Long, useHnsw: Boolean = false,
-      checkpointDir: Option[String] = None)(sink: DataFrame => Unit)
+      checkpointDir: Option[String] = None,
+      dropLateQueries: Boolean = false)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val routed = route(events, model)
-    val p = if (useHnsw) partialsHnsw(routed, metric, maxTtl)
-            else partials(routed, metric, maxTtl)
+    val p = if (useHnsw) partialsHnsw(routed, metric, maxTtl,
+              dropLateQueries = dropLateQueries)
+            else partials(routed, metric, maxTtl, dropLateQueries)
     val w = p.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[PartialResult], _: Long) =>

@@ -157,5 +157,12 @@ class PartitionersSpec extends AnyFunSuite {
     // expiry drops stale versions, never the current one
     assert(m2.expire(1500L).versions.map(_.fromTime) == Vector(1000L, 2000L))
     assert(m2.expire(Long.MaxValue).versions.map(_.fromTime) == Vector(2000L))
+    // a window intersecting no version falls back to the version at qtime
+    // (the reference's no-fresh-range fallback) — never an empty fan-out
+    vecs.take(20).foreach { v =>
+      val qp = m2.queryPartitions(v, qtime = -500L, ttl = 10L)
+      assert(qp.nonEmpty &&
+        qp.sameElements(m2.versions.head.partitioner.queryPartitions(v)))
+    }
   }
 }

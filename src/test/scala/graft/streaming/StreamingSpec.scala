@@ -197,6 +197,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("dropLateQueries: stale queries are dropped only when opted in (reference fidelity)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def runCase(drop: Boolean): Set[Long] = {
+      val input = MemoryStream[StreamEvent]
+      val results = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+        Metric.L2, maxTtl = 1000000L, dropLateQueries = drop) { merged =>
+        merged.collect().foreach(r => results.synchronized { results += r.getLong(0) })
+      }
+      input.addData((0 until 20).map(i =>
+        StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)) :+
+        StreamEvent("q", 500L, vec(1), 300L, 100000L, 5): _*)
+      q.processAllAvailable()
+      // batch 2: a query with event time BEFORE the last answered query
+      input.addData(StreamEvent("q", 501L, vec(2), 100L, 100000L, 5))
+      q.processAllAvailable()
+      q.stop()
+      results.synchronized { results.toSet }
+    }
+    assert(runCase(drop = false) == Set(500L, 501L), "default answers late queries")
+    assert(runCase(drop = true) == Set(500L), "opt-in drops the stale query")
+  }
+
   test("state eviction drops entries older than maxTtl") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
