@@ -50,6 +50,42 @@ object AdaptiveRouter {
     ois.close(); m
   }
 
+  /** The full adaptive pipeline as two streaming queries bridged by an
+   * exactly-once parquet file channel (a file-source commit is atomic, so
+   * a query's whole fan-out — routed in one upstream batch — arrives in
+   * one downstream trigger and the completeness counter holds):
+   * events -> adaptive route -> files -> keyed store -> merge -> sink.
+   * Returns (routerQuery, searchQuery); stop both to shut down. */
+  def runPipeline(events: Dataset[StreamEvent], init: AdaptiveLshSfcPartitioner,
+      updateInterval: Long, maxTtl: Long, k: Int, metric: graft.Metric,
+      bridgeDir: String, checkpointRoot: String, useHnsw: Boolean = false)(
+      sink: org.apache.spark.sql.DataFrame => Unit)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val router = route(events, init, updateInterval, maxTtl)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", bridgeDir)
+      .option("checkpointLocation", s"$checkpointRoot/router")
+      .start()
+    val routed = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Routed].schema)
+      .parquet(bridgeDir).as[Routed]
+    val partials =
+      if (useHnsw) VectorStreamJob.partialsHnsw(routed, metric, maxTtl)
+      else VectorStreamJob.partials(routed, metric, maxTtl)
+    val search = partials.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$checkpointRoot/search")
+      .foreachBatch { (batch: Dataset[VectorStreamJob.PartialResult], _: Long) =>
+        val cached = batch.persist()
+        try sink(VectorStreamJob.mergePartials(cached.toDF(), k))
+        finally { cached.unpersist(); () }
+      }
+      .start()
+    (router, search)
+  }
+
   def route(events: Dataset[StreamEvent], init: AdaptiveLshSfcPartitioner,
       updateInterval: Long, maxTtl: Long, ringCap: Int = 2048): Dataset[Routed] = {
     val spark = events.sparkSession

@@ -177,4 +177,52 @@ class AdaptiveRouterSpec extends AnyFunSuite {
       assert(rs.map(_._3).toSet.size == rs.head._4, s"fan-out count for $qid")
     }
   }
+
+  test("two-query pipeline (router -> file bridge -> store -> merge): end-to-end under drift") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rnd = new java.util.Random(5L)
+    val aEvents = (0 until 800).map(i =>
+      StreamEvent("i", i.toLong, gauss(rnd, 0f), i.toLong, 0L, 0))
+    val bEvents = (0 until 800).map(i =>
+      StreamEvent("i", (1000 + i).toLong, gauss(rnd, 8f), (1000 + i).toLong, 0L, 0))
+    val qrnd = new java.util.Random(23L)
+    val queryEvents = (0 until 10).map(i =>
+      StreamEvent("q", (10000 + i).toLong, gauss(qrnd, if (i % 2 == 0) 0f else 8f),
+        1800L, 1000000L, 5))
+
+    val init = AdaptiveLshSfcPartitioner.init(
+      aEvents.take(300).map(_.vec).toArray, NumParts, Dim, numFamilies = 6,
+      numHashes = 4, width = 4.0f, bits = 7, curveName = "hilbert",
+      seed = 99L, fromTime = 0L)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bridge")
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val (router, search) = AdaptiveRouter.runPipeline(input.toDS(), init,
+      updateInterval = 500L, maxTtl = 1000000L, k = 5, graft.Metric.L2,
+      bridgeDir = s"$tmp/bridge", checkpointRoot = s"$tmp/ckpt") { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2))) })
+    }
+    def drain(): Unit = { router.processAllAvailable(); search.processAllAvailable() }
+    input.addData(aEvents: _*); drain()
+    input.addData(bEvents ++ queryEvents: _*); drain()
+    router.stop(); search.stop()
+
+    val all = (aEvents ++ bEvents).map(e => (e.id, e.vec))
+    val got = results.synchronized { results.toVector }.groupBy(_._1)
+    // every query completed through the bridge and found candidates whose
+    // top-5 matches brute force over the candidate partitions' recall bar
+    assert(got.keySet == queryEvents.map(_.id).toSet,
+      s"all queries must complete: ${got.keySet}")
+    val recalls = queryEvents.map { q =>
+      val truth = all.map { case (id, v) => (id, Distances.l2(q.vec, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+      val ids = got(q.id).map(_._3).toSet
+      ids.intersect(truth).size.toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"end-to-end pipeline recall: $recall")
+  }
 }
