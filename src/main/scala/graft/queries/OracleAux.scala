@@ -36,6 +36,12 @@ object OracleAux {
   def ref(table: String): String =
     s"read_parquet('$Placeholder/$table/*.parquet')"
 
+  /** Read an aux table back — downstream operators consume exactly the
+   * bytes the oracle replays (and no lingering persist() is needed). */
+  def read(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      table: String): DataFrame =
+    spark.read.parquet(s"${dir(sfDir)}/$table")
+
   def substitute(sql: String, sfDir: String): String =
     sql.replace(Placeholder, dir(sfDir))
 }
