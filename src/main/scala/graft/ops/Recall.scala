@@ -28,10 +28,12 @@ object Recall {
   def meanAtK(results: DataFrame, truth: DataFrame, k: Int): Double =
     atK(results, truth, k).agg(avg("recall")).collect()(0).getDouble(0)
 
-  /** Latency stats from (queryEventTime, searchCompleteTime) pairs. */
-  def latency(results: DataFrame): DataFrame =
-    results.select(
-      (col("searchCompleteTime") - col("queryEventTime")).as("latency"))
+  /** Latency stats over a per-result latency column —
+   * [[graft.streaming.VectorStreamJob.mergePartials]] emits `latency_ms`
+   * (merge stamp − routing stamp, the reference's searchCompleteTime −
+   * queryEventTime). One row per query (latency repeats per rank). */
+  def latency(results: DataFrame, latencyCol: String = "latency_ms"): DataFrame =
+    results.groupBy("qid").agg(max(col(latencyCol)).as("latency"))
       .agg(
         expr("percentile(latency, 0.5)").as("p50"),
         expr("percentile(latency, 0.99)").as("p99"),

@@ -221,6 +221,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(runCase(drop = true) == Set(500L), "opt-in drops the stale query")
   }
 
+  test("mergePartials stamps per-query latency; Recall.latency aggregates it") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 3,
+      Metric.L2, maxTtl = 1000000L) { merged =>
+      val stats = graft.ops.Recall.latency(merged).collect()(0)
+      if (stats.getLong(3) > 0) latencies.synchronized { latencies += stats.getDouble(0) }
+    }
+    input.addData((0 until 10).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)) :+
+      StreamEvent("q", 99L, vec(1), 100L, 100000L, 3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = latencies.synchronized { latencies.toVector }
+    assert(got.nonEmpty && got.forall(l => l > 0 && l < 600000),
+      s"latency p50 must be a positive wall-clock ms value: $got")
+  }
+
   test("state eviction drops entries older than maxTtl") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
