@@ -40,3 +40,39 @@ object StagedRate {
   /** Single sustained rate (the reference's common configuration). */
   def constant(rate: Double): StagedRate = StagedRate(Nil, Seq(rate))
 }
+
+/**
+ * S5: query rate bound to insert progress (reference
+ * BindingRateControllerBuilder.java — once the data source has emitted
+ * `callbackCount` records it pushes a new query delay to a shared file,
+ * which the query source polls every 10 s,
+ * PollingRateControllerBuilder.java). The binding decision is a pure
+ * function of insert progress; [[RateChannel]] is the cross-source
+ * signal file.
+ */
+final case class BoundRate(initial: StagedRate, afterCallback: StagedRate,
+    callbackCount: Long) {
+  /** The query schedule in effect given the insert stream's progress. */
+  def scheduleFor(insertsEmitted: Long): StagedRate =
+    if (insertsEmitted >= callbackCount) afterCallback else initial
+}
+
+/** Shared-file rate signal (the reference's DelayPusher/HDFS file): the
+ * writer swaps the file atomically (tmp + rename), the poller reads the
+ * current value or None before the first push. */
+object RateChannel {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  def push(path: String, rate: Double): Unit = {
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, rate.toString)
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def poll(path: String): Option[Double] = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toDouble) else None
+  }
+}

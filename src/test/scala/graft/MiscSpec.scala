@@ -16,6 +16,21 @@ class StagedRateSpec extends AnyFunSuite {
     assert(r.rowsForWindow(5000, 10000) == 5)
     intercept[IllegalArgumentException](StagedRate(Seq(1L), Seq(1.0)))
   }
+
+  test("bound query rate switches on insert progress; file channel round-trips") {
+    import graft.sources.{BoundRate, RateChannel}
+    val b = BoundRate(StagedRate.constant(5.0), StagedRate.constant(50.0),
+      callbackCount = 1000L)
+    assert(b.scheduleFor(0).rateAt(0) == 5.0)
+    assert(b.scheduleFor(999).rateAt(0) == 5.0)
+    assert(b.scheduleFor(1000).rateAt(0) == 50.0)
+    val f = java.nio.file.Files.createTempDirectory("rate").resolve("r").toString
+    assert(RateChannel.poll(f).isEmpty) // before the first push
+    RateChannel.push(f, 42.5)
+    assert(RateChannel.poll(f).contains(42.5))
+    RateChannel.push(f, 7.0) // atomic replace
+    assert(RateChannel.poll(f).contains(7.0))
+  }
 }
 
 class SqlSurfaceSpec extends AnyFunSuite {
