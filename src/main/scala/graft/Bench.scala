@@ -69,9 +69,16 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       if (!warm) results(name) = -1.0
       else {
-        val times = (1 to reps).map(_ => time(fn(spark, sfDir).count())._2)
-        results(name) = times.min
-        spreads(name) = if (times.min > 0) times.max / times.min else 1.0
+        val times = (1 to reps).flatMap { _ =>
+          try Some(time(fn(spark, sfDir).count())._2)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name rep failed: ${e.getMessage}"); None }
+        }
+        if (times.isEmpty) results(name) = -1.0
+        else {
+          results(name) = times.min
+          spreads(name) = if (times.min > 0) times.max / times.min else 1.0
+        }
       }
     }
 
@@ -160,13 +167,26 @@ object Bench {
       merged.groupBy("qid").agg(max("latency_ms").as("l")).collect()
         .foreach(r => latencies.synchronized { latencies += r.getDouble(1) })
     }
+    // the query rate is bound to insert progress (S5): the feeder pushes
+    // the post-callback rate through the shared-file channel once enough
+    // inserts have flowed, and each chunk's query admission polls it
+    import graft.sources.{BoundRate, RateChannel, StagedRate}
+    val bound = BoundRate(StagedRate.constant(16.0), StagedRate.constant(32.0),
+      callbackCount = streamRows.length / 2)
+    val rateFile = java.nio.file.Files.createTempDirectory("graft-rate")
+      .resolve("query-rate").toString
+    RateChannel.push(rateFile, bound.scheduleFor(0).rateAt(0))
     val qrnd = new java.util.Random(7L)
+    var fed = 0L
     val (_, streamSec) = time {
       streamRows.grouped(2000).foreach { chunk =>
         val inserts = chunk.map { case (id, v, ts) => StreamEvent("i", id, v, ts, 0L, 0) }
-        val queries = (0 until 32).map { i =>
+        fed += chunk.length
+        RateChannel.push(rateFile, bound.scheduleFor(fed).rateAt(0))
+        val nQueries = RateChannel.poll(rateFile).getOrElse(16.0).toInt
+        val queries = (0 until nQueries).map { i =>
           val (_, v, _) = chunk(qrnd.nextInt(chunk.length))
-          StreamEvent("q", 1000000000L + i, v, Long.MaxValue / 8, Long.MaxValue / 8, 10)
+          StreamEvent("q", 1000000000L + fed + i, v, Long.MaxValue / 8, Long.MaxValue / 8, 10)
         }
         input.addData(inserts.toIndexedSeq ++ queries: _*)
         sq.processAllAvailable()

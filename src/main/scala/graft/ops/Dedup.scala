@@ -120,7 +120,10 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = Text.simhash(text)
-        (0 until 4).map(i => (id, sh, i, (sh >> (i * 16)) % 65536L))
+        // mask, not %: remainder keeps the dividend's sign, so a negative
+        // simhash would get different keys than a positive one for
+        // identical 16-bit band content, breaking pigeonhole completeness
+        (0 until 4).map(i => (id, sh, i, (sh >>> (i * 16)) & 0xFFFFL))
       }
       .toDF("doc_id", "sh", "band_idx", "band_key")
   }

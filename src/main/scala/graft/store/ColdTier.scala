@@ -172,12 +172,20 @@ object ColdTier {
    *        reference's adaptive termination (version_set.cc:2689-2698).
    *        Ignored in lossless mode, which stays provably exact.
    */
+  /** Cached intermediates of the previous search() per cold-tier dir —
+   * they must stay cached while the returned (lazy) DataFrame is
+   * consumed, so each call releases the PREVIOUS call's blocks instead
+   * of its own (bounds the block-manager footprint at one invocation). */
+  private val lastCached =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
+
   def search(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       metric: Metric = Metric.L2,
       firstWaveFraction: Double = 0.3,
       terminationFactor: Double = 1.0,
       ewmaThreshold: Option[Double] = None): DataFrame = {
     import spark.implicits._
+    lastCached.remove(dir).foreach(_.foreach(_.unpersist()))
     val segs = catalog(spark, dir)
     val bSegs = spark.sparkContext.broadcast(segs)
     val prune = metric == Metric.L2
@@ -256,6 +264,8 @@ object ColdTier {
         .withColumn("eff", coalesce(col("thr"), fallback))
         .where(col("eff").isNull || col("lower_bound") <= col("eff"))
         .select("qid", "segmentId", "wave", "lower_bound"))
+
+    lastCached.put(dir, Seq(probes, wave1Top))
 
     val wave1Flat = wave1Top.select(col("qid"),
         explode(arrays_zip(col("topk.ids").as("id"),

@@ -107,9 +107,14 @@ object AdaptiveRouter {
 
         val out = scala.collection.mutable.ArrayBuffer.empty[Routed]
         evs.toArray.sortBy(e => (e.eventTime, e.id)).foreach { ev =>
-          val now = System.nanoTime()
-          // re-learn boundaries once the update interval has elapsed
-          if (ev.eventTime >= lastFit + updateInterval && ringN > 0) {
+          val now = System.currentTimeMillis()
+          // re-learn boundaries once the update interval of INSERT event
+          // time has elapsed — only data advances the re-fit clock (the
+          // reference re-learns from retained hashes of the data stream);
+          // a query or delete with a skewed/sentinel timestamp must not
+          // trigger a refit or expire the range history
+          if (ev.kind == "i" &&
+              ev.eventTime >= lastFit + updateInterval && ringN > 0) {
             model = model.refit(ring.take(ringN), ev.eventTime)
               .expire(ev.eventTime - maxTtl)
             lastFit = ev.eventTime

@@ -48,7 +48,7 @@ object VectorStreamJob {
       k: Int)
 
   final case class Routed(pid: Int, numPartitionsSent: Int, ev: StreamEvent,
-      ingestNanos: Long)
+      ingestMillis: Long)
 
   final case class StoredVec(id: Long, ts: Long, vec: Array[Float])
   /** Versioned tombstone: a delete at `ts` supersedes any insert of the
@@ -60,7 +60,7 @@ object VectorStreamJob {
   final case class PartialResult(
       queryId: Long, pid: Int, numPartitionsSent: Int,
       ids: Array[Long], dists: Array[Double], queryEventTime: Long,
-      ingestNanos: Long)
+      ingestMillis: Long)
 
   /** Fan events out to partitions (data -> dataPartitions, value-less
    * deletes -> all, queries -> queryPartitions with the sent-count). */
@@ -69,7 +69,9 @@ object VectorStreamJob {
     import spark.implicits._
     val b = spark.sparkContext.broadcast(model)
     events.flatMap { ev =>
-      val now = System.nanoTime()
+      // wall clock, not nanoTime: the merge-side stamp may evaluate in a
+      // different executor JVM, and nanoTime origins are per-JVM
+      val now = System.currentTimeMillis()
       ev.kind match {
         case "q" =>
           val ps = b.value.queryPartitions(ev.vec)
@@ -93,12 +95,18 @@ object VectorStreamJob {
    * (unchanged, versioned) state snapshot, which is correct and merely
    * slower. */
   private[streaming] object IndexCache {
+    /** Blunt upper bound on retained graphs across all queries in the
+     * JVM; exceeding it clears everything (worst case: rebuilds from
+     * state) rather than leak graphs of stopped queries forever. */
+    private val MaxEntries = 1024
     private val stores =
-      new java.util.concurrent.ConcurrentHashMap[Int, (Long, HnswStore)]()
-    def claim(pid: Int, seq: Long): Option[HnswStore] =
-      Option(stores.remove(pid)).collect { case (s, st) if s == seq => st }
-    def put(pid: Int, seq: Long, store: HnswStore): Unit =
-      stores.put(pid, (seq, store))
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, HnswStore)]()
+    def claim(ns: String, pid: Int, seq: Long): Option[HnswStore] =
+      Option(stores.remove((ns, pid))).collect { case (s, st) if s == seq => st }
+    def put(ns: String, pid: Int, seq: Long, store: HnswStore): Unit = {
+      if (stores.size >= MaxEntries) stores.clear()
+      stores.put((ns, pid), (seq, store))
+    }
     /** Test hook: simulate executor loss (forces rebuild-from-state). */
     def invalidateAll(): Unit = stores.clear()
   }
@@ -127,9 +135,13 @@ object VectorStreamJob {
       if (ev.eventTime > maxTs) maxTs = ev.eventTime
       ev.kind match {
         case "i" =>
-          // a tombstone at ts >= insert time supersedes the (late) insert
+          // versioned supersession both ways: a tombstone at ts >= insert
+          // time kills the (late) insert, and an already-stored NEWER
+          // version of the id must not be overwritten by a late older one
           val tomb = dead.get(ev.id)
-          if (tomb == null || tomb < ev.eventTime) {
+          val cur = live.get(ev.id)
+          if ((tomb == null || tomb < ev.eventTime) &&
+              (cur == null || cur.ts <= ev.eventTime)) {
             live.put(ev.id, StoredVec(ev.id, ev.eventTime, ev.vec))
             dead.remove(ev.id)
             store.put(ev.id, ev.eventTime, ev.vec)
@@ -153,7 +165,7 @@ object VectorStreamJob {
             val ttl = math.min(ev.ttl, maxTtl)
             val res = store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
             out += PartialResult(ev.id, pid, r.numPartitionsSent,
-              res.map(_._1), res.map(_._2), ev.eventTime, r.ingestNanos)
+              res.map(_._1), res.map(_._2), ev.eventTime, r.ingestMillis)
           }
       }
     }
@@ -193,13 +205,17 @@ object VectorStreamJob {
       : Dataset[PartialResult] = {
     val spark = routed.sparkSession
     import spark.implicits._
+    // one cache namespace per operator instantiation: two streaming
+    // queries (or a checkpoint restart) can never claim each other's
+    // graphs — a fresh namespace just misses and rebuilds from state
+    val cacheNs = java.util.UUID.randomUUID().toString
     routed.groupByKey(_.pid).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout)(
       (pid: Int, events: Iterator[Routed], state: GroupState[PartitionState]) => {
         val prev = state.getOption
           .getOrElse(PartitionState(Array.empty, Array.empty, 0L, 0L, 0L))
         var inserted = prev.inserted
-        var store = IndexCache.claim(pid, prev.seq).getOrElse {
+        var store = IndexCache.claim(cacheNs, pid, prev.seq).getOrElse {
           val s = new HnswStore(metric, m, efConstruction, efSearch,
             seed = 42L + pid)
           prev.vecs.sortBy(v => (v.ts, v.id)).foreach(v => s.put(v.id, v.ts, v.vec))
@@ -221,7 +237,7 @@ object VectorStreamJob {
         }
         val next = next0.copy(inserted = inserted)
         state.update(next)
-        IndexCache.put(pid, next.seq, store)
+        IndexCache.put(cacheNs, pid, next.seq, store)
         out.iterator
       })
   }
@@ -253,15 +269,18 @@ object VectorStreamJob {
    * matches numPartitionsSent are complete (always true when the fan-out
    * landed in one batch). latency_ms is stamped as the merge materializes
    * (the reference's searchCompleteTime) minus the query's routing stamp:
-   * route -> shuffle -> per-partition search -> shuffle -> merge. */
+   * route -> shuffle -> per-partition search -> shuffle -> merge. Both
+   * stamps are wall-clock millis (comparable across executor JVMs) and
+   * the merge stamp is a nondeterministic udf so Catalyst cannot move or
+   * collapse its evaluation. */
   def mergePartials(batch: DataFrame, k: Int): DataFrame = {
     val topkUdaf = udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val completeNanos = udf(() => System.nanoTime())
+    val completeMillis = udf(() => System.currentTimeMillis()).asNondeterministic()
     val flat = batch.select(col("queryId").as("qid"), col("numPartitionsSent"),
-        col("ingestNanos"),
+        col("ingestMillis"),
         explode(arrays_zip(col("ids").as("id"), col("dists").as("dist"))).as("e"))
-      .select(col("qid"), col("numPartitionsSent"), col("ingestNanos"),
+      .select(col("qid"), col("numPartitionsSent"), col("ingestMillis"),
         col("e.id").as("id"), col("e.dist").as("dist"))
     val complete = batch.groupBy(col("queryId").as("qid"))
       .agg(countDistinct(col("pid")).as("np"),
@@ -270,12 +289,12 @@ object VectorStreamJob {
       .select(col("qid"))
     flat.join(complete, "qid")
       .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"),
-        min(col("ingestNanos")).as("ingest"))
+        min(col("ingestMillis")).as("ingest"))
       .select(col("qid"), col("ingest"), posexplode(arrays_zip(
         col("topk.ids").as("id"), col("topk.dists").as("dist"))))
       .select(col("qid"), (col("pos") + 1).as("rn"),
         col("col.id").as("id"), col("col.dist").as("dist"),
-        ((completeNanos() - col("ingest")) / 1e6).as("latency_ms"))
+        (completeMillis() - col("ingest")).cast("double").as("latency_ms"))
   }
 
   /** Wire the full pipeline onto a streaming Dataset; results are appended

@@ -79,6 +79,26 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"recall $mean")
   }
 
+  test("simhash banding: every hamming<=3 pair shares a band (incl. across the sign bit)") {
+    // pigeonhole over 4 x 16-bit bands; the band key must be a masked
+    // extract, not a sign-preserving remainder — a negative simhash would
+    // otherwise never share keys with a positive near-duplicate
+    val bands = graft.ops.Dedup.simhashBands(Tables(spark, dir, "documents"))
+      .collect()
+    val byDoc = bands.groupBy(_.getLong(0))
+    val shs = byDoc.view.mapValues(_.head.getLong(1)).toMap
+    val keys = byDoc.view
+      .mapValues(_.map(r => (r.getInt(2), r.getLong(3))).toSet).toMap
+    var checked = 0
+    for ((a, sa) <- shs; (b, sb) <- shs if a < b
+         if java.lang.Long.bitCount(sa ^ sb) <= 3) {
+      checked += 1
+      assert(keys(a).intersect(keys(b)).nonEmpty,
+        s"hamming<=3 pair ($a,$b) with simhashes $sa/$sb shares no band")
+    }
+    info(s"verified $checked close pairs (corpus of ${shs.size})")
+  }
+
   test("dedup_minhash candidates cover the high-jaccard exact pairs") {
     val exactPairs = TextQueries.queries("text_jaccard_pairs")(spark, dir)
       .collect().filter(_.getDouble(2) >= 0.65)

@@ -221,6 +221,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(runCase(drop = true) == Set(500L), "opt-in drops the stale query")
   }
 
+  test("a late insert with an older event time never overwrites a newer version") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 1,
+      Metric.L2, maxTtl = 1000000L) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getLong(2), r.getDouble(3))) })
+    }
+    input.addData(StreamEvent("i", 5L, vec(1), 100L, 0L, 0))
+    q.processAllAvailable()
+    // batch 2: stale duplicate of id 5 at an older ts with different data
+    input.addData(
+      StreamEvent("i", 5L, vec(99), 50L, 0L, 0),
+      StreamEvent("q", 7000L, vec(1), 200L, 100000L, 1))
+    q.processAllAvailable()
+    val got = results.synchronized { results.filter(_._1 == 7000L) }
+    assert(got.map(_._2) == Seq(5L) && got.head._3 == 0.0,
+      s"query at the NEWER vector must still find it at distance 0: $got")
+    q.stop()
+  }
+
   test("mergePartials stamps per-query latency; Recall.latency aggregates it") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -237,8 +260,8 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val got = latencies.synchronized { latencies.toVector }
-    assert(got.nonEmpty && got.forall(l => l > 0 && l < 600000),
-      s"latency p50 must be a positive wall-clock ms value: $got")
+    assert(got.nonEmpty && got.forall(l => l >= 0 && l < 600000),
+      s"latency p50 must be a sane wall-clock ms value: $got")
   }
 
   test("state eviction drops entries older than maxTtl") {
