@@ -43,6 +43,9 @@ object SparkEntry {
       PartitionQueries.oracles ++ AnnQueries.oracles ++ EvalQueries.oracles)
       .map { case (k, v) => k -> graft.queries.OracleAux.substitute(v, sfDir) }
 
-  /** Default-sf view of [[oracleSqlFor]] (the driver gates at sf0.01). */
-  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+  /** Default-sf view of [[oracleSqlFor]]: follows SPARK_GRAFT_SF_DIR when
+   * set, else the driver's gate scale (sf0.01) — so a no-arg consumer
+   * running at another sf resolves the matching aux directory. */
+  def oracleSql: Map[String, String] =
+    oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
 }

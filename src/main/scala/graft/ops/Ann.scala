@@ -67,6 +67,25 @@ object Ann {
           .map(pid => QueryRow(pid, qid, qtime, ttl, qv))
       }
 
+    searchRouted(vecRows, queryRows, k, metric, useHnsw, hnswM,
+      efConstruction, efSearch)
+  }
+
+  /** The pipeline downstream of routing — callers that already hold the
+   * routed rows (e.g. after materializing them as oracle aux tables)
+   * enter here and avoid a second routing pass over the corpus. */
+  def searchRouted(
+      vecRows: Dataset[VecRow],
+      queryRows: Dataset[QueryRow],
+      k: Int,
+      metric: Metric = Metric.L2,
+      useHnsw: Boolean = true,
+      hnswM: Int = 16,
+      efConstruction: Int = 128,
+      efSearch: Int = 64): DataFrame = {
+    val spark = vecRows.sparkSession
+    import spark.implicits._
+
     val partials: Dataset[Partial] = vecRows.groupByKey(_.pid)
       .cogroup(queryRows.groupByKey(_.pid)) { (_, vecs, qs) =>
         val qList = qs.toArray

@@ -60,14 +60,19 @@ object Dedup {
     import spark.implicits._
     banded.groupByKey { case (_, bi, bk) => (bi, bk) }
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Long, Int, Long)]) =>
-        val ids = it.map(_._1).toArray
-        if (ids.length > maxBucketSize) Iterator.empty
+        // bounded buffering: stop reading a super-bucket at cap+1 instead
+        // of materializing it — the hot bucket the cap exists to drop must
+        // not first be held whole in one task's memory
+        val ids = new Array[Long](maxBucketSize + 1)
+        var n = 0
+        while (it.hasNext && n <= maxBucketSize) { ids(n) = it.next()._1; n += 1 }
+        if (n > maxBucketSize) Iterator.empty
         else {
-          java.util.Arrays.sort(ids)
+          java.util.Arrays.sort(ids, 0, n)
           for {
-            a <- ids.iterator.zipWithIndex
-            j <- (a._2 + 1) until ids.length
-          } yield (a._1, ids(j))
+            i <- (0 until n).iterator
+            j <- (i + 1) until n
+          } yield (ids(i), ids(j))
         }
       }
       .toDF("i", "j")

@@ -39,26 +39,35 @@ object AnnQueries {
 
   private val Dim = 64
 
-  /** Dump routing aux tables and run the exact partitioned search. */
+  /** Dump routing aux tables and run the exact partitioned search. The
+   * routed rows are computed ONCE: the aux tables are projections of the
+   * same datasets [[Ann.searchRouted]] then consumes. */
   private def gated(name: String, s: SparkSession, dir: String,
       model: TemporalPartitionerModel): DataFrame = {
     import s.implicits._
+    // the routed datasets feed two aux writes plus the search — persist
+    // so routing runs once; the previous invocation's blocks are released
+    // here (they must outlive the lazily-consumed returned DataFrame)
+    lastRouted.remove((name, dir)).foreach(_.foreach(_.unpersist()))
     val b = s.sparkContext.broadcast(model)
     val dr = vectorsDf(s, dir).select(col("id"), col("vec"), col("eventTime"))
       .as[(Long, Array[Float], Long)]
       .flatMap { case (id, v, ts) =>
-        b.value.dataPartitions(v, id, ts).map(pid => (pid, id)) }
-      .toDF("pid", "id")
+        b.value.dataPartitions(v, id, ts).map(pid => Ann.VecRow(pid, id, ts, v)) }
     val qr = queriesDf(s, dir).select(col("qid"), col("qv"), col("qtime"), col("ttl"))
       .as[(Long, Array[Float], Long, Long)]
       .flatMap { case (qid, v, qtime, ttl) =>
-        b.value.queryPartitions(v, qtime, ttl).map(pid => (pid, qid)) }
-      .toDF("pid", "qid")
-    OracleAux.write(dr, dir, s"${name}_dr")
-    OracleAux.write(qr, dir, s"${name}_qr")
-    Ann.search(vectorsDf(s, dir), queriesDf(s, dir), model, K, Metric.L2,
-      useHnsw = false)
+        b.value.queryPartitions(v, qtime, ttl)
+          .map(pid => Ann.QueryRow(pid, qid, qtime, ttl, v)) }
+    dr.persist(); qr.persist()
+    lastRouted.put((name, dir), Seq(dr.toDF(), qr.toDF()))
+    OracleAux.write(dr.select(col("pid"), col("id")), dir, s"${name}_dr")
+    OracleAux.write(qr.select(col("pid"), col("qid")), dir, s"${name}_qr")
+    Ann.searchRouted(dr, qr, K, Metric.L2, useHnsw = false)
   }
+
+  private val lastRouted =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[DataFrame]]
 
   /** SQL replay of a routed exact search from the aux routing tables. */
   private def routedOracle(name: String): String =

@@ -51,10 +51,16 @@ object ColdTier {
   /** Seal a batch of vectors (id, vec, eventTime) into a new segment.
    * Rows carry their segmentId so a multi-segment scan can route them
    * back to the probes that requested the segment (constant-encoded by
-   * Parquet, costs ~nothing on disk). */
+   * Parquet, costs ~nothing on disk).
+   *
+   * On-disk format note: segments sealed by pre-temperature versions lack
+   * the segmentId column and their catalogs lack `temperature` — re-seal
+   * them before use (no compatibility shim is kept; nothing in this repo
+   * persists cold tiers across versions). */
   def seal(vectors: DataFrame, dir: String, segmentId: Long): SegmentStats = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    heal(spark, dir)
     val path = s"$dir/segment-$segmentId"
     vectors.select(lit(segmentId).as("segmentId"), col("id"), col("vec"),
         col("eventTime"))
@@ -123,15 +129,22 @@ object ColdTier {
     }
   }
 
+  /** Crash recovery: if a crash in a catalog swap happened after the live
+   * catalog was removed but before the tmp dir was renamed over it, the
+   * tmp dir holds the complete surviving catalog. Healing RENAMES it back
+   * into place (not just reads it) so a subsequent append-mode seal()
+   * cannot recreate a live catalog that shadows the recovered rows. */
+  private def heal(spark: SparkSession, dir: String): Unit = {
+    val live = new Path(statsPath(dir))
+    val tmp = new Path(statsPath(dir) + ".tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
+  }
+
   def catalog(spark: SparkSession, dir: String): Array[SegmentStats] = {
     import spark.implicits._
-    // crash recovery: if a crash in evict() happened after the live catalog
-    // was removed but before the tmp dir was renamed over it, the tmp dir
-    // holds the complete surviving catalog — fall back to it
-    val live = new Path(statsPath(dir))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = if (fs.exists(live)) live else new Path(statsPath(dir) + ".tmp")
-    spark.read.parquet(src.toString).as[SegmentStats].collect()
+    heal(spark, dir)
+    spark.read.parquet(statsPath(dir)).as[SegmentStats].collect()
   }
 
   /** V7: drop segments entirely older than the retention floor. Returns

@@ -98,9 +98,14 @@ object AdaptiveRouter {
           .getOrElse(init)
         val ring = new Array[Array[Float]](ringCap)
         var ringN = 0 // filled prefix length
-        var ringPos = state.getOption.map(_.ringPos).getOrElse(0)
+        var ringPos = 0
         state.getOption.foreach { s =>
-          s.ring.copyToArray(ring); ringN = s.ring.length
+          // clamp against a restart with a smaller ringCap than the run
+          // that wrote the checkpoint (copyToArray truncates silently; the
+          // positions must truncate with it)
+          s.ring.copyToArray(ring)
+          ringN = math.min(s.ring.length, ringCap)
+          ringPos = if (ringN < ringCap) ringN else s.ringPos % ringCap
         }
         var lastFit = state.getOption.map(_.lastFit)
           .getOrElse(init.versions.head.fromTime)

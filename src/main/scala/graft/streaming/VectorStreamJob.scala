@@ -121,7 +121,12 @@ object VectorStreamJob {
       dropLateQueries: Boolean): (Array[PartialResult], PartitionState, Array[Long]) = {
     val live = new java.util.LinkedHashMap[Long, StoredVec]()
     prev.vecs.foreach(v => live.put(v.id, v))
-    val dead = new java.util.HashMap[Long, Long]()
+    // boxed value type: get() on a missing key must return null — with a
+    // scala.Long value type the null unboxes to 0L, which makes "no
+    // tombstone" indistinguishable from "tombstone at ts 0" (and
+    // `x == null` on a primitive is statically false), silently dropping
+    // inserts at event time <= 0
+    val dead = new java.util.HashMap[Long, java.lang.Long]()
     prev.tombstones.foreach(t => dead.put(t.id, t.ts))
     var maxTs = prev.maxTs
     var lastQueryTs = prev.lastQueryTs
@@ -140,7 +145,7 @@ object VectorStreamJob {
           // version of the id must not be overwritten by a late older one
           val tomb = dead.get(ev.id)
           val cur = live.get(ev.id)
-          if ((tomb == null || tomb < ev.eventTime) &&
+          if ((tomb == null || tomb.longValue() < ev.eventTime) &&
               (cur == null || cur.ts <= ev.eventTime)) {
             live.put(ev.id, StoredVec(ev.id, ev.eventTime, ev.vec))
             dead.remove(ev.id)
@@ -150,7 +155,9 @@ object VectorStreamJob {
         case "d" =>
           live.remove(ev.id)
           val old = dead.get(ev.id)
-          dead.put(ev.id, if (old == null) ev.eventTime else math.max(old, ev.eventTime))
+          dead.put(ev.id,
+            if (old == null) ev.eventTime
+            else math.max(old.longValue(), ev.eventTime))
           store.delete(ev.id)
         case "q" =>
           // reference fidelity (RocksDBKeyedProcessFunction.java:90-93):

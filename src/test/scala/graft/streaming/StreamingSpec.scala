@@ -221,6 +221,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(runCase(drop = true) == Set(500L), "opt-in drops the stale query")
   }
 
+  test("an insert at event time 0 is stored (missing tombstone != tombstone at ts 0)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 1,
+      Metric.L2, maxTtl = 1000000L) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getLong(2))) })
+    }
+    input.addData(
+      StreamEvent("i", 42L, vec(42), 0L, 0L, 0),
+      StreamEvent("q", 8000L, vec(42), 10L, 1000L, 1))
+    q.processAllAvailable()
+    val got = results.synchronized { results.filter(_._1 == 8000L).map(_._2) }
+    assert(got == Seq(42L), s"the ts=0 insert must be searchable: $got")
+    q.stop()
+  }
+
   test("a late insert with an older event time never overwrites a newer version") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
