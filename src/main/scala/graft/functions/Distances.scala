@@ -25,8 +25,27 @@ abstract class VectorDistanceExpression extends BinaryExpression with Serializab
 
   protected def compute(a: ArrayData, b: ArrayData): Double
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    // fail fast on mismatched dimensions: unsafe array reads do not
+    // bounds-check, so without this a dim mismatch returns garbage
+    // distances instead of an error
+    if (aa.numElements() != bb.numElements()) {
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ (" +
+          s"${aa.numElements()} vs ${bb.numElements()})")
+    }
+    compute(aa, bb)
+  }
+
+  /** Codegen twin of the dimension guard above. */
+  protected def dimCheck(a: String, b: String): String =
+    s"""if ($a.numElements() != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: vector dimensions differ (" +
+       |    $a.numElements() + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
 }
 
 /** Squared Euclidean distance: sum_i (a_i - b_i)^2. */
@@ -52,6 +71,7 @@ case class L2Distance(left: Expression, right: Expression) extends VectorDistanc
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
+         |${dimCheck(a, b)}
          |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -87,6 +107,7 @@ case class IpDistance(left: Expression, right: Expression) extends VectorDistanc
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
+         |${dimCheck(a, b)}
          |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -131,6 +152,7 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorDis
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
+         |${dimCheck(a, b)}
          |final int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -167,6 +189,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorDistanc
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
+         |${dimCheck(a, b)}
          |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {

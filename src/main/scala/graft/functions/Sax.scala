@@ -25,7 +25,13 @@ final case class Sax(paaSize: Int, width: Int, normalizationThreshold: Double)
     var i = 0
     while (i < n) { sum += series(i); sumSq += series(i) * series(i); i += 1 }
     val mean = sum / n
-    val sd = math.sqrt((n * sumSq - sum * sum) / (n.toDouble * (n - 1)))
+    // clamp the variance term at 0: floating-point cancellation on large
+    // constant series can push it slightly negative, and sqrt(negative) =
+    // NaN would BYPASS the below-threshold guard (NaN < t is false) and
+    // collapse the series to all-NaN; n == 1 (division by zero) likewise
+    val varTerm =
+      if (n < 2) 0.0 else math.max(0.0, (n * sumSq - sum * sum) / (n.toDouble * (n - 1)))
+    val sd = math.sqrt(varTerm)
     if (sd < normalizationThreshold) series.clone()
     else series.map(v => (v - mean) / sd)
   }

@@ -16,8 +16,13 @@ object PartitionQueries {
   val NumPartitions = 32
   val Bits = 7
 
-  /** Knuth multiplicative hash -> partition id, cross-engine exact. */
-  private val pidExpr = s"((l_orderkey * 2654435761) % 4294967296) % $NumPartitions"
+  /** Knuth multiplicative hash -> partition id, cross-engine exact. The
+   * pre-fold to 31 bits keeps the product under 2^63 at any SF — Spark
+   * would silently wrap the overflow while DuckDB raises, so the
+   * "identical value" claim would break both ways. Identity for every
+   * l_orderkey < 2^31 (TPC-H up to SF ~350). */
+  private val pidExpr =
+    s"(((l_orderkey % 2147483648) * 2654435761) % 4294967296) % $NumPartitions"
 
   /** 7-bit quantization of embedding dims 1..2 (1-based), clamped to [-1,1]. */
   private def quant(arrayAccess: String): String =

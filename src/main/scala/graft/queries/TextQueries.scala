@@ -38,13 +38,16 @@ object TextQueries {
         nchars.as("n_chars"),
         length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("punct_chars"),
         length(regexp_replace(col("text"), "[^0-9]", "")).as("digit_chars"),
-        (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") / nchars)
-          .as("punct_ratio"))
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") /
+          greatest(nchars, lit(1))).as("punct_ratio"))
     },
 
     "text_langid" -> { (s, dir) =>
       // occurrence counts of language marker words via the non-overlapping
-      // replace trick — identical semantics in both engines.
+      // replace trick — identical semantics in both engines. Defined
+      // behavior: adjacent repeats share their delimiter space, so a run
+      // of n repeated markers counts ceil(n/2) — fine for a scoring
+      // heuristic, and bit-identical across engines by construction.
       def occ(w: String) = {
         val padded = concat(lit(" "), col("text"), lit(" "))
         ((length(padded) - length(regexp_replace(padded, s" $w ", ""))) /
@@ -80,8 +83,11 @@ object TextQueries {
     "text_jaccard_pairs" -> { (s, dir) =>
       // exact 3-gram Jaccard similarity join (id-capped; MinHash-LSH is
       // the scale path, this is its oracle)
+      // length >= 3 guard: Spark's sequence(1, length-2) DESCENDS for
+      // shorter texts (sequence(1,0) = [1,0]) and would emit phantom
+      // grams where DuckDB's range() is empty
       val grams = Tables(s, dir, "documents")
-        .where(col("doc_id") < JaccardMaxDocId)
+        .where(col("doc_id") < JaccardMaxDocId && length(col("text")) >= 3)
         .select(col("doc_id"), explode(array_distinct(
           expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
           .as("gram"))
@@ -119,7 +125,7 @@ object TextQueries {
         |length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars,
         |length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
         |CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-        |  / length(text) AS punct_ratio
+        |  / greatest(length(text), 1) AS punct_ratio
         |FROM documents""".stripMargin,
 
     "text_langid" -> {
@@ -149,7 +155,7 @@ object TextQueries {
       s"""WITH g AS (SELECT doc_id,
          |  unnest(list_distinct([substr(text, i, 3)
          |    for i in range(1, length(text) - 1)])) AS gram
-         |  FROM documents WHERE doc_id < $JaccardMaxDocId),
+         |  FROM documents WHERE doc_id < $JaccardMaxDocId AND length(text) >= 3),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
          |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id

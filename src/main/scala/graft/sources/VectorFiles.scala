@@ -55,6 +55,13 @@ object VectorFiles {
     val elem = s.elem match { case "f32" => F32; case "u8" => U8; case "i32" => I32 }
     val recordSize = 4L + s.dim.toLong * elem.bytes
     val raf = new RandomAccessFile(s.path, "r")
+    // partial consumption (limit/take), task failure, or a read error must
+    // not leak the handle — the drained-iterator close below only covers
+    // the happy path (close is idempotent, double close is fine)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        try raf.close() catch { case _: java.io.IOException => () }
+      })
     raf.seek(s.startRecord * recordSize)
     val buf = new Array[Byte](recordSize.toInt)
     new Iterator[(Long, Array[Float])] {
@@ -65,7 +72,8 @@ object VectorFiles {
         more
       }
       override def next(): (Long, Array[Float]) = {
-        raf.readFully(buf)
+        try raf.readFully(buf)
+        catch { case e: Throwable => raf.close(); throw e }
         val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
         val d = bb.getInt
         require(d == s.dim, s"dim changed mid-file: $d != ${s.dim}")
@@ -127,24 +135,47 @@ object VectorFiles {
    * deleteRatio emit a deletion of a previously inserted id instead of the
    * next vector; delete buffer = last 1000 ids). Requires dense sequential
    * ids (true for file sources). Output adds (eventTime, ttl, isDeletion).
+   *
+   * The victim is drawn from the trailing window and then stepped past any
+   * id that was ITSELF converted to a deletion (the reference buffers only
+   * actually-inserted ids) — a deletion always targets a real insert.
+   * Decision and victim are pure functions of (seed, id): distributed and
+   * reproducible.
    */
   def withDeletes(vectors: DataFrame, deleteRatio: Double, seed: Long,
       bufferSize: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.functions._
-    // decision and victim-offset are pure functions of (seed, id) so the
-    // transform is distributed and reproducible
-    val decide = abs(xxhash64(lit(seed), col("id"))).cast("double") /
-      lit(Long.MaxValue.toDouble)
-    val victimOff = (abs(xxhash64(lit(seed + 1), col("id"))) %
-      least(col("id"), lit(bufferSize.toLong))) + 1L
-    vectors
-      .withColumn("isDeletion", col("id") > 0 && decide < deleteRatio)
-      .withColumn("delId", when(col("isDeletion"), col("id") - victimOff))
-      .select(
-        when(col("isDeletion"), col("delId")).otherwise(col("id")).as("id"),
-        when(col("isDeletion"), lit(null)).otherwise(col("vec")).as("vec"),
-        col("id").as("eventTime"),
-        lit(Long.MaxValue).as("ttl"),
-        col("isDeletion"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // splitmix64 finalizer, local so the map closure captures only
+    // primitives (not this object); self-contained and reproducible
+    def mix(sd: Long, x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L * (sd + 1)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
+    def isDel(id: Long): Boolean = id > 0 && unit(mix(seed, id)) < deleteRatio
+    vectors.select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        if (!isDel(id)) (id, vec, id, Long.MaxValue, false)
+        else {
+          val window = math.min(id, bufferSize.toLong)
+          val start = java.lang.Math.floorMod(mix(seed + 1, id), window)
+          var t = 0L
+          var victim = -1L
+          while (t < window && victim < 0) {
+            val cand = id - 1 - ((start + t) % window)
+            if (!isDel(cand)) victim = cand
+            t += 1
+          }
+          // whole window converted (pathological ratio): emit the insert
+          if (victim < 0) (id, vec, id, Long.MaxValue, false)
+          else (victim, null: Array[Float], id, Long.MaxValue, true)
+        }
+      }
+      .toDF("id", "vec", "eventTime", "ttl", "isDeletion")
   }
 }

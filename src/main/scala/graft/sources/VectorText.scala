@@ -49,7 +49,11 @@ object VectorText {
       .toDF("id", "vec", "eventTime", "ttl", "isDeletion")
   }
 
-  /** Read only the queries of a text vector file -> (qid := order, qv). */
+  /** Read only the queries of a text vector file -> (qid := query ORDINAL
+   * 0..nq-1, qv). The ordinal — not the raw line index — is what aligns
+   * with ivecs ground-truth files, whose rows are indexed by query order
+   * ([[VectorFiles.readIvecs]]); a line index would count inserts/deletes
+   * and blank lines too and never join the ground truth. */
   def readQueries(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.textFile(path).rdd
@@ -57,6 +61,9 @@ object VectorText {
       .flatMap { case (line, idx) =>
         parse(line).collect { case Query(v) => (idx, v) }
       }
+      .sortBy(_._1)
+      .zipWithIndex()
+      .map { case ((_, v), ordinal) => (ordinal, v) }
       .toDF("qid", "qv")
   }
 }

@@ -316,18 +316,27 @@ final class HnswStore(
     val ep = greedyDescend(q, entryPoint, maxLevel, 0)
     // over-fetch so the accept-filter (deletes, versions, freshness) can
     // drop candidates and still leave k (the reference filters inside the
-    // C++ search; widened ef is the standard library workaround)
-    val ef = math.max(efSearch, k * 4)
-    searchLayer(q, ep, ef, 0)
+    // C++ search); a fixed factor cannot cover a high stale ratio or a
+    // narrow freshness window, so widen geometrically until k survivors
+    // are found, the beam exhausts the reachable graph (resN < ef), or
+    // ef covers every node
+    var ef = math.max(efSearch, k * 4)
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](k)
     val seenLabels = new java.util.HashSet[Long]()
-    var i = 0
-    while (i < resN && out.length < k) {
-      val id = resI(i)
-      if (accept(id, tsFloor, tsCeil) && seenLabels.add(labels(id))) {
-        out += ((labels(id), resD(i)))
+    var done = false
+    while (!done) {
+      searchLayer(q, ep, ef, 0)
+      out.clear(); seenLabels.clear()
+      var i = 0
+      while (i < resN && out.length < k) {
+        val id = resI(i)
+        if (accept(id, tsFloor, tsCeil) && seenLabels.add(labels(id))) {
+          out += ((labels(id), resD(i)))
+        }
+        i += 1
       }
-      i += 1
+      done = out.length >= k || resN < ef || ef >= n
+      if (!done) ef = math.min(n, ef * 4)
     }
     out.sortBy { case (l, d) => (d, l) }.toArray
   }

@@ -65,6 +65,12 @@ class SourcesSpec extends AnyFunSuite {
     // deterministic
     val again = VectorFiles.withDeletes(df, 0.1, seed = 7L).collect()
     assert(again.map(_.toString).sorted.sameElements(rows.map(_.toString).sorted))
+    // a deletion always targets an id that was actually inserted — never
+    // one that was itself converted to a deletion (reference buffers only
+    // real inserts)
+    val converted = rows.filter(_.getBoolean(4)).map(_.getLong(2)).toSet
+    dels.foreach(r => assert(!converted.contains(r.getLong(0)),
+      s"delete targets converted id ${r.getLong(0)}"))
   }
 
   test("text protocol parse + read") {

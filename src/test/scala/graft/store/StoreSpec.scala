@@ -68,6 +68,25 @@ class StoreSpec extends AnyFunSuite {
     assert(s.size == 299) // id 5 deleted; id 10 upsert replaces, not adds
   }
 
+  test("HnswStore widens ef under heavy staleness / narrow freshness windows") {
+    val vecs = randomVecs(300, 8, 9L)
+    val s = new HnswStore(Metric.L2, m = 8, efConstruction = 32, efSearch = 16)
+    // 90% stale: every label re-put 10 times (only the last version live)
+    (0 until 10).foreach { v =>
+      vecs.zipWithIndex.foreach { case (x, i) =>
+        s.put(i.toLong, v * 1000L + i, x)
+      }
+    }
+    val q = vecs(5)
+    val full = s.search(q, 10)
+    assert(full.length == 10, s"stale graph must still fill k: ${full.length}")
+    assert(full.map(_._1).sameElements(bruteForce(vecs, q, 10)))
+    // narrow window: only the final versions of labels 0..4 are fresh
+    val narrow = s.search(q, 10, 9000L, 9004L).map(_._1)
+    assert(narrow.toSet == Set(0L, 1L, 2L, 3L, 4L),
+      s"narrow window must find every fresh element: ${narrow.toList}")
+  }
+
   test("HnswStore is deterministic for the same insert sequence") {
     val vecs = randomVecs(400, 16, 6L)
     def build() = {
