@@ -178,6 +178,39 @@ class AdaptiveRouterSpec extends AnyFunSuite {
     }
   }
 
+  test("router restart with a smaller ringCap clamps restored ring state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rnd = new java.util.Random(3L)
+    val init = AdaptiveLshSfcPartitioner.init(
+      Array.fill(100)(gauss(rnd, 0f)), NumParts, Dim, numFamilies = 2,
+      numHashes = 4, width = 4.0f, bits = 7, curveName = "hilbert",
+      seed = 5L, fromTime = 0L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ring").toString
+    val input = MemoryStream[StreamEvent]
+    val routed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start(cap: Int) = AdaptiveRouter.route(input.toDS(), init,
+        updateInterval = 1000L, maxTtl = 1000000L, ringCap = cap)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[VectorStreamJob.Routed], _: Long) =>
+        b.collect().foreach(r => routed.synchronized { routed += r.ev.id })
+      }.start()
+    val q1 = start(cap = 64)
+    input.addData((0 until 100).map(i =>
+      StreamEvent("i", i.toLong, gauss(rnd, 0f), i.toLong, 0L, 0)): _*)
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint with HALF the ring capacity — the
+    // restored positions must clamp, not crash the first insert
+    val q2 = start(cap = 32)
+    input.addData((0 until 50).map(i =>
+      StreamEvent("i", (200 + i).toLong, gauss(rnd, 0f), (200 + i).toLong, 0L, 0)): _*)
+    q2.processAllAvailable(); q2.stop()
+    val ids = routed.synchronized { routed.toSet }
+    assert((200 until 250).forall(i => ids.contains(i.toLong)),
+      "post-restart inserts must be routed")
+  }
+
   test("two-query pipeline (router -> file bridge -> store -> merge): end-to-end under drift") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
