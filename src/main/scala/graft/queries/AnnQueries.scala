@@ -46,9 +46,8 @@ object AnnQueries {
       model: TemporalPartitionerModel): DataFrame = {
     import s.implicits._
     // the routed datasets feed two aux writes plus the search — persist
-    // so routing runs once; the previous invocation's blocks are released
-    // here (they must outlive the lazily-consumed returned DataFrame)
-    lastRouted.remove((name, dir)).foreach(_.foreach(_.unpersist()))
+    // so routing runs once; they must outlive the lazily-consumed
+    // returned DataFrame, so CacheRegistry releases older generations
     val b = s.sparkContext.broadcast(model)
     val dr = vectorsDf(s, dir).select(col("id"), col("vec"), col("eventTime"))
       .as[(Long, Array[Float], Long)]
@@ -60,14 +59,11 @@ object AnnQueries {
         b.value.queryPartitions(v, qtime, ttl)
           .map(pid => Ann.QueryRow(pid, qid, qtime, ttl, v)) }
     dr.persist(); qr.persist()
-    lastRouted.put((name, dir), Seq(dr.toDF(), qr.toDF()))
+    graft.CacheRegistry.retain(s"ann:$name:$dir", Seq(dr.toDF(), qr.toDF()))
     OracleAux.write(dr.select(col("pid"), col("id")), dir, s"${name}_dr")
     OracleAux.write(qr.select(col("pid"), col("qid")), dir, s"${name}_qr")
     Ann.searchRouted(dr, qr, K, Metric.L2, useHnsw = false)
   }
-
-  private val lastRouted =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[DataFrame]]
 
   /** SQL replay of a routed exact search from the aux routing tables. */
   private def routedOracle(name: String): String =

@@ -93,13 +93,27 @@ object ColdTier {
       s.copy(temperature =
         decay * s.temperature + (1 - decay) * hits.getOrElse(s.segmentId, 0L))
     }
+    swapCatalog(spark, dir, updated)
+    updated
+  }
+
+  /** Replace the live catalog: write to `.tmp`, remove the live path, then
+   * rename `.tmp` over it. HDFS-like filesystems signal rename/delete
+   * failure by RETURNING FALSE rather than throwing — swallowing that
+   * leaves no live catalog (only `.tmp`, which [[heal]] would silently
+   * resurrect on the next read, dropping this update). Surface it instead.
+   * The delete→rename window is the crash window [[heal]] covers. */
+  private def swapCatalog(spark: SparkSession, dir: String,
+      stats: Array[SegmentStats]): Unit = {
+    import spark.implicits._
     val live = new Path(statsPath(dir))
     val tmp = new Path(statsPath(dir) + ".tmp")
-    updated.toSeq.toDF().write.mode("overwrite").parquet(tmp.toString)
+    stats.toSeq.toDF().write.mode("overwrite").parquet(tmp.toString)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(live, true)
-    fs.rename(tmp, live)
-    updated
+    if (fs.exists(live) && !fs.delete(live, true))
+      throw new java.io.IOException(s"catalog swap: failed to delete $live")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"catalog swap: failed to rename $tmp over $live")
   }
 
   /** Attribute merged results back to segments: one join of result ids
@@ -138,7 +152,12 @@ object ColdTier {
     val live = new Path(statsPath(dir))
     val tmp = new Path(statsPath(dir) + ".tmp")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
+    // a false rename here is fine only if a concurrent heal already
+    // renamed the tmp dir into place — otherwise surface it
+    if (!fs.exists(live) && fs.exists(tmp) &&
+        !fs.rename(tmp, live) && !fs.exists(live))
+      throw new java.io.IOException(
+        s"catalog heal: failed to rename $tmp back to $live")
   }
 
   def catalog(spark: SparkSession, dir: String): Array[SegmentStats] = {
@@ -156,12 +175,7 @@ object ColdTier {
   def evict(spark: SparkSession, dir: String, retentionFloor: Long): Array[SegmentStats] = {
     import spark.implicits._
     val keep = catalog(spark, dir).filter(_.maxTs >= retentionFloor)
-    val live = new Path(statsPath(dir))
-    val tmp = new Path(statsPath(dir) + ".tmp")
-    keep.toSeq.toDF().write.mode("overwrite").parquet(tmp.toString)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(live, true)
-    fs.rename(tmp, live)
+    swapCatalog(spark, dir, keep)
     keep
   }
 
@@ -185,20 +199,12 @@ object ColdTier {
    *        reference's adaptive termination (version_set.cc:2689-2698).
    *        Ignored in lossless mode, which stays provably exact.
    */
-  /** Cached intermediates of the previous search() per cold-tier dir —
-   * they must stay cached while the returned (lazy) DataFrame is
-   * consumed, so each call releases the PREVIOUS call's blocks instead
-   * of its own (bounds the block-manager footprint at one invocation). */
-  private val lastCached =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
-
   def search(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       metric: Metric = Metric.L2,
       firstWaveFraction: Double = 0.3,
       terminationFactor: Double = 1.0,
       ewmaThreshold: Option[Double] = None): DataFrame = {
     import spark.implicits._
-    lastCached.remove(dir).foreach(_.foreach(_.unpersist()))
     val segs = catalog(spark, dir)
     val bSegs = spark.sparkContext.broadcast(segs)
     val prune = metric == Metric.L2
@@ -278,7 +284,9 @@ object ColdTier {
         .where(col("eff").isNull || col("lower_bound") <= col("eff"))
         .select("qid", "segmentId", "wave", "lower_bound"))
 
-    lastCached.put(dir, Seq(probes, wave1Top))
+    // probes/wave1Top must stay cached while the returned (lazy) result
+    // is consumed; the registry unpersists older generations instead
+    graft.CacheRegistry.retain(s"coldtier:$dir", Seq(probes, wave1Top))
 
     val wave1Flat = wave1Top.select(col("qid"),
         explode(arrays_zip(col("topk.ids").as("id"),

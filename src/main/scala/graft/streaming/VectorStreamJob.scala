@@ -137,7 +137,12 @@ object VectorStreamJob {
     val evs = events.toArray.sortBy(r => (r.ev.eventTime, r.ev.id))
     evs.foreach { r =>
       val ev = r.ev
-      if (ev.eventTime > maxTs) maxTs = ev.eventTime
+      // the eviction clock advances on INSERTS only: queries and deletes
+      // can carry far-future sentinel times (Bench sends
+      // qtime = Long.MaxValue/8), and letting one of them advance maxTs
+      // would evict the entire live set through the maxTs - maxTtl floor
+      // (the AdaptiveRouter refit clock has the same guard)
+      if (ev.kind == "i" && ev.eventTime > maxTs) maxTs = ev.eventTime
       ev.kind match {
         case "i" =>
           // versioned supersession both ways: a tombstone at ts >= insert
@@ -153,12 +158,19 @@ object VectorStreamJob {
             onInsert()
           }
         case "d" =>
-          live.remove(ev.id)
+          // versioned supersession mirrors the insert path: a LATE delete
+          // (event time older than the stored version) must not remove the
+          // newer live insert — only the tombstone max is recorded, so
+          // still-older inserts arriving later stay superseded
+          val cur = live.get(ev.id)
+          if (cur == null || cur.ts <= ev.eventTime) {
+            live.remove(ev.id)
+            store.delete(ev.id)
+          }
           val old = dead.get(ev.id)
           dead.put(ev.id,
             if (old == null) ev.eventTime
             else math.max(old.longValue(), ev.eventTime))
-          store.delete(ev.id)
         case "q" =>
           // reference fidelity (RocksDBKeyedProcessFunction.java:90-93):
           // optionally drop queries older than the last answered query.

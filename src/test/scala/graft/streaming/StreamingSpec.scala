@@ -263,6 +263,69 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("a late delete with an older event time never removes a newer version") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 1,
+      Metric.L2, maxTtl = 1000000L) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getLong(2), r.getDouble(3))) })
+    }
+    input.addData(StreamEvent("i", 5L, vec(1), 100L, 0L, 0))
+    q.processAllAvailable()
+    // batch 2: a LATE delete of id 5 stamped BEFORE the stored version —
+    // Tomb semantics: it supersedes inserts at ts <= 50 only, so the
+    // ts=100 version must survive
+    input.addData(
+      StreamEvent("d", 5L, null, 50L, 0L, 0),
+      StreamEvent("q", 7100L, vec(1), 200L, 100000L, 1))
+    q.processAllAvailable()
+    val got1 = results.synchronized { results.filter(_._1 == 7100L) }
+    assert(got1.map(_._2) == Seq(5L) && got1.head._3 == 0.0,
+      s"late delete must not remove the newer version: $got1")
+    // batch 3: the tombstone max was still recorded — an even older
+    // duplicate insert stays superseded; a delete at a newer ts works
+    input.addData(StreamEvent("i", 6L, vec(2), 120L, 0L, 0))
+    q.processAllAvailable()
+    input.addData(
+      StreamEvent("d", 5L, null, 150L, 0L, 0),
+      StreamEvent("q", 7101L, vec(1), 300L, 100000L, 1))
+    q.processAllAvailable()
+    val got2 = results.synchronized { results.filter(_._1 == 7101L) }
+    assert(got2.map(_._2) == Seq(6L),
+      s"a delete newer than the stored version must remove it: $got2")
+    q.stop()
+  }
+
+  test("far-future sentinel query times do not advance the eviction clock") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 10,
+      Metric.L2, maxTtl = 100L) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getLong(2))) })
+    }
+    // a query stamped Long.MaxValue/8 (Bench's own sentinel) lands in the
+    // same batch as the insert; with the clock advanced by queries, the
+    // eviction floor would jump to ~MaxValue/8 and wipe the live set
+    input.addData(
+      StreamEvent("i", 1L, vec(1), 0L, 0L, 0),
+      StreamEvent("q", 9000L, vec(1), Long.MaxValue / 8, Long.MaxValue / 8, 1))
+    q.processAllAvailable()
+    input.addData(
+      StreamEvent("i", 2L, vec(2), 10L, 0L, 0),
+      StreamEvent("q", 9001L, vec(1), 20L, 100L, 10))
+    q.processAllAvailable()
+    val got = results.synchronized { results.filter(_._1 == 9001L).map(_._2).toSet }
+    assert(got == Set(1L, 2L),
+      s"the sentinel-time query must not evict live inserts: $got")
+    q.stop()
+  }
+
   test("mergePartials stamps per-query latency; Recall.latency aggregates it") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
