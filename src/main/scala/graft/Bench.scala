@@ -82,6 +82,14 @@ object Bench {
       }
     }
 
+    // release everything the query loop left pinned (CacheRegistry keeps
+    // two generations per entry; fitted/sealed caches hold no blocks)
+    // before the heavyweight vec-bench section — leftover blocks competing
+    // with the corpus cache made bench_exact_knn swing 3-4x across rounds
+    graft.CacheRegistry.clear()
+    spark.catalog.clearCache()
+    System.gc()
+
     // vec-bench: derived 128-dim corpus at sf scale
     import graft.ops.Ann
     import graft.partitioners.KMeansPartitioner
@@ -96,18 +104,16 @@ object Bench {
       .cache()
     val nQ = queries.count()
 
-    // exact brute-force kNN (partial top-k aggregation)
-    import org.apache.spark.sql.Encoders
-    val topk = udaf(new graft.functions.TopKAggregator(10),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val (exactRows, exactSec) = time {
-      vecs.join(broadcast(queries.select(col("qid"), col("qv"))))
-        .select(col("qid"), col("id"),
-          graft.functions.Distances.l2(col("qv"), col("vec")).as("dist"))
-        .groupBy("qid").agg(topk(col("id"), col("dist")).as("t"))
-        .select(col("qid"), col("t.ids").as("ids")).collect()
-    }
+    // exact brute-force kNN: per-partition bounded-heap kernel (broadcast
+    // queries x partitioned corpus — k rows per query per partition reach
+    // the shuffle, the query x vector cross product never exists as rows)
+    def exactRun() = Ann.bruteForce(vecs, queries, 10, Metric.L2)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    val (exactRows, exact1) = time(exactRun())
+    val (_, exact2) = time(exactRun())
+    val exactSec = math.min(exact1, exact2)
     results("bench_exact_knn") = exactSec
+    spreads("bench_exact_knn") = math.max(exact1, exact2) / exactSec
 
     // ANN: k-means cells + per-partition HNSW
     val sample = vecs.limit(8192).select("vec").collect()
@@ -133,12 +139,14 @@ object Bench {
       .groupBy("value").count()
       .agg(max("count"), avg("count")).first()
     val balance = (balRow.getLong(0) - balRow.getDouble(1)) / balRow.getDouble(1)
-    val (annRows, annSec) = time {
-      Ann.search(vecs, queries, model, 10, Metric.L2, useHnsw = true,
-        hnswM = 16, efConstruction = 48, efSearch = 64)
-        .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    }
+    def annRun() = Ann.search(vecs, queries, model, 10, Metric.L2,
+        useHnsw = true, hnswM = 16, efConstruction = 48, efSearch = 64)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    val (annRows, ann1) = time(annRun())
+    val (_, ann2) = time(annRun())
+    val annSec = math.min(ann1, ann2)
     results("bench_ann_ivf_hnsw") = annSec
+    spreads("bench_ann_ivf_hnsw") = math.max(ann1, ann2) / annSec
 
     val truth = exactRows.map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val recalls = annRows.map { r =>
@@ -200,11 +208,23 @@ object Bench {
     val streamInsertsPerSec = streamRows.length / streamSec
 
     val total = results.values.filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    val qs = results.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"reps":$reps,"warmup":1,"rep_max_over_min":$sp,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}""")
+    // two JSON lines: a "detail" line (full precision + per-query rep
+    // spread — may scroll out of a bounded log tail) first, then the
+    // COMPACT headline line LAST so it fits entirely inside a ~2kB
+    // stdout tail capture and parses as a standalone JSON document
+    val detail = s"""{"metric":"detail","reps":$reps,"warmup":1,"queries_sec":${
+      results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+        .mkString("{", ",", "}")},"rep_max_over_min":$sp}"""
+    val headline = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      s"$detail\n$headline\n".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(detail)
+    println(headline)
     spark.stop()
   }
 }

@@ -114,6 +114,96 @@ object Ann {
         col("col.id").as("id"), col("col.dist").as("dist"))
   }
 
+  /** Exact brute-force kNN: broadcast query set x partitioned corpus,
+   * per-partition bounded (dist, id) max-heaps, global partial top-k
+   * merge. Only k rows per (query, input partition) reach the shuffle and
+   * the 616M-element (query x vector) cross product is never materialized
+   * as rows — the scan is a tight loop over the corpus partition with the
+   * query block resident (the plan a 1000-executor scoring job wants).
+   *
+   * The query set must fit in a broadcast (same contract as the
+   * broadcast-join formulation it replaces); the corpus side streams.
+   * Distances use the sequential-double kernel, so results are bit-equal
+   * to the oracle-gated formulation, ties broken by smaller id.
+   *
+   * @param vectors (id LONG, vec ARRAY<FLOAT>, eventTime LONG)
+   * @param queries (qid LONG, qv ARRAY<FLOAT>, qtime LONG, ttl LONG)
+   * @return (qid, rn, id, dist) — rn 1..k by ascending (dist, id)
+   */
+  def bruteForce(vectors: DataFrame, queries: DataFrame, k: Int,
+      metric: Metric = Metric.L2): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qArr = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+      .as[(Long, Array[Float], Long, Long)].collect()
+    val bq = spark.sparkContext.broadcast(qArr)
+    val distFn = graft.functions.Distances.forMetric(metric)
+
+    val partials = vectors.select(col("id"), col("vec"), col("eventTime"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val nq = qs.length
+        // per-query bounded max-heap of (dist, id): root = current worst,
+        // replaced when a strictly better (smaller (dist, id)) pair shows
+        val hd = Array.ofDim[Double](nq, k)
+        val hi = Array.ofDim[Long](nq, k)
+        val sizes = new Array[Int](nq)
+        @inline def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+          d1 > d2 || (d1 == d2 && i1 > i2)
+        def push(qi: Int, d: Double, id: Long): Unit = {
+          val ds = hd(qi); val ids = hi(qi)
+          if (sizes(qi) < k) {
+            var c = sizes(qi); ds(c) = d; ids(c) = id; sizes(qi) = c + 1
+            while (c > 0 && worse(ds(c), ids(c), ds((c - 1) / 2), ids((c - 1) / 2))) {
+              val p = (c - 1) / 2
+              val td = ds(c); ds(c) = ds(p); ds(p) = td
+              val ti = ids(c); ids(c) = ids(p); ids(p) = ti
+              c = p
+            }
+          } else if (worse(ds(0), ids(0), d, id)) {
+            ds(0) = d; ids(0) = id
+            var c = 0
+            var done = false
+            while (!done) {
+              val l = 2 * c + 1; val r = l + 1
+              var m = c
+              if (l < k && worse(ds(l), ids(l), ds(m), ids(m))) m = l
+              if (r < k && worse(ds(r), ids(r), ds(m), ids(m))) m = r
+              if (m == c) done = true
+              else {
+                val td = ds(c); ds(c) = ds(m); ds(m) = td
+                val ti = ids(c); ids(c) = ids(m); ids(m) = ti
+                c = m
+              }
+            }
+          }
+        }
+        while (it.hasNext) {
+          val (id, v, ts) = it.next()
+          var qi = 0
+          while (qi < nq) {
+            val q = qs(qi)
+            if (ts >= q._3 - q._4 && ts <= q._3) push(qi, distFn(q._2, v), id)
+            qi += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap { qi =>
+          val qid = qs(qi)._1
+          Iterator.range(0, sizes(qi)).map(j => Partial(qid, hi(qi)(j), hd(qi)(j)))
+        }
+      }
+
+    val topkUdaf = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    partials.toDF()
+      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
+      .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
+        col("topk.dists").as("dist"))))
+      .select(col("qid"), (col("pos") + 1).as("rn"),
+        col("col.id").as("id"), col("col.dist").as("dist"))
+  }
+
   /** Versioned-delete reconciliation for the cold tier (reference V4):
    * drop every vector row superseded or deleted by a later event for the
    * same id. `events` = (id, eventTime, isDeletion); keeps a row iff it is
