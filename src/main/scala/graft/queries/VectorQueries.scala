@@ -148,8 +148,21 @@ object VectorQueries {
          |WHERE rn <= $K""".stripMargin)
   }
 
+  /** The bounded-heap brute-force kernel ([[graft.ops.Ann.bruteForce]] —
+   * the vec-bench scoring path) under the same hard gate as knn_l2: the
+   * kernel must reproduce the broadcast-join formulation bit-for-bit. */
+  def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").as("eventTime"))
+    val q = queryDf(s, dir).select(col("qid"), col("qv"),
+      lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+    graft.ops.Ann.bruteForce(corpus, q, K, graft.Metric.L2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_l2" -> knn(graft.Metric.L2) _,
+    "knn_bruteforce" -> (knnBruteForce _),
     "knn_sql" -> (knnViaSql _),
     "knn_deletes" -> (knnWithDeletes _),
     "knn_ip" -> knn(graft.Metric.IP) _,
@@ -160,6 +173,7 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
+    "knn_bruteforce" -> knnOracle(l2Sql("q.qv", "b.embedding")),
     "knn_deletes" -> knnOracle(l2Sql("q.qv", "b.embedding"),
       "b.vec_id % 17 <> 3"),
     "knn_sql" -> knnOracle(l2Sql("q.qv", "b.embedding")),
