@@ -108,3 +108,30 @@ final class TopKAggregator(k: Int)
   override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
   override def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
 }
+
+/** Typed aggregator over whole partial top-k LISTS (the reference's
+ * SearchResult.combine(): each input row is already a per-partition
+ * (dist, id)-ascending top-k), so the global merge is a k-way sorted-list
+ * merge per row instead of exploding every (id, dist) pair back into
+ * single-element inputs. Input arrays MUST be (dist, id)-ascending —
+ * every store/search path in this repo emits them that way. */
+final class TopKListAggregator(k: Int)
+    extends Aggregator[(Array[Long], Array[Double]), TopKBuffer, TopKResult] {
+
+  override def zero: TopKBuffer = TopKBuffer(Array.empty, Array.empty)
+
+  override def reduce(b: TopKBuffer, in: (Array[Long], Array[Double])): TopKBuffer = {
+    val (ids, ds) = TopK.merge(b.ids, b.dists, in._1, in._2, k)
+    TopKBuffer(ids, ds)
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    val (ids, ds) = TopK.merge(a.ids, a.dists, b.ids, b.dists, k)
+    TopKBuffer(ids, ds)
+  }
+
+  override def finish(b: TopKBuffer): TopKResult = TopKResult(b.ids, b.dists)
+
+  override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
+  override def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
+}

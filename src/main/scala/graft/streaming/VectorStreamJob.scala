@@ -284,31 +284,31 @@ object VectorStreamJob {
   }
 
   /** C3 merge for a (micro-)batch of partials -> complete SearchResults
-   * (qid, rn, id, dist, latency_ms) — only queries whose partial count
-   * matches numPartitionsSent are complete (always true when the fan-out
-   * landed in one batch). latency_ms is stamped as the merge materializes
-   * (the reference's searchCompleteTime) minus the query's routing stamp:
-   * route -> shuffle -> per-partition search -> shuffle -> merge. Both
-   * stamps are wall-clock millis (comparable across executor JVMs) and
-   * the merge stamp is a nondeterministic udf so Catalyst cannot move or
-   * collapse its evaluation. */
+   * (qid, rn, id, dist, latency_ms) — only queries whose distinct-pid
+   * count matches numPartitionsSent are complete (always true when the
+   * fan-out landed in one batch; an EMPTY partial still counts, its pid
+   * arrives with a zero-length list). The whole merge is ONE aggregation:
+   * each partial row is already a (dist, id)-ascending top-k list, so
+   * [[TopKListAggregator]] merges lists directly — no per-pair explode,
+   * no separate completeness join, one shuffle per batch (the reference's
+   * SearchResult.combine()). latency_ms is stamped as the merge
+   * materializes (the reference's searchCompleteTime) minus the query's
+   * routing stamp: route -> shuffle -> per-partition search -> shuffle ->
+   * merge. Both stamps are wall-clock millis (comparable across executor
+   * JVMs) and the merge stamp is a nondeterministic udf so Catalyst
+   * cannot move or collapse its evaluation. */
   def mergePartials(batch: DataFrame, k: Int): DataFrame = {
-    val topkUdaf = udaf(new TopKAggregator(k),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val mergeUdaf = udaf(new graft.functions.TopKListAggregator(k),
+      implicitly[org.apache.spark.sql.Encoder[(Array[Long], Array[Double])]])
     val completeMillis = udf(() => System.currentTimeMillis()).asNondeterministic()
-    val flat = batch.select(col("queryId").as("qid"), col("numPartitionsSent"),
-        col("ingestMillis"),
-        explode(arrays_zip(col("ids").as("id"), col("dists").as("dist"))).as("e"))
-      .select(col("qid"), col("numPartitionsSent"), col("ingestMillis"),
-        col("e.id").as("id"), col("e.dist").as("dist"))
-    val complete = batch.groupBy(col("queryId").as("qid"))
-      .agg(countDistinct(col("pid")).as("np"),
-        first(col("numPartitionsSent")).as("sent"))
-      .where(col("np") === col("sent"))
-      .select(col("qid"))
-    flat.join(complete, "qid")
-      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"),
+    batch.groupBy(col("queryId").as("qid"))
+      .agg(mergeUdaf(col("ids"), col("dists")).as("topk"),
+        size(collect_set(col("pid"))).as("np"),
+        first(col("numPartitionsSent")).as("sent"),
         min(col("ingestMillis")).as("ingest"))
+      .where(col("np") === col("sent"))
       .select(col("qid"), col("ingest"), posexplode(arrays_zip(
         col("topk.ids").as("id"), col("topk.dists").as("dist"))))
       .select(col("qid"), (col("pos") + 1).as("rn"),
@@ -330,11 +330,9 @@ object VectorStreamJob {
     val w = p.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[PartialResult], _: Long) =>
-        // mergePartials reads the batch twice (top-k + completeness);
-        // persist so the stateful operator materializes once per batch
-        val cached = batch.persist()
-        try sink(mergePartials(cached.toDF(), k))
-        finally { cached.unpersist(); () }
+        // single-pass merge: the batch is consumed exactly once, so no
+        // persist is needed (the stateful operator runs once per batch)
+        sink(mergePartials(batch.toDF(), k))
       }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()
