@@ -1,9 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Metric
-import graft.functions.TopKAggregator
 import graft.partitioners.TemporalPartitionerModel
 import graft.store.{ExactStore, HnswStore, VectorStore}
 
@@ -30,6 +29,10 @@ object Ann {
   final case class VecRow(pid: Int, id: Long, ts: Long, vec: Array[Float])
   final case class QueryRow(pid: Int, qid: Long, qtime: Long, ttl: Long, vec: Array[Float])
   final case class Partial(qid: Long, id: Long, dist: Double)
+  /** One per-(query, partition) top-k LIST, (dist, id)-ascending — the
+   * merge input unit (reference SearchResult): 1 row per probed
+   * partition reaches the shuffle instead of k. */
+  final case class PartialList(qid: Long, ids: Array[Long], dists: Array[Double])
 
   /**
    * @param vectors  (id LONG, vec ARRAY<FLOAT>, eventTime LONG) — inserts
@@ -86,7 +89,7 @@ object Ann {
     val spark = vecRows.sparkSession
     import spark.implicits._
 
-    val partials: Dataset[Partial] = vecRows.groupByKey(_.pid)
+    val partials: Dataset[PartialList] = vecRows.groupByKey(_.pid)
       .cogroup(queryRows.groupByKey(_.pid)) { (_, vecs, qs) =>
         val qList = qs.toArray
         if (qList.isEmpty) Iterator.empty
@@ -97,17 +100,24 @@ object Ann {
           // deterministic build order -> deterministic graph
           vecs.toArray.sortBy(v => (v.ts, v.id))
             .foreach(v => store.put(v.id, v.ts, v.vec))
-          qList.sortBy(_.qid).iterator.flatMap { q =>
-            store.search(q.vec, k, q.qtime - q.ttl, q.qtime)
-              .map { case (id, d) => Partial(q.qid, id, d) }
+          qList.sortBy(_.qid).iterator.map { q =>
+            val res = store.search(q.vec, k, q.qtime - q.ttl, q.qtime)
+            PartialList(q.qid, res.map(_._1), res.map(_._2))
           }
         }
       }
+    mergePartialLists(partials.toDF(), k)
+  }
 
-    val topkUdaf = udaf(new TopKAggregator(k),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    partials.toDF()
-      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
+  /** Global top-k merge of per-(query, partition) lists: list-in partial
+   * aggregation, k-way sorted merge with cross-partition id dedup. */
+  private[graft] def mergePartialLists(partials: DataFrame, k: Int): DataFrame = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    val mergeUdaf = udaf(new graft.functions.TopKListAggregator(k),
+      implicitly[org.apache.spark.sql.Encoder[(Array[Long], Array[Double])]])
+    partials
+      .groupBy("qid").agg(mergeUdaf(col("ids"), col("dists")).as("topk"))
       .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
         col("topk.dists").as("dist"))))
       .select(col("qid"), (col("pos") + 1).as("rn"),
@@ -188,20 +198,15 @@ object Ann {
             qi += 1
           }
         }
-        Iterator.range(0, nq).flatMap { qi =>
-          val qid = qs(qi)._1
-          Iterator.range(0, sizes(qi)).map(j => Partial(qid, hi(qi)(j), hd(qi)(j)))
+        // drain each heap to a (dist, id)-ascending list partial
+        Iterator.range(0, nq).map { qi =>
+          val n = sizes(qi)
+          val (ids, ds) = graft.functions.TopK.sorted(
+            java.util.Arrays.copyOf(hi(qi), n), java.util.Arrays.copyOf(hd(qi), n))
+          PartialList(qs(qi)._1, ids, ds)
         }
       }
-
-    val topkUdaf = udaf(new TopKAggregator(k),
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    partials.toDF()
-      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
-      .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
-        col("topk.dists").as("dist"))))
-      .select(col("qid"), (col("pos") + 1).as("rn"),
-        col("col.id").as("id"), col("col.dist").as("dist"))
+    mergePartialLists(partials.toDF(), k)
   }
 
   /** Versioned-delete reconciliation for the cold tier (reference V4):
