@@ -104,6 +104,67 @@ object Bench {
       .cache()
     val nQ = queries.count()
 
+    // streaming latency: route -> keyed HNSW store -> merge over a bounded
+    // event stream; latency_ms is the merge-side stamp minus the routing
+    // stamp (the reference's searchCompleteTime headline metric). Runs
+    // FIRST among the heavyweight sections (cleanest JVM) and excludes a
+    // warmup chunk from the timed window — this section runs once, and
+    // folding codegen/JIT warmup into it made round-over-round latency
+    // deltas unattributable
+    import graft.streaming.VectorStreamJob
+    import graft.streaming.VectorStreamJob.StreamEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val streamRows = vecs.limit(20000)
+      .as[(Long, Array[Float], Long)].collect()
+    val input = MemoryStream[StreamEvent]
+    val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sq = VectorStreamJob.run(input.toDS(),
+      graft.partitioners.SimplePartitioner(cpus.toInt), k = 10, Metric.L2,
+      maxTtl = Long.MaxValue / 4, useHnsw = true) { merged =>
+      merged.groupBy("qid").agg(max("latency_ms").as("l")).collect()
+        .foreach(r => latencies.synchronized { latencies += r.getDouble(1) })
+    }
+    // the query rate is bound to insert progress (S5): the feeder pushes
+    // the post-callback rate through the shared-file channel once enough
+    // inserts have flowed, and each chunk's query admission polls it
+    import graft.sources.{BoundRate, RateChannel, StagedRate}
+    val bound = BoundRate(StagedRate.constant(16.0), StagedRate.constant(32.0),
+      callbackCount = streamRows.length / 2)
+    val rateFile = java.nio.file.Files.createTempDirectory("graft-rate")
+      .resolve("query-rate").toString
+    RateChannel.push(rateFile, bound.scheduleFor(0).rateAt(0))
+    val qrnd = new java.util.Random(7L)
+    var fed = 0L
+    var timedInserts = 0L
+    def feedChunk(chunk: Array[(Long, Array[Float], Long)]): Unit = {
+      val inserts = chunk.map { case (id, v, ts) => StreamEvent("i", id, v, ts, 0L, 0) }
+      fed += chunk.length
+      RateChannel.push(rateFile, bound.scheduleFor(fed).rateAt(0))
+      val nQueries = RateChannel.poll(rateFile).getOrElse(16.0).toInt
+      val qs = (0 until nQueries).map { i =>
+        val (_, v, _) = chunk(qrnd.nextInt(chunk.length))
+        StreamEvent("q", 1000000000L + fed + i, v, Long.MaxValue / 8, Long.MaxValue / 8, 10)
+      }
+      input.addData(inserts.toIndexedSeq ++ qs: _*)
+      sq.processAllAvailable()
+    }
+    val chunks = streamRows.grouped(2000).toArray
+    feedChunk(chunks.head) // warmup (codegen + state-store init), untimed
+    latencies.synchronized(latencies.clear())
+    val (_, streamSec) = time {
+      chunks.tail.foreach { c => feedChunk(c); timedInserts += c.length }
+    }
+    sq.stop()
+    val sorted = latencies.synchronized { latencies.sorted.toArray }
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) -1.0
+      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    val streamInsertsPerSec = timedInserts / streamSec
+    // drop the streaming section's heap garbage (state maps, batch
+    // buffers) before the allocation-heavy index sections
+    System.gc()
+
     // exact brute-force kNN: per-partition bounded-heap kernel (broadcast
     // queries x partitioned corpus — k rows per query per partition reach
     // the shuffle, the query x vector cross product never exists as rows)
@@ -139,14 +200,20 @@ object Bench {
       .groupBy("value").count()
       .agg(max("count"), avg("count")).first()
     val balance = (balRow.getLong(0) - balRow.getDouble(1)) / balRow.getDouble(1)
+    // 3 reps with a GC between: the HNSW builds are allocation-heavy and
+    // a rep inheriting the previous rep's old-gen garbage can run 1.7x
+    // slower — min-of-3 with clean heaps keeps the number attributable
     def annRun() = Ann.search(vecs, queries, model, 10, Metric.L2,
         useHnsw = true, hnswM = 16, efConstruction = 48, efSearch = 64)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     val (annRows, ann1) = time(annRun())
-    val (_, ann2) = time(annRun())
-    val annSec = math.min(ann1, ann2)
+    val annTimes = ann1 +: (1 to 2).map { _ =>
+      System.gc()
+      time(annRun())._2
+    }
+    val annSec = annTimes.min
     results("bench_ann_ivf_hnsw") = annSec
-    spreads("bench_ann_ivf_hnsw") = math.max(ann1, ann2) / annSec
+    spreads("bench_ann_ivf_hnsw") = annTimes.max / annSec
 
     val truth = exactRows.map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val recalls = annRows.map { r =>
@@ -156,56 +223,6 @@ object Bench {
     val annRecall = if (recalls.nonEmpty) recalls.sum / recalls.length else 0.0
     // throughput: corpus build + all queries over the ANN wall time
     val vecPerSec = (nVec + nQ) / annSec
-
-    // streaming latency: route -> keyed HNSW store -> merge over a bounded
-    // event stream; latency_ms is the merge-side stamp minus the routing
-    // stamp (the reference's searchCompleteTime headline metric)
-    import graft.streaming.VectorStreamJob
-    import graft.streaming.VectorStreamJob.StreamEvent
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val streamRows = vecs.limit(20000)
-      .as[(Long, Array[Float], Long)].collect()
-    val input = MemoryStream[StreamEvent]
-    val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val sq = VectorStreamJob.run(input.toDS(),
-      graft.partitioners.SimplePartitioner(cpus.toInt), k = 10, Metric.L2,
-      maxTtl = Long.MaxValue / 4, useHnsw = true) { merged =>
-      merged.groupBy("qid").agg(max("latency_ms").as("l")).collect()
-        .foreach(r => latencies.synchronized { latencies += r.getDouble(1) })
-    }
-    // the query rate is bound to insert progress (S5): the feeder pushes
-    // the post-callback rate through the shared-file channel once enough
-    // inserts have flowed, and each chunk's query admission polls it
-    import graft.sources.{BoundRate, RateChannel, StagedRate}
-    val bound = BoundRate(StagedRate.constant(16.0), StagedRate.constant(32.0),
-      callbackCount = streamRows.length / 2)
-    val rateFile = java.nio.file.Files.createTempDirectory("graft-rate")
-      .resolve("query-rate").toString
-    RateChannel.push(rateFile, bound.scheduleFor(0).rateAt(0))
-    val qrnd = new java.util.Random(7L)
-    var fed = 0L
-    val (_, streamSec) = time {
-      streamRows.grouped(2000).foreach { chunk =>
-        val inserts = chunk.map { case (id, v, ts) => StreamEvent("i", id, v, ts, 0L, 0) }
-        fed += chunk.length
-        RateChannel.push(rateFile, bound.scheduleFor(fed).rateAt(0))
-        val nQueries = RateChannel.poll(rateFile).getOrElse(16.0).toInt
-        val queries = (0 until nQueries).map { i =>
-          val (_, v, _) = chunk(qrnd.nextInt(chunk.length))
-          StreamEvent("q", 1000000000L + fed + i, v, Long.MaxValue / 8, Long.MaxValue / 8, 10)
-        }
-        input.addData(inserts.toIndexedSeq ++ queries: _*)
-        sq.processAllAvailable()
-      }
-    }
-    sq.stop()
-    val sorted = latencies.synchronized { latencies.sorted.toArray }
-    def pct(p: Double): Double =
-      if (sorted.isEmpty) -1.0
-      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
-    val streamInsertsPerSec = streamRows.length / streamSec
 
     val total = results.values.filter(_ >= 0).sum
     val qs = results.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
