@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnnQueries, EvalQueries, PartitionQueries, Relational, TextQueries, VectorQueries}
+import graft.queries.{AnnQueries, EvalQueries, PartitionQueries, PqQueries, Relational, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -31,7 +31,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ VectorQueries.queries ++ TextQueries.queries ++
-      PartitionQueries.queries ++ AnnQueries.queries ++ EvalQueries.queries
+      PartitionQueries.queries ++ AnnQueries.queries ++ EvalQueries.queries ++
+      PqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (plus the deterministic routing/signature aux
@@ -40,7 +41,8 @@ object SparkEntry {
     * sf dir. */
   def oracleSqlFor(sfDir: String): Map[String, String] =
     (Relational.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
-      PartitionQueries.oracles ++ AnnQueries.oracles ++ EvalQueries.oracles)
+      PartitionQueries.oracles ++ AnnQueries.oracles ++ EvalQueries.oracles ++
+      PqQueries.oracles)
       .map { case (k, v) => k -> graft.queries.OracleAux.substitute(v, sfDir) }
 
   /** Default-sf view of [[oracleSqlFor]]: follows SPARK_GRAFT_SF_DIR when

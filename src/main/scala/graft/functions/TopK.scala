@@ -42,6 +42,55 @@ object TopK {
   }
 }
 
+/** Allocation-free bounded (dist, id) max-heap: root = current worst
+ * entry, replaced when a strictly better (smaller (dist, id)) pair
+ * arrives — the per-(query, partition) scan kernel shared by
+ * [[graft.ops.Ann.bruteForce]] and the PQ code scan. NOT thread-safe;
+ * one instance per (query, task). */
+final class BoundedTopK(k: Int) {
+  private val hd = new Array[Double](k)
+  private val hi = new Array[Long](k)
+  private var n = 0
+
+  @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+    d1 > d2 || (d1 == d2 && i1 > i2)
+
+  def offer(d: Double, id: Long): Unit = {
+    if (n < k) {
+      var c = n; hd(c) = d; hi(c) = id; n = c + 1
+      while (c > 0 && worse(hd(c), hi(c), hd((c - 1) / 2), hi((c - 1) / 2))) {
+        val p = (c - 1) / 2
+        val td = hd(c); hd(c) = hd(p); hd(p) = td
+        val ti = hi(c); hi(c) = hi(p); hi(p) = ti
+        c = p
+      }
+    } else if (worse(hd(0), hi(0), d, id)) {
+      hd(0) = d; hi(0) = id
+      var c = 0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1; val r = l + 1
+        var m = c
+        if (l < k && worse(hd(l), hi(l), hd(m), hi(m))) m = l
+        if (r < k && worse(hd(r), hi(r), hd(m), hi(m))) m = r
+        if (m == c) done = true
+        else {
+          val td = hd(c); hd(c) = hd(m); hd(m) = td
+          val ti = hi(c); hi(c) = hi(m); hi(m) = ti
+          c = m
+        }
+      }
+    }
+  }
+
+  /** Contents as (dist, id)-ascending parallel arrays; the heap stays
+   * valid (drain copies). */
+  def drainSorted(): (Array[Long], Array[Double]) =
+    TopK.sorted(java.util.Arrays.copyOf(hi, n), java.util.Arrays.copyOf(hd, n))
+
+  def size: Int = n
+}
+
 /** Accumulated top-k state: parallel arrays sorted by (dist, id), length <= k. */
 final case class TopKBuffer(ids: Array[Long], dists: Array[Double])
 

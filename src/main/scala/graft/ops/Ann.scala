@@ -154,55 +154,20 @@ object Ann {
       .mapPartitions { it =>
         val qs = bq.value
         val nq = qs.length
-        // per-query bounded max-heap of (dist, id): root = current worst,
-        // replaced when a strictly better (smaller (dist, id)) pair shows
-        val hd = Array.ofDim[Double](nq, k)
-        val hi = Array.ofDim[Long](nq, k)
-        val sizes = new Array[Int](nq)
-        @inline def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
-          d1 > d2 || (d1 == d2 && i1 > i2)
-        def push(qi: Int, d: Double, id: Long): Unit = {
-          val ds = hd(qi); val ids = hi(qi)
-          if (sizes(qi) < k) {
-            var c = sizes(qi); ds(c) = d; ids(c) = id; sizes(qi) = c + 1
-            while (c > 0 && worse(ds(c), ids(c), ds((c - 1) / 2), ids((c - 1) / 2))) {
-              val p = (c - 1) / 2
-              val td = ds(c); ds(c) = ds(p); ds(p) = td
-              val ti = ids(c); ids(c) = ids(p); ids(p) = ti
-              c = p
-            }
-          } else if (worse(ds(0), ids(0), d, id)) {
-            ds(0) = d; ids(0) = id
-            var c = 0
-            var done = false
-            while (!done) {
-              val l = 2 * c + 1; val r = l + 1
-              var m = c
-              if (l < k && worse(ds(l), ids(l), ds(m), ids(m))) m = l
-              if (r < k && worse(ds(r), ids(r), ds(m), ids(m))) m = r
-              if (m == c) done = true
-              else {
-                val td = ds(c); ds(c) = ds(m); ds(m) = td
-                val ti = ids(c); ids(c) = ids(m); ids(m) = ti
-                c = m
-              }
-            }
-          }
-        }
+        // per-query bounded (dist, id) max-heap — shared scan kernel
+        val heaps = Array.fill(nq)(new graft.functions.BoundedTopK(k))
         while (it.hasNext) {
           val (id, v, ts) = it.next()
           var qi = 0
           while (qi < nq) {
             val q = qs(qi)
-            if (ts >= q._3 - q._4 && ts <= q._3) push(qi, distFn(q._2, v), id)
+            if (ts >= q._3 - q._4 && ts <= q._3) heaps(qi).offer(distFn(q._2, v), id)
             qi += 1
           }
         }
         // drain each heap to a (dist, id)-ascending list partial
         Iterator.range(0, nq).map { qi =>
-          val n = sizes(qi)
-          val (ids, ds) = graft.functions.TopK.sorted(
-            java.util.Arrays.copyOf(hi(qi), n), java.util.Arrays.copyOf(hd(qi), n))
+          val (ids, ds) = heaps(qi).drainSorted()
           PartialList(qs(qi)._1, ids, ds)
         }
       }

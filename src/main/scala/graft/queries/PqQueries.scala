@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Pq
+
+/**
+ * Product-quantization entries under the hard DuckDB gate. The model fit
+ * is seeded and deterministic, so the entry materializes the codebooks
+ * (`ann_pq_cb`: sub, code, cvec) and the exploded code assignments
+ * (`ann_pq_codes`: id, sub, code) as aux parquet, and the oracle REPLAYS
+ * asymmetric distance computation in SQL: per-subspace squared-L2 from
+ * the query slice to the assigned codeword (ordered list_zip sum = the
+ * engine's sequential-double sub-kernel), folded across subspaces with
+ * `list_sum(list(subdist ORDER BY sub))` (= the engine's subspace-order
+ * accumulation), then top-k by (dist, id). `ann_pq_rerank` extends the
+ * replay with the exact-L2 re-rank of the ADC shortlist — both stages of
+ * the IVFADC+R pipeline are hash-compared, not just row-counted.
+ */
+object PqQueries {
+  val K = 10
+  val Dim = 64
+  val NumSub = 16
+  val SubDim: Int = Dim / NumSub
+  val CodesPerSub = 256
+  val Iterations = 8
+  val Seed = 42L
+  val Shortlist = 50
+
+  private val fitted =
+    scala.collection.concurrent.TrieMap.empty[String, Pq.PqModel]
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id") % VectorQueries.QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  private def model(s: SparkSession, dir: String): Pq.PqModel =
+    fitted.getOrElseUpdate(dir, {
+      val sample = Tables(s, dir, "embeddings").limit(5000)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Pq.fit(sample, NumSub, CodesPerSub, Iterations, Seed)
+    })
+
+  /** Materialize codebooks + codes aux, return the model and the code
+   * table read back from the aux bytes (the gate consumes exactly what
+   * the oracle replays). */
+  private def prepare(s: SparkSession, dir: String): (Pq.PqModel, DataFrame) = {
+    import s.implicits._
+    val m = model(s, dir)
+    val cbRows = for {
+      sub <- 0 until m.numSub
+      code <- 0 until m.codesPerSub
+    } yield (sub, code, m.codebooks(sub)(code).toSeq)
+    OracleAux.write(cbRows.toDF("sub", "code", "cvec"), dir, "ann_pq_cb")
+    val codes = Pq.encodeDf(corpus(s, dir), m)
+    OracleAux.write(codes.select(col("id"),
+      posexplode(col("codes")).as(Seq("sub", "code"))), dir, "ann_pq_codes")
+    val back = OracleAux.read(s, dir, "ann_pq_codes")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        c => c.getField("code")).as("codes"))
+    (m, back)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> { (s, dir) =>
+      val (m, codes) = prepare(s, dir)
+      Pq.search(codes, queriesDf(s, dir), m, K)
+    },
+    "ann_pq_rerank" -> { (s, dir) =>
+      val (m, codes) = prepare(s, dir)
+      Pq.searchReranked(codes, corpus(s, dir), queriesDf(s, dir), m, K, Shortlist)
+    })
+
+  /** ADC replay: subdist = ordered zip-sum over the 4-dim slice,
+   * dist = ordered fold across subspaces — both plain left folds, so
+   * they reproduce the engine's double accumulation bit-for-bit. */
+  private def adcCte: String =
+    s"""cb AS (SELECT * FROM ${OracleAux.ref("ann_pq_cb")}),
+       |c AS (SELECT * FROM ${OracleAux.ref("ann_pq_codes")}),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+       |sd AS (SELECT q.qid, c.id, c.sub,
+       |  list_sum([(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |      * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |    for x in list_zip(
+       |      list_slice(q.qv, c.sub*$SubDim+1, c.sub*$SubDim+$SubDim),
+       |      cb.cvec)]) AS subdist
+       |  FROM q CROSS JOIN c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+       |d AS (SELECT qid, id, list_sum(list(subdist ORDER BY sub)) AS dist
+       |  FROM sd GROUP BY qid, id),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)"""
+      .stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "ann_pq" ->
+      s"""WITH $adcCte
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
+
+    "ann_pq_rerank" ->
+      s"""WITH $adcCte,
+         |short AS (SELECT qid, id FROM r WHERE rn <= $Shortlist),
+         |ex AS (SELECT s.qid, s.id,
+         |  ${VectorQueries.l2Sql("q2.embedding", "b.embedding")} AS dist
+         |  FROM short s JOIN embeddings q2 ON q2.vec_id = s.qid
+         |  JOIN embeddings b ON b.vec_id = s.id),
+         |rr AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
+         |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin)
+}

@@ -81,6 +81,36 @@ object VectorQueries {
     ranked(flat.groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk")))
   }
 
+  /** Filtered kNN (attribute predicate + vector search, every vector
+   * engine's hybrid-search surface): neighbors restricted to corpus rows
+   * sharing the query's label. The filter composes into the scan
+   * predicate BEFORE distance evaluation — at cluster scale Catalyst
+   * pushes the label equality into the broadcast-join condition, so
+   * non-matching rows never reach the distance kernel. */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+    val qf = Tables(s, dir, "embeddings").where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val pairs = base.join(broadcast(qf), col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id").as("id"),
+        Distances.l2(col("qv"), col("embedding")).as("dist"))
+    ranked(pairs.groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk")))
+  }
+
+  /** Range (radius) search: every neighbor within squared-L2 `RangeR` of
+   * the query — the fixed-radius companion to kNN (unbounded result set,
+   * no per-query state; a pure filtered cross-scan that Catalyst plans as
+   * broadcast-join + predicate, nothing driver-side). */
+  val RangeR = 1.35
+  def knnRange(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+    val pairs = base.join(broadcast(queryDf(s, dir)), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        Distances.l2(col("qv"), col("embedding")).as("dist"))
+    pairs.where(col("dist") <= RangeR)
+  }
+
   /** Near-duplicate detection on embeddings: 20 globally closest pairs by
    * cosine distance (i < j), ties by (i, j). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
@@ -169,6 +199,8 @@ object VectorQueries {
     "knn_cosine" -> knn(graft.Metric.Cosine) _,
     "knn_ttl" -> (knnTtl _),
     "knn_partitioned" -> (knnPartitioned _),
+    "knn_filtered" -> (knnFiltered _),
+    "knn_range" -> (knnRange _),
     "embed_neardup" -> (nearDupPairs _))
 
   def oracles: Map[String, String] = Map(
@@ -182,6 +214,22 @@ object VectorQueries {
     "knn_ttl" -> knnOracle(l2Sql("q.qv", "b.embedding"),
       s"b.vec_id >= q.qid - $Ttl AND b.vec_id <= q.qid"),
     "knn_partitioned" -> knnOracle(l2Sql("q.qv", "b.embedding")),
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b WHERE b.label = q.label),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
+    "knn_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $QueryMod = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b WHERE b.vec_id <> q.qid)
+         |SELECT qid, id, dist FROM d WHERE dist <= $RangeR""".stripMargin,
     "embed_neardup" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
          |${cosSql("a.embedding", "b.embedding")} AS dist
