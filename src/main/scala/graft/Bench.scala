@@ -239,7 +239,7 @@ object Bench {
     val headline = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       s"$detail\n$headline\n".getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     println(detail)
     println(headline)
     spark.stop()

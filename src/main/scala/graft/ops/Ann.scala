@@ -152,23 +152,30 @@ object Ann {
     val partials = vectors.select(col("id"), col("vec"), col("eventTime"))
       .as[(Long, Array[Float], Long)]
       .mapPartitions { it =>
-        val qs = bq.value
-        val nq = qs.length
-        // per-query bounded (dist, id) max-heap — shared scan kernel
-        val heaps = Array.fill(nq)(new graft.functions.BoundedTopK(k))
-        while (it.hasNext) {
-          val (id, v, ts) = it.next()
-          var qi = 0
-          while (qi < nq) {
-            val q = qs(qi)
-            if (ts >= q._3 - q._4 && ts <= q._3) heaps(qi).offer(distFn(q._2, v), id)
-            qi += 1
+        // empty input partitions contribute nothing to any merge — skip
+        // heap allocation and don't ship nq empty partials
+        if (!it.hasNext) Iterator.empty
+        else {
+          val qs = bq.value
+          val nq = qs.length
+          // per-query bounded (dist, id) max-heap — shared scan kernel
+          val heaps = Array.fill(nq)(new graft.functions.BoundedTopK(k))
+          while (it.hasNext) {
+            val (id, v, ts) = it.next()
+            var qi = 0
+            while (qi < nq) {
+              val q = qs(qi)
+              if (ts >= q._3 - q._4 && ts <= q._3) heaps(qi).offer(distFn(q._2, v), id)
+              qi += 1
+            }
           }
-        }
-        // drain each heap to a (dist, id)-ascending list partial
-        Iterator.range(0, nq).map { qi =>
-          val (ids, ds) = heaps(qi).drainSorted()
-          PartialList(qs(qi)._1, ids, ds)
+          // drain each heap to a (dist, id)-ascending list partial;
+          // zero-length partials carry no information for this merge
+          Iterator.range(0, nq).flatMap { qi =>
+            val (ids, ds) = heaps(qi).drainSorted()
+            if (ids.isEmpty) Iterator.empty
+            else Iterator.single(PartialList(qs(qi)._1, ids, ds))
+          }
         }
       }
     mergePartialLists(partials.toDF(), k)

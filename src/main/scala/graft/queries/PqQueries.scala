@@ -29,6 +29,8 @@ object PqQueries {
 
   private val fitted =
     scala.collection.concurrent.TrieMap.empty[String, Pq.PqModel]
+  private val prepared =
+    scala.collection.concurrent.TrieMap.empty[String, (Pq.PqModel, DataFrame)]
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -41,15 +43,21 @@ object PqQueries {
 
   private def model(s: SparkSession, dir: String): Pq.PqModel =
     fitted.getOrElseUpdate(dir, {
-      val sample = Tables(s, dir, "embeddings").limit(5000)
+      // ordered sample: limit() without a sort is not deterministic across
+      // file layouts, and the fit must be replayable run-to-run
+      val sample = Tables(s, dir, "embeddings").orderBy("vec_id").limit(5000)
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       Pq.fit(sample, NumSub, CodesPerSub, Iterations, Seed)
     })
 
   /** Materialize codebooks + codes aux, return the model and the code
    * table read back from the aux bytes (the gate consumes exactly what
-   * the oracle replays). */
-  private def prepare(s: SparkSession, dir: String): (Pq.PqModel, DataFrame) = {
+   * the oracle replays). Cached per dir: ann_pq and ann_pq_rerank share
+   * one full-corpus encode and one aux write. */
+  private def prepare(s: SparkSession, dir: String): (Pq.PqModel, DataFrame) =
+    prepared.getOrElseUpdate(dir, prepare0(s, dir))
+
+  private def prepare0(s: SparkSession, dir: String): (Pq.PqModel, DataFrame) = {
     import s.implicits._
     val m = model(s, dir)
     val cbRows = for {

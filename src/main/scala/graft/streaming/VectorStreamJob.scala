@@ -55,7 +55,8 @@ object VectorStreamJob {
    * same id with an event time <= ts that arrives in a later batch. */
   final case class Tomb(id: Long, ts: Long)
   final case class PartitionState(vecs: Array[StoredVec], tombstones: Array[Tomb],
-      maxTs: Long, seq: Long, inserted: Long, lastQueryTs: Long = Long.MinValue)
+      maxTs: Long, seq: Long, inserted: Long, lastQueryTs: Long = Long.MinValue,
+      maxDelTs: Long = Long.MinValue)
 
   final case class PartialResult(
       queryId: Long, pid: Int, numPartitionsSent: Int,
@@ -130,6 +131,7 @@ object VectorStreamJob {
     prev.tombstones.foreach(t => dead.put(t.id, t.ts))
     var maxTs = prev.maxTs
     var lastQueryTs = prev.lastQueryTs
+    var maxDelTs = prev.maxDelTs
     val out = scala.collection.mutable.ArrayBuffer.empty[PartialResult]
 
     // event-time order within the batch (the reference relies on
@@ -171,6 +173,11 @@ object VectorStreamJob {
           dead.put(ev.id,
             if (old == null) ev.eventTime
             else math.max(old.longValue(), ev.eventTime))
+          // tombstone retention clock advances on DELETE event times (the
+          // live-set eviction clock stays insert-only): a delete-heavy
+          // stream tail would otherwise freeze maxTs and grow the
+          // tombstone map unboundedly
+          if (ev.eventTime > maxDelTs) maxDelTs = ev.eventTime
         case "q" =>
           // reference fidelity (RocksDBKeyedProcessFunction.java:90-93):
           // optionally drop queries older than the last answered query.
@@ -189,9 +196,12 @@ object VectorStreamJob {
       }
     }
     // TTL eviction (V7): no future query can reach entries older than
-    // maxTs - maxTtl (queries' event times are >= maxTs going forward);
-    // tombstones age out on the same retention floor
+    // maxTs - maxTtl (queries' event times are >= maxTs going forward)
     val floor = maxTs - maxTtl
+    // tombstones age on their own clock too: a tombstone only has to
+    // outlive late inserts, which arrive within maxTtl of the newest
+    // delete even when no insert advances maxTs
+    val tombFloor = math.max(maxTs, maxDelTs) - maxTtl
     val kept = new scala.collection.mutable.ArrayBuffer[StoredVec]()
     val evicted = new scala.collection.mutable.ArrayBuffer[Long]()
     val it = live.values().iterator()
@@ -203,11 +213,11 @@ object VectorStreamJob {
     val dit = dead.entrySet().iterator()
     while (dit.hasNext) {
       val e = dit.next()
-      if (e.getValue >= floor) tombs += Tomb(e.getKey, e.getValue)
+      if (e.getValue >= tombFloor) tombs += Tomb(e.getKey, e.getValue)
     }
     (out.toArray,
       PartitionState(kept.toArray, tombs.toArray, maxTs, prev.seq + 1, 0L,
-        lastQueryTs),
+        lastQueryTs, maxDelTs),
       evicted.toArray)
   }
 

@@ -197,6 +197,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("delete-only stream tail: tombstones age on the delete clock (no unbounded growth)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 250L) { merged => merged.collect(); () }
+    // seed a live set; the insert clock freezes here (maxTs ~ 1049)
+    input.addData((0 until 50).map(i =>
+      StreamEvent("i", i.toLong, vec(i), 1000L + i, 0L, 0)): _*)
+    q.processAllAvailable()
+    def memUsed(): Long =
+      q.lastProgress.stateOperators.apply(0).memoryUsedBytes
+    // pure delete tail: distinct ids, advancing delete event times — with
+    // an insert-only retention clock every one of these tombstones would
+    // be kept forever
+    def deleteBatches(from: Int, n: Int): Unit = (0 until n).foreach { b =>
+      val base = 2000L + (from + b) * 100
+      input.addData((0 until 100).map(i =>
+        StreamEvent("d", 100000L + base + i, null, base + i, 0L, 0)): _*)
+      q.processAllAvailable()
+    }
+    deleteBatches(0, 4)
+    val early = memUsed()
+    deleteBatches(4, 16)
+    val late = memUsed()
+    assert(late <= early * 2,
+      s"tombstones must age out on the delete clock: $early -> $late")
+    q.stop()
+  }
+
   test("dropLateQueries: stale queries are dropped only when opted in (reference fidelity)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
