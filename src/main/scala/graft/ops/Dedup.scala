@@ -161,6 +161,73 @@ object Dedup {
       maxBucketSize: Int = 500): DataFrame =
     simhashPairsFromBands(simhashBands(docs), maxHamming, maxBucketSize)
 
+  /** Random-hyperplane (sign) LSH bands for embedding-cosine near-dup:
+   * (id, band, bkey) — `numBands` keys of `bitsPerBand` sign bits each,
+   * from seeded Gaussian hyperplanes (Charikar's SimHash for vectors).
+   * Two vectors at angle θ agree on one sign bit with prob 1 − θ/π, so
+   * near-parallel pairs (cosine near-dups) collide in some band with
+   * overwhelming probability while random pairs collide at ~2^-bits per
+   * band — candidate generation stays near-linear in corpus size. */
+  def embeddingBands(
+      vecs: DataFrame, // (id LONG, vec ARRAY<FLOAT>)
+      dim: Int,
+      numBands: Int = 16,
+      bitsPerBand: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(bitsPerBand <= 62, "band key must fit a Long")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planes = {
+      val r = new java.util.Random(seed)
+      Array.fill(numBands * bitsPerBand)(Array.fill(dim)(r.nextGaussian()))
+    }
+    val b = spark.sparkContext.broadcast(planes)
+    vecs.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val ps = b.value
+        (0 until numBands).map { band =>
+          var key = 0L
+          var bit = 0
+          while (bit < bitsPerBand) {
+            val p = ps(band * bitsPerBand + bit)
+            var d = 0.0
+            var i = 0
+            val n = math.min(dim, v.length)
+            while (i < n) { d += p(i) * v(i); i += 1 }
+            if (d > 0) key |= (1L << bit)
+            bit += 1
+          }
+          (id, band, key)
+        }
+      }
+      .toDF("id", "band", "bkey")
+  }
+
+  /** Embedding-cosine near-duplicate pairs from materialized band + corpus
+   * tables: one shuffle of the banded table enumerates in-bucket pairs
+   * (super-buckets dropped whole, the LSH skew guard), then the exact
+   * sequential-double cosine filter runs only on candidates. Semantics are
+   * deliberately plain-SQL-replayable: identical to a band self-join with
+   * a HAVING count <= maxBucketSize bucket filter. */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, // (id LONG, vec ARRAY<FLOAT>)
+      bands: DataFrame, // (id, band, bkey) from [[embeddingBands]]
+      maxDist: Double,
+      maxBucketSize: Int = 200): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pairs = bucketPairs(
+      bands.select(col("id"), col("band"), col("bkey"))
+        .as[(Long, Int, Long)], maxBucketSize)
+    pairs
+      .join(corpus.select(col("id").as("i"), col("vec").as("va")), "i")
+      .join(corpus.select(col("id").as("j"), col("vec").as("vb")), "j")
+      .select(col("i"), col("j"),
+        graft.functions.Distances.cosine(col("va"), col("vb")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Exact dedup at scale: keep the smallest id per identical content hash.
    * (SQL-oracled variant lives in TextQueries; this is the library form.) */
   def exact(docs: DataFrame, textCol: String = "text",

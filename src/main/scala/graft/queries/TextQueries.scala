@@ -20,6 +20,15 @@ object TextQueries {
    * (the scalable path is MinHash-LSH; the exact join is the oracle). */
   val JaccardThreshold = 0.6
   val JaccardMaxDocId = 300
+  /** Decontamination: token n-gram width + the eval-split id pattern. */
+  val DecontamGramTokens = 5
+  val DecontamEvalMod = 25
+  val DecontamEvalRem = 7
+  /** Stratified sampling: Knuth multiplicative hash salt + per-stratum
+   * keep-rates (percent). */
+  val SampleSalt = 2654435761L
+  val SampleRateEn = 20
+  val SampleRateOther = 50
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> { (s, dir) =>
@@ -109,6 +118,46 @@ object TextQueries {
       Tables(s, dir, "documents").select(
         col("doc_id"), md5(col("text")).as("fp"),
         length(col("text")).as("n_chars"))
+    },
+
+    "text_decontaminate" -> { (s, dir) =>
+      // benchmark decontamination: flag training documents sharing any
+      // token n-gram with the held-out eval split (doc_id % mod = rem —
+      // a deterministic stand-in for an external eval set). The join is
+      // hash-partitioned on the gram, so cost is driven by the (small)
+      // eval gram set, not the corpus squared — the shape a 100 TB
+      // decontamination pass needs.
+      val w = DecontamGramTokens
+      val grams = Tables(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= w)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"transform(sequence(1, size(split(text, ' ')) - ${w - 1}), " +
+            s"i -> concat_ws(' ', slice(split(text, ' '), i, $w)))")))
+          .as("gram"))
+      val ev = grams
+        .where(col("doc_id") % DecontamEvalMod === DecontamEvalRem)
+        .select(col("doc_id").as("eval_id"), col("gram"))
+      val evSizes = ev.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+      grams.where(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem)
+        .join(ev, "gram")
+        .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(evSizes), "eval_id")
+        .select(col("doc_id"), col("eval_id"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_eval")).as("eval_frac"))
+    },
+
+    "text_sample_stratified" -> { (s, dir) =>
+      // deterministic stratified sampling (language rebalancing): keep
+      // 20% of the overrepresented language, 50% of the rest, decided by
+      // a multiplicative hash of the id — reproducible on any cluster
+      // layout, no RNG state, expressible identically in plain SQL
+      val bucket = (col("doc_id") * lit(SampleSalt)) % lit(1L << 32) % 100
+      val rate = when(col("lang") === "en", SampleRateEn)
+        .otherwise(SampleRateOther)
+      Tables(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .where(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -168,5 +217,33 @@ object TextQueries {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, length(text) AS n_chars
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "text_decontaminate" -> {
+      val w = DecontamGramTokens
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest(list_distinct([array_to_string(toks[i:i+${w - 1}], ' ')
+         |    for i in range(1, len(toks) - ${w - 2})])) AS gram
+         |  FROM t WHERE len(toks) >= $w),
+         |ev AS (SELECT doc_id AS eval_id, gram FROM g
+         |  WHERE doc_id % $DecontamEvalMod = $DecontamEvalRem),
+         |es AS (SELECT eval_id, COUNT(*) AS n_eval FROM ev GROUP BY eval_id),
+         |sh AS (SELECT g.doc_id, ev.eval_id, COUNT(*) AS n_shared
+         |  FROM g JOIN ev USING (gram)
+         |  WHERE g.doc_id % $DecontamEvalMod <> $DecontamEvalRem
+         |  GROUP BY g.doc_id, ev.eval_id)
+         |SELECT doc_id, eval_id, n_shared,
+         |  CAST(n_shared AS DOUBLE) / n_eval AS eval_frac
+         |FROM sh JOIN es USING (eval_id)""".stripMargin
+    },
+
+    "text_sample_stratified" ->
+      s"""SELECT doc_id, lang, source,
+         |  doc_id * $SampleSalt % ${1L << 32} % 100 AS bucket
+         |FROM documents
+         |WHERE doc_id * $SampleSalt % ${1L << 32} % 100 <
+         |  CASE WHEN lang = 'en' THEN $SampleRateEn ELSE $SampleRateOther END"""
+        .stripMargin)
 }

@@ -111,6 +111,43 @@ object VectorQueries {
     pairs.where(col("dist") <= RangeR)
   }
 
+  // ---- embedding near-dup, banded scale path ---------------------------
+  /** Planted near-duplicates: every 20th vector gets a deterministic
+   * small-angle copy (the fixture corpus is near-uniform on the unit
+   * sphere — min natural pair distance ~0.49 — so the operator's target
+   * pairs are derived from the same table, like Bench's derived corpus). */
+  val NearDupNoise = 0.01f
+  val NearDupPlantMod = 20
+  val NearDupPlantBase = 1000000L
+  val NearDupMaxDist = 0.05
+  val NearDupMaxBucket = 200
+
+  /** Embedding-cosine near-dup at scale (the brute-force `embed_neardup`
+   * is this operator's oracle shape): random-hyperplane LSH bands bucket
+   * the corpus, candidates are enumerated per bucket in ONE shuffle, and
+   * the exact cosine filter touches candidates only. Corpus + band keys
+   * are materialized as aux parquet so the DuckDB twin replays the band
+   * self-join (with the super-bucket guard as HAVING) bit-exactly. */
+  def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = base.where(col("id") % NearDupPlantMod === 0)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val r = new java.util.Random(id * 0x9E3779B97F4A7C15L + 7)
+        (id + NearDupPlantBase,
+          v.map(x => x + NearDupNoise * r.nextGaussian().toFloat))
+      }.toDF("id", "vec")
+    OracleAux.write(base.unionAll(planted), dir, "embed_nd_corpus")
+    val corpus = OracleAux.read(s, dir, "embed_nd_corpus")
+    OracleAux.write(graft.ops.Dedup.embeddingBands(corpus, dim = 64),
+      dir, "embed_nd_bands")
+    val bands = OracleAux.read(s, dir, "embed_nd_bands")
+    graft.ops.Dedup.embeddingNearDupPairs(corpus, bands, NearDupMaxDist,
+      NearDupMaxBucket)
+  }
+
   /** Near-duplicate detection on embeddings: 20 globally closest pairs by
    * cosine distance (i < j), ties by (i, j). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
@@ -201,7 +238,8 @@ object VectorQueries {
     "knn_partitioned" -> (knnPartitioned _),
     "knn_filtered" -> (knnFiltered _),
     "knn_range" -> (knnRange _),
-    "embed_neardup" -> (nearDupPairs _))
+    "embed_neardup" -> (nearDupPairs _),
+    "embed_neardup_lsh" -> (nearDupLsh _))
 
   def oracles: Map[String, String] = Map(
     "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
@@ -234,5 +272,17 @@ object VectorQueries {
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
          |${cosSql("a.embedding", "b.embedding")} AS dist
          |FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
-         |ORDER BY dist, i, j LIMIT 20""".stripMargin)
+         |ORDER BY dist, i, j LIMIT 20""".stripMargin,
+    "embed_neardup_lsh" ->
+      s"""WITH b AS (SELECT * FROM ${OracleAux.ref("embed_nd_bands")}),
+         |sz AS (SELECT band, bkey FROM b GROUP BY band, bkey
+         |  HAVING COUNT(*) <= $NearDupMaxBucket),
+         |cand AS (SELECT DISTINCT x.id AS i, y.id AS j
+         |  FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND x.id < y.id
+         |  JOIN sz ON sz.band = x.band AND sz.bkey = x.bkey),
+         |c AS (SELECT * FROM ${OracleAux.ref("embed_nd_corpus")}),
+         |d AS (SELECT i, j, ${cosSql("a.vec", "e.vec")} AS dist
+         |  FROM cand JOIN c a ON a.id = cand.i JOIN c e ON e.id = cand.j)
+         |SELECT i, j, dist FROM d WHERE dist <= $NearDupMaxDist""".stripMargin)
 }

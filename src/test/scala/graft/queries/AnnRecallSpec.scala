@@ -99,6 +99,46 @@ class AnnRecallSpec extends AnyFunSuite {
     info(s"verified $checked close pairs (corpus of ${shs.size})")
   }
 
+  test("embed_neardup_lsh finds every planted near-dup pair and prunes the candidate space") {
+    import org.apache.spark.sql.functions.col
+    val got = VectorQueries.queries("embed_neardup_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted pairs: (id, id + PlantBase) for every id % PlantMod == 0
+    val plantedIds = Tables(spark, dir, "embeddings")
+      .where(col("vec_id") % VectorQueries.NearDupPlantMod === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    val planted = plantedIds
+      .map(id => (id, id + VectorQueries.NearDupPlantBase)).toSet
+    assert(planted.subsetOf(got),
+      s"missed planted pairs: ${planted.diff(got).take(5)}")
+    // the threshold (0.05) sits far below the corpus' natural minimum
+    // pair distance (~0.49), so nothing beyond the planted pairs passes
+    assert(got == planted, s"false near-dups: ${got.diff(planted).take(5)}")
+    // scale property: the band join must prune, not enumerate, the corpus
+    val corpus = OracleAux.read(spark, dir, "embed_nd_corpus")
+    val bands = OracleAux.read(spark, dir, "embed_nd_bands")
+    val n = corpus.count()
+    val candidates = graft.ops.Dedup.embeddingNearDupPairs(
+      corpus, bands, maxDist = Double.MaxValue).count()
+    val allPairs = n * (n - 1) / 2
+    info(s"candidates $candidates of $allPairs pairs (${
+      "%.4f".format(candidates.toDouble / allPairs)})")
+    assert(candidates.toDouble / allPairs <= 0.05,
+      s"band join degenerated to near-all-pairs: $candidates / $allPairs")
+  }
+
+  test("text_decontaminate flags only cross-split pairs with sane overlap fractions") {
+    val rows = TextQueries.queries("text_decontaminate")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture corpus has duplicated docs straddling the split")
+    rows.foreach { r =>
+      val (doc, ev, shared, frac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(ev % TextQueries.DecontamEvalMod == TextQueries.DecontamEvalRem)
+      assert(doc % TextQueries.DecontamEvalMod != TextQueries.DecontamEvalRem)
+      assert(shared >= 1 && frac > 0.0 && frac <= 1.0, s"bad row $r")
+    }
+  }
+
   test("dedup_minhash candidates cover the high-jaccard exact pairs") {
     val exactPairs = TextQueries.queries("text_jaccard_pairs")(spark, dir)
       .collect().filter(_.getDouble(2) >= 0.65)
