@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Distances, TopKAggregator}
 
@@ -148,6 +149,30 @@ object VectorQueries {
       NearDupMaxBucket)
   }
 
+  /** Offline similarity self-join (kNN-graph construction, SURVEY §7.5):
+   * for every vector its K nearest OTHER vectors — the corpus enters the
+   * brute-force kernel as both sides, so the graph build inherits its
+   * scale shape (bounded heaps per partition, k+1 rows per (node,
+   * partition) to the shuffle, no materialized cross product). At 100 TB
+   * the same call takes an [[graft.ops.Ann.search]] routed corpus
+   * instead — identical output contract. */
+  val KnnJoinK = 5
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").as("eventTime"))
+    val asQueries = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+    // k+1 then drop self: a node is its own nearest neighbor (dist 0);
+    // exact duplicates of it still surface through the extra slot
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    graft.ops.Ann.bruteForce(corpus, asQueries, KnnJoinK + 1, graft.Metric.L2)
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), row_number().over(w).as("rn"), col("id"), col("dist"))
+      .where(col("rn") <= KnnJoinK)
+  }
+
   /** Near-duplicate detection on embeddings: 20 globally closest pairs by
    * cosine distance (i < j), ties by (i, j). */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
@@ -239,7 +264,8 @@ object VectorQueries {
     "knn_filtered" -> (knnFiltered _),
     "knn_range" -> (knnRange _),
     "embed_neardup" -> (nearDupPairs _),
-    "embed_neardup_lsh" -> (nearDupLsh _))
+    "embed_neardup_lsh" -> (nearDupLsh _),
+    "knn_join" -> (knnJoin _))
 
   def oracles: Map[String, String] = Map(
     "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
@@ -284,5 +310,12 @@ object VectorQueries {
          |c AS (SELECT * FROM ${OracleAux.ref("embed_nd_corpus")}),
          |d AS (SELECT i, j, ${cosSql("a.vec", "e.vec")} AS dist
          |  FROM cand JOIN c a ON a.id = cand.i JOIN c e ON e.id = cand.j)
-         |SELECT i, j, dist FROM d WHERE dist <= $NearDupMaxDist""".stripMargin)
+         |SELECT i, j, dist FROM d WHERE dist <= $NearDupMaxDist""".stripMargin,
+    "knn_join" ->
+      s"""WITH d AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+         |  ${l2Sql("a.embedding", "b.embedding")} AS dist
+         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $KnnJoinK""".stripMargin)
 }

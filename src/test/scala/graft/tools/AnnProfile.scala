@@ -8,7 +8,10 @@ import graft.partitioners.KMeansPartitioner
 object AnnProfile {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEntry.configure(SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("GRAFT_COALESCE", "true"))
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long, Int)]
