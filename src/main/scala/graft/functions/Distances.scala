@@ -221,12 +221,26 @@ object Distances {
     case graft.Metric.Cosine => cosine(a, b)
   }
 
-  /** 4-way-unrolled float-accumulating L2 — for NAVIGATION/ROUTING uses
-   * (HNSW graph walks, k-means cell assignment) where last-ulp parity
-   * with the sequential-double oracle kernel is immaterial but the
-   * broken loop-carried dependency roughly doubles throughput. Never use
-   * where results are oracle-compared or feed lossless pruning bounds. */
-  def l2Fast(a: Array[Float], b: Array[Float]): Double = {
+  /** True when the JDK Vector API kernels are loadable (JVM started with
+   * --add-modules=jdk.incubator.vector, as this build's forked JVMs are).
+   * Probed once; a missing module surfaces as a LinkageError on first
+   * touch and flips the dispatch to the scalar kernels permanently. */
+  private val simdAvailable: Boolean =
+    try SimdKernels.l2(Array(1f, 2f), Array(1f, 2f)) == 0f
+    catch { case _: Throwable => false }
+
+  /** Float-accumulating L2 — for NAVIGATION/ROUTING uses (HNSW graph
+   * walks, k-means cell assignment, PQ codebook scans) where last-ulp
+   * parity with the sequential-double oracle kernel is immaterial but
+   * throughput is everything. Vector-API kernel when available (pinned
+   * 256-bit species — host-independent summation order, so seeded fits
+   * and graphs stay reproducible), 4-way-unrolled scalar otherwise.
+   * Never use where results are oracle-compared or feed lossless pruning
+   * bounds. */
+  def l2Fast(a: Array[Float], b: Array[Float]): Double =
+    if (simdAvailable) SimdKernels.l2(a, b).toDouble else l2FastScalar(a, b)
+
+  private[graft] def l2FastScalar(a: Array[Float], b: Array[Float]): Double = {
     val n = a.length
     var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
     var i = 0

@@ -2,6 +2,33 @@ package graft.functions
 
 import org.scalatest.funsuite.AnyFunSuite
 
+class SimdKernelsSpec extends AnyFunSuite {
+  test("SIMD l2 agrees with the scalar kernels on every dim shape (tails, < 1 lane, 0)") {
+    val rnd = new java.util.Random(7L)
+    // dims straddling the 8-lane/2x-unroll boundaries + empty
+    for (dim <- Seq(0, 1, 3, 7, 8, 9, 15, 16, 17, 31, 32, 33, 64, 100, 128)) {
+      val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val b = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val exact = Distances.l2(a, b)
+      val simd = SimdKernels.l2(a, b).toDouble
+      val scalar = Distances.l2FastScalar(a, b)
+      val tol = math.max(1e-4, exact * 1e-5)
+      assert(math.abs(simd - exact) <= tol, s"dim=$dim simd=$simd exact=$exact")
+      assert(math.abs(scalar - exact) <= tol, s"dim=$dim scalar=$scalar exact=$exact")
+      // the dispatcher runs one of the two — same tolerance contract
+      assert(math.abs(Distances.l2Fast(a, b) - exact) <= tol)
+    }
+  }
+
+  test("SIMD l2 is deterministic call-to-call (pinned species, fixed order)") {
+    val rnd = new java.util.Random(11L)
+    val a = Array.fill(128)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(128)(rnd.nextGaussian().toFloat)
+    val x = SimdKernels.l2(a, b)
+    assert((1 to 100).forall(_ => SimdKernels.l2(a, b) == x))
+  }
+}
+
 class LshSpec extends AnyFunSuite {
   test("L2Hash is deterministic under seed and matches floor((a.v+b)/r)") {
     val rnd = new java.util.Random(42L)
