@@ -129,10 +129,11 @@ object TextQueries {
       // decontamination pass needs.
       val w = DecontamGramTokens
       val grams = Tables(s, dir, "documents")
-        .where(size(split(col("text"), " ")) >= w)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= w)
         .select(col("doc_id"), explode(array_distinct(expr(
-          s"transform(sequence(1, size(split(text, ' ')) - ${w - 1}), " +
-            s"i -> concat_ws(' ', slice(split(text, ' '), i, $w)))")))
+          s"transform(sequence(1, size(toks) - ${w - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $w)))")))
           .as("gram"))
       val ev = grams
         .where(col("doc_id") % DecontamEvalMod === DecontamEvalRem)
