@@ -256,6 +256,30 @@ object Distances {
     acc.toDouble
   }
 
+  /** Sequential-double squared L2 with early abandonment: returns the
+   * EXACT l2(a, b) whenever that value is <= bound, or some value > bound
+   * otherwise. Accumulation order is identical to [[l2]] and the partial
+   * sum of squares is nondecreasing, so abandoning once it strictly
+   * exceeds the bound cannot change any admitted result — bit-exactness
+   * of a bounded top-k scan is preserved while pruned candidates stop
+   * after a fraction of the dimensions. Checked every 16 dims to keep
+   * the branch off the critical path. */
+  def l2Bounded(a: Array[Float], b: Array[Float], bound: Double): Double = {
+    val n = a.length
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val lim = math.min(n, i + 16)
+      while (i < lim) {
+        val d = a(i).toDouble - b(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      if (acc > bound) return acc
+    }
+    acc
+  }
+
   /** Pure-Scala versions (used by the in-memory stores / HNSW). */
   def l2(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0

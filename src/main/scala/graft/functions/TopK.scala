@@ -83,6 +83,11 @@ final class BoundedTopK(k: Int) {
     }
   }
 
+  /** Current admission bound: a candidate with dist STRICTLY above this
+   * can never enter (equal-dist candidates must still be offered — ties
+   * resolve on id). +Infinity until the heap holds k entries. */
+  def bound: Double = if (n < k) Double.PositiveInfinity else hd(0)
+
   /** Contents as (dist, id)-ascending parallel arrays; the heap stays
    * valid (drain copies). */
   def drainSorted(): (Array[Long], Array[Double]) =

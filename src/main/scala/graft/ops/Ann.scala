@@ -160,12 +160,24 @@ object Ann {
           val nq = qs.length
           // per-query bounded (dist, id) max-heap — shared scan kernel
           val heaps = Array.fill(nq)(new graft.functions.BoundedTopK(k))
+          // L2's partial sum of squares is nondecreasing, so candidates
+          // can abandon exactly once they exceed the heap's admission
+          // bound — results stay bit-identical (see Distances.l2Bounded);
+          // IP/cosine partials aren't monotone, no bounded kernel there
+          val l2Abandon = metric == graft.Metric.L2
           while (it.hasNext) {
             val (id, v, ts) = it.next()
             var qi = 0
             while (qi < nq) {
               val q = qs(qi)
-              if (ts >= q._3 - q._4 && ts <= q._3) heaps(qi).offer(distFn(q._2, v), id)
+              if (ts >= q._3 - q._4 && ts <= q._3) {
+                val h = heaps(qi)
+                if (l2Abandon) {
+                  val bd = h.bound
+                  val d = graft.functions.Distances.l2Bounded(q._2, v, bd)
+                  if (d <= bd) h.offer(d, id)
+                } else h.offer(distFn(q._2, v), id)
+              }
               qi += 1
             }
           }

@@ -20,6 +20,22 @@ class SimdKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("l2Bounded returns the exact distance iff within bound, else something above it") {
+    val rnd = new java.util.Random(3L)
+    for (_ <- 1 to 500) {
+      val dim = 1 + rnd.nextInt(130)
+      val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val b = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val exact = Distances.l2(a, b)
+      // bounds below, at, and above the true distance
+      for (bound <- Seq(exact * 0.3, exact, exact * 1.7, Double.PositiveInfinity)) {
+        val r = Distances.l2Bounded(a, b, bound)
+        if (exact <= bound) assert(r == exact, s"dim=$dim bound=$bound")
+        else assert(r > bound, s"dim=$dim bound=$bound r=$r exact=$exact")
+      }
+    }
+  }
+
   test("SIMD l2 is deterministic call-to-call (pinned species, fixed order)") {
     val rnd = new java.util.Random(11L)
     val a = Array.fill(128)(rnd.nextGaussian().toFloat)
