@@ -227,7 +227,7 @@ object Distances {
    * touch and flips the dispatch to the scalar kernels permanently. */
   private val simdAvailable: Boolean =
     try SimdKernels.l2(Array(1f, 2f), Array(1f, 2f)) == 0f
-    catch { case _: Throwable => false }
+    catch { case _: LinkageError => false }
 
   /** Float-accumulating L2 — for NAVIGATION/ROUTING uses (HNSW graph
    * walks, k-means cell assignment, PQ codebook scans) where last-ulp
