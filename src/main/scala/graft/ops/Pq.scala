@@ -247,8 +247,14 @@ object Pq {
   def searchReranked(codes: DataFrame, vectors: DataFrame, queries: DataFrame,
       model: PqModel, k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
-    val short = search(codes, queries, model, shortlist).select("qid", "id")
-    val exact = short
+    rerankExact(search(codes, queries, model, shortlist), vectors, queries, k)
+  }
+
+  /** Exact-L2 re-rank of a (qid, id) shortlist against the raw vectors —
+   * the +R stage shared by flat-PQ and IVF-PQ search. */
+  def rerankExact(shortlist: DataFrame, vectors: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val exact = shortlist.select("qid", "id")
       .join(vectors.select(col("id"), col("vec")), "id")
       .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
       .select(col("qid"), col("id"), Distances.l2(col("qv"), col("vec")).as("dist"))
@@ -259,5 +265,52 @@ object Pq {
         col("topk.dists").as("dist"))))
       .select(col("qid"), (col("pos") + 1).as("rn"),
         col("col.id").as("id"), col("col.dist").as("dist"))
+  }
+
+  /** IVF-PQ: the ADC scan restricted to routed cells — the composition a
+   * 100 TB ANN deployment actually runs (Jegou et al. §V, IVFADC): a
+   * coarse quantizer (here [[graft.partitioners.KMeansPartitioner]])
+   * assigns every code row to a cell, queries probe their nearest cells,
+   * and the compressed-domain scan touches only probed cells instead of
+   * the full corpus. Spark shape: cogroup on cell id — per cell, one ADC
+   * table per probing query, bounded (dist, id) heaps over the cell's
+   * code rows, k rows per (query, cell) to the shuffle, global list
+   * merge. Nothing driver-side; the cell fan-out IS the cluster fan-out.
+   *
+   * @param routedCodes   (pid INT, id LONG, codes ARRAY<INT>)
+   * @param routedQueries (pid INT, qid LONG, qv ARRAY<FLOAT>)
+   */
+  def searchRoutedAdc(routedCodes: DataFrame, routedQueries: DataFrame,
+      model: PqModel, k: Int): DataFrame = {
+    val spark = routedCodes.sparkSession
+    import spark.implicits._
+    val bm = spark.sparkContext.broadcast(model)
+    val partials = routedCodes.select(col("pid"), col("id"), col("codes"))
+      .as[(Int, Long, Array[Int])]
+      .groupByKey(_._1)
+      .cogroup(routedQueries.select(col("pid"), col("qid"), col("qv"))
+        .as[(Int, Long, Array[Float])].groupByKey(_._1)) { (_, dataIt, queryIt) =>
+        val qs = queryIt.toArray.sortBy(_._2)
+        if (qs.isEmpty || !dataIt.hasNext) Iterator.empty
+        else {
+          val m = bm.value
+          val nq = qs.length
+          val tables = qs.map(q => m.adcTable(q._3))
+          val heaps = Array.fill(nq)(new graft.functions.BoundedTopK(k))
+          dataIt.foreach { case (_, id, cs) =>
+            var qi = 0
+            while (qi < nq) {
+              heaps(qi).offer(m.adcDistance(tables(qi), cs), id)
+              qi += 1
+            }
+          }
+          Iterator.range(0, nq).flatMap { qi =>
+            val (ids, ds) = heaps(qi).drainSorted()
+            if (ids.isEmpty) Iterator.empty
+            else Iterator.single(Ann.PartialList(qs(qi)._2, ids, ds))
+          }
+        }
+      }
+    Ann.mergePartialLists(partials.toDF(), k)
   }
 }

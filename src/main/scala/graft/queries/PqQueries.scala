@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Pq
+import graft.partitioners.KMeansPartitioner
 
 /**
  * Product-quantization entries under the hard DuckDB gate. The model fit
@@ -75,6 +76,45 @@ object PqQueries {
     (m, back)
   }
 
+  // IVF-PQ coarse quantizer: cells scale with corpus (n/cell bounded),
+  // probes trade recall for scan fraction — both fixed here for replay
+  val IvfCells = 16
+  val IvfProbes = 6
+  val IvfSeed = 42L
+
+  private val ivfPrep =
+    scala.collection.concurrent.TrieMap.empty[String, (Pq.PqModel, DataFrame, DataFrame)]
+
+  /** Route the code column through a seeded k-means coarse quantizer,
+   * materialize the routing as aux parquet ((pid, id) / (pid, qid)), and
+   * hand back (model, routed codes, routed queries) — both routed sides
+   * read back from the aux bytes the oracle replays. Cached per dir:
+   * ann_ivf_pq and ann_ivf_pq_rerank share one routing pass. */
+  private def ivfPrepare(s: SparkSession, dir: String): (Pq.PqModel, DataFrame, DataFrame) =
+    ivfPrep.getOrElseUpdate(dir, {
+      import s.implicits._
+      val (m, codes) = prepare(s, dir)
+      val sample = Tables(s, dir, "embeddings").orderBy("vec_id").limit(5000)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val km = KMeansPartitioner.fit(sample, k = IvfCells, replicationFactor = 1,
+        iterations = 8, seed = IvfSeed, queryProbes = IvfProbes)
+      val b = s.sparkContext.broadcast(km)
+      val dr = corpus(s, dir).as[(Long, Array[Float])]
+        .flatMap { case (id, v) => b.value.dataPartitions(v, id).map(pid => (pid, id)) }
+        .toDF("pid", "id")
+      OracleAux.write(dr, dir, "ann_ivf_pq_dr")
+      val qr = queriesDf(s, dir).as[(Long, Array[Float])]
+        .flatMap { case (qid, v) => b.value.queryPartitions(v).map(pid => (pid, qid)) }
+        .toDF("pid", "qid")
+      OracleAux.write(qr, dir, "ann_ivf_pq_qr")
+      val drCodes = OracleAux.read(s, dir, "ann_ivf_pq_dr").join(codes, "id")
+        .select(col("pid"), col("id"), col("codes"))
+      val qrBack = OracleAux.read(s, dir, "ann_ivf_pq_qr")
+        .join(broadcast(queriesDf(s, dir)), "qid")
+        .select(col("pid"), col("qid"), col("qv"))
+      (m, drCodes, qrBack)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> { (s, dir) =>
       val (m, codes) = prepare(s, dir)
@@ -83,6 +123,15 @@ object PqQueries {
     "ann_pq_rerank" -> { (s, dir) =>
       val (m, codes) = prepare(s, dir)
       Pq.searchReranked(codes, corpus(s, dir), queriesDf(s, dir), m, K, Shortlist)
+    },
+    "ann_ivf_pq" -> { (s, dir) =>
+      val (m, drCodes, qr) = ivfPrepare(s, dir)
+      Pq.searchRoutedAdc(drCodes, qr, m, K)
+    },
+    "ann_ivf_pq_rerank" -> { (s, dir) =>
+      val (m, drCodes, qr) = ivfPrepare(s, dir)
+      Pq.rerankExact(Pq.searchRoutedAdc(drCodes, qr, m, Shortlist),
+        corpus(s, dir), queriesDf(s, dir), K)
     })
 
   /** ADC replay: subdist = ordered zip-sum over the 4-dim slice,
@@ -106,10 +155,50 @@ object PqQueries {
        |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)"""
       .stripMargin
 
+  /** ADC replay restricted to the routed candidate set: cells joined from
+   * the materialized (pid, id)/(pid, qid) aux — the oracle sees exactly
+   * the probed-cell fan-out the engine executed. */
+  private def routedAdcCte: String =
+    s"""cb AS (SELECT * FROM ${OracleAux.ref("ann_pq_cb")}),
+       |c AS (SELECT * FROM ${OracleAux.ref("ann_pq_codes")}),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+       |dr AS (SELECT * FROM ${OracleAux.ref("ann_ivf_pq_dr")}),
+       |qr AS (SELECT * FROM ${OracleAux.ref("ann_ivf_pq_qr")}),
+       |cand AS (SELECT DISTINCT qr.qid, dr.id FROM qr JOIN dr ON qr.pid = dr.pid),
+       |sd AS (SELECT q.qid, c.id, c.sub,
+       |  list_sum([(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |      * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |    for x in list_zip(
+       |      list_slice(q.qv, c.sub*$SubDim+1, c.sub*$SubDim+$SubDim),
+       |      cb.cvec)]) AS subdist
+       |  FROM cand n JOIN q ON q.qid = n.qid JOIN c ON c.id = n.id
+       |  JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+       |d AS (SELECT qid, id, list_sum(list(subdist ORDER BY sub)) AS dist
+       |  FROM sd GROUP BY qid, id),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
     "ann_pq" ->
       s"""WITH $adcCte
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
+
+    "ann_ivf_pq" ->
+      s"""WITH $routedAdcCte
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
+
+    "ann_ivf_pq_rerank" ->
+      s"""WITH $routedAdcCte,
+         |short AS (SELECT qid, id FROM r WHERE rn <= $Shortlist),
+         |ex AS (SELECT s.qid, s.id,
+         |  ${VectorQueries.l2Sql("q2.embedding", "b.embedding")} AS dist
+         |  FROM short s JOIN embeddings q2 ON q2.vec_id = s.qid
+         |  JOIN embeddings b ON b.vec_id = s.id),
+         |rr AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
+         |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin,
 
     "ann_pq_rerank" ->
       s"""WITH $adcCte,

@@ -120,6 +120,34 @@ object TextQueries {
         length(col("text")).as("n_chars"))
     },
 
+    "text_repetition" -> { (s, dir) =>
+      // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+      // duplicated-token fraction and the share of the most frequent word
+      // bigram — high values flag boilerplate/spam. Row-local explode +
+      // two-level aggregation; nothing crosses documents, so the pass is
+      // embarrassingly parallel at any corpus size.
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+      val top = t.where(col("n_tokens") >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_bigram_count"))
+      t.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .as("dup_token_frac"),
+          coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+          when(col("n_tokens") >= 2,
+            col("top_bigram_count").cast("double") / (col("n_tokens") - 1))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+    },
+
     "text_decontaminate" -> { (s, dir) =>
       // benchmark decontamination: flag training documents sharing any
       // token n-gram with the held-out eval split (doc_id % mod = rem —
@@ -219,6 +247,25 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, length(text) AS n_chars
         |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct FROM t),
+        |bg AS (SELECT doc_id,
+        |  unnest([toks[i] || ' ' || toks[i+1]
+        |    for i in generate_series(1, len(toks) - 1)]) AS bigram
+        |  FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bc GROUP BY 1)
+        |SELECT s.doc_id, n_tokens, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+        |  COALESCE(top_bigram_count, 0) AS top_bigram_count,
+        |  CASE WHEN n_tokens >= 2
+        |    THEN CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1)
+        |    ELSE 0.0 END AS top_bigram_frac
+        |FROM s LEFT JOIN bm USING (doc_id)""".stripMargin,
 
     "text_decontaminate" -> {
       val w = DecontamGramTokens

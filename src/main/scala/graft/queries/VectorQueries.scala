@@ -130,6 +130,19 @@ object VectorQueries {
    * are materialized as aux parquet so the DuckDB twin replays the band
    * self-join (with the super-bucket guard as HAVING) bit-exactly. */
   def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = ndCorpus(s, dir)
+    OracleAux.write(graft.ops.Dedup.embeddingBands(corpus, dim = 64),
+      dir, "embed_nd_bands")
+    val bands = OracleAux.read(s, dir, "embed_nd_bands")
+    graft.ops.Dedup.embeddingNearDupPairs(corpus, bands, NearDupMaxDist,
+      NearDupMaxBucket)
+  }
+
+  /** The near-dup test corpus: base embeddings plus deterministic planted
+   * near-duplicates (Gaussian noise seeded by id), materialized as aux so
+   * the oracle replays the exact floats. Shared by the LSH-banded and the
+   * semantic (k-means-cell) near-dup entries. */
+  private def ndCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -141,12 +154,44 @@ object VectorQueries {
           v.map(x => x + NearDupNoise * r.nextGaussian().toFloat))
       }.toDF("id", "vec")
     OracleAux.write(base.unionAll(planted), dir, "embed_nd_corpus")
-    val corpus = OracleAux.read(s, dir, "embed_nd_corpus")
-    OracleAux.write(graft.ops.Dedup.embeddingBands(corpus, dim = 64),
-      dir, "embed_nd_bands")
-    val bands = OracleAux.read(s, dir, "embed_nd_bands")
-    graft.ops.Dedup.embeddingNearDupPairs(corpus, bands, NearDupMaxDist,
-      NearDupMaxBucket)
+    OracleAux.read(s, dir, "embed_nd_corpus")
+  }
+
+  val SemClusters = 16
+  val SemMaxCell = 2000
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+   * cluster the embedding space with seeded k-means, then run the exact
+   * cosine near-dup filter only on within-cell pairs — candidate volume
+   * drops from n² to Σ|cell|², and at 100 TB the cell count scales with
+   * the corpus so cells stay bounded (cap guard mirrors the dedup band
+   * cap). rf = 1 means each id lives in exactly one cell, so pairs are
+   * unique without a distinct. The cluster assignment is materialized as
+   * aux parquet and the oracle replays the within-cell self-join + cosine
+   * threshold in SQL. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = ndCorpus(s, dir)
+    val sample = corpus.orderBy("id").limit(5000)
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    val km = graft.partitioners.KMeansPartitioner.fit(sample, k = SemClusters,
+      replicationFactor = 1, iterations = 8, seed = 42L, queryProbes = 1)
+    val b = s.sparkContext.broadcast(km)
+    val assign = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) => b.value.dataPartitions(v, id).map(pid => (pid, id)) }
+      .toDF("pid", "id")
+    OracleAux.write(assign, dir, "dedup_semantic_clusters")
+    val back = OracleAux.read(s, dir, "dedup_semantic_clusters")
+    val ok = back.groupBy("pid").count()
+      .where(col("count") <= SemMaxCell).select("pid")
+    val kept = back.join(broadcast(ok), "pid")
+    kept.as("x").join(kept.as("y"),
+        col("x.pid") === col("y.pid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"))
+      .join(corpus.select(col("id").as("i"), col("vec").as("va")), "i")
+      .join(corpus.select(col("id").as("j"), col("vec").as("vb")), "j")
+      .select(col("i"), col("j"), Distances.cosine(col("va"), col("vb")).as("dist"))
+      .where(col("dist") <= NearDupMaxDist)
   }
 
   /** Offline similarity self-join (kNN-graph construction, SURVEY §7.5):
@@ -265,6 +310,7 @@ object VectorQueries {
     "knn_range" -> (knnRange _),
     "embed_neardup" -> (nearDupPairs _),
     "embed_neardup_lsh" -> (nearDupLsh _),
+    "dedup_semantic" -> (dedupSemantic _),
     "knn_join" -> (knnJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -310,6 +356,16 @@ object VectorQueries {
          |c AS (SELECT * FROM ${OracleAux.ref("embed_nd_corpus")}),
          |d AS (SELECT i, j, ${cosSql("a.vec", "e.vec")} AS dist
          |  FROM cand JOIN c a ON a.id = cand.i JOIN c e ON e.id = cand.j)
+         |SELECT i, j, dist FROM d WHERE dist <= $NearDupMaxDist""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH c AS (SELECT * FROM ${OracleAux.ref("dedup_semantic_clusters")}),
+         |e AS (SELECT * FROM ${OracleAux.ref("embed_nd_corpus")}),
+         |ok AS (SELECT pid FROM c GROUP BY pid HAVING COUNT(*) <= $SemMaxCell),
+         |kept AS (SELECT c.* FROM c JOIN ok USING (pid)),
+         |p AS (SELECT x.id AS i, y.id AS j
+         |  FROM kept x JOIN kept y ON x.pid = y.pid AND x.id < y.id),
+         |d AS (SELECT i, j, ${cosSql("a.vec", "b.vec")} AS dist
+         |  FROM p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j)
          |SELECT i, j, dist FROM d WHERE dist <= $NearDupMaxDist""".stripMargin,
     "knn_join" ->
       s"""WITH d AS (SELECT a.vec_id AS qid, b.vec_id AS id,

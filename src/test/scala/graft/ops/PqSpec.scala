@@ -93,6 +93,51 @@ class PqSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("routed ADC (IVF-PQ) == local reference over the routed candidate set; recall holds") {
+    import spark.implicits._
+    val data = mkData(1500, 6L)
+    val m = Pq.fit(data, NumSub, codesPerSub = 64, iterations = 8, seed = 7L)
+    val km = graft.partitioners.KMeansPartitioner.fit(data, k = 8,
+      replicationFactor = 1, iterations = 8, seed = 11L, queryProbes = 3)
+    val vecs = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val codes = vecs.map { case (id, v) => (id, m.encode(v)) }.toMap
+    val qs = (0 until 30).map(i => (10000L + i, data(i * 47)))
+
+    val dr = vecs.flatMap { case (id, v) =>
+      km.dataPartitions(v, id).map(pid => (pid, id, codes(id))) }
+    val qr = qs.flatMap { case (qid, qv) =>
+      km.queryPartitions(qv).map(pid => (pid, qid, qv)) }
+    val got = Pq.searchRoutedAdc(dr.toSeq.toDF("pid", "id", "codes").repartition(8),
+        qr.toDF("pid", "qid", "qv"), m, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    // local reference: ADC distance over exactly the ids sharing a probed cell
+    val cellIds = dr.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2).toSet }
+    val want = qs.flatMap { case (qid, qv) =>
+      val cand = km.queryPartitions(qv).flatMap(p => cellIds.getOrElse(p, Set.empty)).distinct
+      val table = m.adcTable(qv)
+      cand.map(id => (id, m.adcDistance(table, codes(id))))
+        .sortBy { case (id, d) => (d, id) }.take(10).zipWithIndex
+        .map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }.toSet
+    assert(got == want)
+
+    // recall vs FULL-SCAN ADC isolates the routing loss from the
+    // quantization loss: on clustered data each query's ADC-nearest ids
+    // share its cluster's cell, so probing 3/8 cells keeps most of them
+    val gotIds = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    val fullAdc = qs.map { case (qid, qv) =>
+      val table = m.adcTable(qv)
+      qid -> vecs.map { case (id, _) => (id, m.adcDistance(table, codes(id))) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val recall = qs.map { case (qid, _) =>
+      (gotIds.getOrElse(qid, Set.empty[Long]) & fullAdc(qid)).size / 10.0
+    }.sum / qs.length
+    assert(recall >= 0.8, s"routed-vs-full ADC recall $recall")
+  }
+
   test("reranked recall@10 >= 0.9 vs exact kNN (shortlist 10x k)") {
     import spark.implicits._
     val data = mkData(2000, 5L)

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** Engine-side regression gates for the training-data-pipeline entries
+ * that the DuckDB twin can only replay (not independently derive):
+ * semantic-dedup must actually FIND the planted near-duplicates, and the
+ * repetition signals must match a hand computation on real fixture rows. */
+class PipelineQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkEntry.configure(SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_semantic recovers >= 90% of planted near-dup pairs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val pairs = VectorQueries.queries("dedup_semantic")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id")
+        % VectorQueries.NearDupPlantMod === 0)
+      .select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + VectorQueries.NearDupPlantBase))
+    val found = planted.count(pairs.contains)
+    assert(planted.nonEmpty)
+    assert(found.toDouble / planted.length >= 0.9,
+      s"found $found of ${planted.length} planted pairs")
+  }
+
+  test("text_repetition matches a hand computation on fixture rows") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val got = TextQueries.queries("text_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length == got.size)
+    docs.take(25).foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val nd = toks.distinct.length
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val topc = if (n >= 2) bigrams.groupBy(identity).values.map(_.size).max else 0
+      val (gn, gnd, gdup, gtop, gfrac) = got(id)
+      assert(gn == n && gnd == nd && gtop == topc.toLong, s"doc $id")
+      assert(gdup == 1.0 - nd.toDouble / n, s"doc $id dup frac")
+      assert(gfrac == (if (n >= 2) topc.toDouble / (n - 1) else 0.0), s"doc $id bigram frac")
+    }
+  }
+}
