@@ -23,7 +23,8 @@ object PlanCheck {
       "q11_interval_join", "knn_l2", "knn_ttl", "text_jaccard_pairs",
       "dedup_minhash", "knn_coldtier", "ann_sfc_adaptive",
       "embed_neardup_lsh", "text_decontaminate", "text_sample_stratified",
-      "knn_join").foreach(check)
+      "knn_join", "ann_ivf_pq", "ann_ivf_pq_rerank", "dedup_semantic",
+      "text_repetition").foreach(check)
     spark.stop()
   }
 }
