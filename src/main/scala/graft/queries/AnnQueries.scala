@@ -138,11 +138,54 @@ object AnnQueries {
   private val fitted =
     scala.collection.concurrent.TrieMap.empty[(String, String), TemporalPartitionerModel]
 
+  /** Hybrid (attribute-filtered) ANN through the routed path: the label
+   * is folded into a composite partition key (pid * numLabels + label),
+   * so the attribute predicate becomes partition PRUNING — each query
+   * only ever cogroups with same-label cells — instead of post-filtering
+   * an unfiltered top-k (which loses recall when matches are scarce).
+   * This is the shape a filtered vector search needs at 100 TB: the
+   * filter reaches the shuffle key, not a downstream operator. The
+   * standard routed-oracle replay gates it unchanged, because candidates
+   * sharing a composite pid share the label by construction. */
+  private def ivfFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "ann_ivf_filtered"
+    // 10/16 probes: the label filter thins each cell to ~1/numLabels of
+    // its population, so filtered truth needs a wider probe set than
+    // plain ann_ivf's 8 to clear the same recall bar
+    val km = fitted.getOrElseUpdate((name, dir), KMeansPartitioner.fit(
+      sample(s, dir), k = 16, replicationFactor = 1, iterations = 8,
+      seed = 42L, queryProbes = 10))
+    val nLabels = Tables(s, dir, "embeddings")
+      .agg(max(col("label"))).first().getInt(0) + 1
+    val b = s.sparkContext.broadcast(km)
+    val dr = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (id, v, lab) =>
+        b.value.dataPartitions(v, id, id).map(pid =>
+          Ann.VecRow(pid * nLabels + lab, id, id, v)) }
+    val qr = Tables(s, dir, "embeddings")
+      .where(col("vec_id") % VectorQueries.QueryMod === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+      .flatMap { case (qid, v, lab) =>
+        b.value.queryPartitions(v, Long.MaxValue / 2, Long.MaxValue / 2)
+          .map(pid => Ann.QueryRow(pid * nLabels + lab, qid,
+            Long.MaxValue / 2, Long.MaxValue / 2, v)) }
+    dr.persist(); qr.persist()
+    graft.CacheRegistry.retain(s"ann:$name:$dir", Seq(dr.toDF(), qr.toDF()))
+    OracleAux.write(dr.select(col("pid"), col("id")), dir, s"${name}_dr")
+    OracleAux.write(qr.select(col("pid"), col("qid")), dir, s"${name}_qr")
+    Ann.searchRouted(dr, qr, K, Metric.L2, useHnsw = false)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     models.map { case (name, mk) =>
       name -> ((s: SparkSession, dir: String) =>
         gated(name, s, dir, fitted.getOrElseUpdate((name, dir), mk(s, dir))))
     } ++ Map[String, (SparkSession, String) => DataFrame](
+      "ann_ivf_filtered" -> (ivfFiltered _),
       "dedup_minhash" -> { (s, dir) =>
         // signatures are materialized as the aux table, then read back:
         // the pair generation consumes exactly the bytes the oracle
@@ -171,6 +214,7 @@ object AnnQueries {
 
   def oracles: Map[String, String] =
     models.keys.map(name => name -> routedOracle(name)).toMap ++ Map(
+      "ann_ivf_filtered" -> routedOracle("ann_ivf_filtered"),
       "dedup_minhash" ->
         s"""WITH s AS (SELECT * FROM ${OracleAux.ref("dedup_minhash_sig")}),
            |b AS (SELECT * FROM ${OracleAux.ref("dedup_minhash_bands")}),

@@ -24,6 +24,8 @@ object TextQueries {
   val DecontamGramTokens = 5
   val DecontamEvalMod = 25
   val DecontamEvalRem = 7
+  /** Corpus-derived stopword list size (top-N tokens by frequency). */
+  val StopwordN = 5
   /** Stratified sampling: Knuth multiplicative hash salt + per-stratum
    * keep-rates (percent). */
   val SampleSalt = 2654435761L
@@ -148,6 +150,28 @@ object TextQueries {
             .otherwise(lit(0.0)).as("top_bigram_frac"))
     },
 
+    "text_stopwords" -> { (s, dir) =>
+      // Gopher's stop-word quality rule with a corpus-derived list: the
+      // StopwordN most frequent tokens (ties by token) are the stopwords,
+      // and each document reports its stopword occurrence fraction. The
+      // corpus pass is one aggregation producing a tiny broadcast list —
+      // global-vocabulary stats feeding a per-doc feature, the dataflow a
+      // 100 TB quality-filter pass uses.
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(StopwordN)
+        .select("tok")
+      val stops = toks.join(broadcast(top), "tok")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
+      toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+        .join(stops, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_stop"), lit(0L)).as("n_stop"),
+          (coalesce(col("n_stop"), lit(0L)).cast("double") / col("n_tokens"))
+            .as("stop_frac"))
+    },
+
     "text_decontaminate" -> { (s, dir) =>
       // benchmark decontamination: flag training documents sharing any
       // token n-gram with the held-out eval split (doc_id % mod = rem —
@@ -266,6 +290,18 @@ object TextQueries {
         |    THEN CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1)
         |    ELSE 0.0 END AS top_bigram_frac
         |FROM s LEFT JOIN bm USING (doc_id)""".stripMargin,
+
+    "text_stopwords" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |top AS (SELECT tok FROM t GROUP BY tok
+         |  ORDER BY COUNT(*) DESC, tok LIMIT $StopwordN),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM t GROUP BY doc_id),
+         |stops AS (SELECT doc_id, COUNT(*) AS n_stop
+         |  FROM t JOIN top USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, COALESCE(n_stop, 0) AS n_stop,
+         |  CAST(COALESCE(n_stop, 0) AS DOUBLE) / n_tokens AS stop_frac
+         |FROM sizes LEFT JOIN stops USING (doc_id)""".stripMargin,
 
     "text_decontaminate" -> {
       val w = DecontamGramTokens

@@ -165,4 +165,37 @@ class PartitionersSpec extends AnyFunSuite {
         qp.sameElements(m2.versions.head.partitioner.queryPartitions(v)))
     }
   }
+
+  test("salting: recall-lossless split of skewed cells, bounded sub-partitions") {
+    // a deliberately skewed base: hash routing over 4 cells where cell 0
+    // receives ~70% of ids (k-means on clustered data behaves like this)
+    val base = new PartitionerModel {
+      override def numPartitions: Int = 4
+      override def dataPartitions(vec: Array[Float], id: Long): Array[Int] =
+        Array(if (id % 10 < 7) 0 else (id % 3).toInt + 1)
+      override def queryPartitions(vec: Array[Float]): Array[Int] =
+        Array(0, 1)
+    }
+    val ids = (0L until 2000L).toArray
+    val salted = SaltedPartitioner.fromSample(base,
+      vecs.take(2000), totalCount = 2000L, targetPerPartition = 300L)
+
+    // every salted sub-partition stays under the target (+sampling slack)
+    val counts = new Array[Long](salted.numPartitions)
+    ids.foreach { id => salted.dataPartitions(vecs((id % 2000).toInt), id)
+      .foreach(counts(_) += 1) }
+    assert(counts.max <= 360L, s"max sub-partition ${counts.max}")
+
+    // recall-safety: a query probing base cell c reaches EVERY salted
+    // sub-partition of c, so no stored vector becomes unreachable
+    ids.take(500).foreach { id =>
+      val v = vecs((id % 2000).toInt)
+      val dp = salted.dataPartitions(v, id).toSet
+      val qBase = base.queryPartitions(v).toSet
+      val dBase = base.dataPartitions(v, id).toSet
+      if (dBase.subsetOf(qBase))
+        assert(dp.subsetOf(salted.queryPartitions(v).toSet),
+          s"id $id routed to $dp, probes miss it")
+    }
+  }
 }

@@ -44,6 +44,23 @@ class AnnRecallSpec extends AnyFunSuite {
   }
   test("ann_sfc recall@10 >= 0.85") { assert(recall("ann_sfc") >= 0.85) }
 
+  // Filtered ANN routes through composite (cell, label) keys — recall is
+  // measured against the FILTERED exact truth (knn_filtered), since the
+  // label predicate changes the neighbor set.
+  test("ann_ivf_filtered recall@10 >= 0.8 vs filtered exact truth") {
+    val truth = SparkEntry.queries("knn_filtered")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+    val approx = SparkEntry.queries("ann_ivf_filtered")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+    val per = truth.map { case (qid, t) =>
+      approx.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size }
+    val r = per.sum / per.size
+    info(s"ann_ivf_filtered recall@10 = $r")
+    assert(r >= 0.8, s"filtered recall $r")
+  }
+
   // IVF-PQ probes 6/16 cells on the same near-uniform corpus, so routing
   // alone caps recall near ann_ivf's; the compressed-domain ADC ranking
   // costs a little more, and the exact re-rank wins most of that back.
