@@ -224,6 +224,36 @@ object Bench {
     // throughput: corpus build + all queries over the ANN wall time
     val vecPerSec = (nVec + nQ) / annSec
 
+    // scale sweep: double the corpus (jittered clones under fresh ids, so
+    // the cluster mixture and density are preserved) and run the same ANN
+    // section once — vectors/s holding near the 1x number is the local
+    // evidence that the cell-routed build+search scales linearly, which is
+    // the property that matters at 100x. Refit only the salting (split
+    // factors follow the corpus size); the cells are density-derived and
+    // unchanged. Reported as extra keys, NOT in the per-query totals, so
+    // round-over-round total comparisons stay apples-to-apples.
+    val idOffset = 1L << 40
+    val extra = derivedVectors(spark, sfDir)
+      .as[(Long, Array[Float], Long)]
+      .map { case (id, v, ts) =>
+        val rnd = new java.util.Random((id + idOffset) * 0x9E3779B97F4A7C15L)
+        (id + idOffset, v.map(x => x + rnd.nextGaussian().toFloat * 0.05f), ts)
+      }.toDF("id", "vec", "eventTime")
+    val vecs2 = vecs.unionAll(extra).repartition(cpus.toInt).cache()
+    val nVec2 = vecs2.count()
+    System.gc()
+    val (_, ann2Sec) = time {
+      val model2 = graft.partitioners.SaltedPartitioner.fromSample(
+        KMeansPartitioner.fit(sample, k = cpus.toInt * 2,
+          replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 8),
+        sample, nVec2, targetPerPartition = math.max(4000L, nVec2 / (cpus.toInt * 8)))
+      Ann.search(vecs2, queries, model2, 10, Metric.L2,
+          useHnsw = true, hnswM = 16, efConstruction = 48, efSearch = 64)
+        .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    }
+    vecs2.unpersist()
+    val vecPerSec2 = (nVec2 + nQ) / ann2Sec
+
     val total = results.values.filter(_ >= 0).sum
     val qs = results.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
       .mkString("{", ",", "}")
@@ -236,7 +266,7 @@ object Bench {
     val detail = s"""{"metric":"detail","reps":$reps,"warmup":1,"queries_sec":${
       results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
         .mkString("{", ",", "}")},"rep_max_over_min":$sp}"""
-    val headline = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}"""
+    val headline = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       s"$detail\n$headline\n".getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
