@@ -179,17 +179,20 @@ object Bench {
     // ANN: k-means cells + per-partition HNSW
     val sample = vecs.limit(8192).select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
-    val (model, fitSec) = time {
-      // cells + skew salting: k-means cells bound probe counts; salting
-      // splits oversized cells so no single task builds a straggler index
-      // (queries probe all sub-partitions of a probed cell — recall
-      // unaffected)
-      val cells = KMeansPartitioner.fit(sample, k = cpus.toInt * 2,
+    // cells + skew salting: k-means cells bound probe counts; salting
+    // splits oversized cells so no single task builds a straggler index
+    // (queries probe all sub-partitions of a probed cell — recall
+    // unaffected). `cells` is kept for the 2x sweep: the fit input
+    // (sample, seed) is corpus-size-independent, only the salting scales.
+    val (cells, cellsSec) = time {
+      KMeansPartitioner.fit(sample, k = cpus.toInt * 2,
         replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 8)
+    }
+    val (model, saltSec) = time {
       graft.partitioners.SaltedPartitioner.fromSample(cells, sample, nVec,
         targetPerPartition = math.max(4000L, nVec / (cpus.toInt * 8)))
     }
-    results("bench_ann_fit") = fitSec
+    results("bench_ann_fit") = cellsSec + saltSec
     // partition balance (max-avg)/avg over routed data counts — the
     // reference's balance metric
     // (LSHWithSpaceFillingPartitionFunction.java:201-209)
@@ -241,16 +244,18 @@ object Bench {
       }.toDF("id", "vec", "eventTime")
     val vecs2 = vecs.unionAll(extra).repartition(cpus.toInt).cache()
     val nVec2 = vecs2.count()
-    System.gc()
-    val (_, ann2Sec) = time {
-      val model2 = graft.partitioners.SaltedPartitioner.fromSample(
-        KMeansPartitioner.fit(sample, k = cpus.toInt * 2,
-          replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 8),
-        sample, nVec2, targetPerPartition = math.max(4000L, nVec2 / (cpus.toInt * 8)))
-      Ann.search(vecs2, queries, model2, 10, Metric.L2,
-          useHnsw = true, hnswM = 16, efConstruction = 48, efSearch = 64)
-        .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    }
+    // reuse the 1x cells (identical fit input/seed ⇒ identical centroids);
+    // only the salting depends on corpus size, and fit time stays OUTSIDE
+    // the timed block — matching the 1x methodology, where bench_ann_fit
+    // is reported separately. Min-of-2 with a GC between, also matching
+    // the 1x reps, so scaleup_efficiency compares like with like.
+    val model2 = graft.partitioners.SaltedPartitioner.fromSample(cells,
+      sample, nVec2, targetPerPartition = math.max(4000L, nVec2 / (cpus.toInt * 8)))
+    def ann2Run() = Ann.search(vecs2, queries, model2, 10, Metric.L2,
+        useHnsw = true, hnswM = 16, efConstruction = 48, efSearch = 64)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    val ann2Times = (1 to 2).map { _ => System.gc(); time(ann2Run())._2 }
+    val ann2Sec = ann2Times.min
     vecs2.unpersist()
     val vecPerSec2 = (nVec2 + nQ) / ann2Sec
 

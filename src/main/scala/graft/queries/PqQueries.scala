@@ -42,14 +42,21 @@ object PqQueries {
       .where(col("vec_id") % VectorQueries.QueryMod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
+  private val samples =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+
+  // ordered sample: limit() without a sort is not deterministic across
+  // file layouts, and the fit must be replayable run-to-run. Cached per
+  // dir — the PQ codebook fit and the IVF coarse quantizer fit share one
+  // driver-side collect.
+  private def fitSample(s: SparkSession, dir: String): Array[Array[Float]] =
+    samples.getOrElseUpdate(dir,
+      Tables(s, dir, "embeddings").orderBy("vec_id").limit(5000)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray))
+
   private def model(s: SparkSession, dir: String): Pq.PqModel =
-    fitted.getOrElseUpdate(dir, {
-      // ordered sample: limit() without a sort is not deterministic across
-      // file layouts, and the fit must be replayable run-to-run
-      val sample = Tables(s, dir, "embeddings").orderBy("vec_id").limit(5000)
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      Pq.fit(sample, NumSub, CodesPerSub, Iterations, Seed)
-    })
+    fitted.getOrElseUpdate(dir,
+      Pq.fit(fitSample(s, dir), NumSub, CodesPerSub, Iterations, Seed))
 
   /** Materialize codebooks + codes aux, return the model and the code
    * table read back from the aux bytes (the gate consumes exactly what
@@ -94,10 +101,9 @@ object PqQueries {
     ivfPrep.getOrElseUpdate(dir, {
       import s.implicits._
       val (m, codes) = prepare(s, dir)
-      val sample = Tables(s, dir, "embeddings").orderBy("vec_id").limit(5000)
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      val km = KMeansPartitioner.fit(sample, k = IvfCells, replicationFactor = 1,
-        iterations = 8, seed = IvfSeed, queryProbes = IvfProbes)
+      val km = KMeansPartitioner.fit(fitSample(s, dir), k = IvfCells,
+        replicationFactor = 1, iterations = 8, seed = IvfSeed,
+        queryProbes = IvfProbes)
       val b = s.sparkContext.broadcast(km)
       val dr = corpus(s, dir).as[(Long, Array[Float])]
         .flatMap { case (id, v) => b.value.dataPartitions(v, id).map(pid => (pid, id)) }

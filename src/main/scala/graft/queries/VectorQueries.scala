@@ -268,21 +268,25 @@ object VectorQueries {
   }
 
   /** The same kNN expressed entirely through the registered SQL surface
-   * (GraftFunctions + spark.sql window) — proves the SQL API end-to-end. */
+   * (GraftFunctions scalar expressions + the topk_merge UDAF) — proves
+   * the SQL API end-to-end. topk_merge aggregates partially map-side
+   * (k rows per query per partition reach the shuffle), unlike a
+   * row_number window which would shuffle the full query x corpus pair
+   * set — same plan shape as the DataFrame knn_l2 path. */
   def knnViaSql(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
     Tables(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
     s.sql(
-      s"""SELECT qid, rn, id, dist FROM (
-         |  SELECT qid, id, dist,
-         |         row_number() OVER (PARTITION BY qid
-         |           ORDER BY dist, id) AS rn
+      s"""SELECT qid, pos + 1 AS rn, id, topk.dists[pos] AS dist
+         |FROM (
+         |  SELECT qid, topk_merge(id, dist) AS topk
          |  FROM (
          |    SELECT q.vec_id AS qid, b.vec_id AS id,
          |           l2_distance(q.embedding, b.embedding) AS dist
          |    FROM graft_embeddings q JOIN graft_embeddings b
-         |    WHERE q.vec_id % $QueryMod = 0))
-         |WHERE rn <= $K""".stripMargin)
+         |    WHERE q.vec_id % $QueryMod = 0)
+         |  GROUP BY qid)
+         |LATERAL VIEW posexplode(topk.ids) t AS pos, id""".stripMargin)
   }
 
   /** The bounded-heap brute-force kernel ([[graft.ops.Ann.bruteForce]] —

@@ -58,4 +58,10 @@ class BruteForceSpec extends AnyFunSuite {
     val want = rows(VectorQueries.queries("knn_cosine")(spark, dir))
     assert(got == want)
   }
+
+  test("knn_sql (topk_merge SQL surface) == gated knn_l2 bit-exact") {
+    val got = rows(VectorQueries.queries("knn_sql")(spark, dir))
+    val want = rows(VectorQueries.queries("knn_l2")(spark, dir))
+    assert(got == want)
+  }
 }

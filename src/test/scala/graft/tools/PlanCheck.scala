@@ -24,7 +24,7 @@ object PlanCheck {
       "dedup_minhash", "knn_coldtier", "ann_sfc_adaptive",
       "embed_neardup_lsh", "text_decontaminate", "text_sample_stratified",
       "knn_join", "ann_ivf_pq", "ann_ivf_pq_rerank", "dedup_semantic",
-      "text_repetition").foreach(check)
+      "text_repetition", "text_stopwords").foreach(check)
     spark.stop()
   }
 }
