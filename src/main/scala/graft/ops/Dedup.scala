@@ -236,4 +236,47 @@ object Dedup {
     val keep = h.groupBy("_h").agg(min(col(idCol)).as(idCol)).select(col(idCol))
     docs.join(keep, idCol)
   }
+
+  /** Connected components over an undirected pair list (i, j) — the
+   * cluster-selection step after near-dup pair generation (a pipeline
+   * keeps one document per component). Iterative min-label propagation:
+   * each round every node adopts the smallest label in its closed
+   * neighborhood (one edge join + one groupBy per round), converging in
+   * graph-diameter rounds — near-dup components are dense clusters, so a
+   * handful. Edges and labels stay distributed throughout (no driver-side
+   * graph state), so the pass scales to any corpus the pair generation
+   * can produce. Returns (id, component) with component = the smallest id
+   * reachable from `id`. Throws if `maxIters` rounds don't converge — an
+   * adversarial long-chain graph wants the large-star/small-star variant
+   * (Kiveris et al. 2014), not silent wrong answers. */
+  def connectedComponents(pairs: DataFrame, // (i LONG, j LONG)
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    // each round MUST truncate lineage (localCheckpoint, eager): an
+    // iterative join/agg chain otherwise doubles the logical plan per
+    // round and planning cost explodes long before the data does. On a
+    // real cluster prefer reliable checkpointing (survives executor
+    // loss); block-manager truncation is the single-node equivalent.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("id").as("b"), col("component")), "b")
+        .select(col("a").as("id"), col("component"))
+      val next = labels.unionAll(nbr)
+        .groupBy("id").agg(min("component").as("component")).localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"connectedComponents: no convergence in $maxIters rounds")
+    labels
+  }
 }

@@ -205,6 +205,24 @@ object AnnQueries {
         Dedup.simhashPairsFromBands(
           OracleAux.read(s, dir, "dedup_simhash_bands"),
           SimhashMaxHamming, MaxBucketSize)
+      },
+      "dedup_clusters" -> { (s, dir) =>
+        // duplicate-cluster selection: connected components over the
+        // minhash near-dup graph (the step that turns pairs into "keep
+        // one doc per group"). The pair set is materialized as aux and
+        // the oracle replays the component computation over the same
+        // edges with a recursive reachability CTE; the pairs themselves
+        // are independently verified by dedup_minhash's band replay.
+        val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"),
+          numHashes = MinhashNumHashes, rowsPerBand = 4, shingleWidth = 3,
+          threshold = MinhashThreshold, maxBucketSize = MaxBucketSize)
+        OracleAux.write(pairs.select(col("i"), col("j")), dir,
+          "dedup_cluster_pairs")
+        val comp = Dedup.connectedComponents(
+          OracleAux.read(s, dir, "dedup_cluster_pairs"))
+        graft.CacheRegistry.retain(s"dedup_clusters:$dir", Seq(comp))
+        comp.select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
       })
 
   val MinhashNumHashes = 64
@@ -232,6 +250,18 @@ object AnnQueries {
            |  JOIN s sb ON sb.doc_id = p.j)
            |SELECT i, j, est_jaccard FROM est
            |WHERE est_jaccard >= $MinhashThreshold""".stripMargin,
+
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE p AS (
+           |  SELECT * FROM ${OracleAux.ref("dedup_cluster_pairs")}),
+           |e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+           |r(id, lbl) AS (
+           |  SELECT a, a FROM e
+           |  UNION
+           |  SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id)
+           |SELECT id AS doc_id, min(lbl) AS cluster_id,
+           |  id = min(lbl) AS is_keeper
+           |FROM r GROUP BY id""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH b AS (SELECT * FROM ${OracleAux.ref("dedup_simhash_bands")}),

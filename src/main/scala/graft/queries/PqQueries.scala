@@ -140,19 +140,23 @@ object PqQueries {
         corpus(s, dir), queriesDf(s, dir), K)
     })
 
-  /** ADC replay: subdist = ordered zip-sum over the 4-dim slice,
+  /** ADC replay: subdist = ordered zip-sum over the subspace slice,
    * dist = ordered fold across subspaces — both plain left folds, so
-   * they reproduce the engine's double accumulation bit-for-bit. */
-  private def adcCte: String =
-    s"""cb AS (SELECT * FROM ${OracleAux.ref("ann_pq_cb")}),
-       |c AS (SELECT * FROM ${OracleAux.ref("ann_pq_codes")}),
+   * they reproduce the engine's double accumulation bit-for-bit.
+   * Parameterized over the aux pair + subspace width: the flat-PQ
+   * (subDim 4) and SQ8 (subDim 1, grid codebook) replays are the same
+   * SQL. */
+  private def adcCteFor(cbTable: String, codesTable: String,
+      subDim: Int): String =
+    s"""cb AS (SELECT * FROM ${OracleAux.ref(cbTable)}),
+       |c AS (SELECT * FROM ${OracleAux.ref(codesTable)}),
        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
        |sd AS (SELECT q.qid, c.id, c.sub,
        |  list_sum([(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
        |      * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
        |    for x in list_zip(
-       |      list_slice(q.qv, c.sub*$SubDim+1, c.sub*$SubDim+$SubDim),
+       |      list_slice(q.qv, c.sub*$subDim+1, c.sub*$subDim+$subDim),
        |      cb.cvec)]) AS subdist
        |  FROM q CROSS JOIN c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
        |d AS (SELECT qid, id, list_sum(list(subdist ORDER BY sub)) AS dist
@@ -160,6 +164,10 @@ object PqQueries {
        |r AS (SELECT qid, id, dist,
        |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)"""
       .stripMargin
+
+  private def adcCte: String = adcCteFor("ann_pq_cb", "ann_pq_codes", SubDim)
+
+  private def sqCte: String = adcCteFor("ann_sq8_cb", "ann_sq8_codes", 1)
 
   /** ADC replay restricted to the routed candidate set: cells joined from
    * the materialized (pid, id)/(pid, qid) aux — the oracle sees exactly

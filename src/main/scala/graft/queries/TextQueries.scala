@@ -31,6 +31,15 @@ object TextQueries {
   val SampleSalt = 2654435761L
   val SampleRateEn = 20
   val SampleRateOther = 50
+  /** Line-level dedup: tokens per segment (the synthetic corpus has no
+   * newlines, so a "line" is a fixed token window). */
+  val LineTokens = 12
+  /** PII planting periods/remainders (doc_id-derived, replayed by the
+   * SQL twin). */
+  val PiiEmailMod = 5
+  val PiiEmailRem = 2
+  val PiiPhoneMod = 7
+  val PiiPhoneRem = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> { (s, dir) =>
@@ -199,6 +208,59 @@ object TextQueries {
           (col("n_shared").cast("double") / col("n_eval")).as("eval_frac"))
     },
 
+    "text_dedup_lines" -> { (s, dir) =>
+      // CCNet-style duplicated-segment removal (Wenzek et al. 2019 dedup
+      // on normalized paragraph hashes): drop every occurrence of a
+      // repeated segment except the first (ordered by doc_id, then
+      // position). Segments are fixed LineTokens-token windows — the
+      // synthetic corpus has no newline structure, and the dataflow is
+      // identical to paragraph hashing: one explode, one corpus-wide
+      // aggregation on the segment, one join back. All shuffles key on
+      // the segment text, so the pass scales like exact dedup.
+      val w = LineTokens
+      val segs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(toks) / cast($w as double)) as int) - 1), " +
+            s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"))
+          .as(Seq("seg_idx", "seg")))
+      val k = segs.groupBy("seg").agg(
+        min(struct(col("doc_id"), col("seg_idx"))).as("keep"),
+        count(lit(1)).as("n_copies"))
+      segs.join(k, "seg")
+        .where(col("doc_id") === col("keep.doc_id") &&
+          col("seg_idx") === col("keep.seg_idx"))
+        .select(col("doc_id"), col("seg_idx"),
+          md5(col("seg")).as("seg_hash"), col("n_copies"))
+    },
+
+    "text_pii" -> { (s, dir) =>
+      // PII detection + redaction. The synthetic corpus contains no
+      // contact strings, so the entry deterministically plants them
+      // (derived from doc_id — the SQL twin plants identically), then
+      // counts matches via regexp_extract_all and redacts via chained
+      // regexp_replace. The regex subset used (char classes, bounded
+      // repetition, \b) behaves identically in Java regex and RE2.
+      // Row-local — embarrassingly parallel at any corpus size.
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b555-[0-9]{4}\\b"
+      val aug = concat(col("text"),
+        when(col("doc_id") % PiiEmailMod === PiiEmailRem,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com for details"))).otherwise(lit("")),
+        when(col("doc_id") % PiiPhoneMod === PiiPhoneRem,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .withColumn("t", aug)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+            phone, "<PHONE>")).as("redacted_md5"))
+    },
+
     "text_sample_stratified" -> { (s, dir) =>
       // deterministic stratified sampling (language rebalancing): keep
       // 20% of the overrepresented language, 50% of the rest, decided by
@@ -321,6 +383,46 @@ object TextQueries {
          |SELECT doc_id, eval_id, n_shared,
          |  CAST(n_shared AS DOUBLE) / n_eval AS eval_frac
          |FROM sh JOIN es USING (eval_id)""".stripMargin
+    },
+
+    "text_dedup_lines" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |seg AS (SELECT doc_id,
+         |  unnest([{'idx': i,
+         |    'seg': array_to_string(toks[(i*$LineTokens)+1:(i*$LineTokens)+$LineTokens], ' ')}
+         |    for i in generate_series(0,
+         |      CAST(ceil(len(toks)/(1.0*$LineTokens)) AS BIGINT) - 1)]) AS u
+         |  FROM t),
+         |s2 AS (SELECT doc_id, u.idx AS seg_idx, u.seg AS seg FROM seg),
+         |k AS (SELECT seg, min(doc_id) AS kd, count(*) AS n_copies
+         |  FROM s2 GROUP BY seg),
+         |k2 AS (SELECT s2.seg, k.kd, min(s2.seg_idx) AS ki,
+         |  any_value(k.n_copies) AS n_copies
+         |  FROM s2 JOIN k ON s2.seg = k.seg AND s2.doc_id = k.kd
+         |  GROUP BY s2.seg, k.kd)
+         |SELECT s2.doc_id, s2.seg_idx, md5(s2.seg) AS seg_hash, k2.n_copies
+         |FROM s2 JOIN k2 ON s2.seg = k2.seg AND s2.doc_id = k2.kd
+         |  AND s2.seg_idx = k2.ki""".stripMargin,
+
+    "text_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b555-[0-9]{4}\\b"
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % $PiiEmailMod = $PiiEmailRem
+         |    THEN ' contact user' || doc_id || '@example.com for details'
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % $PiiPhoneMod = $PiiPhoneRem
+         |    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' today'
+         |    ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$email')) AS n_emails,
+         |  len(regexp_extract_all(t, '$phone')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS redacted_md5
+         |FROM aug""".stripMargin
     },
 
     "text_sample_stratified" ->

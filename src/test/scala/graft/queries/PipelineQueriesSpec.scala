@@ -31,6 +31,38 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"found $found of ${planted.length} planted pairs")
   }
 
+  test("text_dedup_lines drops later copies of duplicated segments") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.setLogLevel("ERROR")
+    val kept = TextQueries.queries("text_dedup_lines")(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = TextQueries.LineTokens
+    val totalSegs = docs
+      .select((ceil(size(split(col("text"), " ")) / w.toDouble)).as("n"))
+      .agg(sum("n")).first().getLong(0)
+    val keptRows = kept.collect()
+    // every kept row is unique per (doc, idx); drops only happen when a
+    // segment repeats, and the exact-dup docs in the fixture guarantee some
+    assert(keptRows.map(r => (r.getLong(0), r.getInt(1))).distinct.length
+      == keptRows.length)
+    assert(keptRows.length < totalSegs, "fixture has duplicated docs; some segments must drop")
+    // a duplicated segment's keeper is its first (doc_id, seg_idx) occurrence:
+    // no kept row with n_copies > 1 may share a seg_hash with another kept row
+    val multi = keptRows.filter(_.getLong(3) > 1).map(_.getString(2))
+    assert(multi.distinct.length == multi.length)
+  }
+
+  test("text_pii finds exactly the planted contacts and redacts them") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val got = TextQueries.queries("text_pii")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    got.foreach { case (id, (ne, np)) =>
+      assert(ne == (if (id % TextQueries.PiiEmailMod == TextQueries.PiiEmailRem) 1 else 0), s"doc $id emails")
+      assert(np == (if (id % TextQueries.PiiPhoneMod == TextQueries.PiiPhoneRem) 1 else 0), s"doc $id phones")
+    }
+    assert(got.values.map(_._1).sum > 0 && got.values.map(_._2).sum > 0)
+  }
+
   test("text_repetition matches a hand computation on fixture rows") {
     spark.sparkContext.setLogLevel("ERROR")
     val got = TextQueries.queries("text_repetition")(spark, dir)
