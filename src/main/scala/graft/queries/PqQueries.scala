@@ -121,7 +121,45 @@ object PqQueries {
       (m, drCodes, qrBack)
     })
 
+  // SQ8: per-dimension uniform grid, one byte per dimension (4x memory
+  // cut at dim=64) — see graft.ops.Sq.
+  val SqLevels = 256
+
+  private val sqPrepared =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ops.Sq.SqModel, DataFrame)]
+
+  /** Materialize the SQ grid as a subDim-1 codebook aux + exploded codes,
+   * return the model and the code table read back from the aux bytes —
+   * the same replay contract as [[prepare]]. */
+  private def sqPrepare(s: SparkSession, dir: String): (graft.ops.Sq.SqModel, DataFrame) =
+    sqPrepared.getOrElseUpdate(dir, {
+      import s.implicits._
+      val m = graft.ops.Sq.fit(fitSample(s, dir), SqLevels)
+      val cbRows = for {
+        d <- 0 until m.dim
+        c <- 0 until m.levels
+      } yield (d, c, Seq(m.recon(d, c)))
+      OracleAux.write(cbRows.toDF("sub", "code", "cvec"), dir, "ann_sq8_cb")
+      val codes = graft.ops.Sq.encodeDf(corpus(s, dir), m)
+      OracleAux.write(codes.select(col("id"),
+        posexplode(col("codes")).as(Seq("sub", "code"))), dir, "ann_sq8_codes")
+      val back = OracleAux.read(s, dir, "ann_sq8_codes")
+        .groupBy("id")
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          c => c.getField("code")).as("codes"))
+      (m, back)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sq8" -> { (s, dir) =>
+      val (m, codes) = sqPrepare(s, dir)
+      graft.ops.Sq.search(codes, queriesDf(s, dir), m, K)
+    },
+    "ann_sq8_rerank" -> { (s, dir) =>
+      val (m, codes) = sqPrepare(s, dir)
+      graft.ops.Sq.searchReranked(codes, corpus(s, dir), queriesDf(s, dir),
+        m, K, Shortlist)
+    },
     "ann_pq" -> { (s, dir) =>
       val (m, codes) = prepare(s, dir)
       Pq.search(codes, queriesDf(s, dir), m, K)
@@ -195,6 +233,21 @@ object PqQueries {
       .stripMargin
 
   def oracles: Map[String, String] = Map(
+    "ann_sq8" ->
+      s"""WITH $sqCte
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
+
+    "ann_sq8_rerank" ->
+      s"""WITH $sqCte,
+         |short AS (SELECT qid, id FROM r WHERE rn <= $Shortlist),
+         |ex AS (SELECT s.qid, s.id,
+         |  ${VectorQueries.l2Sql("q2.embedding", "b.embedding")} AS dist
+         |  FROM short s JOIN embeddings q2 ON q2.vec_id = s.qid
+         |  JOIN embeddings b ON b.vec_id = s.id),
+         |rr AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
+         |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin,
+
     "ann_pq" ->
       s"""WITH $adcCte
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+import graft.functions.Distances
+
+/** Scalar quantization: grid-nearest encode, determinism, ADC parity
+ * with the shared PQ kernel, and recall vs exact kNN on the fixture
+ * embeddings. */
+class SqSpec extends AnyFunSuite {
+  private lazy val spark = SparkEntry.configure(SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  private val Dim = 16
+
+  private def mkData(n: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(n)(Array.fill(Dim)(rnd.nextGaussian().toFloat))
+  }
+
+  test("fit + encode deterministic; closed-form encode is grid-nearest") {
+    val data = mkData(400, 1L)
+    val m1 = Sq.fit(data, levels = 64)
+    val m2 = Sq.fit(data, levels = 64)
+    assert(m1.mins.toSeq == m2.mins.toSeq && m1.steps.toSeq == m2.steps.toSeq)
+    data.take(50).foreach { v =>
+      val codes = m1.encode(v)
+      for (d <- 0 until Dim) {
+        val c = codes(d)
+        val err = math.abs(v(d) - m1.recon(d, c))
+        // no other level is strictly closer (float recon rounding makes
+        // exact half-ties representation-dependent; allow equality)
+        for (c2 <- Seq(c - 1, c + 1) if c2 >= 0 && c2 < 64)
+          assert(err <= math.abs(v(d) - m1.recon(d, c2)) + 1e-7f, s"dim $d")
+      }
+    }
+  }
+
+  test("out-of-range values saturate to the grid ends") {
+    val data = mkData(100, 2L)
+    val m = Sq.fit(data, levels = 32)
+    val lo = Array.fill(Dim)(-1000f)
+    val hi = Array.fill(Dim)(1000f)
+    assert(m.encode(lo).forall(_ == 0))
+    assert(m.encode(hi).forall(_ == 31))
+  }
+
+  test("toPq ADC distance == sequential-double L2 to the reconstruction") {
+    val data = mkData(300, 3L)
+    val m = Sq.fit(data, levels = 64)
+    val pq = m.toPq
+    val q = data(5)
+    val table = pq.adcTable(q)
+    data.take(40).foreach { v =>
+      val codes = m.encode(v)
+      val recon = Array.tabulate(Dim)(d => m.recon(d, codes(d)))
+      assert(pq.adcDistance(table, codes) == Distances.l2(q, recon))
+    }
+  }
+
+  test("sq8 search recall@10 >= 0.9 vs exact; rerank restores >= 0.99") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val exact = graft.queries.VectorQueries.queries("knn_l2")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def recallOf(name: String): Double = {
+      val got = graft.queries.PqQueries.queries(name)(spark, dir)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rs = exact.toSeq.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r = recallOf("ann_sq8")
+    val rr = recallOf("ann_sq8_rerank")
+    info(s"sq8 recall@10 = $r, reranked = $rr")
+    assert(r >= 0.9, s"sq8 recall $r")
+    assert(rr >= 0.99, s"sq8 reranked recall $rr")
+    assert(rr >= r)
+  }
+}

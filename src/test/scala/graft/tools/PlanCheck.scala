@@ -24,7 +24,8 @@ object PlanCheck {
       "dedup_minhash", "knn_coldtier", "ann_sfc_adaptive",
       "embed_neardup_lsh", "text_decontaminate", "text_sample_stratified",
       "knn_join", "ann_ivf_pq", "ann_ivf_pq_rerank", "dedup_semantic",
-      "text_repetition", "text_stopwords").foreach(check)
+      "text_repetition", "text_stopwords", "ann_sq8", "ann_sq8_rerank",
+      "dedup_clusters", "text_dedup_lines", "text_pii").foreach(check)
     spark.stop()
   }
 }
