@@ -239,44 +239,68 @@ object Dedup {
 
   /** Connected components over an undirected pair list (i, j) — the
    * cluster-selection step after near-dup pair generation (a pipeline
-   * keeps one document per component). Iterative min-label propagation:
-   * each round every node adopts the smallest label in its closed
-   * neighborhood (one edge join + one groupBy per round), converging in
-   * graph-diameter rounds — near-dup components are dense clusters, so a
-   * handful. Edges and labels stay distributed throughout (no driver-side
-   * graph state), so the pass scales to any corpus the pair generation
-   * can produce. Returns (id, component) with component = the smallest id
-   * reachable from `id`. Throws if `maxIters` rounds don't converge — an
-   * adversarial long-chain graph wants the large-star/small-star variant
-   * (Kiveris et al. 2014), not silent wrong answers. */
+   * keeps one document per component). Star contraction: each round
+   * every current super-node points to the minimum of its closed
+   * neighborhood (pointers strictly decrease, so no cycles and the
+   * component minimum always survives as its own representative), the
+   * edge set is rewritten through those pointers, self-loops drop, and
+   * the round repeats on the CONTRACTED graph. Near-dup components are
+   * dense clusters, so the first round collapses most of the edge mass
+   * (a clique contracts in one round) — unlike plain label propagation,
+   * which re-joins the full edge set for every round of the diameter.
+   * Edges and the id→component mapping stay distributed throughout (no
+   * driver-side graph state). Returns (id, component) with component =
+   * the smallest id in the connected component. Throws if `maxIters`
+   * rounds don't converge — an adversarial long-path graph wants the
+   * alternating large-star/small-star variant (Kiveris et al. 2014),
+   * not silent wrong answers. */
   def connectedComponents(pairs: DataFrame, // (i LONG, j LONG)
       maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .unionAll(pairs.select(col("j").as("a"), col("i").as("b")))
-      .persist()
     // each round MUST truncate lineage (localCheckpoint, eager): an
     // iterative join/agg chain otherwise doubles the logical plan per
     // round and planning cost explodes long before the data does. On a
     // real cluster prefer reliable checkpointing (survives executor
     // loss); block-manager truncation is the single-node equivalent.
-    var labels = edges.select(col("a").as("id")).distinct()
+    var edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .where(col("i") =!= col("j")).localCheckpoint()
+    var mapping = edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id"))).distinct()
       .select(col("id"), col("id").as("component")).localCheckpoint()
-    var changed = 1L
+    var nEdges = edges.count()
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nbr = edges
-        .join(labels.select(col("id").as("b"), col("component")), "b")
-        .select(col("a").as("id"), col("component"))
-      val next = labels.unionAll(nbr)
-        .groupBy("id").agg(min("component").as("component")).localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .where(col("component") =!= col("old")).count()
-      labels = next
+    while (nEdges > 0 && it < maxIters) {
+      // super-node -> min of closed neighborhood (strictly decreasing
+      // pointer unless already the local minimum)
+      val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      val lbl1 = sym.groupBy("a").agg(min(col("b")).as("m"))
+        .select(col("a").as("node"), least(col("a"), col("m")).as("lbl"))
+      // one pointer jump (lbl ∘ lbl): pointers stay within the component
+      // and strictly decrease, and a path now halves per round (O(log n)
+      // rounds) instead of shedding one edge per round. Every lbl value
+      // is itself an edge endpoint, so the inner self-join is total.
+      val hop = lbl1.select(col("node").as("pnode"), col("lbl").as("plbl"))
+      val lbl = lbl1.join(hop, col("lbl") === col("pnode"))
+        .select(col("node"), col("plbl").as("lbl"))
+        .localCheckpoint()
+      // compose into the id -> component mapping (components with no
+      // remaining edges keep their representative)
+      mapping = mapping
+        .join(lbl.select(col("node").as("component"), col("lbl")),
+          Seq("component"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("component")).as("component"))
+        .localCheckpoint()
+      // contract: rewrite endpoints through the pointers, drop self-loops
+      edges = edges
+        .join(lbl.select(col("node").as("a"), col("lbl").as("la")), "a")
+        .join(lbl.select(col("node").as("b"), col("lbl").as("lb")), "b")
+        .select(col("la").as("a"), col("lb").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      nEdges = edges.count()
       it += 1
     }
-    edges.unpersist()
-    require(changed == 0, s"connectedComponents: no convergence in $maxIters rounds")
-    labels
+    require(nEdges == 0, s"connectedComponents: no convergence in $maxIters rounds")
+    mapping
   }
 }

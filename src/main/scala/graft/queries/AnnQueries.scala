@@ -213,17 +213,27 @@ object AnnQueries {
         // the oracle replays the component computation over the same
         // edges with a recursive reachability CTE; the pairs themselves
         // are independently verified by dedup_minhash's band replay.
-        val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"),
-          numHashes = MinhashNumHashes, rowsPerBand = 4, shingleWidth = 3,
-          threshold = MinhashThreshold, maxBucketSize = MaxBucketSize)
-        OracleAux.write(pairs.select(col("i"), col("j")), dir,
-          "dedup_cluster_pairs")
-        val comp = Dedup.connectedComponents(
-          OracleAux.read(s, dir, "dedup_cluster_pairs"))
-        graft.CacheRegistry.retain(s"dedup_clusters:$dir", Seq(comp))
+        // Memoized per dir (same policy as the fitted routing models):
+        // pair generation + contraction run once, repeat invocations
+        // serve the retained component frame.
+        val comp = clustersCache.getOrElseUpdate(dir, {
+          val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"),
+            numHashes = MinhashNumHashes, rowsPerBand = 4, shingleWidth = 3,
+            threshold = MinhashThreshold, maxBucketSize = MaxBucketSize)
+          OracleAux.write(pairs.select(col("i"), col("j")), dir,
+            "dedup_cluster_pairs")
+          // (no CacheRegistry entry: the component frame is checkpointed,
+          // its blocks live with the RDD this map reference keeps alive —
+          // ~one row per paired doc, not corpus-sized)
+          Dedup.connectedComponents(
+            OracleAux.read(s, dir, "dedup_cluster_pairs"))
+        })
         comp.select(col("id").as("doc_id"), col("component").as("cluster_id"),
           (col("id") === col("component")).as("is_keeper"))
       })
+
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
 
   val MinhashNumHashes = 64
   val MinhashThreshold = 0.5

@@ -40,6 +40,15 @@ object TextQueries {
   val PiiEmailRem = 2
   val PiiPhoneMod = 7
   val PiiPhoneRem = 3
+  /** Gopher-inspired quality-filter thresholds (Rae et al. 2021 §A1.1),
+   * adapted to the synthetic corpus so the verdict actually splits it. */
+  val FilterMinTokens = 30
+  val FilterMaxTokens = 10000
+  val FilterMinAvgTokenLen = 3.0
+  val FilterMaxAvgTokenLen = 10.0
+  val FilterMinStopFrac = 0.05
+  val FilterMaxDupFrac = 0.6
+  val FilterMaxBigramFrac = 0.1
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> { (s, dir) =>
@@ -208,6 +217,30 @@ object TextQueries {
           (col("n_shared").cast("double") / col("n_eval")).as("eval_frac"))
     },
 
+    "text_filter_gopher" -> { (s, dir) =>
+      // the filtering VERDICT a pipeline actually executes: compose the
+      // oracled repetition, stopword, and token-stat signals into one
+      // keep/drop boolean per document (Gopher rules, Rae et al. 2021
+      // §A1.1 — thresholds adapted to this corpus). Reuses the entry
+      // dataflows — three doc_id-keyed joins of already-parallel passes;
+      // the verdict itself is row-local.
+      val rep = queries("text_repetition")(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+          col("top_bigram_frac"))
+      val stop = queries("text_stopwords")(s, dir)
+        .select(col("doc_id"), col("stop_frac"))
+      val stats = queries("text_stats")(s, dir)
+        .select(col("doc_id"), col("avg_token_len"))
+      rep.join(stop, "doc_id").join(stats, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("stop_frac"), col("dup_token_frac"), col("top_bigram_frac"),
+          (col("n_tokens").between(FilterMinTokens, FilterMaxTokens) &&
+            col("avg_token_len").between(FilterMinAvgTokenLen, FilterMaxAvgTokenLen) &&
+            col("stop_frac") >= FilterMinStopFrac &&
+            col("dup_token_frac") <= FilterMaxDupFrac &&
+            col("top_bigram_frac") <= FilterMaxBigramFrac).as("keep"))
+    },
+
     "text_dedup_lines" -> { (s, dir) =>
       // CCNet-style duplicated-segment removal (Wenzek et al. 2019 dedup
       // on normalized paragraph hashes): drop every occurrence of a
@@ -275,14 +308,59 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
     })
 
+  private def statsSql: String =
+    """SELECT doc_id,
+      |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |length(replace(text, ' ', '')) AS n_chars_nospace,
+      |CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |  / len(string_split_regex(trim(text), '\s+')) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  private def repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct FROM t),
+      |bg AS (SELECT doc_id,
+      |  unnest([toks[i] || ' ' || toks[i+1]
+      |    for i in generate_series(1, len(toks) - 1)]) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bm AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bc GROUP BY 1)
+      |SELECT s.doc_id, n_tokens, n_distinct,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+      |  COALESCE(top_bigram_count, 0) AS top_bigram_count,
+      |  CASE WHEN n_tokens >= 2
+      |    THEN CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1)
+      |    ELSE 0.0 END AS top_bigram_frac
+      |FROM s LEFT JOIN bm USING (doc_id)""".stripMargin
+
+  private def stopwordsSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |top AS (SELECT tok FROM t GROUP BY tok
+       |  ORDER BY COUNT(*) DESC, tok LIMIT $StopwordN),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM t GROUP BY doc_id),
+       |stops AS (SELECT doc_id, COUNT(*) AS n_stop
+       |  FROM t JOIN top USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, COALESCE(n_stop, 0) AS n_stop,
+       |  CAST(COALESCE(n_stop, 0) AS DOUBLE) / n_tokens AS stop_frac
+       |FROM sizes LEFT JOIN stops USING (doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "text_stats" ->
-      """SELECT doc_id,
-        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        |length(replace(text, ' ', '')) AS n_chars_nospace,
-        |CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |  / len(string_split_regex(trim(text), '\s+')) AS avg_token_len
-        |FROM documents""".stripMargin,
+    "text_stats" -> statsSql,
+
+    "text_filter_gopher" ->
+      s"""SELECT r.doc_id, r.n_tokens, sta.avg_token_len, st.stop_frac,
+         |  r.dup_token_frac, r.top_bigram_frac,
+         |  (r.n_tokens BETWEEN $FilterMinTokens AND $FilterMaxTokens
+         |   AND sta.avg_token_len BETWEEN $FilterMinAvgTokenLen AND $FilterMaxAvgTokenLen
+         |   AND st.stop_frac >= $FilterMinStopFrac
+         |   AND r.dup_token_frac <= $FilterMaxDupFrac
+         |   AND r.top_bigram_frac <= $FilterMaxBigramFrac) AS keep
+         |FROM ($repetitionSql) r
+         |JOIN ($stopwordsSql) st ON r.doc_id = st.doc_id
+         |JOIN ($statsSql) sta ON r.doc_id = sta.doc_id""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
@@ -334,36 +412,9 @@ object TextQueries {
       """SELECT doc_id, md5(text) AS fp, length(text) AS n_chars
         |FROM documents""".stripMargin,
 
-    "text_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |s AS (SELECT doc_id, len(toks) AS n_tokens,
-        |  len(list_distinct(toks)) AS n_distinct FROM t),
-        |bg AS (SELECT doc_id,
-        |  unnest([toks[i] || ' ' || toks[i+1]
-        |    for i in generate_series(1, len(toks) - 1)]) AS bigram
-        |  FROM t WHERE len(toks) >= 2),
-        |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-        |bm AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM bc GROUP BY 1)
-        |SELECT s.doc_id, n_tokens, n_distinct,
-        |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
-        |  COALESCE(top_bigram_count, 0) AS top_bigram_count,
-        |  CASE WHEN n_tokens >= 2
-        |    THEN CAST(top_bigram_count AS DOUBLE) / (n_tokens - 1)
-        |    ELSE 0.0 END AS top_bigram_frac
-        |FROM s LEFT JOIN bm USING (doc_id)""".stripMargin,
+    "text_repetition" -> repetitionSql,
 
-    "text_stopwords" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |top AS (SELECT tok FROM t GROUP BY tok
-         |  ORDER BY COUNT(*) DESC, tok LIMIT $StopwordN),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM t GROUP BY doc_id),
-         |stops AS (SELECT doc_id, COUNT(*) AS n_stop
-         |  FROM t JOIN top USING (tok) GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, COALESCE(n_stop, 0) AS n_stop,
-         |  CAST(COALESCE(n_stop, 0) AS DOUBLE) / n_tokens AS stop_frac
-         |FROM sizes LEFT JOIN stops USING (doc_id)""".stripMargin,
+    "text_stopwords" -> stopwordsSql,
 
     "text_decontaminate" -> {
       val w = DecontamGramTokens

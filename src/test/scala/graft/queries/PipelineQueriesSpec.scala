@@ -63,6 +63,24 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum > 0 && got.values.map(_._2).sum > 0)
   }
 
+  test("text_filter_gopher verdict equals rule application on its own signals") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = TextQueries.queries("text_filter_gopher")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, avg, stop, dup, big, keep) = (r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+      val want = n >= TextQueries.FilterMinTokens && n <= TextQueries.FilterMaxTokens &&
+        avg >= TextQueries.FilterMinAvgTokenLen && avg <= TextQueries.FilterMaxAvgTokenLen &&
+        stop >= TextQueries.FilterMinStopFrac && dup <= TextQueries.FilterMaxDupFrac &&
+        big <= TextQueries.FilterMaxBigramFrac
+      assert(keep == want, s"doc ${r.getLong(0)}")
+    }
+    val kept = rows.count(_.getBoolean(6))
+    info(s"kept $kept of ${rows.length}")
+    assert(kept > 0 && kept < rows.length, "thresholds must split the corpus")
+  }
+
   test("text_repetition matches a hand computation on fixture rows") {
     spark.sparkContext.setLogLevel("ERROR")
     val got = TextQueries.queries("text_repetition")(spark, dir)

@@ -25,7 +25,8 @@ object PlanCheck {
       "embed_neardup_lsh", "text_decontaminate", "text_sample_stratified",
       "knn_join", "ann_ivf_pq", "ann_ivf_pq_rerank", "dedup_semantic",
       "text_repetition", "text_stopwords", "ann_sq8", "ann_sq8_rerank",
-      "dedup_clusters", "text_dedup_lines", "text_pii").foreach(check)
+      "dedup_clusters", "text_dedup_lines", "text_pii",
+      "text_filter_gopher").foreach(check)
     spark.stop()
   }
 }
