@@ -1,5 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEntry.configure(SparkSession.builder().master("local[4]")
@@ -8,15 +10,28 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     def check(name: String): Unit = {
-      val plan = graft.SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      def has(s: String) = plan.contains(s)
-      println(s"== $name: pushedFilters=${has("PushedFilters: [Is") || has("PushedFilters: [In") || plan.contains("PushedFilters: [")} " +
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      // collect() THIS frame: an action on a derived frame (count) would
+      // execute a different physical plan, leaving this one un-finalized
+      // under AQE (isFinalPlan=false, no codegen collapse applied)
+      df.collect()
+      def fin(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => fin(a.executedPlan)
+        case other => other
+      }
+      val plan = fin(df.queryExecution.executedPlan)
+      val s = plan.toString
+      // the final tree string renders THROUGH AQE query-stage wrappers
+      // (node traversal stops at them); "*(n)" is the codegen-span marker
+      val wscg = s.contains("*(") ||
+        plan.collect { case w: WholeStageCodegenExec => w }.nonEmpty
+      def has(t: String) = s.contains(t)
+      println(s"== $name: pushedFilters=${has("PushedFilters: [")} " +
         s"broadcast=${has("BroadcastHashJoin") || has("BroadcastNestedLoopJoin")} " +
-        s"wscg=${has("WholeStageCodegen")} " +
+        s"wscg=$wscg " +
         s"sortMerge=${has("SortMergeJoin")} objHashAgg=${has("ObjectHashAggregate")}")
       // show scan lines (pruning evidence)
-      plan.linesIterator.filter(l => l.contains("ReadSchema") || l.contains("PushedFilters"))
+      s.linesIterator.filter(l => l.contains("ReadSchema") || l.contains("PushedFilters"))
         .take(3).foreach(l => println("   " + l.trim.take(160)))
     }
     Seq("q1_pricing_summary", "q3_revenue_by_nation", "q6_window_topn",
