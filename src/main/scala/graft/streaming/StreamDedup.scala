@@ -75,6 +75,100 @@ object StreamDedup {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming NEAR-duplicate detection (simhash): the crawl-stream form of
+  // Dedup.simhashPairs. Each document computes a 64-bit simhash and posts
+  // one copy per 16-bit band; a band bucket's state holds the (simhash,
+  // docId) pairs seen under that band key, so a new document compares
+  // against ONLY its band collisions (pigeonhole: any pair within Hamming
+  // distance 3 shares at least one of the 4 bands) and the verdict is the
+  // exact Hamming test against the stored fingerprints — 16 bytes of
+  // state per (doc, band). A bucket past `maxBucketSize` stops ACCRUING
+  // (the band key is non-discriminative — the streaming analogue of the
+  // batch super-bucket drop) but still answers comparisons against what
+  // it holds.
+  // ---------------------------------------------------------------------
+
+  /** Per-bucket state: parallel (simhash, keeper id) arrays in arrival
+   * order. */
+  case class BucketSeen(sh: Array[Long], ids: Array[Long])
+  /** Per-band partial verdict; dupOf = -1 when no stored fingerprint is
+   * within `maxHamming`. */
+  case class BandVerdict(docId: Long, sh: Long, dupOf: Long, hamming: Int)
+
+  /** Flag near-duplicates on a document stream. Emits one combined row
+   * per document per micro-batch into `sink`:
+   * (docId, sh, near_dup, dup_of, hamming) where dup_of is the earliest
+   * closest prior document ((hamming, id) minimal) or -1. Same-batch
+   * pairs resolve in ascending docId order, matching [[run]]'s keeper
+   * rule. */
+  def runNear(docs: Dataset[DocEvent], maxHamming: Int = 3,
+      maxBucketSize: Int = 500, checkpointDir: Option[String] = None)
+      (sink: org.apache.spark.sql.DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val banded = docs.flatMap { doc =>
+      val sh = graft.functions.Text.simhash(doc.text)
+      (0 until 4).map { band =>
+        // band_idx << 16 | band content = the bucket key (same banding as
+        // Dedup.simhashBands; mask, not %, to stay sign-safe)
+        val key = (band.toLong << 16) | ((sh >>> (band * 16)) & 0xFFFFL)
+        (key, sh, doc.docId)
+      }
+    }
+    val partials = banded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[BucketSeen]) => {
+          val prev = state.getOption.getOrElse(BucketSeen(Array.empty, Array.empty))
+          val batch = it.toArray.sortBy(_._3)
+          val accSh = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val accId = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val out = batch.map { case (_, sh, docId) =>
+            var bestHam = Int.MaxValue
+            var bestId = -1L
+            def consider(candSh: Long, candId: Long): Unit = {
+              val h = java.lang.Long.bitCount(sh ^ candSh)
+              if (h <= maxHamming &&
+                  (h < bestHam || (h == bestHam && candId < bestId)))
+                { bestHam = h; bestId = candId }
+            }
+            var i = 0
+            while (i < prev.sh.length) { consider(prev.sh(i), prev.ids(i)); i += 1 }
+            i = 0
+            while (i < accSh.length) { consider(accSh(i), accId(i)); i += 1 }
+            if (prev.sh.length + accSh.length < maxBucketSize) {
+              accSh += sh; accId += docId
+            }
+            if (bestId >= 0) BandVerdict(docId, sh, bestId, bestHam)
+            else BandVerdict(docId, sh, -1L, -1)
+          }
+          if (accSh.nonEmpty)
+            state.update(BucketSeen(prev.sh ++ accSh, prev.ids ++ accId))
+          out.iterator
+        })
+    // per-document combine across the 4 band verdicts — one batch-local
+    // aggregation per micro-batch (min over (hamming, dupOf) structs;
+    // nulls ignored), the same foreachBatch-merge shape as
+    // VectorStreamJob.run
+    val w = partials.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[BandVerdict], _: Long) =>
+        sink(batch.toDF().groupBy("docId")
+          .agg(first(col("sh")).as("sh"),
+            min(when(col("dupOf") >= 0,
+              struct(col("hamming"), col("dupOf")))).as("best"))
+          .select(col("docId"), col("sh"),
+            col("best").isNotNull.as("near_dup"),
+            coalesce(col("best.dupOf"), lit(-1L)).as("dup_of"),
+            coalesce(col("best.hamming"), lit(-1)).as("hamming")))
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** Flag every document with its global-first verdict. Append mode;
    * compose with `.filter(_.first)` for the deduped stream. */
   def run(docs: Dataset[DocEvent], numShards: Int = 64): Dataset[DedupVerdict] = {

@@ -58,4 +58,75 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(hs.size == 1000)
     assert(contentHash("same") == contentHash("same"))
   }
+
+  test("exact dedup state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    def start() = StreamDedup.run(input.toDS(), numShards = 4).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[DedupVerdict], _: Long) =>
+        batch.collect().foreach(v =>
+          got.synchronized { got += ((v.docId, v.first)) })
+      }.start()
+    val q1 = start()
+    input.addData(DocEvent(1L, "alpha body"), DocEvent(2L, "beta body"))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    got.synchronized(got.clear())
+    input.addData(DocEvent(10L, "alpha body"), DocEvent(11L, "gamma body"))
+    q2.processAllAvailable()
+    val m = got.synchronized(got.toMap)
+    assert(!m(10L), "pre-restart text must still be a duplicate after recovery")
+    assert(m(11L))
+    q2.stop()
+  }
+
+  test("near-dup verdicts match a brute-force simhash replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val got = scala.collection.mutable.Map.empty[Long, (Boolean, Long, Int)]
+    val q = StreamDedup.runNear(input.toDS(), maxHamming = 3) { df =>
+      df.collect().foreach(r => got.synchronized {
+        got(r.getLong(0)) = (r.getBoolean(2), r.getLong(3), r.getInt(4)) })
+    }
+    // corpus: distinct bases + exact repeats + one-token tweaks (some land
+    // within Hamming 3, some don't — the replay decides, not the fixture)
+    val texts = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+    (0 until 12).foreach(i => texts(i.toLong) =
+      s"streaming corpus document number $i with a long body of shared words and filler token$i")
+    texts(20L) = texts(3L) // exact repeat
+    texts(21L) = texts(5L).replace("filler", "patched")
+    texts(22L) = texts(7L) + " tail"
+    // feed in two batches
+    val (b1, b2) = texts.toSeq.splitAt(9)
+    input.addData(b1.map { case (id, t) => DocEvent(id, t) }: _*)
+    q.processAllAvailable()
+    input.addData(b2.map { case (id, t) => DocEvent(id, t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    // brute-force replay: earlier = earlier batch, or same batch + lower id
+    val order = b1.map(_._1) ++ b2.map(_._1)
+    val batchOf = (b1.map(_._1 -> 0) ++ b2.map(_._1 -> 1)).toMap
+    val sh = texts.map { case (id, t) => id -> graft.functions.Text.simhash(t) }
+    var sawDup = false
+    order.foreach { id =>
+      val earlier = order.filter(o =>
+        batchOf(o) < batchOf(id) || (batchOf(o) == batchOf(id) && o < id))
+      val cands = earlier.map(o => (java.lang.Long.bitCount(sh(id) ^ sh(o)), o))
+        .filter(_._1 <= 3)
+      val (wantDup, wantOf, wantHam) =
+        if (cands.isEmpty) (false, -1L, -1)
+        else { val (h, o) = cands.min; (true, o, h) }
+      val (gd, go, gh) = got.synchronized(got(id))
+      assert((gd, go, gh) == ((wantDup, wantOf, wantHam)), s"doc $id")
+      sawDup ||= wantDup
+    }
+    assert(sawDup, "fixture must contain at least one near-dup")
+  }
 }
