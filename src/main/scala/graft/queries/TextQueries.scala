@@ -40,6 +40,8 @@ object TextQueries {
   val PiiEmailRem = 2
   val PiiPhoneMod = 7
   val PiiPhoneRem = 3
+  /** Sequence-packing token budget (tokens per training sequence bin). */
+  val PackBudget = 512
   /** Gopher-inspired quality-filter thresholds (Rae et al. 2021 §A1.1),
    * adapted to the synthetic corpus so the verdict actually splits it. */
   val FilterMinTokens = 30
@@ -217,6 +219,44 @@ object TextQueries {
           (col("n_shared").cast("double") / col("n_eval")).as("eval_frac"))
     },
 
+    "text_mix_langs" -> { (s, dir) =>
+      // data mixing: rebalance the language distribution to uniform by
+      // downsampling every language to the smallest language's count.
+      // The rates are DERIVED from corpus stats (one tiny aggregation,
+      // broadcast back), the keep decision is a multiplicative-hash
+      // bucket — all integer arithmetic, so the same rows are kept on
+      // any cluster layout and in the SQL twin. The dataflow a 100 TB
+      // mixing pass runs: global stats -> broadcast -> row-local filter.
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val target = counts.agg(min(col("cnt")).as("target"))
+      docs.join(broadcast(counts), "lang")
+        .crossJoin(broadcast(target))
+        .withColumn("bucket",
+          (col("doc_id") * SampleSalt) % (1L << 32) % col("cnt"))
+        .where(col("bucket") < col("target"))
+        .select(col("doc_id"), col("lang"), col("cnt"), col("target"),
+          col("bucket"))
+    },
+
+    "text_pack_sequences" -> { (s, dir) =>
+      // sequence packing: concatenate documents into fixed token-budget
+      // training sequences. Packing is per source shard (PARTITION BY
+      // source ORDER BY doc_id running token sum; bin = the budget
+      // window the document STARTS in) — no global total order, so the
+      // pass scales by shard exactly like a real packing job; within a
+      // shard the window cumsum is one sort.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"),
+          floor((col("cum") - col("n_tokens")) / lit(PackBudget.toDouble))
+            .cast("long").as("bin"))
+    },
+
     "text_filter_gopher" -> { (s, dir) =>
       // the filtering VERDICT a pipeline actually executes: compose the
       // oracled repetition, stopword, and token-stat signals into one
@@ -349,6 +389,26 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "text_stats" -> statsSql,
+
+    "text_mix_langs" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |t AS (SELECT min(cnt) AS target FROM c)
+         |SELECT d.doc_id, d.lang, c.cnt, t.target,
+         |  d.doc_id * $SampleSalt % ${1L << 32} % c.cnt AS bucket
+         |FROM documents d JOIN c USING (lang) CROSS JOIN t
+         |WHERE d.doc_id * $SampleSalt % ${1L << 32} % c.cnt < t.target"""
+        .stripMargin,
+
+    "text_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum,
+         |  CAST(floor((cum - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin
+         |FROM c""".stripMargin,
 
     "text_filter_gopher" ->
       s"""SELECT r.doc_id, r.n_tokens, sta.avg_token_len, st.stop_frac,

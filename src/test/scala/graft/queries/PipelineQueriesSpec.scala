@@ -63,6 +63,41 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum > 0 && got.values.map(_._2).sum > 0)
   }
 
+  test("text_mix_langs downsamples every language toward the smallest") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.setLogLevel("ERROR")
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextQueries.queries("text_mix_langs")(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = orig.values.min
+    kept.foreach { case (lang, n) =>
+      assert(n <= orig(lang), s"$lang kept more than it had")
+      // multiplicative-hash sampling: expect ~target keeps per lang
+      assert(math.abs(n - target) <= target / 2, s"$lang kept $n vs target $target")
+    }
+    val skew = (m: Map[String, Long]) => m.values.max.toDouble / m.values.min
+    assert(skew(kept) < skew(orig), "mixing must reduce language skew")
+  }
+
+  test("text_pack_sequences bins are the budget windows of a per-source cumsum") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = TextQueries.queries("text_pack_sequences")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (_, _, n, gotCum, bin) =>
+        assert(gotCum == cum + n)
+        assert(bin == cum / TextQueries.PackBudget)
+        cum += n
+      }
+    }
+    assert(rows.map(_._5).max > 0, "fixture must fill more than one bin")
+  }
+
   test("text_filter_gopher verdict equals rule application on its own signals") {
     spark.sparkContext.setLogLevel("ERROR")
     val rows = TextQueries.queries("text_filter_gopher")(spark, dir).collect()
