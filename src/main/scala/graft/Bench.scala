@@ -259,6 +259,29 @@ object Bench {
     vecs2.unpersist()
     val vecPerSec2 = (nVec2 + nQ) / ann2Sec
 
+    // dedup scale sweep: 2x documents via char-reversed clones under
+    // fresh ids. Reversal maps each 3-gram set bijectively onto reversed
+    // grams, so the clone set forms MIRRORED near-dup clusters of the
+    // same shape (original<->clone cross pairs share only palindromic
+    // grams): the pair mass exactly doubles with the corpus, and
+    // near-linear wall-time is the evidence the banded candidate
+    // pipeline scales. Min-of-2, matching the other sweeps.
+    import graft.ops.Dedup
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val nDoc1 = docs1.count()
+    def dedupRun(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairs(d).count()
+    val d1Times = (1 to 2).map { _ => System.gc(); time(dedupRun(docs1))._2 }
+    val docs2 = docs1.unionAll(docs1.select(
+      (col("doc_id") + idOffset).as("doc_id"), reverse(col("text")).as("text")))
+      .repartition(cpus.toInt).cache()
+    val nDoc2 = docs2.count()
+    val d2Times = (1 to 2).map { _ => System.gc(); time(dedupRun(docs2))._2 }
+    docs1.unpersist(); docs2.unpersist()
+    val docsPerSec = nDoc1 / d1Times.min
+    val docsPerSec2 = nDoc2 / d2Times.min
+
     val total = results.values.filter(_ >= 0).sum
     val qs = results.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
       .mkString("{", ",", "}")
@@ -271,7 +294,7 @@ object Bench {
     val detail = s"""{"metric":"detail","reps":$reps,"warmup":1,"queries_sec":${
       results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
         .mkString("{", ",", "}")},"rep_max_over_min":$sp}"""
-    val headline = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}"""
+    val headline = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       s"$detail\n$headline\n".getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }

@@ -179,6 +179,91 @@ object ColdTier {
     keep
   }
 
+  /** Seal the SQ8 code companion of an existing segment: same rows,
+   * `codes` instead of `vec` — 1 byte/dim of scan IO instead of 4 (stored
+   * as Parquet INT array; dictionary+RLE encoding brings it near the raw
+   * byte cost). Sealed separately so raw-only tiers stay valid and the
+   * codes can be (re)built for any quantizer generation. */
+  def sealCodes(spark: SparkSession, dir: String, segmentId: Long,
+      model: graft.ops.Sq.SqModel): Unit = {
+    import spark.implicits._
+    val bm = spark.sparkContext.broadcast(model)
+    spark.read.parquet(s"$dir/segment-$segmentId")
+      .select(col("segmentId"), col("id"), col("vec"), col("eventTime"))
+      .as[(Long, Long, Array[Float], Long)]
+      .map { case (sid, id, v, ts) => (sid, id, bm.value.encode(v), ts) }
+      .toDF("segmentId", "id", "codes", "eventTime")
+      .write.mode("overwrite").parquet(s"$dir/segment-$segmentId-codes")
+  }
+
+  /** Compressed-domain cold search: the scan wave reads the SQ8 code
+   * segments of every fresh segment (the cold tier is IO-bound — the
+   * compression factor is the speedup), selects a per-query `shortlist`
+   * on dequantized-L2, then re-ranks ONLY the shortlisted (query, id)
+   * pairs against the raw segments — the IVFADC+R composition applied to
+   * sealed cold data. Row-level freshness applies in the scan join
+   * (plus Parquet row-group stats); segment-level freshness uses the
+   * catalog against the query set's overall window. Dequantization is
+   * once per scanned row (not per pair), so the whole scan stays in the
+   * broadcast-join + partial top-k shape of the exact path — queries are
+   * never collected to the driver. Approximate by construction (the
+   * quantized metric picks the shortlist); the exact re-rank restores
+   * recall. L2 only.
+   */
+  def searchCompressed(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, model: graft.ops.Sq.SqModel, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    import spark.implicits._
+    val segs = catalog(spark, dir)
+    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    // segment-level freshness vs the query set's overall window (driver
+    // work bounded by catalog size + one 2-value aggregate)
+    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+    val fresh =
+      if (w.isNullAt(0)) Array.empty[SegmentStats]
+      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    if (fresh.isEmpty)
+      return spark.emptyDataset[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "id", "dist")
+    val bm = spark.sparkContext.broadcast(model)
+    val dequant = udf((codes: Seq[Int]) => {
+      val m = bm.value
+      Array.tabulate(m.dim)(d => m.recon(d, codes(d)))
+    })
+    val codeScan = spark.read
+      .parquet(fresh.map(s => s"${s.path}-codes").toIndexedSeq: _*)
+      .select(col("id"), dequant(col("codes")).as("vec"), col("eventTime"))
+    val probeQ = q.select(col("qid"), col("qv"),
+      (col("qtime") - col("ttl")).as("floor_ts"), col("qtime").as("ceil_ts"))
+    val approx = codeScan.join(broadcast(probeQ),
+        col("eventTime") >= col("floor_ts") && col("eventTime") <= col("ceil_ts"))
+      .select(col("qid"), col("id"),
+        Distances.l2(col("qv"), col("vec")).as("dist"))
+    val shortUdaf = udaf(new TopKAggregator(shortlist),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val short = approx.groupBy("qid")
+      .agg(shortUdaf(col("id"), col("dist")).as("topk"))
+      .select(col("qid"), explode(col("topk.ids")).as("id"))
+    // exact re-rank: raw-vector IO only for shortlisted ids, per-query
+    // freshness re-applied (an id can appear in several segments under
+    // different timestamps — only in-window versions may score)
+    val raw = spark.read.parquet(fresh.map(_.path).toIndexedSeq: _*)
+      .select(col("id"), col("vec"), col("eventTime"))
+    val topkUdaf = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    raw.join(broadcast(short), "id")
+      .join(broadcast(probeQ), "qid")
+      .where(col("eventTime") >= col("floor_ts") &&
+        col("eventTime") <= col("ceil_ts"))
+      .select(col("qid"), col("id"),
+        Distances.l2(col("qv"), col("vec")).as("dist"))
+      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
+      .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
+        col("topk.dists").as("dist"))))
+      .select(col("qid"), (col("pos") + 1).as("rn"),
+        col("col.id").as("id"), col("col.dist").as("dist"))
+  }
+
   /** Search the cold tier: per-query segment pruning (freshness window +
    * distance lower bound), hot-first two-wave scan, single top-k merge.
    *

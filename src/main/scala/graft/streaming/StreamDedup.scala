@@ -57,7 +57,7 @@ object StreamDedup {
   }
 
   /** Merge sorted state with a sorted batch of new (hi, lo) pairs. */
-  private def merge(s: ShardSeen, add: Array[(Long, Long)]): ShardSeen = {
+  private[graft] def merge(s: ShardSeen, add: Array[(Long, Long)]): ShardSeen = {
     if (add.isEmpty) s
     else {
       val n = s.hi.length + add.length

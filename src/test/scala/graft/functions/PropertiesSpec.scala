@@ -99,4 +99,38 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: SQ8 round-trip error bounded by half a grid step; codes in range") {
+    val rnd = new scala.util.Random(77)
+    (0 until Cases).foreach { _ =>
+      val dim = 1 + rnd.nextInt(16)
+      val n = 2 + rnd.nextInt(60)
+      val sample = Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat * 10f))
+      val m = graft.ops.Sq.fit(sample, levels = 16 + rnd.nextInt(241))
+      sample.foreach { v =>
+        val codes = m.encode(v)
+        codes.indices.foreach { d =>
+          assert(codes(d) >= 0 && codes(d) < m.levels)
+          // in-range values (the sample defines the range) reconstruct to
+          // within half a step (+ float rounding of the stored level)
+          assert(math.abs(v(d) - m.recon(d, codes(d))) <= m.steps(d) / 2 + 1e-4)
+        }
+      }
+    }
+  }
+
+  test("property: StreamDedup merge keeps (hi,lo)-sorted order and all members") {
+    import graft.streaming.StreamDedup
+    val rnd = new scala.util.Random(78)
+    (0 until Cases).foreach { _ =>
+      val texts = List.fill(1 + rnd.nextInt(30))(s"t${rnd.nextInt(40)}")
+      val hashes = texts.map(StreamDedup.contentHash).distinct.sorted
+      val (a, b) = hashes.partition(_ => rnd.nextBoolean())
+      val merged = StreamDedup.merge(
+        StreamDedup.ShardSeen(a.map(_._1).toArray, a.map(_._2).toArray),
+        b.toArray)
+      val got = merged.hi.zip(merged.lo).toList
+      assert(got == hashes, "merge must be the sorted union")
+    }
+  }
 }

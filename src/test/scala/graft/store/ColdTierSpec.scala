@@ -229,6 +229,41 @@ class ColdTierSpec extends AnyFunSuite {
     assert(math.abs(t2(2L) - 0.7 * 0.6) < 1e-9)
   }
 
+  test("compressed search: SQ8 scan + exact re-rank, recall >= 0.95 vs lossless; freshness holds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-sq").toString
+    val s1 = mkVecs(300, 8, 31L, 0L)
+    val s2 = mkVecs(300, 8, 32L, 1000L)
+    val s3 = mkVecs(300, 8, 33L, 2000L)
+    ColdTier.seal(s1, dir, 1L); ColdTier.seal(s2, dir, 2L); ColdTier.seal(s3, dir, 3L)
+    val sample = s1.unionAll(s2).unionAll(s3).orderBy("id")
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    val model = graft.ops.Sq.fit(sample)
+    (1L to 3L).foreach(sid => ColdTier.sealCodes(spark, dir, sid, model))
+
+    val all = sample.zipWithIndex
+    val queries = Seq(10L, 200L, 433L, 777L).zipWithIndex.map { case (i, qi) =>
+      (qi.toLong, all(i.toInt)._1, 5000L, 100000L) }
+      .toDF("qid", "qv", "qtime", "ttl")
+    val exact = ColdTier.search(spark, dir, queries, 10, Metric.L2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val got = ColdTier.searchCompressed(spark, dir, queries, 10, model,
+        shortlist = 50)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+    info(s"compressed recall@10 per query: ${recalls.mkString(", ")}")
+    assert(recalls.sum / recalls.size >= 0.95)
+
+    // freshness: window covering only segment 2 must return only its ids
+    val fq = Seq((9L, all(450)._1, 1999L, 999L)).toDF("qid", "qv", "qtime", "ttl")
+    val fres = ColdTier.searchCompressed(spark, dir, fq, 5, model, 25)
+      .collect().map(_.getLong(2))
+    assert(fres.nonEmpty && fres.forall(id => id >= 1000L && id < 2000L))
+  }
+
   test("catalog falls back to .tmp when a crash interrupts evict's swap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-crash").toString
