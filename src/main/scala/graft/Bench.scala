@@ -114,13 +114,22 @@ object Bench {
     import graft.streaming.VectorStreamJob
     import graft.streaming.VectorStreamJob.StreamEvent
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx = spark.sqlContext
+    // right-size the streaming stage: state/shuffle partitioning is fixed
+    // at query start from the session conf, and 32 partitions for
+    // 2000-row micro-batches is pure per-task overhead on the latency
+    // path. A dedicated session pins the stream to `streamParts`
+    // partitions (default 8) without touching the batch sections — the
+    // same sizing call a production deployment makes per stream.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", streamParts)
+    implicit val sqlCtx = streamSession.sqlContext
     val streamRows = vecs.limit(20000)
       .as[(Long, Array[Float], Long)].collect()
     val input = MemoryStream[StreamEvent]
     val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
     val sq = VectorStreamJob.run(input.toDS(),
-      graft.partitioners.SimplePartitioner(cpus.toInt), k = 10, Metric.L2,
+      graft.partitioners.SimplePartitioner(streamParts), k = 10, Metric.L2,
       maxTtl = Long.MaxValue / 4, useHnsw = true) { merged =>
       merged.groupBy("qid").agg(max("latency_ms").as("l")).collect()
         .foreach(r => latencies.synchronized { latencies += r.getDouble(1) })
