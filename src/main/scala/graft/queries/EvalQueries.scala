@@ -21,6 +21,8 @@ object EvalQueries {
 
   /** Sealed cold-tier dirs per sf dir (sealing is deterministic). */
   private val sealedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Dirs whose segments have SQ8 code companions sealed. */
+  private val codesSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_recall" -> { (s, dir) =>
@@ -50,6 +52,38 @@ object EvalQueries {
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
       graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
         graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0)
+    },
+
+    "knn_coldtier_sq" -> { (s, dir) =>
+      // the COMPRESSED cold tier under the hard gate: SQ8 code companions
+      // sealed beside the segments (same dir-cached quantizer as ann_sq8,
+      // so the oracle replays from the ann_sq8 aux), search through
+      // ColdTier.searchCompressed. With every segment inside the query
+      // window this must equal the ann_sq8_rerank pipeline bit-for-bit —
+      // two independent execution paths (catalog + segment scan +
+      // freshness machinery vs a single code table) against one SQL twin.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = sealedDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold").toString
+        (0 until 3).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") % 3 === i)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime")), t, i.toLong)
+        }
+        t
+      })
+      val model = PqQueries.sqModelFor(s, dir)
+      codesSealed.getOrElseUpdate(dir, {
+        (0L until 3L).foreach(sid =>
+          graft.store.ColdTier.sealCodes(s, tmp, sid, model))
+        true
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.searchCompressed(s, tmp, queries, VectorQueries.K,
+        model, PqQueries.Shortlist)
     },
 
     "multimodal_decode" -> { (s, dir) =>
@@ -90,6 +124,10 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
+
+    // identical SQL twin to ann_sq8_rerank: with every segment fresh, the
+    // compressed cold tier IS that pipeline via an independent path
+    "knn_coldtier_sq" -> PqQueries.oracles("ann_sq8_rerank"),
 
     "multimodal_decode" ->
       """SELECT doc_id AS id,

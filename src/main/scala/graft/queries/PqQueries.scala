@@ -150,6 +150,12 @@ object PqQueries {
       (m, back)
     })
 
+  /** The dir-cached SQ quantizer, with its codebook/code aux guaranteed
+   * materialized — shared with EvalQueries' compressed cold-tier entry so
+   * one oracle replay covers both execution paths. */
+  private[queries] def sqModelFor(s: SparkSession, dir: String): graft.ops.Sq.SqModel =
+    sqPrepare(s, dir)._1
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq8" -> { (s, dir) =>
       val (m, codes) = sqPrepare(s, dir)

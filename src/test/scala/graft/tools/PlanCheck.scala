@@ -41,8 +41,8 @@ object PlanCheck {
       "knn_join", "ann_ivf_pq", "ann_ivf_pq_rerank", "dedup_semantic",
       "text_repetition", "text_stopwords", "ann_sq8", "ann_sq8_rerank",
       "dedup_clusters", "text_dedup_lines", "text_pii",
-      "text_filter_gopher", "text_mix_langs", "text_pack_sequences")
-      .foreach(check)
+      "text_filter_gopher", "text_mix_langs", "text_pack_sequences",
+      "knn_coldtier_sq").foreach(check)
     spark.stop()
   }
 }
