@@ -178,6 +178,18 @@ object PqQueries {
       val (m, drCodes, qr) = ivfPrepare(s, dir)
       Pq.searchRoutedAdc(drCodes, qr, m, K)
     },
+    "ann_ivf_sq8" -> { (s, dir) =>
+      // IVF_SQ8 (the Milvus index type of that name): the shared coarse
+      // quantizer routes SQ8 code rows to cells, queries probe nearest
+      // cells, dequantized-L2 ADC scan over probed cells only — same
+      // routing aux as ann_ivf_pq, same grid aux as ann_sq8, so the
+      // oracle is the routed replay over the SQ codebook.
+      val (_, _, qr) = ivfPrepare(s, dir)
+      val (sm, sqCodes) = sqPrepare(s, dir)
+      val drSq = OracleAux.read(s, dir, "ann_ivf_pq_dr").join(sqCodes, "id")
+        .select(col("pid"), col("id"), col("codes"))
+      Pq.searchRoutedAdc(drSq, qr, sm.toPq, K)
+    },
     "ann_ivf_pq_rerank" -> { (s, dir) =>
       val (m, drCodes, qr) = ivfPrepare(s, dir)
       Pq.rerankExact(Pq.searchRoutedAdc(drCodes, qr, m, Shortlist),
@@ -215,10 +227,14 @@ object PqQueries {
 
   /** ADC replay restricted to the routed candidate set: cells joined from
    * the materialized (pid, id)/(pid, qid) aux — the oracle sees exactly
-   * the probed-cell fan-out the engine executed. */
-  private def routedAdcCte: String =
-    s"""cb AS (SELECT * FROM ${OracleAux.ref("ann_pq_cb")}),
-       |c AS (SELECT * FROM ${OracleAux.ref("ann_pq_codes")}),
+   * the probed-cell fan-out the engine executed. Parameterized over the
+   * codebook/codes aux + subspace width: IVF-PQ and IVF-SQ8 replays are
+   * the same SQL over different aux pairs (both reuse the ann_ivf_pq
+   * routing aux — the coarse quantizer is shared). */
+  private def routedAdcCteFor(cbTable: String, codesTable: String,
+      subDim: Int): String =
+    s"""cb AS (SELECT * FROM ${OracleAux.ref(cbTable)}),
+       |c AS (SELECT * FROM ${OracleAux.ref(codesTable)}),
        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
        |dr AS (SELECT * FROM ${OracleAux.ref("ann_ivf_pq_dr")}),
@@ -228,7 +244,7 @@ object PqQueries {
        |  list_sum([(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
        |      * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
        |    for x in list_zip(
-       |      list_slice(q.qv, c.sub*$SubDim+1, c.sub*$SubDim+$SubDim),
+       |      list_slice(q.qv, c.sub*$subDim+1, c.sub*$subDim+$subDim),
        |      cb.cvec)]) AS subdist
        |  FROM cand n JOIN q ON q.qid = n.qid JOIN c ON c.id = n.id
        |  JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
@@ -237,6 +253,12 @@ object PqQueries {
        |r AS (SELECT qid, id, dist,
        |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)"""
       .stripMargin
+
+  private def routedAdcCte: String =
+    routedAdcCteFor("ann_pq_cb", "ann_pq_codes", SubDim)
+
+  private def routedSqCte: String =
+    routedAdcCteFor("ann_sq8_cb", "ann_sq8_codes", 1)
 
   def oracles: Map[String, String] = Map(
     "ann_sq8" ->
@@ -260,6 +282,10 @@ object PqQueries {
 
     "ann_ivf_pq" ->
       s"""WITH $routedAdcCte
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
+
+    "ann_ivf_sq8" ->
+      s"""WITH $routedSqCte
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
 
     "ann_ivf_pq_rerank" ->
