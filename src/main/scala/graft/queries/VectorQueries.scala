@@ -28,6 +28,9 @@ object VectorQueries {
   /** freshness: eventTime := vec_id, query time := qid, ttl window. */
   val Ttl = 150L
   val NumPartitions = 8
+  /** Matryoshka truncated retrieval: prefix width + shortlist size. */
+  val MrlDim = 16
+  val MrlShortlist = 50
 
   private def topkUdaf = udaf(new TopKAggregator(K),
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
@@ -301,7 +304,32 @@ object VectorQueries {
     graft.ops.Ann.bruteForce(corpus, q, K, graft.Metric.L2)
   }
 
+  /** Matryoshka-style truncated retrieval (Kusupati et al. 2022): MRL
+   * embeddings front-load information, so the shortlist scan compares
+   * only the first [[MrlDim]] dimensions (4x less scan arithmetic at
+   * dim 64 — and with the prefix stored as its own pruned column, 4x
+   * less scan IO), then an exact full-dimension re-rank restores the
+   * metric. Same two-stage shape as the PQ/SQ rerank pipelines. */
+  def knnMrlRerank(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+    val corpus = base.select(col("vec_id").as("id"),
+      slice(col("embedding"), 1, MrlDim).as("tvec"))
+    val qs = queryDf(s, dir)
+      .select(col("qid"), slice(col("qv"), 1, MrlDim).as("tqv"))
+    val shortUdaf = udaf(new TopKAggregator(MrlShortlist),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val short = corpus.join(broadcast(qs))
+      .select(col("qid"), col("id"),
+        Distances.l2(col("tqv"), col("tvec")).as("dist"))
+      .groupBy("qid").agg(shortUdaf(col("id"), col("dist")).as("topk"))
+      .select(col("qid"), explode(col("topk.ids")).as("id"))
+    graft.ops.Pq.rerankExact(short,
+      base.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      queryDf(s, dir), K)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mrl_rerank" -> (knnMrlRerank _),
     "knn_l2" -> knn(graft.Metric.L2) _,
     "knn_bruteforce" -> (knnBruteForce _),
     "knn_sql" -> (knnViaSql _),
@@ -318,6 +346,24 @@ object VectorQueries {
     "knn_join" -> (knnJoin _))
 
   def oracles: Map[String, String] = Map(
+    "ann_mrl_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $QueryMod = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${l2Sql(s"list_slice(q.qv, 1, $MrlDim)",
+              s"list_slice(b.embedding, 1, $MrlDim)")} AS dist
+         |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d),
+         |short AS (SELECT qid, id FROM r WHERE rn <= $MrlShortlist),
+         |ex AS (SELECT s.qid, s.id,
+         |  ${l2Sql("q2.embedding", "b.embedding")} AS dist
+         |  FROM short s JOIN embeddings q2 ON q2.vec_id = s.qid
+         |  JOIN embeddings b ON b.vec_id = s.id),
+         |rr AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
+         |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin,
+
     "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
     "knn_bruteforce" -> knnOracle(l2Sql("q.qv", "b.embedding")),
     "knn_deletes" -> knnOracle(l2Sql("q.qv", "b.embedding"),

@@ -84,6 +84,24 @@ class SqSpec extends AnyFunSuite {
     assert(rr >= r)
   }
 
+  test("mrl truncated-prefix rerank recall vs exact is reported and nontrivial") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val exact = graft.queries.VectorQueries.queries("knn_l2")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val got = graft.queries.VectorQueries.queries("ann_mrl_rerank")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val rs = exact.toSeq.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+    val r = rs.sum / rs.size
+    info(s"mrl rerank recall@10 = $r")
+    // the synthetic embeddings are NOT Matryoshka-trained, so the prefix
+    // carries only dim/MrlDim of the variance — this bounds the harness,
+    // not the technique (real MRL prefixes front-load information)
+    assert(r >= 0.3, s"mrl recall $r")
+  }
+
   test("ivf-sq8 (routed) recall >= 0.7 of the full sq8 scan's results") {
     spark.sparkContext.setLogLevel("ERROR")
     def ids(name: String) = graft.queries.PqQueries.queries(name)(spark, dir)
