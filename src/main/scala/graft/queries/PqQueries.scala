@@ -150,6 +150,31 @@ object PqQueries {
       (m, back)
     })
 
+  // BQ: one sign bit per dimension (64-dim embedding = ONE long, a 32x
+  // memory cut); Hamming values are coarse (65 levels at dim 64), so the
+  // re-rank shortlist is wider than the float-code paths'.
+  val BqShortlist = 100
+
+  private val bqPrepared = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.ops.Bq.BqModel, DataFrame, DataFrame)]
+
+  /** Materialize packed corpus + query codes as aux (the encode step is
+   * engine-internal like the minhash signatures; the oracle replays the
+   * Hamming scan + re-rank from the code bytes). */
+  private def bqPrepare(s: SparkSession, dir: String)
+      : (graft.ops.Bq.BqModel, DataFrame, DataFrame) =
+    bqPrepared.getOrElseUpdate(dir, {
+      val m = graft.ops.Bq.fit(fitSample(s, dir))
+      OracleAux.write(graft.ops.Bq.encodeDf(corpus(s, dir), m), dir,
+        "ann_bq_codes")
+      OracleAux.write(graft.ops.Bq.encodeDf(
+        queriesDf(s, dir).select(col("qid").as("id"), col("qv").as("vec")), m)
+        .select(col("id").as("qid"), col("code").as("qcode")), dir,
+        "ann_bq_qcodes")
+      (m, OracleAux.read(s, dir, "ann_bq_codes"),
+        OracleAux.read(s, dir, "ann_bq_qcodes"))
+    })
+
   /** The dir-cached SQ quantizer, with its codebook/code aux guaranteed
    * materialized — shared with EvalQueries' compressed cold-tier entry so
    * one oracle replay covers both execution paths. */
@@ -165,6 +190,11 @@ object PqQueries {
       val (m, codes) = sqPrepare(s, dir)
       graft.ops.Sq.searchReranked(codes, corpus(s, dir), queriesDf(s, dir),
         m, K, Shortlist)
+    },
+    "ann_bq_rerank" -> { (s, dir) =>
+      val (_, codes, qCodes) = bqPrepare(s, dir)
+      graft.ops.Bq.searchReranked(codes, qCodes, corpus(s, dir),
+        queriesDf(s, dir), K, BqShortlist)
     },
     "ann_pq" -> { (s, dir) =>
       val (m, codes) = prepare(s, dir)
@@ -264,6 +294,24 @@ object PqQueries {
     "ann_sq8" ->
       s"""WITH $sqCte
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
+
+    "ann_bq_rerank" ->
+      s"""WITH c AS (SELECT * FROM ${OracleAux.ref("ann_bq_codes")}),
+         |qc AS (SELECT * FROM ${OracleAux.ref("ann_bq_qcodes")}),
+         |d AS (SELECT qc.qid, c.id,
+         |  CAST(list_sum([bit_count(xor(x[1], x[2]))
+         |    for x in list_zip(qc.qcode, c.code)]) AS DOUBLE) AS dist
+         |  FROM qc CROSS JOIN c),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d),
+         |short AS (SELECT qid, id FROM r WHERE rn <= $BqShortlist),
+         |ex AS (SELECT s.qid, s.id,
+         |  ${VectorQueries.l2Sql("q2.embedding", "b.embedding")} AS dist
+         |  FROM short s JOIN embeddings q2 ON q2.vec_id = s.qid
+         |  JOIN embeddings b ON b.vec_id = s.id),
+         |rr AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
+         |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin,
 
     "ann_sq8_rerank" ->
       s"""WITH $sqCte,

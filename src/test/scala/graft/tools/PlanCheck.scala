@@ -42,7 +42,8 @@ object PlanCheck {
       "text_repetition", "text_stopwords", "ann_sq8", "ann_sq8_rerank",
       "dedup_clusters", "text_dedup_lines", "text_pii",
       "text_filter_gopher", "text_mix_langs", "text_pack_sequences",
-      "knn_coldtier_sq", "ann_ivf_sq8", "ann_mrl_rerank").foreach(check)
+      "knn_coldtier_sq", "ann_ivf_sq8", "ann_mrl_rerank",
+      "ann_bq_rerank").foreach(check)
     spark.stop()
   }
 }
