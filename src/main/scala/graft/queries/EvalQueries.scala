@@ -31,6 +31,24 @@ object EvalQueries {
         VectorQueries.queries("knn_l2")(s, dir), VectorQueries.K)
     },
 
+    "eval_mrr" -> { (s, dir) =>
+      // C8 evaluation, MRR flavor: reciprocal rank of the first
+      // TTL-restricted hit that the unrestricted top-k also contains
+      // (0.0 when the freshness window hides them all). One hits join +
+      // one aggregation over k x |queries| rows — evaluation cost never
+      // scales with the corpus.
+      val got = VectorQueries.queries("knn_ttl")(s, dir)
+        .select(col("qid"), col("rn"), col("id"))
+      val rel = VectorQueries.queries("knn_l2")(s, dir)
+        .select(col("qid"), col("id"))
+      val first = got.join(rel, Seq("qid", "id"))
+        .groupBy("qid").agg(min(col("rn")).as("first_rel"))
+      got.select("qid").distinct()
+        .join(first, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"))
+    },
+
     "knn_coldtier" -> { (s, dir) =>
       // seal the corpus into 3 overlapping segments, search through the
       // cold tier in lossless mode (factor 1.0) — must equal exact kNN.
@@ -128,6 +146,24 @@ object EvalQueries {
     // identical SQL twin to ann_sq8_rerank: with every segment fresh, the
     // compressed cold tier IS that pipeline via an independent path
     "knn_coldtier_sq" -> PqQueries.oracles("ann_sq8_rerank"),
+
+    "eval_mrr" -> {
+      def knn(extraPred: String) =
+        s"""SELECT qid, id, rn FROM (
+           |  SELECT q.qid, b.vec_id AS id, row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+           |      for x in list_zip(q.qv, b.embedding)]), b.vec_id) AS rn
+           |  FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           |        WHERE vec_id % ${VectorQueries.QueryMod} = 0) q,
+           |       embeddings b WHERE $extraPred) WHERE rn <= ${VectorQueries.K}""".stripMargin
+      s"""WITH a AS (${knn(s"b.vec_id >= q.qid - ${VectorQueries.Ttl} AND b.vec_id <= q.qid")}),
+         |b AS (${knn("true")}),
+         |f AS (SELECT a.qid, min(a.rn) AS first_rel
+         |  FROM a JOIN b ON a.qid = b.qid AND a.id = b.id GROUP BY a.qid)
+         |SELECT qs.qid, COALESCE(1.0 / f.first_rel, 0.0) AS mrr
+         |FROM (SELECT DISTINCT qid FROM a) qs LEFT JOIN f USING (qid)"""
+        .stripMargin
+    },
 
     "multimodal_decode" ->
       """SELECT doc_id AS id,

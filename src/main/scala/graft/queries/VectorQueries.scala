@@ -328,8 +328,21 @@ object VectorQueries {
       queryDf(s, dir), K)
   }
 
+  /** Retrieve-then-hydrate (the RAG serving shape): kNN over the
+   * embedding corpus, then the k x |queries| hit set — tiny by
+   * construction — joins document metadata. The hydration join touches
+   * only hit rows, never the corpus. */
+  def searchDocs(s: SparkSession, dir: String): DataFrame = {
+    val hits = knn(graft.Metric.L2)(s, dir)
+    hits.join(Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("lang"), col("source")), "id")
+      .select(col("qid"), col("rn"), col("id"), col("dist"),
+        col("lang"), col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_mrl_rerank" -> (knnMrlRerank _),
+    "search_docs" -> (searchDocs _),
     "knn_l2" -> knn(graft.Metric.L2) _,
     "knn_bruteforce" -> (knnBruteForce _),
     "knn_sql" -> (knnViaSql _),
@@ -363,6 +376,18 @@ object VectorQueries {
          |rr AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
          |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin,
+
+    "search_docs" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $QueryMod = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT r.qid, r.rn, r.id, r.dist, doc.lang, doc.source
+         |FROM r JOIN documents doc ON doc.doc_id = r.id
+         |WHERE r.rn <= $K""".stripMargin,
 
     "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
     "knn_bruteforce" -> knnOracle(l2Sql("q.qv", "b.embedding")),
