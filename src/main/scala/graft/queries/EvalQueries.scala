@@ -41,10 +41,13 @@ object EvalQueries {
         .select(col("qid"), col("rn"), col("id"))
       val rel = VectorQueries.queries("knn_l2")(s, dir)
         .select(col("qid"), col("id"))
-      val first = got.join(rel, Seq("qid", "id"))
+      // both sides are k x |queries| rows — size estimates on windowed
+      // sub-plans are unknown, so hint the broadcast or Catalyst falls
+      // back to a sort-merge shuffle of two tiny inputs
+      val first = got.join(broadcast(rel), Seq("qid", "id"))
         .groupBy("qid").agg(min(col("rn")).as("first_rel"))
       got.select("qid").distinct()
-        .join(first, Seq("qid"), "left")
+        .join(broadcast(first), Seq("qid"), "left")
         .select(col("qid"),
           coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"))
     },
