@@ -31,6 +31,10 @@ object VectorQueries {
   /** Matryoshka truncated retrieval: prefix width + shortlist size. */
   val MrlDim = 16
   val MrlShortlist = 50
+  /** Hybrid RRF fusion constant (the standard 60) and the integer
+   * scale of the lexical score. */
+  val RrfK = 60
+  val LexScale = 1000000L
 
   private def topkUdaf = udaf(new TopKAggregator(K),
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
@@ -340,9 +344,58 @@ object VectorQueries {
         col("lang"), col("source"))
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion: a lexical ranking
+   * over the query document's tokens and the vector kNN ranking, fused
+   * by RRF (Cormack et al. 2009, the constant-60 form every hybrid
+   * vector store ships). The lexical score is BM25-SHAPED but computed
+   * in pure integer arithmetic — idf as (N−df)·scale/df and a
+   * saturating tf f/(f+3), combined as
+   * `(N−df)·f·scale div (df·(f+3))` per term, summed as BIGINT — so
+   * cross-engine results are bit-exact with no transcendentals and no
+   * order-dependent float sums. Candidates are docs sharing a term with
+   * the query (at web scale this wants impact-ordered postings /
+   * stopword pruning — the corpus-derived stopword op exists for that);
+   * the fusion itself touches only the two top-k lists. */
+  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val n = docs.count()
+    val vec = knn(graft.Metric.L2)(s, dir)
+      .select(col("qid"), col("id"), col("rn").as("rank_vec"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qtoks = docs
+      .join(broadcast(queryDf(s, dir).select(col("qid"))),
+        col("doc_id") === col("qid"))
+      .select(col("qid"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val lexScore = qtoks
+      .join(tf, "tok").join(broadcast(dfreq), "tok")
+      .groupBy(col("qid"), col("doc_id").as("id"))
+      .agg(sum(expr(s"(($n - df) * f * $LexScale) div (df * (f + 3))"))
+        .as("score"))
+    val lexRank = lexScore
+      .withColumn("rank_lex", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("id"))))
+      .where(col("rank_lex") <= K)
+      .select(col("qid"), col("id"), col("rank_lex"))
+    val fused = vec.join(lexRank, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(lit(1.0) / (col("rank_vec") + RrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rank_lex") + RrfK), lit(0.0))).as("fused"))
+    fused.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("fused").desc, col("id"))))
+      .where(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("id"), col("fused"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_mrl_rerank" -> (knnMrlRerank _),
     "search_docs" -> (searchDocs _),
+    "search_hybrid_rrf" -> (searchHybridRrf _),
     "knn_l2" -> knn(graft.Metric.L2) _,
     "knn_bruteforce" -> (knnBruteForce _),
     "knn_sql" -> (knnViaSql _),
@@ -376,6 +429,38 @@ object VectorQueries {
          |rr AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
          |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin,
+
+    "search_hybrid_rrf" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $QueryMod = 0),
+         |vd AS (SELECT q.qid, b.vec_id AS id,
+         |  ${l2Sql("q.qv", "b.embedding")} AS dist FROM q, embeddings b),
+         |vr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |  ORDER BY dist, id) AS rank_vec FROM vd),
+         |v AS (SELECT qid, id, rank_vec FROM vr WHERE rank_vec <= $K),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS f FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |qt AS (SELECT q2.qid, unnest(list_distinct(string_split(d.text, ' '))) AS tok
+         |  FROM (SELECT vec_id AS qid FROM embeddings
+         |        WHERE vec_id % $QueryMod = 0) q2
+         |  JOIN documents d ON d.doc_id = q2.qid),
+         |ls AS (SELECT qt.qid, tf.doc_id AS id,
+         |  sum(((nn.n - dfq.df) * tf.f * $LexScale) // (dfq.df * (tf.f + 3))) AS score
+         |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) CROSS JOIN nn
+         |  GROUP BY qt.qid, tf.doc_id),
+         |lr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |  ORDER BY score DESC, id) AS rank_lex FROM ls),
+         |l AS (SELECT qid, id, rank_lex FROM lr WHERE rank_lex <= $K),
+         |f AS (SELECT COALESCE(v.qid, l.qid) AS qid, COALESCE(v.id, l.id) AS id,
+         |  COALESCE(CAST(1.0 AS DOUBLE) / (v.rank_vec + $RrfK), CAST(0.0 AS DOUBLE))
+         |    + COALESCE(CAST(1.0 AS DOUBLE) / (l.rank_lex + $RrfK), CAST(0.0 AS DOUBLE)) AS fused
+         |  FROM v FULL OUTER JOIN l ON v.qid = l.qid AND v.id = l.id),
+         |r AS (SELECT qid, id, fused, row_number() OVER (PARTITION BY qid
+         |  ORDER BY fused DESC, id) AS rn FROM f)
+         |SELECT qid, rn, id, fused FROM r WHERE rn <= $K""".stripMargin,
 
     "search_docs" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -98,6 +98,44 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(rows.map(_._5).max > 0, "fixture must fill more than one bin")
   }
 
+  test("search_hybrid_rrf matches an in-memory replay of both rankings + fusion") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val got = VectorQueries.queries("search_hybrid_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(x => (x._3, x._4)).toSeq }
+    // vector side from the already-gated knn_l2; lexical side + fusion
+    // replayed in plain Scala integer/rational arithmetic
+    val vec = VectorQueries.queries("knn_l2")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(x => x._3 -> x._2).toMap }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toLong
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, o) => t -> o.length.toLong } }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val k = VectorQueries.K
+    got.keys.foreach { qid =>
+      val qtoks = tf(qid).keySet
+      val scores = docs.map { case (id, _) =>
+        id -> qtoks.toSeq.flatMap(t => tf(id).get(t).map { f =>
+          ((n - dfreq(t)) * f * VectorQueries.LexScale) / (dfreq(t) * (f + 3))
+        }).sum
+      }.filter(_._2 > 0)
+      val lex = scores.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val cand = (vec(qid).keySet ++ lex.keySet).toSeq
+      val want = cand.map { id =>
+        val f = vec(qid).get(id).map(r => 1.0 / (r + VectorQueries.RrfK)).getOrElse(0.0) +
+          lex.get(id).map(r => 1.0 / (r + VectorQueries.RrfK)).getOrElse(0.0)
+        (id, f)
+      }.sortBy { case (id, f) => (-f, id) }.take(k)
+      assert(got(qid) == want, s"query $qid")
+    }
+  }
+
   test("text_filter_gopher verdict equals rule application on its own signals") {
     spark.sparkContext.setLogLevel("ERROR")
     val rows = TextQueries.queries("text_filter_gopher")(spark, dir).collect()

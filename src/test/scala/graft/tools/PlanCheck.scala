@@ -43,7 +43,8 @@ object PlanCheck {
       "dedup_clusters", "text_dedup_lines", "text_pii",
       "text_filter_gopher", "text_mix_langs", "text_pack_sequences",
       "knn_coldtier_sq", "ann_ivf_sq8", "ann_mrl_rerank",
-      "ann_bq_rerank", "search_docs", "eval_mrr").foreach(check)
+      "ann_bq_rerank", "search_docs", "eval_mrr",
+      "search_hybrid_rrf").foreach(check)
     spark.stop()
   }
 }
