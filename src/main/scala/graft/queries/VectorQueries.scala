@@ -31,10 +31,11 @@ object VectorQueries {
   /** Matryoshka truncated retrieval: prefix width + shortlist size. */
   val MrlDim = 16
   val MrlShortlist = 50
-  /** Hybrid RRF fusion constant (the standard 60) and the integer
-   * scale of the lexical score. */
+  /** Hybrid RRF fusion constant (the standard 60), the integer scale of
+   * the lexical score, and the per-query term budget (rarest-first). */
   val RrfK = 60
   val LexScale = 1000000L
+  val LexQueryTerms = 8
 
   private def topkUdaf = udaf(new TopKAggregator(K),
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
@@ -370,8 +371,19 @@ object VectorQueries {
         col("doc_id") === col("qid"))
       .select(col("qid"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val lexScore = qtoks
-      .join(tf, "tok").join(broadcast(dfreq), "tok")
+    // per-query term budget, rarest first: the candidate join is bounded
+    // by queries x LexQueryTerms x df instead of every posting of every
+    // query token — the deterministic approximation of impact-ordered /
+    // WAND query processing, and the knob that keeps this pass linear
+    // when the vocabulary is stopword-dense
+    val qBudget = qtoks.join(broadcast(dfreq), "tok")
+      .withColumn("trank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("df"), col("tok"))))
+      .where(col("trank") <= LexQueryTerms)
+      .select(col("qid"), col("tok"), col("df"))
+    val lexScore = qBudget
+      .join(tf, "tok")
       .groupBy(col("qid"), col("doc_id").as("id"))
       .agg(sum(expr(s"(($n - df) * f * $LexScale) div (df * (f + 3))"))
         .as("score"))
@@ -447,10 +459,14 @@ object VectorQueries {
          |  FROM (SELECT vec_id AS qid FROM embeddings
          |        WHERE vec_id % $QueryMod = 0) q2
          |  JOIN documents d ON d.doc_id = q2.qid),
-         |ls AS (SELECT qt.qid, tf.doc_id AS id,
-         |  sum(((nn.n - dfq.df) * tf.f * $LexScale) // (dfq.df * (tf.f + 3))) AS score
-         |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok) CROSS JOIN nn
-         |  GROUP BY qt.qid, tf.doc_id),
+         |qb AS (SELECT qid, tok, df FROM (
+         |  SELECT qt.qid, qt.tok, dfq.df, row_number() OVER (PARTITION BY qt.qid
+         |    ORDER BY dfq.df, qt.tok) AS trank
+         |  FROM qt JOIN dfq USING (tok)) WHERE trank <= $LexQueryTerms),
+         |ls AS (SELECT qb.qid, tf.doc_id AS id,
+         |  sum(((nn.n - qb.df) * tf.f * $LexScale) // (qb.df * (tf.f + 3))) AS score
+         |  FROM qb JOIN tf USING (tok) CROSS JOIN nn
+         |  GROUP BY qb.qid, tf.doc_id),
          |lr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
          |  ORDER BY score DESC, id) AS rank_lex FROM ls),
          |l AS (SELECT qid, id, rank_lex FROM lr WHERE rank_lex <= $K),

@@ -118,9 +118,11 @@ class PipelineQueriesSpec extends AnyFunSuite {
       .map { case (t, o) => t -> o.size.toLong }
     val k = VectorQueries.K
     got.keys.foreach { qid =>
-      val qtoks = tf(qid).keySet
+      // same rarest-first term budget as the engine
+      val qtoks = tf(qid).keySet.toSeq
+        .sortBy(t => (dfreq(t), t)).take(VectorQueries.LexQueryTerms)
       val scores = docs.map { case (id, _) =>
-        id -> qtoks.toSeq.flatMap(t => tf(id).get(t).map { f =>
+        id -> qtoks.flatMap(t => tf(id).get(t).map { f =>
           ((n - dfreq(t)) * f * VectorQueries.LexScale) / (dfreq(t) * (f + 3))
         }).sum
       }.filter(_._2 > 0)
