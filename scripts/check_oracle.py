@@ -45,6 +45,27 @@ def main(sf_dir, out_dir):
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
             n_fail += 1; continue
+        # type-kind check: the driver hashes through Arrow, where e.g. a
+        # DuckDB HUGEINT (sum() OVER on BIGINT) converts to float64 and
+        # hash-mismatches an integer Spark column even when values are
+        # equal. Catch int-vs-float/decimal drift locally.
+        def kind(t):
+            t = str(t).upper()
+            if "HUGEINT" in t: return "hugeint"
+            if any(k in t for k in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")): return "int"
+            if any(k in t for k in ("FLOAT", "DOUBLE", "REAL")): return "float"
+            if "DECIMAL" in t: return "decimal"
+            return "other"
+        got_types = con.sql(
+            f"SELECT * FROM read_parquet({files!r}) LIMIT 0").types
+        want_types = want_rel.types
+        type_drift = [
+            (got_cols[i], str(got_types[i]), want_cols[j], str(want_types[j]))
+            for i, j in zip(gi, wi)
+            if kind(got_types[i]) != kind(want_types[j])]
+        if type_drift:
+            print(f"FAIL {name}: type drift (hash-gate risk): {type_drift}")
+            n_fail += 1; continue
         g = sorted([tuple(r[i] for i in gi) for r in got], key=lambda r: tuple(map(str, r)))
         w = sorted([tuple(r[i] for i in wi) for r in want], key=lambda r: tuple(map(str, r)))
         if len(g) != len(w):

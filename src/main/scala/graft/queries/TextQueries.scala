@@ -401,10 +401,11 @@ object TextQueries {
 
     "text_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source,
-         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
          |  FROM documents),
          |c AS (SELECT doc_id, source, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |    AS BIGINT) AS cum
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum,
          |  CAST(floor((cum - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin
