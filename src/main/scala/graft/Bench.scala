@@ -296,18 +296,38 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
       .mkString("{", ",", "}")
-    // two JSON lines: a "detail" line (full precision + per-query rep
-    // spread — may scroll out of a bounded log tail) first, then the
-    // COMPACT headline line LAST so it fits entirely inside a ~2kB
-    // stdout tail capture and parses as a standalone JSON document
+    // Round 6 lesson: a single headline line with all 76 per-query keys
+    // outgrew the driver's stdout tail capture (BENCH_r06 parsed: null).
+    // Emit instead: (a) a detail line (may scroll out, fine), (b) the
+    // per-query map split into {"metric":"queries","part":i,...} lines
+    // each ≤ ~1.2 kB, (c) the scalar headline LAST and SMALL so a
+    // bounded tail always parses it whole. The canonical single-document
+    // JSON (everything merged) is also written to target/bench.json.
     val detail = s"""{"metric":"detail","reps":$reps,"warmup":1,"queries_sec":${
       results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
         .mkString("{", ",", "}")},"rep_max_over_min":$sp}"""
-    val headline = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}}"""
+    val entries = results.toSeq.map { case (k, v) =>
+      s""""$k":${"%.2f".format(v)}""" }
+    val qChunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    entries.foreach { e =>
+      if (qChunks.last.map(_.length + 1).sum + e.length > 1200)
+        qChunks += scala.collection.mutable.ArrayBuffer.empty[String]
+      qChunks.last += e
+    }
+    val queryLines = qChunks.zipWithIndex.map { case (c, i) =>
+      s"""{"metric":"queries","part":${i + 1},"parts":${qChunks.length},"queries":${
+        c.mkString("{", ",", "}")}}"""
+    }
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}"""
+    val headline =
+      s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
+    val merged = s"""{"metric":"total",$scalars,"queries":$qs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-      s"$detail\n$headline\n".getBytes("UTF-8"))
+      s"$merged\n".getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     println(detail)
+    queryLines.foreach(println)
     println(headline)
     spark.stop()
   }
