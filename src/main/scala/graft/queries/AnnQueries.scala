@@ -216,7 +216,7 @@ object AnnQueries {
         // Memoized per dir (same policy as the fitted routing models):
         // pair generation + contraction run once, repeat invocations
         // serve the retained component frame.
-        val comp = clustersCache.getOrElseUpdate(dir, {
+        val comp = clustersCache.getOrElseUpdate((s, dir), {
           val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"),
             numHashes = MinhashNumHashes, rowsPerBand = 4, shingleWidth = 3,
             threshold = MinhashThreshold, maxBucketSize = MaxBucketSize)
@@ -232,8 +232,12 @@ object AnnQueries {
           (col("id") === col("component")).as("is_keeper"))
       })
 
-  private val clustersCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  // keyed by (session, dir): a DataFrame (and its localCheckpoint blocks)
+  // is bound to the session that built it — a dir-only key would hand a
+  // later session a frame whose blocks belong to a stopped predecessor
+  private val clustersCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
 
   val MinhashNumHashes = 64
   val MinhashThreshold = 0.5

@@ -225,6 +225,20 @@ object ColdTier {
     if (fresh.isEmpty)
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("qid", "rn", "id", "dist")
+    // fail fast with segment names if any fresh segment lacks its code
+    // companion (sealed raw-only, or sealed under an older quantizer) —
+    // otherwise the multi-path parquet read dies mid-scan with an opaque
+    // path error
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val missingCodes = fresh.filterNot { s =>
+      val p = new org.apache.hadoop.fs.Path(s"${s.path}-codes")
+      p.getFileSystem(hconf).exists(p)
+    }
+    require(missingCodes.isEmpty,
+      s"searchCompressed: fresh segment(s) without SQ8 code companions: " +
+        missingCodes.map(_.path).mkString(", ") +
+        " — run ColdTier.sealCodes(segmentId, model) for each, or use " +
+        "ColdTier.search for the raw-vector scan")
     val bm = spark.sparkContext.broadcast(model)
     val dequant = udf((codes: Seq[Int]) => {
       val m = bm.value

@@ -121,11 +121,15 @@ class PipelineQueriesSpec extends AnyFunSuite {
       // same rarest-first term budget as the engine
       val qtoks = tf(qid).keySet.toSeq
         .sortBy(t => (dfreq(t), t)).take(VectorQueries.LexQueryTerms)
-      val scores = docs.map { case (id, _) =>
+      // candidate set = docs sharing ≥1 budgeted term (the posting join's
+      // output) — NOT score>0: a term with df == n scores 0 after integer
+      // truncation yet the engine and SQL twin still rank its docs
+      val scores = docs.collect { case (id, _)
+          if qtoks.exists(tf(id).contains) =>
         id -> qtoks.flatMap(t => tf(id).get(t).map { f =>
           ((n - dfreq(t)) * f * VectorQueries.LexScale) / (dfreq(t) * (f + 3))
         }).sum
-      }.filter(_._2 > 0)
+      }
       val lex = scores.sortBy { case (id, s) => (-s, id) }.take(k)
         .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
       val cand = (vec(qid).keySet ++ lex.keySet).toSeq
