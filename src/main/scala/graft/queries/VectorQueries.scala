@@ -227,14 +227,33 @@ object VectorQueries {
   }
 
   /** Near-duplicate detection on embeddings: 20 globally closest pairs by
-   * cosine distance (i < j), ties by (i, j). */
+   * cosine distance (i < j), ties by (i, j).
+   *
+   * Exact WITHOUT a cartesian: if (i,j) is among the P globally closest
+   * pairs, fewer than P neighbors of i are (dist,id)-ordered before j —
+   * each such neighbor x forms a pair (i,x) ordered before (i,j) — so j
+   * is inside i's (P+1)-bounded heap (the +1 absorbs the self match).
+   * Per-node kNN through [[graft.ops.Ann.bruteForce]] therefore covers
+   * the global list with only k rows per (node, input partition) reaching
+   * the shuffle; the n² pair set is never materialized as rows (it was,
+   * pre-round-7, via an a.join(b, i<j) cartesian — the one scale-killer
+   * the round-6 audit found). The scala and Catalyst cosine kernels share
+   * the sequential-double accumulation, so distances stay bit-equal to
+   * the DuckDB oracle's list-comprehension form. */
+  val NearDupTopPairs = 20
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val a = Tables(s, dir, "embeddings").select(col("vec_id").as("i"), col("embedding").as("va"))
-    val b = Tables(s, dir, "embeddings").select(col("vec_id").as("j"), col("embedding").as("vb"))
-    a.join(b, col("i") < col("j"))
-      .select(col("i"), col("j"), Distances.cosine(col("va"), col("vb")).as("dist"))
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      lit(0L).as("eventTime"))
+    val asQueries = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"), lit(Long.MaxValue / 2).as("qtime"),
+      lit(Long.MaxValue / 2).as("ttl"))
+    graft.ops.Ann.bruteForce(corpus, asQueries, NearDupTopPairs + 1,
+        graft.Metric.Cosine)
+      .where(col("qid") < col("id"))
+      .select(col("qid").as("i"), col("id").as("j"), col("dist"))
       .orderBy(col("dist"), col("i"), col("j"))
-      .limit(20)
+      .limit(NearDupTopPairs)
   }
 
   // ---- oracle SQL ------------------------------------------------------
