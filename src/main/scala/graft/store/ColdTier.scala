@@ -196,6 +196,206 @@ object ColdTier {
       .write.mode("overwrite").parquet(s"$dir/segment-$segmentId-codes")
   }
 
+  /** Hadoop Configuration is not Serializable; standard write/readFields
+   * wrapper so tasks can reach the driver's filesystem config. */
+  private final class SerConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  private def indexPath(segmentPath: String) = s"$segmentPath-hnsw"
+
+  /** Seal HNSW index sidecars for existing segments — the V9 payoff: the
+   * reference builds the graph once in the memtable and carries it into
+   * the SST at flush (db/flush_job.cc:944-949), so cold files are PROBED
+   * (~efSearch·log n distance evals), never scanned. One distributed job:
+   * segment rows shuffle once on segmentId, each group builds its graph
+   * executor-side (deterministic insert order → deterministic graph) and
+   * streams the bytes straight to `segment-<id>-hnsw`. Graphs are
+   * memtable-sized by contract — the same bound the reference's flush
+   * obeys — so a group always fits its task. */
+  def sealIndexes(spark: SparkSession, dir: String, segmentIds: Seq[Long],
+      metric: Metric = Metric.L2, m: Int = 16,
+      efConstruction: Int = 128): Unit = {
+    import spark.implicits._
+    val paths = segmentIds.map(sid => s"$dir/segment-$sid")
+    val sc = new SerConf(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(paths: _*)
+      .select(col("segmentId"), col("id"), col("vec"), col("eventTime"))
+      .as[(Long, Long, Array[Float], Long)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val store = new HnswStore(metric, m, efConstruction)
+        it.toArray.sortBy(r => (r._4, r._2))
+          .foreach { case (_, id, v, ts) => store.put(id, ts, v) }
+        val p = new Path(indexPath(s"$dir/segment-$sid"))
+        val fs = p.getFileSystem(sc.conf)
+        val os = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(fs.create(p, true)))
+        try store.writeTo(os) finally os.close()
+        sid
+      }.collect()
+    ()
+  }
+
+  /** Executor-local sidecar cache keyed by (path, length, mtime, efSearch):
+   * a re-sealed segment (new bytes) loads fresh; entries for replaced
+   * generations are evicted so long-lived executors don't accumulate dead
+   * graphs. */
+  private object SidecarCache {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[(String, Long, Long, Int), HnswStore]
+    def get(path: String, conf: org.apache.hadoop.conf.Configuration,
+        efSearch: Int): HnswStore = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      val key = (path, st.getLen, st.getModificationTime, efSearch)
+      cache.getOrElse(key, {
+        cache.filterInPlace { case ((cp, _, _, _), _) => cp != path }
+        cache.getOrElseUpdate(key, {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(fs.open(p)))
+          try HnswStore.readFrom(in, efSearch) finally in.close()
+        })
+      })
+    }
+  }
+
+  /** Probe-path cold search (V9): per-query shortlist from each fresh
+   * segment's HNSW sidecar — loaded lazily executor-side, probed instead
+   * of scanned — then ONE exact re-rank over the shortlisted (query, id)
+   * pairs against the raw segments. Fresh segments without a sidecar fall
+   * back to the exact scan shape for their rows, so a tier mid-way through
+   * index sealing still answers. The shortlist is deterministic (the seal
+   * builds a deterministic graph), which is what lets the driver's oracle
+   * replay the re-rank over a materialized candidate aux — the established
+   * approximate-op recipe. Approximate by construction (graph recall);
+   * exact re-rank restores metric truth over the candidate set.
+   *
+   * Scale shape: the probe shuffles only (segmentId, query) rows — never
+   * vector rows; per-group work is |queries probing that segment| ·
+   * O(ef·log n); the re-rank reads raw vectors only for candidate ids via
+   * broadcast joins. Driver work stays catalog-bounded. */
+  def searchIndexed(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, metric: Metric = Metric.L2, shortlist: Int = 50,
+      efSearch: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    rerankExact(spark, dir,
+      probeCandidates(spark, dir, queries, shortlist, metric, efSearch),
+      queries, k, metric)
+  }
+
+  /** The probe half of [[searchIndexed]]: distinct (qid, id) shortlist
+   * candidates across fresh segments (sidecar probe, or exact scan
+   * fallback for unindexed segments). Public so gated entries can
+   * materialize the candidate set as an oracle aux. */
+  def probeCandidates(spark: SparkSession, dir: String, queries: DataFrame,
+      shortlist: Int, metric: Metric = Metric.L2,
+      efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+    val segs = catalog(spark, dir)
+    val fresh =
+      if (w.isNullAt(0)) Array.empty[SegmentStats]
+      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    val empty = spark.emptyDataset[(Long, Long)].toDF("qid", "id")
+    if (fresh.isEmpty) return empty
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (indexed, unindexed) = fresh.partition { s =>
+      val p = new Path(indexPath(s.path))
+      p.getFileSystem(hconf).exists(p)
+    }
+    val sc = new SerConf(hconf)
+    val probed =
+      if (indexed.isEmpty) empty
+      else {
+        // (segmentId, idxPath, minTs, maxTs): per-query segment-level
+        // freshness applies at routing, so out-of-window probes never ship
+        val bIdx = spark.sparkContext.broadcast(indexed.map(s =>
+          (s.segmentId, indexPath(s.path), s.minTs, s.maxTs)))
+        q.as[(Long, Array[Float], Long, Long)]
+          .flatMap { case (qid, qv, qtime, ttl) =>
+            bIdx.value.collect {
+              case (sid, _, minTs, maxTs)
+                  if maxTs >= qtime - ttl && minTs <= qtime =>
+                (sid, qid, qv, qtime, ttl)
+            }
+          }
+          .groupByKey(_._1)
+          .flatMapGroups { (sid, it) =>
+            val path = bIdx.value.find(_._1 == sid).get._2
+            val store = SidecarCache.get(path, sc.conf, efSearch)
+            it.flatMap { case (_, qid, qv, qtime, ttl) =>
+              store.search(qv, shortlist, qtime - ttl, qtime)
+                .map { case (id, _) => (qid, id) }
+            }
+          }.toDF("qid", "id")
+      }
+    val scanned =
+      if (unindexed.isEmpty) empty
+      else {
+        val data = spark.read.parquet(unindexed.map(_.path).toIndexedSeq: _*)
+        val probeQ = q.select(col("qid"), col("qv"),
+          (col("qtime") - col("ttl")).as("floor_ts"), col("qtime").as("ceil_ts"))
+        val shortUdaf = udaf(new TopKAggregator(shortlist),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+        data.join(broadcast(probeQ),
+            col("eventTime") >= col("floor_ts") &&
+            col("eventTime") <= col("ceil_ts"))
+          .select(col("qid"), col("id"),
+            Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
+          .groupBy("qid")
+          .agg(shortUdaf(col("id"), col("dist")).as("topk"))
+          .select(col("qid"), explode(col("topk.ids")).as("id"))
+      }
+    probed.unionAll(scanned).distinct()
+  }
+
+  /** Exact re-rank of a (qid, id) candidate set against the raw segments:
+   * vector IO only for candidate ids, per-query freshness re-applied,
+   * oracle-kernel distances — shared by [[searchIndexed]] and the gated
+   * replay entries. */
+  def rerankExact(spark: SparkSession, dir: String, candidates: DataFrame,
+      queries: DataFrame, k: Int, metric: Metric = Metric.L2): DataFrame = {
+    import spark.implicits._
+    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+    val segs = catalog(spark, dir)
+    val fresh =
+      if (w.isNullAt(0)) Array.empty[SegmentStats]
+      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    if (fresh.isEmpty)
+      return spark.emptyDataset[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "id", "dist")
+    val raw = spark.read.parquet(fresh.map(_.path).toIndexedSeq: _*)
+      .select(col("id"), col("vec"), col("eventTime"))
+    val probeQ = q.select(col("qid"), col("qv"),
+      (col("qtime") - col("ttl")).as("floor_ts"), col("qtime").as("ceil_ts"))
+    val topkUdaf = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    raw.join(broadcast(candidates.select("qid", "id").distinct()), "id")
+      .join(broadcast(probeQ), "qid")
+      .where(col("eventTime") >= col("floor_ts") &&
+        col("eventTime") <= col("ceil_ts"))
+      .select(col("qid"), col("id"),
+        Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
+      .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
+      .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
+        col("topk.dists").as("dist"))))
+      .select(col("qid"), (col("pos") + 1).as("rn"),
+        col("col.id").as("id"), col("col.dist").as("dist"))
+  }
+
   /** Compressed-domain cold search: the scan wave reads the SQ8 code
    * segments of every fresh segment (the cold tier is IO-bound — the
    * compression factor is the speedup), selects a per-query `shortlist`

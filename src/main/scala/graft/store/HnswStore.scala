@@ -316,6 +316,54 @@ final class HnswStore(
     }
   }
 
+  /** Serialize the built graph — the V9 index-persistence payoff: the
+   * reference builds the HNSW once in the memtable and carries it into
+   * the SST at flush (db/flush_job.cc:944-949, reader
+   * table/hnsw_table_reader.cc) so cold files are probed, never
+   * re-indexed. Format v1: params, element arrays, per-layer adjacency
+   * (-1 = node absent from layer), live-version map. Readable by
+   * [[HnswStore.readFrom]] with any efSearch. */
+  def writeTo(o: java.io.DataOutputStream): Unit = {
+    o.writeInt(HnswStore.Magic)
+    o.writeByte(1)
+    o.writeByte(metric match {
+      case Metric.L2 => 0; case Metric.IP => 1; case Metric.Cosine => 2 })
+    o.writeInt(m); o.writeInt(efConstruction)
+    o.writeInt(n); o.writeInt(maxLevel); o.writeInt(entryPoint)
+    var i = 0
+    while (i < n) { o.writeLong(labels(i)); o.writeLong(tss(i)); i += 1 }
+    i = 0
+    while (i < n) {
+      val v = vecs(i)
+      o.writeInt(v.length)
+      var d = 0
+      while (d < v.length) { o.writeFloat(v(d)); d += 1 }
+      i += 1
+    }
+    o.writeInt(neighbors.length)
+    var l = 0
+    while (l < neighbors.length) {
+      i = 0
+      while (i < n) {
+        val nb = neighbors(l)(i)
+        if (nb == null) o.writeInt(-1)
+        else {
+          o.writeInt(nb.length)
+          var j = 0
+          while (j < nb.length) { o.writeInt(nb(j)); j += 1 }
+        }
+        i += 1
+      }
+      l += 1
+    }
+    o.writeInt(latest.size())
+    val it = latest.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      o.writeLong(e.getKey.longValue()); o.writeInt(e.getValue.intValue())
+    }
+  }
+
   override def search(q: Array[Float], k: Int, tsFloor: Long,
       tsCeil: Long): Array[(Long, Double)] = {
     if (entryPoint == -1 || latest.isEmpty) return Array.empty
@@ -350,4 +398,65 @@ final class HnswStore(
 
 object HnswStore {
   private val EmptyInts = new Array[Int](0)
+  private val Magic = 0x47484E57 // "GHNW"
+
+  /** Deserialize a graph written by [[HnswStore.writeTo]]. `efSearch` is a
+   * search-time knob, chosen by the reader, not baked into the bytes. */
+  def readFrom(in: java.io.DataInputStream, efSearch: Int = 64): HnswStore = {
+    require(in.readInt() == Magic, "not an HNSW sidecar (bad magic)")
+    val ver = in.readByte()
+    require(ver == 1, s"unsupported HNSW sidecar version $ver")
+    val metric = in.readByte() match {
+      case 0 => Metric.L2; case 1 => Metric.IP; case 2 => Metric.Cosine
+      case b => throw new IllegalArgumentException(s"bad metric byte $b")
+    }
+    val m = in.readInt()
+    val efC = in.readInt()
+    val s = new HnswStore(metric, m, efC, efSearch)
+    val n = in.readInt()
+    s.cap = math.max(s.cap, n)
+    s.n = n
+    s.maxLevel = in.readInt()
+    s.entryPoint = in.readInt()
+    s.labels = new Array[Long](s.cap)
+    s.tss = new Array[Long](s.cap)
+    s.vecs = new Array[Array[Float]](s.cap)
+    var i = 0
+    while (i < n) { s.labels(i) = in.readLong(); s.tss(i) = in.readLong(); i += 1 }
+    i = 0
+    while (i < n) {
+      val dim = in.readInt()
+      val v = new Array[Float](dim)
+      var d = 0
+      while (d < dim) { v(d) = in.readFloat(); d += 1 }
+      s.vecs(i) = v
+      i += 1
+    }
+    val nLayers = in.readInt()
+    s.neighbors = new Array[Array[Array[Int]]](nLayers)
+    var l = 0
+    while (l < nLayers) {
+      s.neighbors(l) = new Array[Array[Int]](s.cap)
+      i = 0
+      while (i < n) {
+        val len = in.readInt()
+        if (len >= 0) {
+          val nb = new Array[Int](len)
+          var j = 0
+          while (j < len) { nb(j) = in.readInt(); j += 1 }
+          s.neighbors(l)(i) = nb
+        }
+        i += 1
+      }
+      l += 1
+    }
+    val nLive = in.readInt()
+    i = 0
+    while (i < nLive) {
+      val label = in.readLong(); val id = in.readInt()
+      s.latest.put(label, id)
+      i += 1
+    }
+    s
+  }
 }

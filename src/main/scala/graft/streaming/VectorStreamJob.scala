@@ -326,24 +326,136 @@ object VectorStreamJob {
         (completeMillis() - col("ingest")).cast("double").as("latency_ms"))
   }
 
+  /** Carry-over merge state for one in-flight query: the merged top-k so
+   * far, the distinct partitions heard from, and the earliest routing
+   * stamp. Flat arrays — encoder-friendly, O(k + fan-out) per query. */
+  final case class MergeBuf(pids: Array[Int], ids: Array[Long],
+      dists: Array[Double], sent: Int, ingest: Long)
+
+  final case class SearchResult(qid: Long, rn: Int, id: Long, dist: Double,
+      latency_ms: Double)
+
+  /** Two-pointer merge of (dist, id)-ascending lists with cross-list id
+   * dedup, bounded at k — the same contract as TopKListAggregator.merge,
+   * usable from plain driver/executor code. */
+  private[streaming] def mergeSorted(aIds: Array[Long], aDs: Array[Double],
+      bIds: Array[Long], bDs: Array[Double], k: Int)
+      : (Array[Long], Array[Double]) = {
+    val outI = new scala.collection.mutable.ArrayBuffer[Long](k)
+    val outD = new scala.collection.mutable.ArrayBuffer[Double](k)
+    val seen = new java.util.HashSet[Long]()
+    var i = 0; var j = 0
+    while (outI.length < k && (i < aIds.length || j < bIds.length)) {
+      val takeA = j >= bIds.length || (i < aIds.length &&
+        (aDs(i) < bDs(j) || (aDs(i) == bDs(j) && aIds(i) <= bIds(j))))
+      val (id, d) = if (takeA) { val r = (aIds(i), aDs(i)); i += 1; r }
+                    else { val r = (bIds(j), bDs(j)); j += 1; r }
+      if (seen.add(id)) { outI += id; outD += d }
+    }
+    (outI.toArray, outD.toArray)
+  }
+
+  /** [[PartialResult]] plus the watermark column the stateful merge's
+   * event-time timeout rides on. */
+  final case class TsPartial(queryId: Long, pid: Int, numPartitionsSent: Int,
+      ids: Array[Long], dists: Array[Double], queryEventTime: Long,
+      ingestMillis: Long, eventTs: java.sql.Timestamp)
+
+  /** C3 merge with CROSS-BATCH completeness (reference
+   * PartialResultProcessFunction.java:14-59): the per-batch
+   * [[mergePartials]] silently drops a query whose fan-out straddles a
+   * micro-batch boundary (np != sent inside either batch). This variant
+   * keys a stateful merge by queryId: each arriving partial folds into
+   * the carried top-k (id-deduped sorted merge, O(k) state per query),
+   * and the query emits exactly when every routed partition has reported
+   * — however many triggers that takes. Abandoned fan-outs (a partition
+   * lost before reporting) expire via EVENT-time timeout on a watermark
+   * over the routing stamp — not processing time, where a pending timeout
+   * makes the engine schedule no-data batches back-to-back until it fires
+   * (shouldRunAnotherBatch stays true), spinning the trigger loop and
+   * hanging processAllAvailable. Both this and the upstream keyed
+   * operator are Append-mode flatMapGroupsWithState, which Spark permits
+   * chained in one streaming query. */
+  def mergePartialsStateful(partials: Dataset[PartialResult], k: Int,
+      timeoutMs: Long = 10 * 60 * 1000L): Dataset[SearchResult] = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    // the watermark delay doubles as the late-partial allowance: fMGWS
+    // with an event-time timeout filters input older than the watermark
+    val withTs = partials
+      .withColumn("eventTs", timestamp_millis(col("ingestMillis")))
+      .withWatermark("eventTs", s"$timeoutMs milliseconds")
+      .as[TsPartial]
+    withTs.groupByKey(_.queryId).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (qid: Long, it: Iterator[TsPartial], state: GroupState[MergeBuf]) => {
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val prev = state.getOption
+          val pidSet = new java.util.HashSet[Int]()
+          prev.foreach(_.pids.foreach(pidSet.add(_)))
+          var ids = prev.map(_.ids).getOrElse(Array.empty[Long])
+          var ds = prev.map(_.dists).getOrElse(Array.empty[Double])
+          var sent = prev.map(_.sent).getOrElse(0)
+          var ingest = prev.map(_.ingest).getOrElse(Long.MaxValue)
+          var latest = prev.map(_.ingest).getOrElse(0L)
+          it.foreach { p =>
+            pidSet.add(p.pid)
+            sent = p.numPartitionsSent
+            if (p.ingestMillis < ingest) ingest = p.ingestMillis
+            if (p.ingestMillis > latest) latest = p.ingestMillis
+            val m = mergeSorted(ids, ds, p.ids, p.dists, k)
+            ids = m._1; ds = m._2
+          }
+          if (sent > 0 && pidSet.size() >= sent) {
+            state.remove()
+            val now = System.currentTimeMillis()
+            Iterator.tabulate(ids.length)(r =>
+              SearchResult(qid, r + 1, ids(r), ds(r), (now - ingest).toDouble))
+          } else {
+            import scala.jdk.CollectionConverters._
+            state.update(MergeBuf(pidSet.iterator().asScala.map(_.intValue())
+              .toArray.sorted, ids, ds, sent, ingest))
+            // must stay ahead of the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1000L, latest + timeoutMs))
+            Iterator.empty
+          }
+        }
+      })
+  }
+
   /** Wire the full pipeline onto a streaming Dataset; results are appended
-   * per micro-batch via foreachBatch into `sink`. */
+   * per micro-batch via foreachBatch into `sink`. With `crossBatchMerge`
+   * the C3 merge is the stateful cross-batch variant (a query's fan-out
+   * may straddle micro-batches and still completes); otherwise it is the
+   * one-aggregation per-batch merge. */
   def run(events: Dataset[StreamEvent], model: PartitionerModel, k: Int,
       metric: Metric, maxTtl: Long, useHnsw: Boolean = false,
       checkpointDir: Option[String] = None,
-      dropLateQueries: Boolean = false)(sink: DataFrame => Unit)
+      dropLateQueries: Boolean = false,
+      crossBatchMerge: Boolean = false)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val routed = route(events, model)
     val p = if (useHnsw) partialsHnsw(routed, metric, maxTtl,
               dropLateQueries = dropLateQueries)
             else partials(routed, metric, maxTtl, dropLateQueries)
-    val w = p.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[PartialResult], _: Long) =>
-        // single-pass merge: the batch is consumed exactly once, so no
-        // persist is needed (the stateful operator runs once per batch)
-        sink(mergePartials(batch.toDF(), k))
-      }
+    val w =
+      if (crossBatchMerge) {
+        mergePartialsStateful(p, k).writeStream
+          .outputMode(OutputMode.Append)
+          .foreachBatch { (batch: Dataset[SearchResult], _: Long) =>
+            sink(batch.toDF())
+          }
+      } else p.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[PartialResult], _: Long) =>
+          // single-pass merge: the batch is consumed exactly once, so no
+          // persist is needed (the stateful operator runs once per batch)
+          sink(mergePartials(batch.toDF(), k))
+        }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()
   }

@@ -264,6 +264,79 @@ class ColdTierSpec extends AnyFunSuite {
     assert(fres.nonEmpty && fres.forall(id => id >= 1000L && id < 2000L))
   }
 
+  test("hnsw sidecar roundtrip: deserialized graph answers searches identically") {
+    val rnd = new java.util.Random(11L)
+    val store = new HnswStore(Metric.L2, m = 8, efConstruction = 64, efSearch = 32)
+    val vecs = Array.fill(400)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    vecs.zipWithIndex.foreach { case (v, i) => store.put(i.toLong, i.toLong, v) }
+    store.delete(3L)
+    store.put(5L, 500L, vecs(7)) // supersede label 5
+    val bytes = new java.io.ByteArrayOutputStream()
+    store.writeTo(new java.io.DataOutputStream(bytes))
+    val back = HnswStore.readFrom(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes.toByteArray)), efSearch = 32)
+    assert(back.size == store.size)
+    (0 until 20).foreach { _ =>
+      val q = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val a = store.search(q, 10, 0L, Long.MaxValue).toSeq
+      val b = back.search(q, 10, 0L, Long.MaxValue).toSeq
+      assert(a == b, "full-window search must match")
+      // freshness window + deletes/supersedes survive the roundtrip
+      val af = store.search(q, 10, 100L, 300L).toSeq
+      val bf = back.search(q, 10, 100L, 300L).toSeq
+      assert(af == bf, "windowed search must match")
+      assert(!b.exists(_._1 == 3L), "deleted label must stay deleted")
+    }
+  }
+
+  test("searchIndexed: sidecar probe + exact rerank, recall >= 0.9; scan fallback when a sidecar is missing") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtierhnsw").toString
+    // clustered data (pure-random caps any graph's recall by construction)
+    val rnd = new java.util.Random(13L)
+    val centers = Array.fill(8)(Array.fill(8)(rnd.nextGaussian().toFloat * 3f))
+    val all = (0 until 900).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(_ + rnd.nextGaussian().toFloat * 0.3f), i.toLong)
+    }
+    (0 until 3).foreach { sid =>
+      ColdTier.seal(all.filter(_._1 % 3 == sid).toDF("id", "vec", "eventTime"),
+        dir, sid.toLong)
+    }
+    ColdTier.sealIndexes(spark, dir, 0L until 3L, Metric.L2, m = 8,
+      efConstruction = 64)
+    val queries = all.indices.by(90).map { i =>
+      (i.toLong, all(i)._2, Long.MaxValue / 2, Long.MaxValue / 2)
+    }.toDF("qid", "qv", "qtime", "ttl")
+    def recallOf(got: Map[Long, Seq[Long]]): Double = {
+      val hits = got.map { case (qid, ids) =>
+        val qv = all(qid.toInt)._2
+        val want = all.map { case (id, v, _) => (id, Distances.l2(qv, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+        ids.count(want).toDouble / 10
+      }
+      hits.sum / hits.size
+    }
+    def run() = ColdTier.searchIndexed(spark, dir, queries, 10, Metric.L2,
+        shortlist = 30, efSearch = 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val got = run()
+    assert(got.size == queries.count())
+    assert(got.values.forall(_.size == 10))
+    assert(recallOf(got) >= 0.9, s"recall ${recallOf(got)}")
+    assert(run() == got, "probe must be deterministic")
+    // drop one sidecar: its segment degrades to the exact scan path —
+    // results stay complete and recall cannot get worse for that segment
+    val gone = new java.io.File(s"$dir/segment-2-hnsw")
+    assert(gone.delete(), "sidecar file must exist to be deleted")
+    val mixed = run()
+    assert(mixed.size == got.size)
+    assert(mixed.values.forall(_.size == 10))
+    assert(recallOf(mixed) >= 0.9, s"mixed recall ${recallOf(mixed)}")
+  }
+
   test("catalog falls back to .tmp when a crash interrupts evict's swap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-crash").toString

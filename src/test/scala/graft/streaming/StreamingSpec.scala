@@ -376,6 +376,57 @@ class StreamingSpec extends AnyFunSuite {
       s"latency p50 must be a sane wall-clock ms value: $got")
   }
 
+  test("cross-batch merge: a fan-out split across micro-batches still completes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[PartialResult]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val q = VectorStreamJob.mergePartialsStateful(input.toDS(), k = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[SearchResult], _: Long) =>
+        b.collect().foreach(r => results.synchronized {
+          results += ((r.qid, r.rn, r.id, r.dist)) })
+      }.start()
+    // batch 1: only partition 0 of a 2-way fan-out reports — the per-batch
+    // merge would drop this query forever (np != sent in every batch)
+    input.addData(PartialResult(7L, 0, 2, Array(1L, 2L), Array(0.1, 0.2),
+      100L, System.currentTimeMillis()))
+    q.processAllAvailable()
+    assert(results.synchronized(results.isEmpty),
+      "incomplete fan-out must not emit")
+    // batch 2: partition 1 reports (with an id overlapping partition 0's
+    // list — cross-partition dedup must hold across the batch boundary)
+    input.addData(PartialResult(7L, 1, 2, Array(3L, 2L), Array(0.05, 0.2),
+      100L, System.currentTimeMillis()))
+    q.processAllAvailable()
+    val got = results.synchronized(results.sortBy(_._2))
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      Seq((7L, 1, 3L), (7L, 2, 1L), (7L, 3, 2L)),
+      s"merged top-k across batches: $got")
+    assert(got.forall(x => x._4 >= 0.0), "latency must be stamped")
+    q.stop()
+  }
+
+  test("crossBatchMerge pipeline: chained stateful operators answer like the per-batch path") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(4), k = 5,
+      Metric.L2, maxTtl = 1000000L, crossBatchMerge = true) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2))) })
+    }
+    val inserts = (0 until 50).map(i => StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0))
+    input.addData(inserts :+ StreamEvent("q", 1000L, vec(3), 100L, 1000000L, 5): _*)
+    q.processAllAvailable()
+    val truth = (0 until 50).map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    val got = results.synchronized { results.filter(_._1 == 1000L).sortBy(_._2).map(_._3) }
+    assert(got == truth, s"got $got want $truth")
+    q.stop()
+  }
+
   test("state eviction drops entries older than maxTtl") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
