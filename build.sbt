@@ -33,5 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // cap, not allocation: the bench's 10x recall section holds a 6M-vector
+  // corpus in one local JVM (executor-equivalent heap)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -378,7 +378,11 @@ object VectorQueries {
    * the fusion itself touches only the two top-k lists. */
   def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val n = docs.count()
+    // corpus size as a broadcast 1-row aggregate folded into the scoring
+    // expression — not an eager docs.count() per invocation (the plan
+    // stays fully lazy; the oracle's `nn AS (SELECT count(*))` twin
+    // computes it the same way)
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val vec = knn(graft.Metric.L2)(s, dir)
       .select(col("qid"), col("id"), col("rn").as("rank_vec"))
     val toks = docs.select(col("doc_id"),
@@ -403,8 +407,9 @@ object VectorQueries {
       .select(col("qid"), col("tok"), col("df"))
     val lexScore = qBudget
       .join(tf, "tok")
+      .crossJoin(broadcast(nDf))
       .groupBy(col("qid"), col("doc_id").as("id"))
-      .agg(sum(expr(s"(($n - df) * f * $LexScale) div (df * (f + 3))"))
+      .agg(sum(expr(s"((n_docs - df) * f * $LexScale) div (df * (f + 3))"))
         .as("score"))
     val lexRank = lexScore
       .withColumn("rank_lex", row_number().over(

@@ -48,6 +48,37 @@ object ColdTier {
 
   private def statsPath(dir: String) = s"$dir/_segments"
 
+  /** Public (not `private`): Spark codegen references the buffer class
+   * from generated Java, which cannot touch private members — a private
+   * buffer still computes correctly but every task falls back to
+   * interpreted projection after a logged Janino CompileException. */
+  final case class VecMeanBuf(sums: Array[Double], n: Long)
+
+  /** One-buffer vector mean: a single aggregate over the whole array.
+   * The per-element `avg(element_at(vec, i))` form builds a dim-wide
+   * expression tree — fine at dim 64, pathological at dim 4096. */
+  private final class VecMeanAggregator(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Float], VecMeanBuf, Seq[Double]] {
+    def zero: VecMeanBuf = VecMeanBuf(new Array[Double](dim), 0L)
+    def reduce(b: VecMeanBuf, a: Seq[Float]): VecMeanBuf = {
+      var i = 0
+      while (i < dim) { b.sums(i) += a(i); i += 1 }
+      VecMeanBuf(b.sums, b.n + 1)
+    }
+    def merge(x: VecMeanBuf, y: VecMeanBuf): VecMeanBuf = {
+      var i = 0
+      while (i < dim) { x.sums(i) += y.sums(i); i += 1 }
+      VecMeanBuf(x.sums, x.n + y.n)
+    }
+    def finish(b: VecMeanBuf): Seq[Double] =
+      if (b.n == 0) Seq.empty else b.sums.map(_ / b.n).toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[VecMeanBuf] =
+      Encoders.product[VecMeanBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Seal a batch of vectors (id, vec, eventTime) into a new segment.
    * Rows carry their segmentId so a multi-segment scan can route them
    * back to the probes that requested the segment (constant-encoded by
@@ -67,9 +98,11 @@ object ColdTier {
       .write.mode("overwrite").parquet(path)
     val written = spark.read.parquet(path)
     val dim = written.select(size(col("vec"))).first().getInt(0)
+    val meanUdaf = udaf(new VecMeanAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     val agg = written.select(
       count(lit(1)), min(col("eventTime")), max(col("eventTime")),
-      array((0 until dim).map(i => avg(element_at(col("vec"), i + 1))): _*))
+      meanUdaf(col("vec")))
       .first()
     val centroid = agg.getSeq[Double](3).map(_.toFloat).toArray
     val bc = spark.sparkContext.broadcast(centroid)
@@ -177,6 +210,27 @@ object ColdTier {
     val keep = catalog(spark, dir).filter(_.maxTs >= retentionFloor)
     swapCatalog(spark, dir, keep)
     keep
+  }
+
+  /** The file-level half of V7 eviction: delete segment files — and their
+   * `-codes` / `-hnsw` companions — no longer referenced by the live
+   * catalog ([[evict]] drops catalog entries; without gc the bytes linger
+   * forever, a real leak once segments rotate at scale). Idempotent and
+   * safe any time after a catalog swap: the catalog is the source of
+   * truth, readers plan scans only from it, and [[heal]] never
+   * resurrects data files. Returns the deleted paths. */
+  def gc(spark: SparkSession, dir: String): Seq[String] = {
+    val live = catalog(spark, dir).map(s => new Path(s.path).getName).toSet
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    val victims = fs.listStatus(base).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.startsWith("segment-") &&
+        !live.contains(n.stripSuffix("-codes").stripSuffix("-hnsw"))
+    }
+    victims.foreach(p => fs.delete(p, true))
+    victims.map(_.toString).toSeq
   }
 
   /** Seal the SQ8 code companion of an existing segment: same rows,

@@ -38,9 +38,12 @@ import graft.store.{ExactStore, HnswStore}
  */
 object VectorStreamJob {
 
-  /** Unified stream element (insert / delete / query). */
+  /** Unified stream element (insert / delete / query / state dump — the
+   * reference's PartitionedElement.DataType {INSERT_OR_DELETE, QUERY,
+   * DUMP}, data/PartitionedElement.java:19-26; DUMP is its experiment
+   * plumbing for dumping backend state). */
   final case class StreamEvent(
-      kind: String, // "i" | "d" | "q"
+      kind: String, // "i" | "d" | "q" | "s" (state dump)
       id: Long,
       vec: Array[Float],
       eventTime: Long,
@@ -79,6 +82,12 @@ object VectorStreamJob {
           ps.map(pid => Routed(pid, ps.length, ev, now))
         case "d" if ev.vec == null =>
           b.value.deleteAllPartitions.map(pid => Routed(pid, 0, ev, now))
+        case "s" =>
+          // DUMP fans out to every partition; the NEGATED fan-out count
+          // marks its partials as state dumps (a dump row can then never
+          // satisfy a query merge's np == sent completeness check)
+          val ps = b.value.deleteAllPartitions
+          ps.map(pid => Routed(pid, -ps.length, ev, now))
         case _ =>
           b.value.dataPartitions(ev.vec, ev.id).map(pid => Routed(pid, 0, ev, now))
       }
@@ -178,6 +187,21 @@ object VectorStreamJob {
           // stream tail would otherwise freeze maxTs and grow the
           // tombstone map unboundedly
           if (ev.eventTime > maxDelTs) maxDelTs = ev.eventTime
+        case "s" =>
+          // DUMP (reference DataType.DUMP): emit this partition's live
+          // state AS OF this point in the event-time replay — (id, ts)
+          // pairs ride the partial's (ids, dists) arrays, marked by the
+          // negative sent count stamped at routing
+          val dumpIds = new Array[Long](live.size())
+          val dumpTs = new Array[Double](live.size())
+          var di = 0
+          val dit0 = live.values().iterator()
+          while (dit0.hasNext) {
+            val v = dit0.next()
+            dumpIds(di) = v.id; dumpTs(di) = v.ts.toDouble; di += 1
+          }
+          out += PartialResult(ev.id, pid, r.numPartitionsSent,
+            dumpIds, dumpTs, ev.eventTime, r.ingestMillis)
         case "q" =>
           // reference fidelity (RocksDBKeyedProcessFunction.java:90-93):
           // optionally drop queries older than the last answered query.
@@ -313,7 +337,8 @@ object VectorStreamJob {
     val mergeUdaf = udaf(new graft.functions.TopKListAggregator(k),
       implicitly[org.apache.spark.sql.Encoder[(Array[Long], Array[Double])]])
     val completeMillis = udf(() => System.currentTimeMillis()).asNondeterministic()
-    batch.groupBy(col("queryId").as("qid"))
+    batch.where(col("numPartitionsSent") > 0) // state dumps never merge
+      .groupBy(col("queryId").as("qid"))
       .agg(mergeUdaf(col("ids"), col("dists")).as("topk"),
         size(collect_set(col("pid"))).as("np"),
         first(col("numPartitionsSent")).as("sent"),
@@ -354,6 +379,18 @@ object VectorStreamJob {
     }
     (outI.toArray, outD.toArray)
   }
+
+  /** Decode DUMP partials out of a partial batch: one row per live
+   * (partition, id) with its stored event time — the Spark-side surface
+   * of the reference's DataType.DUMP state dump. Send
+   * `StreamEvent("s", dumpId, null, ts, 0, 0)` and read these from the
+   * partial stream (they are excluded from the query merge). */
+  def stateDumps(batch: DataFrame): DataFrame =
+    batch.where(col("numPartitionsSent") < 0)
+      .select(col("queryId").as("dump_id"), col("pid"),
+        explode(arrays_zip(col("ids").as("id"), col("dists").as("ts"))).as("e"))
+      .select(col("dump_id"), col("pid"), col("e.id").as("id"),
+        col("e.ts").cast("long").as("ts"))
 
   /** [[PartialResult]] plus the watermark column the stateful merge's
    * event-time timeout rides on. */

@@ -337,6 +337,32 @@ class ColdTierSpec extends AnyFunSuite {
     assert(recallOf(mixed) >= 0.9, s"mixed recall ${recallOf(mixed)}")
   }
 
+  test("gc removes evicted segments' files incl. -codes/-hnsw companions; survivors keep answering") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtiergc").toString
+    ColdTier.seal(mkVecs(200, 8, 21L, 0L), dir, 1L)
+    ColdTier.seal(mkVecs(200, 8, 22L, 10000L), dir, 2L)
+    ColdTier.sealIndexes(spark, dir, Seq(1L, 2L), Metric.L2, m = 8,
+      efConstruction = 32)
+    val model = graft.ops.Sq.fit(
+      mkVecs(200, 8, 21L, 0L).select(col("vec")).as[Array[Float]].collect())
+    ColdTier.sealCodes(spark, dir, 1L, model)
+    ColdTier.evict(spark, dir, 5000L) // drops segment 1 from the catalog
+    val deleted = ColdTier.gc(spark, dir)
+    val names = deleted.map(p => new java.io.File(p).getName).toSet
+    assert(names == Set("segment-1", "segment-1-codes", "segment-1-hnsw"),
+      s"deleted $names")
+    assert(new java.io.File(s"$dir/segment-2").exists())
+    assert(new java.io.File(s"$dir/segment-2-hnsw").exists())
+    // the surviving segment still answers through both paths
+    val queries = Seq((1L, Array.fill(8)(0f), 10100L, 1000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    assert(ColdTier.search(spark, dir, queries, 5, Metric.L2).count() == 5)
+    assert(ColdTier.searchIndexed(spark, dir, queries, 5, Metric.L2,
+      shortlist = 10).count() == 5)
+  }
+
   test("catalog falls back to .tmp when a crash interrupts evict's swap") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-crash").toString

@@ -427,6 +427,44 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("DUMP element: state dump reconstructs the live set and never merges as a query") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val dumps = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+    val merged = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val routed = VectorStreamJob.route(input.toDS(), SimplePartitioner(4))
+    val q = VectorStreamJob.partials(routed, Metric.L2, maxTtl = 1000000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[PartialResult], _: Long) =>
+        val df = b.toDF().cache()
+        VectorStreamJob.stateDumps(df).collect().foreach(r => dumps.synchronized {
+          dumps += ((r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))) })
+        VectorStreamJob.mergePartials(df, 5).collect()
+          .foreach(r => merged.synchronized { merged += r.getLong(0) })
+        df.unpersist()
+        ()
+      }.start()
+    val inserts = (0 until 40).map(i => StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0))
+    input.addData(inserts: _*)
+    q.processAllAvailable()
+    input.addData(
+      StreamEvent("d", 7L, null, 100L, 0L, 0),
+      StreamEvent("s", 9999L, null, 200L, 0L, 0))
+    q.processAllAvailable()
+    val got = dumps.synchronized(dumps.toVector)
+    assert(got.nonEmpty, "dump must emit")
+    assert(got.forall(_._1 == 9999L))
+    // the dump reconstructs the live set exactly: 40 inserts minus the delete
+    assert(got.map(_._3).sorted == (0 until 40).filter(_ != 7).map(_.toLong),
+      s"live set mismatch: ${got.map(_._3).sorted}")
+    // stored event times survive, and the dump never reaches the query merge
+    assert(got.forall(r => r._4 == r._3))
+    assert(merged.synchronized(merged.isEmpty),
+      "a dump must never satisfy the query-merge completeness check")
+    q.stop()
+  }
+
   test("state eviction drops entries older than maxTtl") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
