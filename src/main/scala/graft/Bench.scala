@@ -203,13 +203,20 @@ object Bench {
     // (queries probe all sub-partitions of a probed cell — recall
     // unaffected). `cells` is kept for the 2x sweep: the fit input
     // (sample, seed) is corpus-size-independent, only the salting scales.
+    // Per-partition graph size is held CONSTANT across corpus scales
+    // (partition count grows linearly instead): a measured sweep at 6M
+    // vectors showed 23k-vector graphs cost 227 s at recall 0.922 while
+    // 4k-vector graphs cost 158 s at recall 0.990 — HNSW build cost and
+    // recall-at-fixed-efSearch both degrade with graph size, so scaling
+    // graphs with the corpus is wrong at every scale.
+    val graphTarget = 4000L
     val (cells, cellsSec) = time {
       KMeansPartitioner.fit(sample, k = cpus.toInt * 2,
         replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 8)
     }
     val (model, saltSec) = time {
       graft.partitioners.SaltedPartitioner.fromSample(cells, sample, nVec,
-        targetPerPartition = math.max(4000L, nVec / (cpus.toInt * 8)))
+        targetPerPartition = graphTarget)
     }
     results("bench_ann_fit") = cellsSec + saltSec
     // partition balance (max-avg)/avg over routed data counts — the
@@ -269,7 +276,7 @@ object Bench {
     // is reported separately. Min-of-2 with a GC between, also matching
     // the 1x reps, so scaleup_efficiency compares like with like.
     val model2 = graft.partitioners.SaltedPartitioner.fromSample(cells,
-      sample, nVec2, targetPerPartition = math.max(4000L, nVec2 / (cpus.toInt * 8)))
+      sample, nVec2, targetPerPartition = graphTarget)
     def ann2Run() = Ann.search(vecs2, queries, model2, 10, Metric.L2,
         useHnsw = true, hnswM = 16, efConstruction = 48, efSearch = 64)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
@@ -328,8 +335,7 @@ object Bench {
           Ann.bruteForce(vecs10, q10, 10, Metric.L2)
             .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect())
         val salt10 = graft.partitioners.SaltedPartitioner.fromSample(cells,
-          sample, nVec10,
-          targetPerPartition = math.max(4000L, nVec10 / (cpus.toInt * 8)))
+          sample, nVec10, targetPerPartition = graphTarget)
         System.gc()
         val (annRows10, ann10Sec) = time(
           Ann.search(vecs10, q10, salt10, 10, Metric.L2, useHnsw = true,

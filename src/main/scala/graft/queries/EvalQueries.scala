@@ -25,6 +25,8 @@ object EvalQueries {
   private val codesSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Dirs whose segments have HNSW index sidecars sealed. */
   private val hnswSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Compacted cold-tier dirs per sf dir (six flushes -> two segments). */
+  private val compactedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def sealedTier(s: SparkSession, dir: String): String =
     sealedDirs.getOrElseUpdate(dir, {
@@ -79,6 +81,34 @@ object EvalQueries {
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
       graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
         graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0)
+    },
+
+    "knn_coldtier_compacted" -> { (s, dir) =>
+      // LSM-style compaction under the hard gate: six small "flushes" are
+      // sealed (the accreting-streaming-tier shape), compact() merges
+      // time-adjacent runs into two segments through the atomic
+      // catalog-swap + gc lifecycle, and the lossless search over the
+      // compacted tier must STILL equal exact kNN — compaction preserves
+      // the row multiset, so the oracle is the same exact-kNN twin as
+      // knn_coldtier through an independent storage layout.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = compactedDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold-cpt").toString
+        (0 until 6).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") % 6 === i)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime")), t, i.toLong)
+        }
+        val total = e.count()
+        graft.store.ColdTier.compact(s, t, targetRows = (total + 1) / 2)
+        t
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+        graft.Metric.L2, firstWaveFraction = 0.5, terminationFactor = 1.0)
     },
 
     "knn_coldtier_sq" -> { (s, dir) =>
@@ -173,6 +203,19 @@ object EvalQueries {
     // identical SQL twin to ann_sq8_rerank: with every segment fresh, the
     // compressed cold tier IS that pipeline via an independent path
     "knn_coldtier_sq" -> PqQueries.oracles("ann_sq8_rerank"),
+
+    // compaction preserves the row multiset, so the compacted tier answers
+    // the same exact-kNN twin as the uncompacted one
+    "knn_coldtier_compacted" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+         |    for x in list_zip(q.qv, b.embedding)]) AS dist
+         |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
 
     // replay the exact re-rank over the materialized HNSW shortlist aux
     "knn_coldtier_hnsw" ->

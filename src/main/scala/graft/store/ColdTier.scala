@@ -92,6 +92,17 @@ object ColdTier {
     val spark = vectors.sparkSession
     import spark.implicits._
     heal(spark, dir)
+    val stats = writeSegment(vectors, dir, segmentId)
+    Seq(stats).toDF().write.mode("append").parquet(statsPath(dir))
+    stats
+  }
+
+  /** The file+stats half of [[seal]] — writes `segment-<id>` and computes
+   * its catalog row WITHOUT touching the live catalog, so [[compact]] can
+   * stage new segments and commit them in one atomic swap. */
+  private def writeSegment(vectors: DataFrame, dir: String,
+      segmentId: Long): SegmentStats = {
+    val spark = vectors.sparkSession
     val path = s"$dir/segment-$segmentId"
     vectors.select(lit(segmentId).as("segmentId"), col("id"), col("vec"),
         col("eventTime"))
@@ -109,10 +120,8 @@ object ColdTier {
     val radius = written.select(
       max(Distances.l2(col("vec"), typedLit(bc.value))))
       .first().getDouble(0)
-    val stats = SegmentStats(segmentId, path, agg.getLong(0), agg.getLong(1),
+    SegmentStats(segmentId, path, agg.getLong(0), agg.getLong(1),
       agg.getLong(2), centroid, math.sqrt(radius))
-    Seq(stats).toDF().write.mode("append").parquet(statsPath(dir))
-    stats
   }
 
   /** V6 statistics maintenance (caller-invoked after consuming results —
@@ -231,6 +240,91 @@ object ColdTier {
     }
     victims.foreach(p => fs.delete(p, true))
     victims.map(_.toString).toSeq
+  }
+
+  /** Size-tiered compaction — LSM compaction semantics re-expressed over
+   * Parquet segments (reference base engine: db/compaction/
+   * compaction_picker.h:40-58 picks small files to merge into larger
+   * levels, db/db_impl/db_impl_compaction_flush.cc drives it). Notably
+   * the reference's VECTOR tier disables auto-compaction and lists it as
+   * future work (plugin/vectorbackend/options/vector_options.h:37,42;
+   * todo.md:18) — so its sealed HNSW-SSTs accrete forever; this closes
+   * that lifecycle. Query cost here scales with segment count (probe
+   * planning, per-wave multi-segment scans), so a tier accreting small
+   * streaming flushes degrades without compaction.
+   *
+   * Planning: catalog sorted by (minTs, segmentId); ADJACENT segments
+   * greedily accumulate into a group while the group stays under
+   * `targetRows`. Only adjacency-in-time merges keep each merged
+   * [minTs, maxTs] window tight, preserving V3 freshness pruning power.
+   * Single-member groups are left untouched (zero rewrite IO — the
+   * size-tiered property); multi-member groups are rewritten as one new
+   * segment whose id continues past the catalog's max.
+   *
+   * Row semantics: a merged segment holds exactly the union of its
+   * members' rows, minus rows with eventTime < `retentionFloor`
+   * (row-level eviction inside surviving segments — [[evict]] can only
+   * drop whole segments). With the default floor nothing is dropped and
+   * search results are identical pre/post compaction. No version
+   * collapsing: cold-tier deletes/versions resolve at query time (V4
+   * anti-join), so the row multiset is the contract.
+   *
+   * Sidecars: a merged segment gets an HNSW sidecar iff EVERY member had
+   * one (an indexed tier never silently downgrades to scan), and SQ8
+   * codes iff every member had codes and `sqModel` is supplied (codes
+   * cannot be derived without the tier's quantizer).
+   *
+   * Crash safety: new segment files + sidecars are written first
+   * (unreferenced by the live catalog — a crash strands orphans that
+   * [[gc]] reclaims), the catalog swap is the single atomic commit
+   * point, and victim files are gc'ed last. A merged segment's
+   * temperature is the sum of its members' (hit mass is additive).
+   * Returns the post-compaction catalog. */
+  def compact(spark: SparkSession, dir: String, targetRows: Long,
+      retentionFloor: Long = Long.MinValue, metric: Metric = Metric.L2,
+      m: Int = 16, efConstruction: Int = 128,
+      sqModel: Option[graft.ops.Sq.SqModel] = None): Array[SegmentStats] = {
+    require(targetRows > 0, s"targetRows $targetRows must be positive")
+    val segs = catalog(spark, dir).sortBy(s => (s.minTs, s.segmentId))
+    if (segs.length <= 1) return segs
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[SegmentStats]]
+    var cur = Vector.empty[SegmentStats]
+    var curRows = 0L
+    segs.foreach { s =>
+      if (cur.nonEmpty && curRows + s.count > targetRows) {
+        groups += cur; cur = Vector.empty; curRows = 0L
+      }
+      cur :+= s; curRows += s.count
+    }
+    if (cur.nonEmpty) groups += cur
+    if (!groups.exists(_.length >= 2)) return segs.sortBy(_.segmentId)
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var nextId = segs.map(_.segmentId).max
+    val out = groups.flatMap { g =>
+      if (g.length == 1) Some(g.head)
+      else {
+        val rows0 = spark.read.parquet(g.map(_.path): _*)
+        val rows = if (retentionFloor == Long.MinValue) rows0
+          else rows0.where(col("eventTime") >= retentionFloor)
+        // a floor can expire a whole group — the merged segment then
+        // simply ceases to exist (same outcome as evict, row-grained)
+        if (retentionFloor != Long.MinValue && rows.isEmpty) None
+        else {
+          nextId += 1
+          val stats = writeSegment(rows, dir, nextId)
+            .copy(temperature = g.map(_.temperature).sum)
+          if (g.forall(s => fs.exists(new Path(indexPath(s.path)))))
+            sealIndexes(spark, dir, Seq(nextId), metric, m, efConstruction)
+          if (g.forall(s => fs.exists(new Path(s"${s.path}-codes"))))
+            sqModel.foreach(mod => sealCodes(spark, dir, nextId, mod))
+          Some(stats)
+        }
+      }
+    }.toArray
+    swapCatalog(spark, dir, out)
+    gc(spark, dir)
+    out.sortBy(_.segmentId)
   }
 
   /** Seal the SQ8 code companion of an existing segment: same rows,

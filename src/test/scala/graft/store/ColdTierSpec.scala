@@ -377,4 +377,89 @@ class ColdTierSpec extends AnyFunSuite {
     fs.delete(stats, true)
     assert(ColdTier.catalog(spark, dir).map(_.segmentId).toList == List(2L))
   }
+
+  test("compact merges adjacent small segments: bit-identical search, victims gc'ed, sidecars+codes carried") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-compact").toString
+    // six time-adjacent 100-row segments — the accreted-flushes shape
+    val segData = (0 until 6).map(i => mkVecs(100, 8, 40L + i, i * 1000L))
+    segData.zipWithIndex.foreach { case (df, i) =>
+      ColdTier.seal(df, dir, i.toLong)
+    }
+    ColdTier.sealIndexes(spark, dir, 0L until 6L, Metric.L2, m = 8,
+      efConstruction = 64)
+    val sample = segData.reduce(_ unionAll _).orderBy("id")
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    val model = graft.ops.Sq.fit(sample)
+    (0L until 6L).foreach(sid => ColdTier.sealCodes(spark, dir, sid, model))
+
+    val queries = Seq((1L, sample(42), 100000L, 10000000L),
+      (2L, sample(444), 100000L, 10000000L)).toDF("qid", "qv", "qtime", "ttl")
+    def results() = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 0.34, terminationFactor = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toList
+    val before = results()
+
+    // 600 rows / target 300 -> two merged segments of three members each
+    val out = ColdTier.compact(spark, dir, targetRows = 300L,
+      sqModel = Some(model))
+    assert(out.length == 2)
+    assert(out.map(_.count).sum == 600L)
+    assert(out.forall(_.segmentId > 5L), "merged ids continue past the max")
+    assert(ColdTier.catalog(spark, dir).map(_.segmentId).sorted.toList ==
+      out.map(_.segmentId).sorted.toList)
+    // windows stayed tight per group (adjacency-only merging)
+    assert(out.sortBy(_.minTs).map(s => (s.minTs, s.maxTs)).toList ==
+      List((0L, 2099L), (3000L, 5099L)))
+    val names = new java.io.File(dir).list().toSet
+    (0 until 6).foreach(i => assert(!names.contains(s"segment-$i"),
+      s"victim segment-$i should be gc'ed"))
+    out.foreach { s =>
+      assert(names.contains(s"segment-${s.segmentId}"))
+      assert(names.contains(s"segment-${s.segmentId}-hnsw"),
+        "all members indexed -> merged segment indexed")
+      assert(names.contains(s"segment-${s.segmentId}-codes"),
+        "all members coded + model supplied -> merged segment coded")
+    }
+    assert(results() == before, "lossless search identical pre/post compaction")
+    // compressed path still answers through the carried codes
+    assert(ColdTier.searchCompressed(spark, dir, queries, 10, model,
+      shortlist = 30).count() == 20)
+    // indexed probe path still answers through the carried sidecars
+    assert(ColdTier.searchIndexed(spark, dir, queries, 10, Metric.L2,
+      shortlist = 30).count() == 20)
+  }
+
+  test("compact is a no-op when every segment already meets the target") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-noop").toString
+    (0 until 3).foreach(i =>
+      ColdTier.seal(mkVecs(100, 4, 50L + i, i * 1000L), dir, i.toLong))
+    val out = ColdTier.compact(spark, dir, targetRows = 50L)
+    assert(out.map(_.segmentId).toList == List(0L, 1L, 2L))
+    val names = new java.io.File(dir).list().toSet
+    (0 until 3).foreach(i => assert(names.contains(s"segment-$i")))
+  }
+
+  test("compact with a retention floor drops expired rows inside surviving segments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-floor").toString
+    val segData = (0 until 3).map(i => mkVecs(100, 8, 60L + i, i * 1000L))
+    segData.zipWithIndex.foreach { case (df, i) =>
+      ColdTier.seal(df, dir, i.toLong)
+    }
+    // all three merge into one; rows older than ts 1050 are evicted
+    val out = ColdTier.compact(spark, dir, targetRows = 1000L,
+      retentionFloor = 1050L)
+    assert(out.length == 1)
+    assert(out.head.count == 150L, "50 survivors of seg1 + all of seg2")
+    assert(out.head.minTs == 1050L && out.head.maxTs == 2099L)
+    val qv = Array.fill(8)(0f)
+    val queries = Seq((1L, qv, 100000L, 10000000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    val got = ColdTier.search(spark, dir, queries, 200, Metric.L2)
+      .collect().map(_.getLong(2))
+    assert(got.length == 150 && got.forall(_ >= 1050L))
+  }
 }

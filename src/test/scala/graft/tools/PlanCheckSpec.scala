@@ -38,6 +38,7 @@ class PlanCheckSpec extends AnyFunSuite {
     ("text_jaccard_pairs", true, true, false),
     ("dedup_minhash", true, true, false),
     ("knn_coldtier", true, true, false),
+    ("knn_coldtier_compacted", true, true, false),
     ("knn_coldtier_sq", true, true, false),
     ("knn_coldtier_hnsw", true, true, false),
     ("ann_sfc_adaptive", false, true, false),
