@@ -64,7 +64,14 @@ object VectorStreamJob {
   final case class PartialResult(
       queryId: Long, pid: Int, numPartitionsSent: Int,
       ids: Array[Long], dists: Array[Double], queryEventTime: Long,
-      ingestMillis: Long)
+      ingestMillis: Long,
+      // only flush partials (numPartitionsSent == FlushSent) carry vectors;
+      // query/dump partials leave it null so the common case stays narrow
+      vecs: Array[Array[Float]] = null)
+
+  /** numPartitionsSent marker for hot->cold flush partials. Disjoint from
+   * query fan-outs (always > 0) and DUMP markers (-fanout, so > -2^31). */
+  val FlushSent: Int = Int.MinValue
 
   /** Fan events out to partitions (data -> dataPartitions, value-less
    * deletes -> all, queries -> queryPartitions with the sent-count). */
@@ -128,7 +135,8 @@ object VectorStreamJob {
       pid: Int, events: Iterator[Routed], prev: PartitionState,
       store: graft.store.VectorStore, maxTtl: Long,
       onInsert: () => Unit,
-      dropLateQueries: Boolean): (Array[PartialResult], PartitionState, Array[Long]) = {
+      dropLateQueries: Boolean,
+      flushEvicted: Boolean = false): (Array[PartialResult], PartitionState, Array[StoredVec]) = {
     val live = new java.util.LinkedHashMap[Long, StoredVec]()
     prev.vecs.foreach(v => live.put(v.id, v))
     // boxed value type: get() on a missing key must return null — with a
@@ -227,12 +235,23 @@ object VectorStreamJob {
     // delete even when no insert advances maxTs
     val tombFloor = math.max(maxTs, maxDelTs) - maxTtl
     val kept = new scala.collection.mutable.ArrayBuffer[StoredVec]()
-    val evicted = new scala.collection.mutable.ArrayBuffer[Long]()
+    val evicted = new scala.collection.mutable.ArrayBuffer[StoredVec]()
     val it = live.values().iterator()
     while (it.hasNext) {
       val v = it.next()
-      if (v.ts >= floor) kept += v else evicted += v.id
+      if (v.ts >= floor) kept += v else evicted += v
     }
+    // hot->cold flush (reference flush_job.cc:130-170 builds the SST from
+    // the retired memtable): TTL-evicted rows — NOT deleted ones, those
+    // were removed from `live` above — leave as one marked partial per
+    // (partition, batch), to be sealed into cold segments by the sink.
+    // A query's freshness window is clamped to maxTtl, so from the next
+    // batch on no hot query can reach these rows: hot and cold tiers
+    // serve disjoint time ranges by construction.
+    if (flushEvicted && evicted.nonEmpty)
+      out += PartialResult(-1L, pid, FlushSent, evicted.map(_.id).toArray,
+        evicted.map(_.ts.toDouble).toArray, maxTs,
+        System.currentTimeMillis(), evicted.map(_.vec).toArray)
     val tombs = new scala.collection.mutable.ArrayBuffer[Tomb]()
     val dit = dead.entrySet().iterator()
     while (dit.hasNext) {
@@ -254,7 +273,7 @@ object VectorStreamJob {
    * rebuilds it once live entries fall below half the graph size. */
   def partialsHnsw(routed: Dataset[Routed], metric: Metric, maxTtl: Long,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64,
-      dropLateQueries: Boolean = false)
+      dropLateQueries: Boolean = false, flushEvicted: Boolean = false)
       : Dataset[PartialResult] = {
     val spark = routed.sparkSession
     import spark.implicits._
@@ -276,9 +295,9 @@ object VectorStreamJob {
           s
         }
         val (out, next0, evicted) = replayBatch(pid, events, prev, store,
-          maxTtl, () => inserted += 1, dropLateQueries)
+          maxTtl, () => inserted += 1, dropLateQueries, flushEvicted)
         // evicted entries leave the graph too, so compaction sees them
-        evicted.foreach(store.delete)
+        evicted.foreach(v => store.delete(v.id))
         // compaction: rebuild when most graph nodes are dead versions
         if (inserted > 64 && store.size * 2 < inserted) {
           val fresh = new HnswStore(metric, m, efConstruction, efSearch,
@@ -299,7 +318,7 @@ object VectorStreamJob {
    * per batch, restored from state then mutated incrementally in event
    * order (O(live + batch), not O(live x queries)). */
   def partials(routed: Dataset[Routed], metric: Metric, maxTtl: Long,
-      dropLateQueries: Boolean = false)
+      dropLateQueries: Boolean = false, flushEvicted: Boolean = false)
       : Dataset[PartialResult] = {
     val spark = routed.sparkSession
     import spark.implicits._
@@ -311,7 +330,7 @@ object VectorStreamJob {
         val store = new ExactStore(metric, math.max(16, prev.vecs.length))
         prev.vecs.foreach(v => store.put(v.id, v.ts, v.vec))
         val (out, next, _) = replayBatch(pid, events, prev, store, maxTtl,
-          () => (), dropLateQueries)
+          () => (), dropLateQueries, flushEvicted)
         state.update(next)
         out.iterator
       })
@@ -386,11 +405,43 @@ object VectorStreamJob {
    * `StreamEvent("s", dumpId, null, ts, 0, 0)` and read these from the
    * partial stream (they are excluded from the query merge). */
   def stateDumps(batch: DataFrame): DataFrame =
-    batch.where(col("numPartitionsSent") < 0)
+    batch.where(col("numPartitionsSent") < 0 &&
+        col("numPartitionsSent") =!= FlushSent)
       .select(col("queryId").as("dump_id"), col("pid"),
         explode(arrays_zip(col("ids").as("id"), col("dists").as("ts"))).as("e"))
       .select(col("dump_id"), col("pid"), col("e.id").as("id"),
         col("e.ts").cast("long").as("ts"))
+
+  /** Decode hot->cold flush partials out of a partial batch: one row per
+   * TTL-evicted (id, eventTime, vec) — shaped for [[graft.store.ColdTier.seal]]. */
+  def evictedRows(batch: DataFrame): DataFrame =
+    batch.where(col("numPartitionsSent") === FlushSent)
+      .select(explode(arrays_zip(col("ids").as("id"), col("dists").as("ts"),
+        col("vecs").as("vec"))).as("e"))
+      .select(col("e.id").as("id"), col("e.vec").as("vec"),
+        col("e.ts").cast("long").as("eventTime"))
+
+  /** Seal one micro-batch's TTL-evicted rows as cold segment `batchId` —
+   * the reference's flush job (db/flush_job.cc:130-170), which also builds
+   * the vector index at flush time (flush_job.cc:944-949) = `indexAtFlush`.
+   * Idempotent under foreachBatch re-execution: batch replay from the
+   * checkpoint is deterministic, so an already-existing segment IS this
+   * flush, committed by the previous attempt. Returns true if sealed. */
+  def flushBatch(batch: DataFrame, coldDir: String, batchId: Long,
+      metric: Metric, indexAtFlush: Boolean = false, m: Int = 16,
+      efConstruction: Int = 64): Boolean = {
+    val spark = batch.sparkSession
+    val seg = new org.apache.hadoop.fs.Path(s"$coldDir/segment-$batchId")
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(seg)) return false
+    val rows = evictedRows(batch)
+    if (rows.isEmpty) return false
+    graft.store.ColdTier.seal(rows, coldDir, batchId)
+    if (indexAtFlush)
+      graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId), metric,
+        m, efConstruction)
+    true
+  }
 
   /** [[PartialResult]] plus the watermark column the stateful merge's
    * event-time timeout rides on. */
@@ -418,8 +469,12 @@ object VectorStreamJob {
     val spark = partials.sparkSession
     import spark.implicits._
     // the watermark delay doubles as the late-partial allowance: fMGWS
-    // with an event-time timeout filters input older than the watermark
+    // with an event-time timeout filters input older than the watermark.
+    // Dump/flush partials (sent <= 0) never enter the merge — a negative
+    // `sent` would make the completeness check trivially true and leak
+    // them as results
     val withTs = partials
+      .filter(_.numPartitionsSent > 0)
       .withColumn("eventTs", timestamp_millis(col("ingestMillis")))
       .withWatermark("eventTs", s"$timeoutMs milliseconds")
       .as[TsPartial]
@@ -468,19 +523,44 @@ object VectorStreamJob {
    * per micro-batch via foreachBatch into `sink`. With `crossBatchMerge`
    * the C3 merge is the stateful cross-batch variant (a query's fan-out
    * may straddle micro-batches and still completes); otherwise it is the
-   * one-aggregation per-batch merge. */
+   * one-aggregation per-batch merge.
+   *
+   * With `coldDir` set, the job runs the full LSM lifecycle: TTL-evicted
+   * hot state flushes into cold segments per micro-batch ([[flushBatch]],
+   * the reference's memtable-flush path, optionally building the HNSW
+   * sidecar at flush like flush_job.cc:944-949), and every `compactEvery`
+   * batches the accreted small segments merge size-tiered
+   * ([[graft.store.ColdTier.compact]] — which the reference's vector tier
+   * disables and lists as future work, vector_options.h:37,42). Hot
+   * queries are clamped to maxTtl so the tiers serve disjoint time
+   * windows: older windows are answered by `ColdTier.search` over
+   * `coldDir`. Replicated partitioners (rf > 1) may flush an id from
+   * more than one partition; the cold top-k merge dedups ids, so results
+   * are unaffected (storage carries the replicas, as the hot tier did). */
   def run(events: Dataset[StreamEvent], model: PartitionerModel, k: Int,
       metric: Metric, maxTtl: Long, useHnsw: Boolean = false,
       checkpointDir: Option[String] = None,
       dropLateQueries: Boolean = false,
-      crossBatchMerge: Boolean = false)(sink: DataFrame => Unit)
+      crossBatchMerge: Boolean = false,
+      coldDir: Option[String] = None,
+      indexAtFlush: Boolean = false,
+      compactEvery: Int = 0,
+      compactTargetRows: Long = 100000L)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
     val routed = route(events, model)
+    val flush = coldDir.isDefined
     val p = if (useHnsw) partialsHnsw(routed, metric, maxTtl,
-              dropLateQueries = dropLateQueries)
-            else partials(routed, metric, maxTtl, dropLateQueries)
+              dropLateQueries = dropLateQueries, flushEvicted = flush)
+            else partials(routed, metric, maxTtl, dropLateQueries, flush)
     val w =
       if (crossBatchMerge) {
+        // flush partials are filtered out inside the stateful merge, so
+        // the flush tap must ride the partial stream upstream of it —
+        // coldDir with crossBatchMerge would need a second sink; keep the
+        // lifecycle on the per-batch-merge path where one foreachBatch
+        // sees everything
+        require(!flush, "coldDir requires the per-batch merge path")
         mergePartialsStateful(p, k).writeStream
           .outputMode(OutputMode.Append)
           .foreachBatch { (batch: Dataset[SearchResult], _: Long) =>
@@ -488,10 +568,25 @@ object VectorStreamJob {
           }
       } else p.writeStream
         .outputMode(OutputMode.Append)
-        .foreachBatch { (batch: Dataset[PartialResult], _: Long) =>
-          // single-pass merge: the batch is consumed exactly once, so no
-          // persist is needed (the stateful operator runs once per batch)
-          sink(mergePartials(batch.toDF(), k))
+        .foreachBatch { (batch: Dataset[PartialResult], bid: Long) =>
+          if (!flush) {
+            // single-pass merge: the batch is consumed exactly once, so no
+            // persist is needed (the stateful operator runs once per batch)
+            sink(mergePartials(batch.toDF(), k))
+          } else {
+            // two consumers (merge + flush) — persist so the stateful
+            // operator's lineage is not executed twice
+            val df = batch.toDF().persist()
+            try {
+              sink(mergePartials(df, k))
+              flushBatch(df, coldDir.get, bid, metric, indexAtFlush)
+              if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0) {
+                graft.store.ColdTier.compact(spark, coldDir.get,
+                  targetRows = compactTargetRows, metric = metric)
+                ()
+              }
+            } finally df.unpersist()
+          }
         }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()

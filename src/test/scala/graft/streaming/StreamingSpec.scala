@@ -487,4 +487,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(2L), s"evicted id 1 must be gone: $got")
     q.stop()
   }
+
+  test("hot->cold lifecycle: TTL-evicted state flushes into cold segments, tiers serve disjoint windows, compaction wired") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-hotcold").toString
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold), compactEvery = 4,
+      compactTargetRows = 1000L) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2))) })
+    }
+    // epoch 0: ids 0..19 at ts 0..19
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)): _*)
+    q.processAllAvailable()
+    // deleted rows must NOT flush: kill id 5 while epoch 0 is still hot
+    input.addData(StreamEvent("d", 5L, null, 30L, 0L, 0))
+    q.processAllAvailable()
+    // epoch 1 at ts 5000.. -> eviction floor 4019 retires epoch 0 to cold
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0)): _*)
+    q.processAllAvailable()
+    // epoch 2 at ts 10000.. retires epoch 1; a hot query rides along
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", 200L + i, vec(200 + i), 10000L + i, 0L, 0)) :+
+      StreamEvent("q", 9000L, vec(205), 10050L, 1000L, 5): _*)
+    q.processAllAvailable()
+    // one more batch lands on bid % compactEvery == 0 -> compaction
+    input.addData(StreamEvent("i", 300L, vec(300), 10020L, 0L, 0))
+    q.processAllAvailable()
+    q.stop()
+
+    // the hot query saw only its maxTtl-clamped fresh window (epoch 2)
+    val hot = results.synchronized { results.filter(_._1 == 9000L).map(_._3) }
+    assert(hot.nonEmpty && hot.forall(_ >= 200L), s"hot window leaked: $hot")
+
+    // cold tier holds exactly the TTL-evicted rows: epoch 0 minus the
+    // deleted id 5, plus epoch 1 — compacted into ONE segment (two flush
+    // segments, 39 rows, target 1000)
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.length == 1, s"compaction should leave one segment: ${cat.toList}")
+    assert(cat.head.count == 39L)
+    val coldIds = spark.read.parquet(cat.map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = ((0 until 20).map(_.toLong).toSet - 5L) ++
+      (0 until 20).map(i => 100L + i)
+    assert(coldIds == want, s"cold rows diverge: missing=${want -- coldIds} extra=${coldIds -- want}")
+
+    // an old window is answered (bit-exact) by the cold tier: top-5 around
+    // vec(3) over [0, 2000] = epoch 0 minus id 5
+    val queries = Seq((1L, vec(3), 2000L, 2000L)).toDF("qid", "qv", "qtime", "ttl")
+    val gotCold = graft.store.ColdTier.search(spark, cold, queries, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    val truth = (0 until 20).filter(_ != 5)
+      .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    assert(gotCold == truth, s"cold search $gotCold != exact $truth")
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.Metric
 import graft.store.ColdTier
 import graft.streaming.VectorStreamJob
-import graft.streaming.VectorStreamJob.{PartialResult, StreamEvent}
+import graft.streaming.VectorStreamJob.StreamEvent
 import graft.partitioners.SimplePartitioner
 
 /** Dev probe: drives the library surface on a real SparkSession.
@@ -19,60 +19,70 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    println("== cold tier: seal -> sealIndexes/sealCodes -> evict -> gc ==")
-    val dir = java.nio.file.Files.createTempDirectory("probe-cold").toString
-    def vecs(seed: Long, t0: Long) = {
-      val r = new java.util.Random(seed)
-      (0 until 300).map(i => (seed * 1000 + i,
-        Array.fill(16)(r.nextGaussian().toFloat), t0 + i))
-        .toDF("id", "vec", "eventTime")
-    }
-    ColdTier.seal(vecs(1L, 0L), dir, 1L)
-    ColdTier.seal(vecs(2L, 50000L), dir, 2L)
-    ColdTier.sealIndexes(spark, dir, Seq(1L, 2L), Metric.L2, m = 8,
-      efConstruction = 32)
-    ColdTier.evict(spark, dir, 40000L)
-    val deleted = ColdTier.gc(spark, dir)
-    println(s"gc deleted: ${deleted.map(p => new java.io.File(p).getName).sorted}")
-    val q = Seq((7L, Array.fill(16)(0f), 50300L, 10000L))
-      .toDF("qid", "qv", "qtime", "ttl")
-    val hits = ColdTier.searchIndexed(spark, dir, q, 5, Metric.L2, shortlist = 20)
-    println(s"post-gc searchIndexed rows=${hits.count()}")
-    hits.show(5, truncate = false)
+    println("== hot->cold lifecycle on sf0.001 embeddings: stream -> TTL flush -> compact -> cold search ==")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    println(s"corpus: ${emb.length} vectors, dim ${emb.head._2.length}")
+    // three event-time epochs 100k apart; maxTtl 50k => each new epoch
+    // retires the previous one to the cold tier
+    val epochs = emb.grouped((emb.length + 2) / 3).toArray
+    val cold = java.nio.file.Files.createTempDirectory("probe-hotcold").toString
 
-    println("== streaming: DUMP element -> stateDumps decode ==")
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StreamEvent]
-    val dumps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    val routed = VectorStreamJob.route(input.toDS(), SimplePartitioner(4))
-    val sq = VectorStreamJob.partials(routed, Metric.L2, maxTtl = 1000000L)
-      .writeStream.outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[PartialResult], _: Long) =>
-        VectorStreamJob.stateDumps(b.toDF()).collect()
-          .foreach(r => dumps.synchronized { dumps += ((r.getLong(2), r.getLong(3))) })
-        ()
-      }.start()
-    val vr = new java.util.Random(42)
-    input.addData((0 until 20).map(i =>
-      StreamEvent("i", i.toLong, Array.fill(8)(vr.nextGaussian().toFloat), i.toLong, 0L, 0)): _*)
-    sq.processAllAvailable()
-    input.addData(StreamEvent("d", 3L, null, 100L, 0L, 0),
-      StreamEvent("s", 777L, null, 200L, 0L, 0))
-    sq.processAllAvailable()
-    sq.stop()
-    val live = dumps.synchronized(dumps.map(_._1).sorted.toVector)
-    println(s"dump live ids (20 inserts - delete of 3): $live")
-    assert(live == (0 until 20).filter(_ != 3).map(_.toLong).toVector, "live set mismatch")
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(4), k = 10,
+      Metric.L2, maxTtl = 50000L, useHnsw = false,
+      coldDir = Some(cold), indexAtFlush = true, compactEvery = 3,
+      compactTargetRows = emb.length.toLong) { b =>
+      b.collect().foreach(r => merged.synchronized {
+        merged += ((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) })
+    }
+    epochs.zipWithIndex.foreach { case (rows, ep) =>
+      input.addData(rows.map { case (id, v) =>
+        StreamEvent("i", id, v, ep * 100000L + id, 0L, 0) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    // hot query against the last epoch, then one tick to land compaction
+    val qv = epochs.last.head._2
+    input.addData(StreamEvent("q", 900001L, qv, 250000L, 50000L, 10))
+    q.processAllAvailable()
+    q.stop()
 
-    println("== bench corpus: derivedVectorsN multiplies deterministically ==")
-    val v1 = graft.Bench.derivedVectorsN(spark, "/root/testdata/sf0.001", 1)
-    val v3 = graft.Bench.derivedVectorsN(spark, "/root/testdata/sf0.001", 3)
-    val (n1, n3) = (v1.count(), v3.count())
-    println(s"mult=1 -> $n1 rows, mult=3 -> $n3 rows (x${n3.toDouble / n1})")
-    assert(n3 == 3 * n1)
-    val base = v1.select("id").as[Long].collect().toSet
-    val rep = v3.select("id").as[Long].collect().toSet
-    assert(base.subsetOf(rep) && rep.size == 3 * base.size, "replica ids must extend base ids")
+    val hot = merged.synchronized(merged.filter(_._1 == 900001L)).sortBy(_._2)
+    println(s"hot top-10 ids: ${hot.map(_._3).toList}")
+    assert(hot.nonEmpty, "hot query must complete")
+    val lastIds = epochs.last.map(_._1).toSet
+    assert(hot.forall(r => lastIds.contains(r._3)), "hot window leaked older epochs")
+
+    val cat = ColdTier.catalog(spark, cold)
+    println(s"cold catalog: ${cat.length} segments, rows=${cat.map(_.count).sum}, " +
+      s"windows=${cat.sortBy(_.minTs).map(s => (s.minTs, s.maxTs)).toList}")
+    val wantCold = epochs.dropRight(1).flatMap(_.map(_._1)).toSet
+    val gotCold = spark.read.parquet(cat.map(_.path): _*)
+      .select("id").as[Long].collect().toSet
+    assert(gotCold == wantCold,
+      s"cold rows: missing=${(wantCold -- gotCold).size} extra=${(gotCold -- wantCold).size}")
+
+    // old-window query answered losslessly by the cold tier (scan path)
+    // and approximately by the flush-built HNSW sidecars (probe path)
+    val qv0 = epochs.head(3)._2
+    val qdf = Seq((1L, qv0, 60000L, 60000L)).toDF("qid", "qv", "qtime", "ttl")
+    val exact = epochs.head
+      .map { case (id, v) => (id, graft.functions.Distances.l2(qv0, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toList
+    val scan = ColdTier.search(spark, cold, qdf, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    assert(scan == exact, s"cold scan $scan != exact $exact")
+    val probed = ColdTier.searchIndexed(spark, cold, qdf, 10, Metric.L2,
+        shortlist = 64)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    val recall = probed.count(exact.contains).toDouble / 10
+    println(s"cold scan bit-exact; sidecar-probe recall@10 vs exact: $recall")
+    assert(recall >= 0.9, s"sidecar probe recall too low: $recall")
     println("probe OK")
     spark.stop()
   }
