@@ -308,6 +308,55 @@ object Bench {
     val docsPerSec = nDoc1 / d1Times.min
     val docsPerSec2 = nDoc2 / d2Times.min
 
+    // --- cold-tier lifecycle scale point: SEGMENT COUNT is the cold
+    // tier's scale axis (per-query probe planning and per-wave
+    // multi-segment scans both walk the catalog), and an accreting
+    // streaming tier grows it one flush at a time. Measure lossless scan
+    // and sidecar-probe over 12 flush-sized segments, compact to 2
+    // (adjacency-only merge, sidecars rebuilt), and measure both again —
+    // the compacted-vs-accreted ratio is the payoff the streaming job's
+    // compactEvery knob buys. Keys ride a separate {"metric":"coldtier"}
+    // line; they are scale evidence, not per-query regression rows.
+    val coldKeys =
+      if (sys.env.getOrElse("SPARK_GRAFT_COLDBENCH", "1") != "1") ""
+      else {
+        import graft.store.ColdTier
+        val cdir = java.nio.file.Files.createTempDirectory("bench-cold").toString
+        val nSeg = 12
+        val per = 10000
+        val crows = vecs.limit(nSeg * per)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("id")))
+          .select(col("id"), col("vec"), col("rn").cast("long").as("eventTime"))
+          .cache()
+        crows.count()
+        (0 until nSeg).foreach { i =>
+          ColdTier.seal(crows.where(col("eventTime").between(
+            i.toLong * per + 1, (i + 1).toLong * per)), cdir, i.toLong)
+        }
+        ColdTier.sealIndexes(spark, cdir, 0L until nSeg.toLong, Metric.L2,
+          m = 8, efConstruction = 32)
+        val cq = queries.limit(200)
+          .select(col("qid"), col("qv"), lit(nSeg.toLong * per).as("qtime"),
+            lit(nSeg.toLong * per).as("ttl")).cache()
+        cq.count()
+        def minOf2(f: => Long): Double = (1 to 2).map(_ => time(f)._2).min
+        val scan12 = minOf2(ColdTier.search(spark, cdir, cq, 10, Metric.L2,
+          firstWaveFraction = 1.0, terminationFactor = 1.0).count())
+        val probe12 = minOf2(ColdTier.searchIndexed(spark, cdir, cq, 10,
+          Metric.L2, shortlist = 64).count())
+        val (_, compactSec) = time(ColdTier.compact(spark, cdir,
+          targetRows = nSeg * per / 2L, metric = Metric.L2, m = 8,
+          efConstruction = 32))
+        val nSegAfter = ColdTier.catalog(spark, cdir).length
+        val scan2 = minOf2(ColdTier.search(spark, cdir, cq, 10, Metric.L2,
+          firstWaveFraction = 1.0, terminationFactor = 1.0).count())
+        val probe2 = minOf2(ColdTier.searchIndexed(spark, cdir, cq, 10,
+          Metric.L2, shortlist = 64).count())
+        crows.unpersist(); cq.unpersist()
+        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_compact_sec":${"%.2f".format(compactSec)}"""
+      }
+
     // --- 10x recall point: no real SIFT/BIGANN drop exists in this
     // sandbox (TESTDATA.md §fvecs), so the large-corpus recall number runs
     // on the 10x-replicated center-mixture corpus (same cluster structure,
@@ -382,12 +431,16 @@ object Bench {
     val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},"ann_recall_at_10_10x":${"%.4f".format(recall10)},"ann_vectors_per_sec_10x":${"%.1f".format(vecPerSec10)},"n_vectors_10x":$nVec10,"bf_10x_sec":${"%.2f".format(bf10Sec)},"ann_10x_sec":${"%.2f".format(ann10Sec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
-    val merged = s"""{"metric":"total",$scalars,"queries":$qs}"""
+    val coldLine =
+      if (coldKeys.isEmpty) None else Some(s"""{"metric":"coldtier",$coldKeys}""")
+    val merged = s"""{"metric":"total",$scalars${
+      if (coldKeys.isEmpty) "" else s",$coldKeys"},"queries":$qs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       s"$merged\n".getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     println(detail)
     queryLines.foreach(println)
+    coldLine.foreach(println)
     println(headline)
     spark.stop()
   }

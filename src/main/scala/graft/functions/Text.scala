@@ -92,19 +92,72 @@ object Text {
       val b = Array.fill(numHashes)(math.abs(rnd.nextLong()) % P)
       (a, b)
     }
+    /** Test hook: the (a, b) universal-hash parameters. */
+    private[graft] def hashParams: (Array[Long], Array[Long]) = (as, bs)
 
-    /** MinHash signature over the document's w-shingles. */
+    /** MinHash signature over the document's w-shingles.
+     *
+     * Hot path (corpus-dominant ASCII case): window FNV values are
+     * computed straight off the chars (for ASCII, UTF-8 bytes == chars,
+     * so this equals `fnv1a64(substring)` bit-for-bit) and deduped as a
+     * sorted long[] — no per-shingle String, no Set. Dedup by hash is
+     * signature-identical to dedup by string: the universal hashes see
+     * only `x = fnv(shingle) % P`, so colliding shingles contributed one
+     * distinct x either way. Non-ASCII text falls back to the substring
+     * path (a char window may split a surrogate pair, whose lone-half
+     * UTF-8 replacement bytes are not reproducible from a byte slice). */
     def signature(text: String, w: Int): Array[Long] = {
-      val sh = shingles(text, w)
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      sh.foreach { s =>
-        val x = (fnv1a64(s) & Long.MaxValue) % P
-        var i = 0
-        while (i < numHashes) {
-          val h = (as(i) * x + bs(i)) % P
-          if (h < sig(i)) sig(i) = h
-          i += 1
+      if (text == null || text.length < w) return sig
+      var ascii = true
+      var c = 0
+      while (ascii && c < text.length) {
+        if (text.charAt(c) >= 0x80) ascii = false
+        c += 1
+      }
+      if (!ascii) {
+        shingles(text, w).foreach { s =>
+          val x = (fnv1a64(s) & Long.MaxValue) % P
+          var i = 0
+          while (i < numHashes) {
+            val h = (as(i) * x + bs(i)) % P
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
         }
+        return sig
+      }
+      val n = text.length
+      val hs = new Array[Long](n - w + 1)
+      var i = 0
+      while (i <= n - w) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + w) {
+          h ^= text.charAt(j) & 0xffL
+          h *= 0x100000001b3L
+          j += 1
+        }
+        hs(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var prev = 0L
+      var first = true
+      i = 0
+      while (i < hs.length) {
+        val hv = hs(i)
+        if (first || hv != prev) {
+          first = false; prev = hv
+          val x = (hv & Long.MaxValue) % P
+          var k = 0
+          while (k < numHashes) {
+            val h2 = (as(k) * x + bs(k)) % P
+            if (h2 < sig(k)) sig(k) = h2
+            k += 1
+          }
+        }
+        i += 1
       }
       sig
     }

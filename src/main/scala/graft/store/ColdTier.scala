@@ -97,6 +97,53 @@ object ColdTier {
     stats
   }
 
+  private def deleteLogPath(dir: String) = s"$dir/deletes-log"
+
+  /** Append a batch of delete tombstones `(id, ts)` to the tier's delete
+   * log — the LSM answer to "the target row was already flushed when its
+   * delete arrived" (reference: RocksDB tombstones ride the same
+   * memtable->SST flush path and shadow older SST entries at read time).
+   * Every search path anti-joins scanned rows against the log with
+   * versioned semantics (a tombstone at ts kills rows with eventTime <=
+   * ts — the same supersession rule as the hot tier's tombstone map), and
+   * [[compact]] applies covered tombstones physically when it rewrites a
+   * group. One subdirectory per `batchId`, so a re-executed micro-batch
+   * re-seals idempotently (returns false if the batch is already logged
+   * or carries no deletes). Logged deletes are assumed sparse relative to
+   * the corpus (they broadcast); a delete-heavy tier shrinks the log via
+   * compaction, which consolidates it to one max-ts entry per id. */
+  def sealDeletes(deletes: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = deletes.sparkSession
+    val out = new Path(s"${deleteLogPath(dir)}/batch-$batchId")
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(out)) return false
+    val d = deletes.select(col("id").cast("long").as("del_id"),
+      col("ts").cast("long").as("del_ts"))
+    if (d.isEmpty) return false
+    d.coalesce(1).write.parquet(out.toString)
+    true
+  }
+
+  /** The delete log as (del_id, del_ts), or None when the tier has none. */
+  def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(deleteLogPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else Some(spark.read.parquet(s"${deleteLogPath(dir)}/batch-*"))
+  }
+
+  /** Anti-join (id, eventTime)-bearing rows against the delete log:
+   * a row dies iff a tombstone for its id has del_ts >= eventTime.
+   * No log -> the input plan is returned untouched (zero cost). */
+  private def applyTombstones(spark: SparkSession, dir: String,
+      rows: DataFrame): DataFrame =
+    tombstones(spark, dir) match {
+      case None => rows
+      case Some(d) => rows.join(broadcast(d),
+        rows("id") === d("del_id") && rows("eventTime") <= d("del_ts"),
+        "left_anti")
+    }
+
   /** The file+stats half of [[seal]] — writes `segment-<id>` and computes
    * its catalog row WITHOUT touching the live catalog, so [[compact]] can
    * stage new segments and commit them in one atomic swap. */
@@ -300,16 +347,19 @@ object ColdTier {
     if (!groups.exists(_.length >= 2)) return segs.sortBy(_.segmentId)
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasLog = tombstones(spark, dir).isDefined
     var nextId = segs.map(_.segmentId).max
     val out = groups.flatMap { g =>
       if (g.length == 1) Some(g.head)
       else {
-        val rows0 = spark.read.parquet(g.map(_.path): _*)
+        val rows0 = applyTombstones(spark, dir,
+          spark.read.parquet(g.map(_.path): _*))
         val rows = if (retentionFloor == Long.MinValue) rows0
           else rows0.where(col("eventTime") >= retentionFloor)
-        // a floor can expire a whole group — the merged segment then
-        // simply ceases to exist (same outcome as evict, row-grained)
-        if (retentionFloor != Long.MinValue && rows.isEmpty) None
+        // a floor (or the delete log) can expire a whole group — the
+        // merged segment then ceases to exist (same outcome as evict,
+        // row-grained)
+        if ((retentionFloor != Long.MinValue || hasLog) && rows.isEmpty) None
         else {
           nextId += 1
           val stats = writeSegment(rows, dir, nextId)
@@ -324,6 +374,22 @@ object ColdTier {
     }.toArray
     swapCatalog(spark, dir, out)
     gc(spark, dir)
+    // consolidate the delete log: one max-ts tombstone per id is
+    // covering-equivalent to any multiset of entries for that id. The
+    // consolidated batch is written FIRST, then the old batch dirs are
+    // removed — a crash in between leaves duplicates, which the max-ts
+    // semantics make harmless. Tombstones are kept (not dropped) even
+    // when every rewritten group applied them: single-member groups were
+    // not rewritten and future flushes may still carry covered rows.
+    if (hasLog) {
+      val logDir = new Path(deleteLogPath(dir))
+      val old = fs.listStatus(logDir).map(_.getPath)
+      val consolidated = tombstones(spark, dir).get
+        .groupBy("del_id").agg(max("del_ts").as("del_ts"))
+        .select(col("del_id").as("id"), col("del_ts").as("ts"))
+      sealDeletes(consolidated, dir, nextId + 1)
+      old.foreach(p => fs.delete(p, true))
+    }
     out.sortBy(_.segmentId)
   }
 
@@ -492,7 +558,8 @@ object ColdTier {
     val scanned =
       if (unindexed.isEmpty) empty
       else {
-        val data = spark.read.parquet(unindexed.map(_.path).toIndexedSeq: _*)
+        val data = applyTombstones(spark, dir,
+          spark.read.parquet(unindexed.map(_.path).toIndexedSeq: _*))
         val probeQ = q.select(col("qid"), col("qv"),
           (col("qtime") - col("ttl")).as("floor_ts"), col("qtime").as("ceil_ts"))
         val shortUdaf = udaf(new TopKAggregator(shortlist),
@@ -525,7 +592,10 @@ object ColdTier {
     if (fresh.isEmpty)
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("qid", "rn", "id", "dist")
-    val raw = spark.read.parquet(fresh.map(_.path).toIndexedSeq: _*)
+    // tombstones apply here too: a sidecar graph may shortlist a deleted
+    // id (graphs are immutable after seal) — it dies at the re-rank
+    val raw = applyTombstones(spark, dir,
+      spark.read.parquet(fresh.map(_.path).toIndexedSeq: _*))
       .select(col("id"), col("vec"), col("eventTime"))
     val probeQ = q.select(col("qid"), col("qv"),
       (col("qtime") - col("ttl")).as("floor_ts"), col("qtime").as("ceil_ts"))
@@ -592,8 +662,9 @@ object ColdTier {
       val m = bm.value
       Array.tabulate(m.dim)(d => m.recon(d, codes(d)))
     })
-    val codeScan = spark.read
-      .parquet(fresh.map(s => s"${s.path}-codes").toIndexedSeq: _*)
+    // tombstones pre-shortlist, so deleted rows never consume slots
+    val codeScan = applyTombstones(spark, dir, spark.read
+      .parquet(fresh.map(s => s"${s.path}-codes").toIndexedSeq: _*))
       .select(col("id"), dequant(col("codes")).as("vec"), col("eventTime"))
     val probeQ = q.select(col("qid"), col("qv"),
       (col("qtime") - col("ttl")).as("floor_ts"), col("qtime").as("ceil_ts"))
@@ -690,7 +761,8 @@ object ColdTier {
         spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "dist")
       } else {
         val paths = segs.filter(s => segIds(s.segmentId)).map(_.path)
-        val data = spark.read.parquet(paths.toIndexedSeq: _*)
+        val data = applyTombstones(spark, dir,
+          spark.read.parquet(paths.toIndexedSeq: _*))
         val probeQ = waveProbes.join(q, "qid")
           .select(col("qid"), col("segmentId").as("p_seg"), col("qv"),
             (col("qtime") - col("ttl")).as("floor_ts"),

@@ -70,8 +70,11 @@ object VectorStreamJob {
       vecs: Array[Array[Float]] = null)
 
   /** numPartitionsSent marker for hot->cold flush partials. Disjoint from
-   * query fan-outs (always > 0) and DUMP markers (-fanout, so > -2^31). */
+   * query fan-outs (always > 0) and DUMP markers (-fanout, bounded by the
+   * partition count, so far above the reserved band near -2^31). */
   val FlushSent: Int = Int.MinValue
+  /** Marker for delete-tombstone partials (cold-tier delete log). */
+  val DeleteLogSent: Int = Int.MinValue + 1
 
   /** Fan events out to partitions (data -> dataPartitions, value-less
    * deletes -> all, queries -> queryPartitions with the sent-count). */
@@ -87,8 +90,13 @@ object VectorStreamJob {
         case "q" =>
           val ps = b.value.queryPartitions(ev.vec)
           ps.map(pid => Routed(pid, ps.length, ev, now))
-        case "d" if ev.vec == null =>
-          b.value.deleteAllPartitions.map(pid => Routed(pid, 0, ev, now))
+        case "d" =>
+          // exactly ONE replica is marked (sent=1) as the delete-log
+          // emitter, so a lifecycle job seals each tombstone once
+          val ps = if (ev.vec == null) b.value.deleteAllPartitions
+                   else b.value.dataPartitions(ev.vec, ev.id)
+          ps.zipWithIndex.map { case (pid, i) =>
+            Routed(pid, if (i == 0) 1 else 0, ev, now) }
         case "s" =>
           // DUMP fans out to every partition; the NEGATED fan-out count
           // marks its partials as state dumps (a dump row can then never
@@ -195,6 +203,13 @@ object VectorStreamJob {
           // stream tail would otherwise freeze maxTs and grow the
           // tombstone map unboundedly
           if (ev.eventTime > maxDelTs) maxDelTs = ev.eventTime
+          // lifecycle jobs forward every delete to the cold-tier delete
+          // log (from the one routing replica marked sent=1): the target
+          // row may already live in a cold segment, where only a logged
+          // tombstone can shadow it
+          if (flushEvicted && r.numPartitionsSent == 1)
+            out += PartialResult(ev.id, pid, DeleteLogSent, Array(ev.id),
+              Array(ev.eventTime.toDouble), ev.eventTime, r.ingestMillis)
         case "s" =>
           // DUMP (reference DataType.DUMP): emit this partition's live
           // state AS OF this point in the event-time replay — (id, ts)
@@ -406,7 +421,7 @@ object VectorStreamJob {
    * partial stream (they are excluded from the query merge). */
   def stateDumps(batch: DataFrame): DataFrame =
     batch.where(col("numPartitionsSent") < 0 &&
-        col("numPartitionsSent") =!= FlushSent)
+        col("numPartitionsSent") > Int.MinValue + 16) // reserved marker band
       .select(col("queryId").as("dump_id"), col("pid"),
         explode(arrays_zip(col("ids").as("id"), col("dists").as("ts"))).as("e"))
       .select(col("dump_id"), col("pid"), col("e.id").as("id"),
@@ -420,6 +435,12 @@ object VectorStreamJob {
         col("vecs").as("vec"))).as("e"))
       .select(col("e.id").as("id"), col("e.vec").as("vec"),
         col("e.ts").cast("long").as("eventTime"))
+
+  /** Decode delete-tombstone partials: (id, ts) per delete event. */
+  def deleteLogRows(batch: DataFrame): DataFrame =
+    batch.where(col("numPartitionsSent") === DeleteLogSent)
+      .select(element_at(col("ids"), 1).as("id"),
+        element_at(col("dists"), 1).cast("long").as("ts"))
 
   /** Seal one micro-batch's TTL-evicted rows as cold segment `batchId` —
    * the reference's flush job (db/flush_job.cc:130-170), which also builds
@@ -580,6 +601,8 @@ object VectorStreamJob {
             try {
               sink(mergePartials(df, k))
               flushBatch(df, coldDir.get, bid, metric, indexAtFlush)
+              graft.store.ColdTier.sealDeletes(deleteLogRows(df),
+                coldDir.get, bid)
               if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0) {
                 graft.store.ColdTier.compact(spark, coldDir.get,
                   targetRows = compactTargetRows, metric = metric)

@@ -215,6 +215,38 @@ class TextSpec extends AnyFunSuite {
     assert(mh.bandKeys(sa, 4).sameElements(mh.bandKeys(mh.signature(a, 3), 4)))
   }
 
+  test("minhash ASCII fast path equals the substring reference path bit-for-bit") {
+    val mh = Text.MinHasher(64, 42L)
+    // reference computation: the pre-optimization shingle-set path
+    def ref(text: String, w: Int): Array[Long] = {
+      val sig = Array.fill(64)(Long.MaxValue)
+      Text.shingles(text, w).foreach { s =>
+        val x = (Text.fnv1a64(s) & Long.MaxValue) % 2147483647L
+        var i = 0
+        while (i < 64) {
+          val h = (mh.hashParams._1(i) * x + mh.hashParams._2(i)) % 2147483647L
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    }
+    val rnd = new java.util.Random(7L)
+    val alphabet = "abcdefgh ijkl"
+    (0 until 50).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(200))(
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      assert(mh.signature(s, 3).sameElements(ref(s, 3)), s"diverged on: $s")
+    }
+    // repeated shingles (dedup) and short/empty edge cases
+    assert(mh.signature("aaaaaaa", 3).sameElements(ref("aaaaaaa", 3)))
+    assert(mh.signature("ab", 3).sameElements(ref("ab", 3)))
+    assert(mh.signature("", 3).sameElements(ref("", 3)))
+    // non-ASCII falls back to the substring path — still equals reference
+    val uni = "héllo wörld ünïcode ångström héllo"
+    assert(mh.signature(uni, 3).sameElements(ref(uni, 3)))
+  }
+
   test("simhash: near-duplicates have small hamming distance") {
     val a = Text.simhash("spark is a unified analytics engine for large scale data")
     val b = Text.simhash("spark is a unified analytics engine for large scale information")

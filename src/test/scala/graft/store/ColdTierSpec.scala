@@ -431,6 +431,69 @@ class ColdTierSpec extends AnyFunSuite {
       shortlist = 30).count() == 20)
   }
 
+  test("delete log: tombstones shadow flushed rows in every search path, versioned; compact applies them physically and consolidates the log") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-tomb").toString
+    val segData = (0 until 2).map(i => mkVecs(100, 8, 70L + i, i * 1000L))
+    segData.zipWithIndex.foreach { case (df, i) =>
+      ColdTier.seal(df, dir, i.toLong)
+    }
+    ColdTier.sealIndexes(spark, dir, 0L until 2L, Metric.L2, m = 8,
+      efConstruction = 64)
+    val all = segData.reduce(_ unionAll _).orderBy("id")
+      .select("id", "vec", "eventTime").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    // query vector = exact copy of row 0 -> that id is the #1 hit
+    val target = all(0)
+    val queries = Seq((1L, target._2, 100000L, 10000000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    def scanIds() = ColdTier.search(spark, dir, queries, 5, Metric.L2,
+      firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    def probeIds() = ColdTier.searchIndexed(spark, dir, queries, 5,
+      Metric.L2, shortlist = 30)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    assert(scanIds().head == target._1)
+    assert(probeIds().head == target._1)
+
+    // a tombstone OLDER than the row must NOT shadow it (versioned)
+    assert(ColdTier.sealDeletes(
+      Seq((target._1, target._3 - 1)).toDF("id", "ts"), dir, 100L))
+    assert(scanIds().head == target._1, "older tombstone must not shadow")
+    // a tombstone at ts >= row ts kills it in scan AND probe paths
+    assert(ColdTier.sealDeletes(
+      Seq((target._1, target._3)).toDF("id", "ts"), dir, 101L))
+    assert(!scanIds().contains(target._1), "scan path must honor tombstone")
+    assert(!probeIds().contains(target._1), "probe path must honor tombstone")
+    // idempotent re-seal of the same batch
+    assert(!ColdTier.sealDeletes(
+      Seq((999L, 999L)).toDF("id", "ts"), dir, 101L))
+
+    // compressed path honors tombstones pre-shortlist
+    val sample = all.map(_._2)
+    val model = graft.ops.Sq.fit(sample)
+    (0L until 2L).foreach(sid => ColdTier.sealCodes(spark, dir, sid, model))
+    val comp = ColdTier.searchCompressed(spark, dir, queries, 5, model,
+        shortlist = 30)
+      .collect().map(_.getLong(2)).toList
+    assert(!comp.contains(target._1), "compressed path must honor tombstone")
+
+    // compact rewrites groups minus tombstoned rows and consolidates the
+    // log to one max-ts entry per id
+    val out = ColdTier.compact(spark, dir, targetRows = 1000L,
+      sqModel = Some(model))
+    assert(out.length == 1)
+    assert(out.head.count == 199L, "tombstoned row physically dropped")
+    val gotIds = spark.read.parquet(out.map(_.path): _*)
+      .select("id").as[Long].collect().toSet
+    assert(!gotIds.contains(target._1))
+    val log = ColdTier.tombstones(spark, dir).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(log.filter(_._1 == target._1) == List((target._1, target._3)),
+      s"log must consolidate to max-ts per id: $log")
+    assert(!scanIds().contains(target._1), "still shadowed post-compact")
+  }
+
   test("compact is a no-op when every segment already meets the target") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-noop").toString

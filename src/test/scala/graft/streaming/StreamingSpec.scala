@@ -516,6 +516,10 @@ class StreamingSpec extends AnyFunSuite {
       StreamEvent("i", 200L + i, vec(200 + i), 10000L + i, 0L, 0)) :+
       StreamEvent("q", 9000L, vec(205), 10050L, 1000L, 5): _*)
     q.processAllAvailable()
+    // a delete whose target (id 7) was ALREADY flushed to cold: only the
+    // logged tombstone can shadow it there
+    input.addData(StreamEvent("d", 7L, null, 10010L, 0L, 0))
+    q.processAllAvailable()
     // one more batch lands on bid % compactEvery == 0 -> compaction
     input.addData(StreamEvent("i", 300L, vec(300), 10020L, 0L, 0))
     q.processAllAvailable()
@@ -530,20 +534,22 @@ class StreamingSpec extends AnyFunSuite {
     // segments, 39 rows, target 1000)
     val cat = graft.store.ColdTier.catalog(spark, cold)
     assert(cat.length == 1, s"compaction should leave one segment: ${cat.toList}")
-    assert(cat.head.count == 39L)
+    // compaction applied the logged post-flush delete of id 7 physically
+    assert(cat.head.count == 38L)
     val coldIds = spark.read.parquet(cat.map(_.path): _*)
       .select("id").collect().map(_.getLong(0)).toSet
-    val want = ((0 until 20).map(_.toLong).toSet - 5L) ++
+    val want = ((0 until 20).map(_.toLong).toSet -- Set(5L, 7L)) ++
       (0 until 20).map(i => 100L + i)
     assert(coldIds == want, s"cold rows diverge: missing=${want -- coldIds} extra=${coldIds -- want}")
 
     // an old window is answered (bit-exact) by the cold tier: top-5 around
-    // vec(3) over [0, 2000] = epoch 0 minus id 5
+    // vec(3) over [0, 2000] = epoch 0 minus the hot delete (5) and the
+    // post-flush tombstoned delete (7)
     val queries = Seq((1L, vec(3), 2000L, 2000L)).toDF("qid", "qv", "qtime", "ttl")
     val gotCold = graft.store.ColdTier.search(spark, cold, queries, 5,
         Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
       .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
-    val truth = (0 until 20).filter(_ != 5)
+    val truth = (0 until 20).filterNot(i => i == 5 || i == 7)
       .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
       .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
     assert(gotCold == truth, s"cold search $gotCold != exact $truth")
