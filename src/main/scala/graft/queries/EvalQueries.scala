@@ -27,6 +27,8 @@ object EvalQueries {
   private val hnswSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Compacted cold-tier dirs per sf dir (six flushes -> two segments). */
   private val compactedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Cold-tier dirs with a sealed delete log per sf dir. */
+  private val deletesDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def sealedTier(s: SparkSession, dir: String): String =
     sealedDirs.getOrElseUpdate(dir, {
@@ -109,6 +111,35 @@ object EvalQueries {
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
       graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
         graft.Metric.L2, firstWaveFraction = 0.5, terminationFactor = 1.0)
+    },
+
+    "knn_coldtier_deletes" -> { (s, dir) =>
+      // the delete LOG under the hard gate (V4 for data the hot tier
+      // already retired): rows flushed to cold cannot be touched by the
+      // keyed operator's tombstone map, so deletes arriving after the
+      // flush seal into the tier's delete log and shadow at read time
+      // (versioned: del_ts >= eventTime). Deterministic victim set
+      // (vec_id % 17 == 3, tombstoned at its own eventTime); lossless
+      // search must equal exact kNN over the survivors.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = deletesDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold-del").toString
+        (0 until 3).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") % 3 === i)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime")), t, i.toLong)
+        }
+        graft.store.ColdTier.sealDeletes(
+          e.where(col("vec_id") % 17 === 3)
+            .select(col("vec_id").as("id"), col("vec_id").as("ts")), t, 0L)
+        t
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+        graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0)
     },
 
     "knn_coldtier_sq" -> { (s, dir) =>
@@ -213,6 +244,20 @@ object EvalQueries {
          |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
          |    for x in list_zip(q.qv, b.embedding)]) AS dist
          |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
+
+    // exact kNN over the tombstone survivors: the delete log shadows
+    // vec_id % 17 == 3 (del_ts = eventTime >= row ts), so the oracle
+    // simply excludes them from the corpus
+    "knn_coldtier_deletes" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+         |    for x in list_zip(q.qv, b.embedding)]) AS dist
+         |  FROM q, embeddings b WHERE b.vec_id % 17 <> 3),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,

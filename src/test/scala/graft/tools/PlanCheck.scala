@@ -25,7 +25,7 @@ object PlanCheck {
     Seq("q1_pricing_summary", "q3_revenue_by_nation", "q6_window_topn",
       "q11_interval_join", "knn_l2", "knn_ttl", "text_jaccard_pairs",
       "dedup_minhash", "knn_coldtier", "knn_coldtier_compacted",
-      "ann_sfc_adaptive",
+      "knn_coldtier_deletes", "ann_sfc_adaptive",
       "embed_neardup", "embed_neardup_lsh", "text_decontaminate",
       "text_sample_stratified", "knn_join", "ann_ivf_pq",
       "ann_ivf_pq_rerank", "dedup_semantic", "text_repetition",

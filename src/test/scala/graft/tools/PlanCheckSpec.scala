@@ -39,6 +39,7 @@ class PlanCheckSpec extends AnyFunSuite {
     ("dedup_minhash", true, true, false),
     ("knn_coldtier", true, true, false),
     ("knn_coldtier_compacted", true, true, false),
+    ("knn_coldtier_deletes", true, true, false),
     ("knn_coldtier_sq", true, true, false),
     ("knn_coldtier_hnsw", true, true, false),
     ("ann_sfc_adaptive", false, true, false),
