@@ -54,6 +54,30 @@ object Multimodal {
       (0 until bytes.length by (64 * stride)).map { off =>
         java.util.Arrays.copyOfRange(bytes, off, math.min(off + 64, bytes.length))
       }.toArray
+
+    /** STUB resize — nearest-neighbor over the payload interpreted as a
+     * stride-`rowStride` single-channel image (hSrc = len/rowStride rows,
+     * zero-padded when the payload is shorter than one row). Pure integer
+     * arithmetic (truncating division) so the transform replays exactly
+     * in SQL; a real build swaps in a codec + interpolating resampler
+     * behind the same (id, pixels) contract. */
+    def resizeStub(bytes: Array[Byte], w2: Int, h2: Int,
+        rowStride: Int): Array[Int] = {
+      val hSrc = math.max(1, bytes.length / rowStride)
+      val out = new Array[Int](w2 * h2)
+      var y = 0
+      while (y < h2) {
+        val srcY = y * hSrc / h2
+        var x = 0
+        while (x < w2) {
+          val srcIdx = srcY * rowStride + x * rowStride / w2
+          out(y * w2 + x) = if (srcIdx < bytes.length) bytes(srcIdx) & 0xff else 0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** Batched decode: (id, media_type, media BINARY) ->
@@ -91,6 +115,28 @@ object Multimodal {
         }
       }
       .toDF("id", "frame_idx", "frame_bytes")
+  }
+
+  final case class ResizedRow(id: Long, width: Int, height: Int,
+      pixels: Array[Int])
+
+  /** Batched resize: (id, media_type, media BINARY) ->
+   * (id, width, height, pixels ARRAY<INT>) at the target dimensions. */
+  def resize(df: DataFrame, width: Int = 8, height: Int = 8,
+      rowStride: Int = 64, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("media_type").as("mediaType"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            ResizedRow(r.id, width, height,
+              MediaCodec.resizeStub(r.media, width, height, rowStride))
+          }
+        }
+      }
+      .toDF("id", "width", "height", "pixels")
   }
 
   /** Join decoded features back onto an embedding search: media similarity

@@ -201,6 +201,28 @@ object EvalQueries {
           col("meta.height").as("height"), col("meta.channels").as("channels"),
           col("meta.durationMs").as("duration_ms"),
           element_at(col("features"), 5).cast("double").as("f4"))
+    },
+
+    "multimodal_resize" -> { (s, dir) =>
+      // batched nearest-neighbor resize through the binary-column
+      // plumbing; the integer-only stub replays exactly in SQL
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), lit("image").as("media_type"),
+          col("text").cast("binary").as("media"))
+      Multimodal.resize(media, width = 8, height = 8, rowStride = 64)
+    },
+
+    "multimodal_frames" -> { (s, dir) =>
+      // batched frame sampling: one row per (id, frame_idx), 64-byte
+      // frames at stride 4 (= every 256th offset)
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), lit("video").as("media_type"),
+          col("text").cast("binary").as("media"))
+      Multimodal.sampleFrames(media, stride = 4)
+        .select(col("id"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len"),
+          ascii(substring(col("frame_bytes"), 1, 1).cast("string"))
+            .as("first_byte"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -301,5 +323,28 @@ object EvalQueries {
         |CAST(length(text) AS BIGINT) AS duration_ms,
         |CAST(CAST(length(regexp_replace(text, '[^@-O]', '', 'g')) AS FLOAT)
         |  / CAST(length(text) AS FLOAT) AS DOUBLE) AS f4
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // stride-64 nearest-neighbor resize, integer-only: for each output
+    // pixel i (y = i//8, x = i%8), srcIdx = (y*hSrc//8)*64 + x*8 with
+    // hSrc = max(len//64, 1); ASCII corpus makes ascii() == byte value
+    "multimodal_resize" ->
+      """SELECT doc_id AS id, 8 AS width, 8 AS height,
+        |[ CASE WHEN ((i // 8) * GREATEST(length(text) // 64, 1) // 8) * 64
+        |            + (i % 8) * 8 < length(text)
+        |    THEN ascii(substr(text,
+        |      1 + ((i // 8) * GREATEST(length(text) // 64, 1) // 8) * 64
+        |        + (i % 8) * 8, 1))
+        |    ELSE 0 END
+        |  for i in range(64)] AS pixels
+        |FROM documents""".stripMargin,
+
+    // 64-byte frames every 256 bytes: frame count = ceil(len/256) by
+    // integer arithmetic, lengths truncate at the payload tail
+    "multimodal_frames" ->
+      """SELECT doc_id AS id, CAST(f.i AS INTEGER) AS frame_idx,
+        |CAST(length(substr(text, 1 + CAST(f.i AS INTEGER) * 256, 64)) AS INTEGER) AS frame_len,
+        |ascii(substr(text, 1 + CAST(f.i AS INTEGER) * 256, 1)) AS first_byte
+        |FROM documents,
+        |  unnest(range((length(text) + 255) // 256)) AS f(i)""".stripMargin)
 }
