@@ -554,4 +554,44 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
     assert(gotCold == truth, s"cold search $gotCold != exact $truth")
   }
+
+  test("hot->cold lifecycle under a REPLICATED partitioner: duplicate flushes dedup at query time, results stay exact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.partitioners.LshPartitioner
+    // k1=3 LSH families route most ids to >1 partition -> an evicted id
+    // flushes from each partition that held a replica
+    val model = LshPartitioner.seeded(8, 8, 3, 2, 4.0f, 38324L)
+    val cold = java.nio.file.Files.createTempDirectory("graft-hotcold-rf").toString
+    val input = MemoryStream[StreamEvent]
+    val q = VectorStreamJob.run(input.toDS(), model, k = 5, Metric.L2,
+      maxTtl = 1000L, coldDir = Some(cold)) { _ => () }
+    input.addData((0 until 40).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)): _*)
+    q.processAllAvailable()
+    input.addData((0 until 5).map(i =>
+      StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.nonEmpty, "eviction must have flushed")
+    val coldRows = spark.read.parquet(cat.map(_.path): _*)
+      .select("id").as[Long].collect()
+    // every epoch-0 id flushed at least once; replicas are expected
+    assert(coldRows.toSet == (0 until 40).map(_.toLong).toSet,
+      s"flushed id set diverges: ${coldRows.toSet.toList.sorted}")
+    assert(coldRows.length >= 40, "replicated ids flush once per holder")
+    // exact search over the cold window: replicas must collapse (one row
+    // per id in the top-k, C3's cross-partition id dedup)
+    val queries = Seq((1L, vec(3), 2000L, 2000L)).toDF("qid", "qv", "qtime", "ttl")
+    val got = graft.store.ColdTier.search(spark, cold, queries, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    val truth = (0 until 40)
+      .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    assert(got == truth, s"replicated cold search $got != exact $truth")
+    assert(got.distinct == got, "no duplicate ids in the merged top-k")
+  }
 }
