@@ -405,7 +405,15 @@ object VectorQueries {
           .orderBy(col("df"), col("tok"))))
       .where(col("trank") <= LexQueryTerms)
       .select(col("qid"), col("tok"), col("df"))
-    val lexScore = qBudget
+    // broadcast the budgeted query-term set (queries x LexQueryTerms rows
+    // — bounded by the query contract, never by the corpus): the window
+    // above defeats size estimation and the fallback was a sort-merge
+    // that shuffled the WHOLE tf table on `tok` (31 distinct keys on this
+    // corpus — a skew-prone task boundary). Measured at sf0.1 the
+    // broadcast build costs ~0.3 s (qBudget's sub-plan runs as a blocking
+    // exchange) — accepted, because at corpus scale the sort-merge
+    // shuffles tf (corpus-sized) while broadcast-hash shuffles nothing.
+    val lexScore = broadcast(qBudget)
       .join(tf, "tok")
       .crossJoin(broadcast(nDf))
       .groupBy(col("qid"), col("doc_id").as("id"))
@@ -417,10 +425,18 @@ object VectorQueries {
           .orderBy(col("score").desc, col("id"))))
       .where(col("rank_lex") <= K)
       .select(col("qid"), col("id"), col("rank_lex"))
-    val fused = vec.join(lexRank, Seq("qid", "id"), "full_outer")
+    // RRF fusion as union + sum instead of a full-outer join: full outer
+    // cannot broadcast (both sides stream), so even two k x |queries|
+    // inputs sort-merge. The union-groupBy form is the same arithmetic
+    // (coalesce-to-0 sum == sum over present sides, IEEE-identical) with
+    // one tiny hash aggregation and no join machinery at all.
+    val fused = vec
       .select(col("qid"), col("id"),
-        (coalesce(lit(1.0) / (col("rank_vec") + RrfK), lit(0.0)) +
-          coalesce(lit(1.0) / (col("rank_lex") + RrfK), lit(0.0))).as("fused"))
+        (lit(1.0) / (col("rank_vec") + RrfK)).as("c"))
+      .unionAll(lexRank.select(col("qid"), col("id"),
+        (lit(1.0) / (col("rank_lex") + RrfK)).as("c")))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("fused"))
     fused.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("fused").desc, col("id"))))
