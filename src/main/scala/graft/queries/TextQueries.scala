@@ -257,6 +257,32 @@ object TextQueries {
             .cast("long").as("bin"))
     },
 
+    "pipeline_curate" -> { (s, dir) =>
+      // THE end-to-end curation composition a training-data pipeline
+      // runs over a raw corpus: drop near-duplicate cluster losers
+      // (minhash-LSH bands -> connected components; unpaired docs keep
+      // themselves, hence the anti-join on losers rather than a join on
+      // keepers), drop content-normalized exact duplicates, keep only
+      // docs passing the Gopher verdict, and report surviving volume per
+      // language. Every stage is independently oracle-gated; this entry
+      // gates their COMPOSITION (the joins stay doc_id-keyed and the
+      // report is a tiny final aggregate — pipeline cost is the sum of
+      // its stages, no new shuffle shape).
+      val nonKeepers = AnnQueries.queries("dedup_clusters")(s, dir)
+        .where(!col("is_keeper")).select(col("doc_id"))
+      val normKeep = queries("text_dedup_norm")(s, dir)
+        .where(!col("is_dup")).select(col("doc_id"))
+      val quality = queries("text_filter_gopher")(s, dir)
+        .where(col("keep")).select(col("doc_id"), col("n_tokens"))
+      Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(normKeep, "doc_id")
+        .join(quality, "doc_id")
+        .join(nonKeepers, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+    },
+
     "text_filter_gopher" -> { (s, dir) =>
       // the filtering VERDICT a pipeline actually executes: compose the
       // oracled repetition, stopword, and token-stat signals into one
@@ -375,6 +401,26 @@ object TextQueries {
       |    ELSE 0.0 END AS top_bigram_frac
       |FROM s LEFT JOIN bm USING (doc_id)""".stripMargin
 
+  private def gopherSql: String =
+    s"""SELECT r.doc_id, r.n_tokens, sta.avg_token_len, st.stop_frac,
+       |  r.dup_token_frac, r.top_bigram_frac,
+       |  (r.n_tokens BETWEEN $FilterMinTokens AND $FilterMaxTokens
+       |   AND sta.avg_token_len BETWEEN $FilterMinAvgTokenLen AND $FilterMaxAvgTokenLen
+       |   AND st.stop_frac >= $FilterMinStopFrac
+       |   AND r.dup_token_frac <= $FilterMaxDupFrac
+       |   AND r.top_bigram_frac <= $FilterMaxBigramFrac) AS keep
+       |FROM ($repetitionSql) r
+       |JOIN ($stopwordsSql) st ON r.doc_id = st.doc_id
+       |JOIN ($statsSql) sta ON r.doc_id = sta.doc_id""".stripMargin
+
+  private def normDedupSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS h
+      |  FROM documents),
+      |k AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
+      |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
+      |FROM d JOIN k ON d.h = k.h""".stripMargin
+
   private def stopwordsSql: String =
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
@@ -411,17 +457,26 @@ object TextQueries {
          |  CAST(floor((cum - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin
          |FROM c""".stripMargin,
 
-    "text_filter_gopher" ->
-      s"""SELECT r.doc_id, r.n_tokens, sta.avg_token_len, st.stop_frac,
-         |  r.dup_token_frac, r.top_bigram_frac,
-         |  (r.n_tokens BETWEEN $FilterMinTokens AND $FilterMaxTokens
-         |   AND sta.avg_token_len BETWEEN $FilterMinAvgTokenLen AND $FilterMaxAvgTokenLen
-         |   AND st.stop_frac >= $FilterMinStopFrac
-         |   AND r.dup_token_frac <= $FilterMaxDupFrac
-         |   AND r.top_bigram_frac <= $FilterMaxBigramFrac) AS keep
-         |FROM ($repetitionSql) r
-         |JOIN ($stopwordsSql) st ON r.doc_id = st.doc_id
-         |JOIN ($statsSql) sta ON r.doc_id = sta.doc_id""".stripMargin,
+    "text_filter_gopher" -> gopherSql,
+
+    // the composed pipeline replays each stage's own twin as a CTE and
+    // re-applies the composition: near-dup losers excluded (recursive-CTE
+    // components over the materialized band-pair aux), normalized-dedup
+    // winners and Gopher passers intersected, per-language report.
+    // CAST(sum AS BIGINT): DuckDB sums INTEGER into HUGEINT, which hashes
+    // as float64 through Arrow (the round-6 text_pack_sequences lesson)
+    "pipeline_curate" ->
+      s"""WITH nk AS (SELECT doc_id FROM (${AnnQueries.oracles("dedup_clusters")})
+         |  WHERE NOT is_keeper),
+         |nrm AS (SELECT doc_id FROM ($normDedupSql) WHERE NOT is_dup),
+         |g AS (SELECT doc_id, n_tokens FROM ($gopherSql) WHERE keep)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(g.n_tokens) AS BIGINT) AS sum_tokens
+         |FROM documents d
+         |JOIN nrm ON nrm.doc_id = d.doc_id
+         |JOIN g ON g.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM nk)
+         |GROUP BY d.lang""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
@@ -446,13 +501,7 @@ object TextQueries {
         |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
         |FROM d JOIN k ON d.h = k.h""".stripMargin,
 
-    "text_dedup_norm" ->
-      """WITH d AS (SELECT doc_id,
-        |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS h
-        |  FROM documents),
-        |k AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h)
-        |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
-        |FROM d JOIN k ON d.h = k.h""".stripMargin,
+    "text_dedup_norm" -> normDedupSql,
 
     "text_jaccard_pairs" ->
       s"""WITH g AS (SELECT doc_id,
