@@ -280,7 +280,12 @@ object Bench {
     def ann2Run() = Ann.search(vecs2, queries, model2, 10, Metric.L2,
         useHnsw = true, hnswM = 16, efConstruction = 48, efSearch = 64)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    val ann2Times = (1 to 2).map { _ => System.gc(); time(ann2Run())._2 }
+    // min-of-3: the 2x sweep runs late in a long JVM and has twice
+    // produced artifact scale-up numbers under ambient heap/page-cache
+    // pressure (r5: 0.247, a round-7 rerun: 0.62, vs 1.0-1.2 on clean
+    // runs) — one extra rep is cheap insurance on the headline scale
+    // metric, and ann_2x_sec in the output makes a noisy run diagnosable
+    val ann2Times = (1 to 3).map { _ => System.gc(); time(ann2Run())._2 }
     val ann2Sec = ann2Times.min
     vecs2.unpersist()
     val vecPerSec2 = (nVec2 + nQ) / ann2Sec
@@ -428,7 +433,7 @@ object Bench {
       s"""{"metric":"queries","part":${i + 1},"parts":${qChunks.length},"queries":${
         c.mkString("{", ",", "}")}}"""
     }
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},"ann_recall_at_10_10x":${"%.4f".format(recall10)},"ann_vectors_per_sec_10x":${"%.1f".format(vecPerSec10)},"n_vectors_10x":$nVec10,"bf_10x_sec":${"%.2f".format(bf10Sec)},"ann_10x_sec":${"%.2f".format(ann10Sec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}"""
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},"ann_recall_at_10_10x":${"%.4f".format(recall10)},"ann_vectors_per_sec_10x":${"%.1f".format(vecPerSec10)},"n_vectors_10x":$nVec10,"bf_10x_sec":${"%.2f".format(bf10Sec)},"ann_10x_sec":${"%.2f".format(ann10Sec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =
