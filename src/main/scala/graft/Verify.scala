@@ -18,6 +18,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    Files.deleteIfExists(Paths.get(s"$outDir/FAILED")) // stale from a prior run
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,5 +47,18 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // a thrown entry must be unmissable: a stderr line amid Spark logs is
+    // not (a builder scanning the green count walks right past it). All
+    // surviving entries + oracle json are already on disk at this point,
+    // so the driver's per-entry compare still runs; the FAILED summary +
+    // non-zero exit just make the red state impossible to overlook.
+    if (failed.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/FAILED"),
+        failed.map { case (n, m) => s"$n\t$m" }.mkString("", "\n", "\n"))
+      System.err.println(s"[verify] ${failed.size} entr" +
+        (if (failed.size == 1) "y" else "ies") +
+        s" FAILED: ${failed.map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

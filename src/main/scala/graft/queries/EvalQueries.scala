@@ -205,11 +205,16 @@ object EvalQueries {
 
     "multimodal_resize" -> { (s, dir) =>
       // batched nearest-neighbor resize through the binary-column
-      // plumbing; the integer-only stub replays exactly in SQL
+      // plumbing; the integer-only stub replays exactly in SQL.
+      // Exploded to one scalar row per (id, pixel_idx) — oracle entries
+      // must never emit a bare ARRAY column (the driver checker hashes
+      // rows through pandas, where an array cell is unhashable).
       val media = Tables(s, dir, "documents")
         .select(col("doc_id").as("id"), lit("image").as("media_type"),
           col("text").cast("binary").as("media"))
       Multimodal.resize(media, width = 8, height = 8, rowStride = 64)
+        .select(col("id"), posexplode(col("pixels")))
+        .toDF("id", "pixel_idx", "pixel")
     },
 
     "multimodal_frames" -> { (s, dir) =>
@@ -327,17 +332,17 @@ object EvalQueries {
 
     // stride-64 nearest-neighbor resize, integer-only: for each output
     // pixel i (y = i//8, x = i%8), srcIdx = (y*hSrc//8)*64 + x*8 with
-    // hSrc = max(len//64, 1); ASCII corpus makes ascii() == byte value
+    // hSrc = max(len//64, 1); ASCII corpus makes ascii() == byte value.
+    // One scalar row per (id, pixel_idx) — same unnest shape as frames.
     "multimodal_resize" ->
-      """SELECT doc_id AS id, 8 AS width, 8 AS height,
-        |[ CASE WHEN ((i // 8) * GREATEST(length(text) // 64, 1) // 8) * 64
-        |            + (i % 8) * 8 < length(text)
-        |    THEN ascii(substr(text,
-        |      1 + ((i // 8) * GREATEST(length(text) // 64, 1) // 8) * 64
-        |        + (i % 8) * 8, 1))
-        |    ELSE 0 END
-        |  for i in range(64)] AS pixels
-        |FROM documents""".stripMargin,
+      """SELECT doc_id AS id, CAST(p.i AS INTEGER) AS pixel_idx,
+        |CASE WHEN ((CAST(p.i AS INTEGER) // 8) * GREATEST(length(text) // 64, 1) // 8) * 64
+        |          + (CAST(p.i AS INTEGER) % 8) * 8 < length(text)
+        |  THEN ascii(substr(text,
+        |    1 + ((CAST(p.i AS INTEGER) // 8) * GREATEST(length(text) // 64, 1) // 8) * 64
+        |      + (CAST(p.i AS INTEGER) % 8) * 8, 1))
+        |  ELSE 0 END AS pixel
+        |FROM documents, unnest(range(64)) AS p(i)""".stripMargin,
 
     // 64-byte frames every 256 bytes: frame count = ceil(len/256) by
     // integer arithmetic, lengths truncate at the payload tail

@@ -48,6 +48,13 @@ object ColdTier {
 
   private def statsPath(dir: String) = s"$dir/_segments"
 
+  /** Floor of the reserved segment-id namespace for [[compact]] outputs.
+   * Streaming flushes use micro-batch ids (small, monotonically growing
+   * longs); compaction ids live at >= 2^62 so the two allocators can
+   * never mint the same id — see [[compact]] for the loss mode a shared
+   * namespace causes. */
+  val CompactionIdBase: Long = 1L << 62
+
   /** Public (not `private`): Spark codegen references the buffer class
    * from generated Java, which cannot touch private members — a private
    * buffer still computes correctly but every task falls back to
@@ -112,9 +119,17 @@ object ColdTier {
    * or carries no deletes). Logged deletes are assumed sparse relative to
    * the corpus (they broadcast); a delete-heavy tier shrinks the log via
    * compaction, which consolidates it to one max-ts entry per id. */
-  def sealDeletes(deletes: DataFrame, dir: String, batchId: Long): Boolean = {
+  def sealDeletes(deletes: DataFrame, dir: String, batchId: Long): Boolean =
+    sealDeletesNamed(deletes, dir, s"batch-$batchId")
+
+  /** Named variant so [[compact]]'s consolidated log lives under a
+   * reserved name (`batch-compact-<id>`) that can never collide with a
+   * streaming micro-batch's `batch-<batchId>` — a collision would make
+   * that batch's sealDeletes a silent no-op and resurrect its deletes. */
+  private def sealDeletesNamed(deletes: DataFrame, dir: String,
+      name: String): Boolean = {
     val spark = deletes.sparkSession
-    val out = new Path(s"${deleteLogPath(dir)}/batch-$batchId")
+    val out = new Path(s"${deleteLogPath(dir)}/$name")
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(out)) return false
     val d = deletes.select(col("id").cast("long").as("del_id"),
@@ -132,6 +147,23 @@ object ColdTier {
     else Some(spark.read.parquet(s"${deleteLogPath(dir)}/batch-*"))
   }
 
+  /** Broadcast budget for the delete log on the search path. A sparse log
+   * broadcasts (one hash probe per scanned row, no shuffle); past this
+   * many on-disk bytes — e.g. the reference's deleteRatio 0.1 against a
+   * 100-TB corpus, where the consolidated log is ~10% of distinct ids —
+   * the anti-join falls back to a shuffled hash join instead of shipping
+   * an executor-OOM-sized table to every task. Byte-gated (one recursive
+   * fs listing, no Spark job on the query path), same currency as
+   * Spark's own autoBroadcastJoinThreshold. */
+  val TombstoneBroadcastMaxBytesKey = "graft.coldtier.tombstoneBroadcastMaxBytes"
+  val TombstoneBroadcastMaxBytesDefault: Long = 64L << 20
+
+  private def deleteLogBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(deleteLogPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
   /** Anti-join (id, eventTime)-bearing rows against the delete log:
    * a row dies iff a tombstone for its id has del_ts >= eventTime.
    * No log -> the input plan is returned untouched (zero cost). */
@@ -139,9 +171,14 @@ object ColdTier {
       rows: DataFrame): DataFrame =
     tombstones(spark, dir) match {
       case None => rows
-      case Some(d) => rows.join(broadcast(d),
-        rows("id") === d("del_id") && rows("eventTime") <= d("del_ts"),
-        "left_anti")
+      case Some(d) =>
+        val cond = rows("id") === d("del_id") &&
+          rows("eventTime") <= d("del_ts")
+        val budget = spark.conf.getOption(TombstoneBroadcastMaxBytesKey)
+          .map(_.toLong).getOrElse(TombstoneBroadcastMaxBytesDefault)
+        if (deleteLogBytes(spark, dir) <= budget)
+          rows.join(broadcast(d), cond, "left_anti")
+        else rows.join(d.hint("shuffle_hash"), cond, "left_anti")
     }
 
   /** The file+stats half of [[seal]] — writes `segment-<id>` and computes
@@ -255,6 +292,21 @@ object ColdTier {
     spark.read.parquet(statsPath(dir)).as[SegmentStats].collect()
   }
 
+  /** Whether the live catalog references `segmentId` — the crash-safe
+   * "was this flush committed" predicate. [[seal]] writes the segment
+   * files FIRST and appends the catalog row after, so a bare
+   * segment-dir-exists check mistakes the crash window between the two
+   * for a committed flush; only the catalog row is the commit point
+   * (readers plan scans from the catalog alone, and [[gc]] deletes
+   * uncataloged orphan dirs). */
+  def catalogContains(spark: SparkSession, dir: String,
+      segmentId: Long): Boolean = {
+    heal(spark, dir)
+    val p = new Path(statsPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && catalog(spark, dir).exists(_.segmentId == segmentId)
+  }
+
   /** V7: drop segments entirely older than the retention floor. Returns
    * surviving stats (files of dropped segments are left for out-of-band
    * deletion — metadata-first eviction like the reference's version edit).
@@ -348,7 +400,13 @@ object ColdTier {
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasLog = tombstones(spark, dir).isDefined
-    var nextId = segs.map(_.segmentId).max
+    // merged-segment ids come from the reserved compaction namespace
+    // (>= CompactionIdBase), never from catalog-max+1: in the streaming
+    // lifecycle the catalog max IS the latest micro-batch id, so a
+    // catalog-max+1 allocation lands exactly on the NEXT micro-batch's
+    // flush id — that batch's flush then looks already-committed and its
+    // TTL-evicted rows (already gone from hot state) are lost silently
+    var nextId = math.max(CompactionIdBase - 1, segs.map(_.segmentId).max) + 1
     val out = groups.flatMap { g =>
       if (g.length == 1) Some(g.head)
       else {
@@ -383,11 +441,20 @@ object ColdTier {
     // not rewritten and future flushes may still carry covered rows.
     if (hasLog) {
       val logDir = new Path(deleteLogPath(dir))
+      // reserved name: `batch-compact-<id>` can never collide with a
+      // streaming batch's `batch-<batchId>` dir (a collision would no-op
+      // that batch's sealDeletes and resurrect its deletes). nextId is
+      // strictly increasing across compact runs that rewrite (each run
+      // allocates past the previous run's merged ids), so successive
+      // consolidations never collide with each other either; the new dir
+      // is excluded from the victim sweep defensively regardless.
+      val name = s"batch-compact-$nextId"
       val old = fs.listStatus(logDir).map(_.getPath)
+        .filterNot(_.getName == name)
       val consolidated = tombstones(spark, dir).get
         .groupBy("del_id").agg(max("del_ts").as("del_ts"))
         .select(col("del_id").as("id"), col("del_ts").as("ts"))
-      sealDeletes(consolidated, dir, nextId + 1)
+      sealDeletesNamed(consolidated, dir, name)
       old.foreach(p => fs.delete(p, true))
     }
     out.sortBy(_.segmentId)
@@ -463,8 +530,13 @@ object ColdTier {
   /** Executor-local sidecar cache keyed by (path, length, mtime, efSearch):
    * a re-sealed segment (new bytes) loads fresh; entries for replaced
    * generations are evicted so long-lived executors don't accumulate dead
-   * graphs. */
+   * graphs. Same-path eviction alone can't cover segments REMOVED by
+   * gc/compaction (their paths are never requested again), so every load
+   * past `MaxEntries` first sweeps entries whose backing file is gone —
+   * graphs hold full vector copies, and a long-lived executor under
+   * segment rotation would otherwise accrete them without bound. */
   private object SidecarCache {
+    private val MaxEntries = 64
     private val cache = scala.collection.concurrent.TrieMap
       .empty[(String, Long, Long, Int), HnswStore]
     def get(path: String, conf: org.apache.hadoop.conf.Configuration,
@@ -475,6 +547,13 @@ object ColdTier {
       val key = (path, st.getLen, st.getModificationTime, efSearch)
       cache.getOrElse(key, {
         cache.filterInPlace { case ((cp, _, _, _), _) => cp != path }
+        if (cache.size >= MaxEntries) {
+          cache.filterInPlace { case ((cp, _, _, _), _) =>
+            val cpp = new Path(cp)
+            try cpp.getFileSystem(conf).exists(cpp) catch { case _: Exception => false }
+          }
+          if (cache.size >= MaxEntries) cache.clear()
+        }
         cache.getOrElseUpdate(key, {
           val in = new java.io.DataInputStream(
             new java.io.BufferedInputStream(fs.open(p)))
@@ -482,6 +561,8 @@ object ColdTier {
         })
       })
     }
+    /** Test hook: current entry count in this JVM. */
+    private[store] def entryCount: Int = cache.size
   }
 
   /** Probe-path cold search (V9): per-query shortlist from each fresh

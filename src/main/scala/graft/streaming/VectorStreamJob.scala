@@ -446,15 +446,33 @@ object VectorStreamJob {
    * the reference's flush job (db/flush_job.cc:130-170), which also builds
    * the vector index at flush time (flush_job.cc:944-949) = `indexAtFlush`.
    * Idempotent under foreachBatch re-execution: batch replay from the
-   * checkpoint is deterministic, so an already-existing segment IS this
-   * flush, committed by the previous attempt. Returns true if sealed. */
+   * checkpoint is deterministic, so a batch whose segment the CATALOG
+   * already references IS this flush, committed by a previous attempt.
+   * The catalog row — not the segment dir — is the commit predicate:
+   * seal writes the files first and appends the catalog row after, so a
+   * crash between the two leaves an orphan dir that a dir-existence check
+   * would mistake for a commit (the re-run would skip, the rows would
+   * never enter the catalog, and gc would delete the orphan — the flush
+   * permanently lost). seal's overwrite-mode write makes re-sealing over
+   * such an orphan safe. Returns true if sealed. */
   def flushBatch(batch: DataFrame, coldDir: String, batchId: Long,
       metric: Metric, indexAtFlush: Boolean = false, m: Int = 16,
       efConstruction: Int = 64): Boolean = {
     val spark = batch.sparkSession
-    val seg = new org.apache.hadoop.fs.Path(s"$coldDir/segment-$batchId")
-    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(seg)) return false
+    if (graft.store.ColdTier.catalogContains(spark, coldDir, batchId)) {
+      // committed — but a crash after the catalog append and before the
+      // sidecar seal leaves an indexed tier with one scan-only segment;
+      // finish the sidecar here so re-execution converges
+      if (indexAtFlush) {
+        val idx = new org.apache.hadoop.fs.Path(
+          s"$coldDir/segment-$batchId-hnsw")
+        val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(idx))
+          graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId),
+            metric, m, efConstruction)
+      }
+      return false
+    }
     val rows = evictedRows(batch)
     if (rows.isEmpty) return false
     graft.store.ColdTier.seal(rows, coldDir, batchId)
@@ -566,12 +584,19 @@ object VectorStreamJob {
       coldDir: Option[String] = None,
       indexAtFlush: Boolean = false,
       compactEvery: Int = 0,
-      compactTargetRows: Long = 100000L)(sink: DataFrame => Unit)
+      compactTargetRows: Long = 100000L,
+      // ONE graph-parameter pair for the whole job — hot tier, flush
+      // sidecars, and compaction rebuilds all use it, so accreted and
+      // compacted segments of the same tier never silently diverge in
+      // build params
+      hnswM: Int = 16,
+      hnswEfConstruction: Int = 64)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = events.sparkSession
     val routed = route(events, model)
     val flush = coldDir.isDefined
     val p = if (useHnsw) partialsHnsw(routed, metric, maxTtl,
+              m = hnswM, efConstruction = hnswEfConstruction,
               dropLateQueries = dropLateQueries, flushEvicted = flush)
             else partials(routed, metric, maxTtl, dropLateQueries, flush)
     val w =
@@ -600,12 +625,14 @@ object VectorStreamJob {
             val df = batch.toDF().persist()
             try {
               sink(mergePartials(df, k))
-              flushBatch(df, coldDir.get, bid, metric, indexAtFlush)
+              flushBatch(df, coldDir.get, bid, metric, indexAtFlush,
+                m = hnswM, efConstruction = hnswEfConstruction)
               graft.store.ColdTier.sealDeletes(deleteLogRows(df),
                 coldDir.get, bid)
               if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0) {
                 graft.store.ColdTier.compact(spark, coldDir.get,
-                  targetRows = compactTargetRows, metric = metric)
+                  targetRows = compactTargetRows, metric = metric,
+                  m = hnswM, efConstruction = hnswEfConstruction)
                 ()
               }
             } finally df.unpersist()

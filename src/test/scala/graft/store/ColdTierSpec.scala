@@ -494,6 +494,74 @@ class ColdTierSpec extends AnyFunSuite {
     assert(!scanIds().contains(target._1), "still shadowed post-compact")
   }
 
+  test("tombstone anti-join falls back to a shuffled join past the broadcast budget — bit-equal results") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-tombgate").toString
+    val segData = (0 until 2).map(i => mkVecs(100, 8, 90L + i, i * 1000L))
+    segData.zipWithIndex.foreach { case (df, i) =>
+      ColdTier.seal(df, dir, i.toLong)
+    }
+    ColdTier.sealIndexes(spark, dir, 0L until 2L, Metric.L2, m = 8,
+      efConstruction = 64)
+    val all = segData.reduce(_ unionAll _).orderBy("id")
+      .select("id", "vec", "eventTime").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    // tombstone every 7th id at its own event time (covers it)
+    ColdTier.sealDeletes(all.filter(_._1 % 7 == 0).map(t => (t._1, t._3))
+      .toSeq.toDF("id", "ts"), dir, 50L)
+    val queries = Seq((1L, all(0)._2, 100000L, 10000000L),
+      (2L, all(150)._2, 100000L, 10000000L)).toDF("qid", "qv", "qtime", "ttl")
+    def scanRes() = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toList
+    def probeRes() = ColdTier.searchIndexed(spark, dir, queries, 10,
+        Metric.L2, shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toList
+    val wantScan = scanRes()
+    val wantProbe = probeRes()
+    assert(wantScan.forall(t => t._3 % 7 != 0), "tombstones must shadow")
+    spark.conf.set(ColdTier.TombstoneBroadcastMaxBytesKey, "1")
+    try {
+      assert(scanRes() == wantScan, "shuffled fallback must be bit-equal (scan)")
+      assert(probeRes() == wantProbe, "shuffled fallback must be bit-equal (probe)")
+      // and it actually shuffles: the log join is no longer a broadcast
+      val df = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0)
+      df.collect()
+      def fin(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fin(a.executedPlan)
+        case other => other
+      }
+      val s = fin(df.queryExecution.executedPlan).toString
+      assert(s.contains("ShuffledHashJoin") || s.contains("SortMergeJoin"),
+        "expected a shuffled anti-join under a 1-byte broadcast budget")
+    } finally spark.conf.unset(ColdTier.TombstoneBroadcastMaxBytesKey)
+  }
+
+  test("catalogContains: the catalog row — not the segment dir — is the flush commit predicate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-commit").toString
+    ColdTier.seal(mkVecs(50, 4, 95L, 0L), dir, 1L)
+    assert(ColdTier.catalogContains(spark, dir, 1L))
+    assert(!ColdTier.catalogContains(spark, dir, 2L))
+    // orphan dir: a crash between writeSegment and the catalog append
+    // leaves the files with no catalog row — NOT a committed flush
+    mkVecs(10, 4, 96L, 100L)
+      .select(lit(2L).as("segmentId"), col("id"), col("vec"), col("eventTime"))
+      .write.parquet(s"$dir/segment-2")
+    assert(!ColdTier.catalogContains(spark, dir, 2L),
+      "orphan segment dir must not read as committed")
+    // re-sealing over the orphan converges (overwrite-mode write)
+    ColdTier.seal(mkVecs(10, 4, 96L, 100L), dir, 2L)
+    assert(ColdTier.catalogContains(spark, dir, 2L))
+    assert(ColdTier.catalog(spark, dir).length == 2)
+  }
+
   test("compact is a no-op when every segment already meets the target") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-noop").toString

@@ -555,6 +555,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotCold == truth, s"cold search $gotCold != exact $truth")
   }
 
+  test("lifecycle keeps flushing AFTER a compaction: merged-segment ids and the consolidated delete log never collide with micro-batch ids") {
+    // regression: compact used to allocate merged ids as catalog-max+1 and
+    // the consolidated delete log as batch-(nextId+1) — in the streaming
+    // lifecycle both land exactly on upcoming micro-batch ids, so the next
+    // flush (and the next delete batch) silently no-op on the idempotency
+    // check and their rows/tombstones are lost. Ids now come from the
+    // reserved >= CompactionIdBase namespace.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-postcompact").toString
+    val input = MemoryStream[StreamEvent]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold), compactEvery = 2,
+      compactTargetRows = 100000L) { _ => () }
+    def epoch(base: Long, ts: Long, extra: Seq[StreamEvent] = Nil): Unit = {
+      input.addData((0 until 10).map(i =>
+        StreamEvent("i", base + i, vec((base + i).toInt), ts + i, 0L, 0)) ++ extra: _*)
+      q.processAllAvailable()
+    }
+    epoch(0L, 0L)        // batch 0: epoch 0 hot
+    // batch 1: epoch 1 evicts epoch 0 -> first flush; a delete of hot id 1
+    // also seeds the delete log so compaction consolidates it
+    epoch(100L, 5000L, Seq(StreamEvent("d", 1L, null, 6000L, 0L, 0)))
+    epoch(200L, 10000L)  // batch 2: flush epoch 1, then compact (bid%2==0)
+    epoch(300L, 15000L)  // batch 3: flush epoch 2 — the post-compaction flush
+    // batch 4: flush epoch 3, delete COLD id 0, compact+consolidate again
+    epoch(400L, 20000L, Seq(StreamEvent("d", 0L, null, 20050L, 0L, 0)))
+    epoch(500L, 25000L)  // batch 5: flush epoch 4
+    q.stop()
+
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    val coldIds = spark.read.parquet(cat.map(_.path): _*)
+      .select("id").as[Long].collect().toSet
+    // every TTL-evicted epoch is present — especially epoch 2 (ids 200..),
+    // the flush immediately after the first compaction, and epoch 4, the
+    // flush after the second
+    Seq(0L, 100L, 200L, 300L, 400L).foreach { base =>
+      val missing = (0 until 10).map(base + _).toSet -- coldIds
+      // id 1 was deleted while hot (never flushed); id 0 was deleted in
+      // cold — physically dropped if a compaction ran after its tombstone
+      // sealed, else still present but shadowed at read (checked below)
+      val mustBeGone: Set[Long] = if (base == 0L) Set(1L) else Set.empty
+      val mayBeGone: Set[Long] = if (base == 0L) Set(0L, 1L) else Set.empty
+      assert(mustBeGone.subsetOf(missing) && (missing -- mayBeGone).isEmpty,
+        s"epoch at $base lost rows post-compaction: missing $missing")
+    }
+    // the post-compaction delete of cold id 0 must shadow it at read time
+    // (its tombstone would have been dropped under the old colliding
+    // delete-log naming)
+    val queries = Seq((1L, vec(0), 2000L, 2000L)).toDF("qid", "qv", "qtime", "ttl")
+    val got = graft.store.ColdTier.search(spark, cold, queries, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().map(_.getLong(2)).toSet
+    assert(!got.contains(0L), s"tombstoned cold id 0 resurrected: $got")
+    assert(got.nonEmpty)
+    // merged segments live in the reserved namespace; flush segments keep
+    // their micro-batch ids below it
+    assert(cat.exists(_.segmentId >= graft.store.ColdTier.CompactionIdBase),
+      s"expected a compacted segment in the reserved id range: ${cat.map(_.segmentId).toList}")
+  }
+
   test("hot->cold lifecycle under a REPLICATED partitioner: duplicate flushes dedup at query time, results stay exact") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
