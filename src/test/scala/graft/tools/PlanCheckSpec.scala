@@ -70,13 +70,27 @@ class PlanCheckSpec extends AnyFunSuite {
     // windowed sub-plan defeated size estimation; sort-merge shuffled the
     // whole tf table on a 31-distinct-key column = maximal skew), so NO
     // audited entry has a legitimate sort-merge left
-    ("search_hybrid_rrf", true, true, false))
+    ("search_hybrid_rrf", true, true, false),
+    ("knn_range", true, true, false),
+    // single-table windowed sessionization: one hash exchange on user_id,
+    // no join at all
+    ("q10_sessionize", false, true, false),
+    // the composed curation pipeline: all stage joins are doc_id-keyed
+    // broadcasts at this scale (at corpus scale AQE may shuffle them —
+    // same keys, still no silent regression to audit for); at sf0.001 the
+    // entry returns ZERO rows and AQE collapses the whole plan to
+    // EmptyRelation (nothing to audit), hence the sf0.01 override below
+    ("pipeline_curate", true, true, false))
+
+  /** Entries whose plan only materializes at a larger scale factor. */
+  private val dirOverride: Map[String, String] =
+    Map("pipeline_curate" -> "/root/testdata/sf0.01")
 
   test("every audited entry keeps its expected physical-plan shape") {
     spark.sparkContext.setLogLevel("ERROR")
     val failures = expectations.flatMap {
       case (name, wantBroadcast, wantPushed, allowSortMerge) =>
-        val p = PlanProps.of(spark, dir, name)
+        val p = PlanProps.of(spark, dirOverride.getOrElse(name, dir), name)
         val errs = Seq(
           (!p.wscg) -> "no WholeStageCodegen span",
           (wantBroadcast && !p.broadcast) -> "expected broadcast join missing",
