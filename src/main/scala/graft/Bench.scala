@@ -54,6 +54,54 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Spawn [[Bench10x]] in a fresh JVM: the parent's classpath
+   * (`java.class.path` — sbt's forked run passes a real -cp) and its
+   * module/system flags (the Spark-on-JDK17 --add-opens set rides the
+   * JVM input arguments, including the two-token form, so everything is
+   * kept except heap and classpath flags), child heap from
+   * SPARK_GRAFT_10X_MEM. Env inherits, so SPARK_GRAFT_* pass through.
+   * Returns the headline key fragment parsed from the child's one-line
+   * JSON, or None when the process fails — caller falls back in-process. */
+  private def spawn10x(): Option[String] = {
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val raw = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toList
+      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+      var skipNext = false
+      raw.foreach { a =>
+        if (skipNext) skipNext = false
+        else if (a == "-cp" || a == "-classpath" || a == "--class-path")
+          skipNext = true
+        else if (a.startsWith("-Xmx") || a.startsWith("-Xms")) ()
+        else keep += a
+      }
+      // 20g default: the child caches the 10x corpus (~5 GB deserialized
+      // at sf0.1) on top of normal execution memory; MEMORY_AND_DISK
+      // spills if the env overrides this smaller
+      val mem = sys.env.getOrElse("SPARK_GRAFT_10X_MEM", "20g")
+      val cmd = Seq(javaBin, s"-Xmx$mem") ++ keep ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench10x")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toList
+      val exit = proc.waitFor()
+      out.filterNot(_.contains("\"metric\":\"bench10x\""))
+        .foreach(System.err.println)
+      if (exit != 0) {
+        System.err.println(s"[bench] 10x child exited $exit"); None
+      } else out.findLast(_.contains("\"metric\":\"bench10x\""))
+        .map(_.stripPrefix("""{"metric":"bench10x",""").stripSuffix("}"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] 10x spawn failed: $e"); None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -298,20 +346,65 @@ object Bench {
     // near-linear wall-time is the evidence the banded candidate
     // pipeline scales. Min-of-2, matching the other sweeps.
     import graft.ops.Dedup
+    // docs shorter than the 3-char shingle width have EMPTY shingle sets
+    // and degenerate all-sentinel signatures that est-match every other
+    // short doc at 1.0 — in the 10x sweep their clones cross-match across
+    // variants (the sf0.01 smoke measured +14% over the exact x10 pair
+    // mass), so the bench corpus excludes them for all dedup sections
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text")).cache()
+      .select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= 3).cache()
     val nDoc1 = docs1.count()
     def dedupRun(d: org.apache.spark.sql.DataFrame) =
       Dedup.minhashPairs(d).count()
-    val d1Times = (1 to 2).map { _ => System.gc(); time(dedupRun(docs1))._2 }
+    var pairs1 = 0L
+    val d1Times = (1 to 2).map { _ =>
+      System.gc(); val (c, t) = time(dedupRun(docs1)); pairs1 = c; t }
     val docs2 = docs1.unionAll(docs1.select(
       (col("doc_id") + idOffset).as("doc_id"), reverse(col("text")).as("text")))
       .repartition(cpus.toInt).cache()
     val nDoc2 = docs2.count()
     val d2Times = (1 to 2).map { _ => System.gc(); time(dedupRun(docs2))._2 }
-    docs1.unpersist(); docs2.unpersist()
+    docs2.unpersist()
     val docsPerSec = nDoc1 / d1Times.min
     val docsPerSec2 = nDoc2 / d2Times.min
+
+    // dedup 10x sweep: ten corpus copies under per-variant seeded alphabet
+    // permutations. A char bijection maps each variant's shingle set
+    // bijectively, so every variant reproduces the original near-dup
+    // cluster structure EXACTLY (pair mass x10 — dedup_pairs_{1x,10x} in
+    // the output make it checkable), while cross-variant shingle overlap
+    // is random noise far below the 0.5 jaccard gate. Same
+    // structure-preserved / density-scaled methodology as the ANN 10x
+    // point, giving the dedup family its own large-corpus evidence.
+    val dedup10Keys =
+      if (sys.env.getOrElse("SPARK_GRAFT_DEDUP10X", "1") != "1") ""
+      else {
+        val multD = 10
+        val alphabet = docs1.select(col("text")).as[String]
+          .flatMap(_.iterator.map(_.toString)).distinct()
+          .collect().map(_.charAt(0)).sorted
+        val perms = Array.tabulate(multD - 1) { r =>
+          val rnd = new scala.util.Random(9000L + r)
+          alphabet.zip(rnd.shuffle(alphabet.toVector)).toMap
+        }
+        val bPerms = spark.sparkContext.broadcast(perms)
+        val docs10 = docs1.as[(Long, String)].flatMap { case (id, t) =>
+          (0 until multD).iterator.map { r =>
+            if (r == 0) (id, t)
+            else (id + r.toLong * (1L << 40),
+              t.map(c => bPerms.value(r - 1).getOrElse(c, c)))
+          }
+        }.toDF("doc_id", "text").repartition(cpus.toInt * 2).cache()
+        val nDoc10 = docs10.count()
+        var pairs10 = 0L
+        val d10Times = (1 to 2).map { _ =>
+          System.gc(); val (c, t) = time(dedupRun(docs10)); pairs10 = c; t }
+        docs10.unpersist()
+        val dps10 = nDoc10 / d10Times.min
+        s""","n_docs_10x":$nDoc10,"dedup_docs_per_sec_10x":${"%.1f".format(dps10)},"dedup_scaleup_10x":${"%.3f".format(dps10 / docsPerSec)},"dedup_pairs_1x":$pairs1,"dedup_pairs_10x":$pairs10"""
+      }
+    docs1.unpersist()
 
     // --- cold-tier lifecycle scale point: SEGMENT COUNT is the cold
     // tier's scale axis (per-query probe planning and per-wave
@@ -328,7 +421,9 @@ object Bench {
         import graft.store.ColdTier
         val cdir = java.nio.file.Files.createTempDirectory("bench-cold").toString
         val nSeg = 12
-        val per = 10000
+        // flush-sized segments, capped by the corpus (sf0.01 has ~60k
+        // vectors — a fixed 120k ask sealed empty segments and threw)
+        val per = math.max(1000, math.min(10000L, nVec / nSeg).toInt)
         val crows = vecs.limit(nSeg * per)
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.orderBy("id")))
@@ -358,51 +453,48 @@ object Bench {
           firstWaveFraction = 1.0, terminationFactor = 1.0).count())
         val probe2 = minOf2(ColdTier.searchIndexed(spark, cdir, cq, 10,
           Metric.L2, shortlist = 64).count())
-        crows.unpersist(); cq.unpersist()
-        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_compact_sec":${"%.2f".format(compactSec)}"""
+        // delete-log cost point: 1e4 tombstones accreted over 5 batches
+        // put the broadcast anti-join on every probe; a further full-merge
+        // compaction applies them physically and consolidates the log to
+        // one entry per id. probe2 above is the no-deletes baseline, so
+        // the anti-join's cost is the measured delta, not a guess.
+        val delRows = crows.where(col("id") % 11 === 3).limit(10000)
+          .select(col("id"), lit(nSeg.toLong * per + 1).as("ts")).cache()
+        val nDel = delRows.count()
+        (0 until 5).foreach { b =>
+          ColdTier.sealDeletes(delRows.where(
+            pmod(hash(col("id")), lit(5)) === b), cdir, 1000L + b)
+        }
+        val probeDelAcc = minOf2(ColdTier.searchIndexed(spark, cdir, cq, 10,
+          Metric.L2, shortlist = 64).count())
+        val (_, compactDelSec) = time(ColdTier.compact(spark, cdir,
+          targetRows = nSeg.toLong * per, metric = Metric.L2, m = 8,
+          efConstruction = 32))
+        val probeDelCons = minOf2(ColdTier.searchIndexed(spark, cdir, cq, 10,
+          Metric.L2, shortlist = 64).count())
+        delRows.unpersist(); crows.unpersist(); cq.unpersist()
+        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_compact_sec":${"%.2f".format(compactSec)},"coldtier_tombstones":$nDel,"coldtier_probe_deletes_accreted_sec":${"%.2f".format(probeDelAcc)},"coldtier_probe_deletes_consolidated_sec":${"%.2f".format(probeDelCons)},"coldtier_compact_deletes_sec":${"%.2f".format(compactDelSec)}"""
       }
 
-    // --- 10x recall point: no real SIFT/BIGANN drop exists in this
-    // sandbox (TESTDATA.md §fvecs), so the large-corpus recall number runs
-    // on the 10x-replicated center-mixture corpus (same cluster structure,
-    // 10x density per center). Ground truth by the exact bounded-heap
-    // kernel; ANN is the same IVF-cells + salted per-partition HNSW
-    // composition as bench_ann_ivf_hnsw (cells reused — the fit input is
-    // corpus-size-independent; only the salting rescales). Not cached:
-    // derivation is cheaper than caching 10x vectors, and each pass
-    // recomputes it deterministically. Single rep — this is a scale
-    // point, not a regression tracker; keys stay out of the per-query
-    // total.
-    val (recall10, vecPerSec10, nVec10, bf10Sec, ann10Sec) =
-      if (sys.env.getOrElse("SPARK_GRAFT_10X", "1") != "1") (0.0, 0.0, 0L, 0.0, 0.0)
+    // --- 10x recall point: runs in a CHILD JVM ([[Bench10x]] — clean
+    // heap by construction; the in-JVM variant mis-recorded the headline
+    // scale comparison twice under ambient old-gen/page-cache pressure,
+    // r5 + r7). The parent frees its cached blocks first so the child
+    // measures on a quiet box, then parses the child's one-line JSON.
+    // Falls back to the in-process run only if the spawn itself fails.
+    val tenXFrag: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_10X", "1") != "1")
+        """"ann_recall_at_10_10x":0.0,"ann_vectors_per_sec_10x":0.0,"n_vectors_10x":0,"bf_10x_sec":0.0,"ann_10x_sec":0.0"""
       else {
-        val mult10 = 10
-        val nVec10 = nVec * mult10
-        val vecs10 = derivedVectorsN(spark, sfDir, mult10)
-          .repartition(cpus.toInt * 4)
-        val q10 = vecs10.where(col("id") % 28541 === 0)
-          .select(col("id").as("qid"), col("vec").as("qv"),
-            lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
-          .cache()
-        val nQ10 = q10.count()
-        val (bfRows, bf10Sec) = time(
-          Ann.bruteForce(vecs10, q10, 10, Metric.L2)
-            .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect())
-        val salt10 = graft.partitioners.SaltedPartitioner.fromSample(cells,
-          sample, nVec10, targetPerPartition = graphTarget)
+        vecs.unpersist(); queries.unpersist()
+        graft.CacheRegistry.clear()
+        spark.catalog.clearCache()
         System.gc()
-        val (annRows10, ann10Sec) = time(
-          Ann.search(vecs10, q10, salt10, 10, Metric.L2, useHnsw = true,
-              hnswM = 16, efConstruction = 48, efSearch = 64)
-            .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect())
-        val truth10 = bfRows.map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-        val rc = annRows10.map { r =>
-          val t = truth10(r.getLong(0))
-          r.getSeq[Long](1).count(t.contains).toDouble / t.size
+        spawn10x().getOrElse {
+          System.err.println("[bench] 10x child JVM failed; running in-process")
+          Bench10x.run(spark, sfDir, cpus.toInt,
+            sys.env.getOrElse("SPARK_GRAFT_10X_REPS", "2").toInt)
         }
-        q10.unpersist()
-        (if (rc.nonEmpty) rc.sum / rc.length else 0.0,
-          (nVec10 + nQ10) / ann10Sec, nVec10, bf10Sec, ann10Sec)
       }
 
     val total = results.values.filter(_ >= 0).sum
@@ -433,7 +525,7 @@ object Bench {
       s"""{"metric":"queries","part":${i + 1},"parts":${qChunks.length},"queries":${
         c.mkString("{", ",", "}")}}"""
     }
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},"ann_recall_at_10_10x":${"%.4f".format(recall10)},"ann_vectors_per_sec_10x":${"%.1f".format(vecPerSec10)},"n_vectors_10x":$nVec10,"bf_10x_sec":${"%.2f".format(bf10Sec)},"ann_10x_sec":${"%.2f".format(ann10Sec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}"""
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":${sorted.length},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =

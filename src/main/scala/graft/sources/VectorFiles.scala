@@ -27,7 +27,7 @@ object VectorFiles {
   final case class Split(path: String, startRecord: Long, numRecords: Long,
       dim: Int, elem: String)
 
-  private def dimOf(path: String): Int = {
+  private[sources] def dimOf(path: String): Int = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val b = new Array[Byte](4)
@@ -51,7 +51,7 @@ object VectorFiles {
     (dim, splits)
   }
 
-  private def readSplit(s: Split): Iterator[(Long, Array[Float])] = {
+  private[sources] def readSplit(s: Split): Iterator[(Long, Array[Float])] = {
     val elem = s.elem match { case "f32" => F32; case "u8" => U8; case "i32" => I32 }
     val recordSize = 4L + s.dim.toLong * elem.bytes
     val raf = new RandomAccessFile(s.path, "r")
