@@ -422,7 +422,7 @@ object ColdTier {
           nextId += 1
           val stats = writeSegment(rows, dir, nextId)
             .copy(temperature = g.map(_.temperature).sum)
-          if (g.forall(s => fs.exists(new Path(indexPath(s.path)))))
+          if (g.forall(s => indexSealed(fs, s.path)))
             sealIndexes(spark, dir, Seq(nextId), metric, m, efConstruction)
           if (g.forall(s => fs.exists(new Path(s"${s.path}-codes"))))
             sqModel.foreach(mod => sealCodes(spark, dir, nextId, mod))
@@ -494,37 +494,119 @@ object ColdTier {
 
   private def indexPath(segmentPath: String) = s"$segmentPath-hnsw"
 
+  /** Marker committing a SHARDED sidecar directory: written only after
+   * every shard task finished. A single-file sidecar commits by its own
+   * atomic create; a directory without the marker is a crashed partial
+   * seal and reads as "no index" (scan fallback / re-seal converges). */
+  private val ShardSealedMarker = "_SEALED"
+
+  /** Default per-graph row bound for [[sealIndexes]]. Graph build is the
+   * serial, superlinear part of sealing (single-threaded insert loop,
+   * full vector copy on the task heap), so an UNBOUNDED per-segment graph
+   * makes compaction's index rebuild degrade with segment growth — the
+   * r8 bench measured 47 s for one ~110k-row merged graph vs 11 s for the
+   * same rows as two 60k builds. Bounding shard size holds build
+   * wall-time, task memory, and recall constant as segments grow — the
+   * same constant-graph-size principle the hot path established. */
+  val DefaultMaxGraphRows = 50000
+
+  /** Is `segmentPath`'s sidecar present AND committed? */
+  private def indexSealed(fs: org.apache.hadoop.fs.FileSystem,
+      segmentPath: String): Boolean = {
+    val p = new Path(indexPath(segmentPath))
+    if (!fs.exists(p)) false
+    else if (fs.getFileStatus(p).isFile) true
+    else fs.exists(new Path(p, ShardSealedMarker))
+  }
+
+  /** Public form for lifecycle callers (flush idempotency). */
+  def indexSealed(spark: SparkSession, dir: String, segmentId: Long): Boolean = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    indexSealed(fs, s"$dir/segment-$segmentId")
+  }
+
+  /** All graph files of a committed sidecar (1 for the single-file
+   * layout, the shard files for a directory). */
+  private def shardFiles(fs: org.apache.hadoop.fs.FileSystem,
+      segmentPath: String): Seq[String] = {
+    val p = new Path(indexPath(segmentPath))
+    if (fs.getFileStatus(p).isFile) Seq(p.toString)
+    else fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("shard-")).sortBy(_.getName)
+      .map(_.toString).toSeq
+  }
+
   /** Seal HNSW index sidecars for existing segments — the V9 payoff: the
    * reference builds the graph once in the memtable and carries it into
    * the SST at flush (db/flush_job.cc:944-949), so cold files are PROBED
    * (~efSearch·log n distance evals), never scanned. One distributed job:
-   * segment rows shuffle once on segmentId, each group builds its graph
-   * executor-side (deterministic insert order → deterministic graph) and
-   * streams the bytes straight to `segment-<id>-hnsw`. Graphs are
-   * memtable-sized by contract — the same bound the reference's flush
-   * obeys — so a group always fits its task. */
+   * segment rows shuffle once on (segmentId, shard), each group builds
+   * its graph executor-side (deterministic insert order → deterministic
+   * graph) and streams the bytes straight to the sidecar file.
+   *
+   * Graphs are BUILD-BOUNDED, not segment-sized: a segment over
+   * `maxGraphRows` seals as ceil(n/maxGraphRows) hash-of-id shards under
+   * `segment-<id>-hnsw/shard-*` (committed by [[ShardSealedMarker]]),
+   * built in parallel tasks; at or under the bound it stays the
+   * single-file layout. Shard assignment is a deterministic id hash, so
+   * the probe side's per-shard shortlists (union = the candidate set)
+   * are replayable — and since every shard contributes a shortlist,
+   * sharding only ever ADDS candidates vs the monolithic graph. This is
+   * what lets compaction merge segments without inheriting an unbounded
+   * serial graph build: at 100-TB scale a compacted segment can hold
+   * tens of millions of rows, and a single-task build of that graph
+   * would dominate the compaction (and overflow its task heap). */
   def sealIndexes(spark: SparkSession, dir: String, segmentIds: Seq[Long],
       metric: Metric = Metric.L2, m: Int = 16,
-      efConstruction: Int = 128): Unit = {
+      efConstruction: Int = 128,
+      maxGraphRows: Int = DefaultMaxGraphRows): Unit = {
+    require(maxGraphRows > 0, s"maxGraphRows $maxGraphRows must be positive")
     import spark.implicits._
     val paths = segmentIds.map(sid => s"$dir/segment-$sid")
-    val sc = new SerConf(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(paths: _*)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(hconf)
+    // wipe prior generations first (incl. crashed partial shard dirs and
+    // layout flips) so ghost shards never outlive this seal
+    paths.foreach(p => fs.delete(new Path(indexPath(p)), true))
+    val rows = spark.read.parquet(paths: _*)
       .select(col("segmentId"), col("id"), col("vec"), col("eventTime"))
-      .as[(Long, Long, Array[Float], Long)]
-      .groupByKey(_._1)
-      .mapGroups { (sid, it) =>
+    // shard counts from one segmentId-only pass (columnar: reads a
+    // single column, no vectors)
+    val shardCounts: Map[Long, Int] = rows.groupBy("segmentId").count()
+      .as[(Long, Long)].collect()
+      .map { case (sid, c) =>
+        (sid, math.max(1L, (c + maxGraphRows - 1) / maxGraphRows).toInt)
+      }.toMap
+    val bShards = spark.sparkContext.broadcast(shardCounts)
+    val sc = new SerConf(hconf)
+    rows.as[(Long, Long, Array[Float], Long)]
+      .groupByKey { r =>
+        val n = bShards.value(r._1)
+        // byteswap64: deterministic across JVMs (unlike hashCode contract
+        // drift), mixes strided id spaces that a plain modulo would skew
+        (r._1, if (n == 1) 0
+               else math.floorMod(scala.util.hashing.byteswap64(r._2), n.toLong).toInt)
+      }
+      .mapGroups { (key: (Long, Int), it) =>
+        val (sid, shard) = key
+        val target =
+          if (bShards.value(sid) == 1) new Path(indexPath(s"$dir/segment-$sid"))
+          else new Path(indexPath(s"$dir/segment-$sid"), f"shard-$shard%05d")
         val store = new HnswStore(metric, m, efConstruction)
         it.toArray.sortBy(r => (r._4, r._2))
           .foreach { case (_, id, v, ts) => store.put(id, ts, v) }
-        val p = new Path(indexPath(s"$dir/segment-$sid"))
-        val fs = p.getFileSystem(sc.conf)
+        val tfs = target.getFileSystem(sc.conf)
         val os = new java.io.DataOutputStream(
-          new java.io.BufferedOutputStream(fs.create(p, true)))
+          new java.io.BufferedOutputStream(tfs.create(target, true)))
         try store.writeTo(os) finally os.close()
         sid
       }.collect()
-    ()
+    // commit the sharded layouts — marker AFTER all shard tasks returned
+    shardCounts.foreach { case (sid, n) =>
+      if (n > 1)
+        fs.create(new Path(indexPath(s"$dir/segment-$sid"), ShardSealedMarker),
+          true).close()
+    }
   }
 
   /** Executor-local sidecar cache keyed by (path, length, mtime, efSearch):
@@ -606,29 +688,30 @@ object ColdTier {
     val empty = spark.emptyDataset[(Long, Long)].toDF("qid", "id")
     if (fresh.isEmpty) return empty
     val hconf = spark.sparkContext.hadoopConfiguration
-    val (indexed, unindexed) = fresh.partition { s =>
-      val p = new Path(indexPath(s.path))
-      p.getFileSystem(hconf).exists(p)
-    }
+    val dfs = new Path(dir).getFileSystem(hconf)
+    val (indexed, unindexed) = fresh.partition(s => indexSealed(dfs, s.path))
     val sc = new SerConf(hconf)
     val probed =
       if (indexed.isEmpty) empty
       else {
-        // (segmentId, idxPath, minTs, maxTs): per-query segment-level
-        // freshness applies at routing, so out-of-window probes never ship
-        val bIdx = spark.sparkContext.broadcast(indexed.map(s =>
-          (s.segmentId, indexPath(s.path), s.minTs, s.maxTs)))
+        // one routing row per (shard, in-window query): segment-level
+        // freshness applies at routing, so out-of-window probes never
+        // ship; each shard of a sharded sidecar probes in its own task
+        // and contributes its own shortlist (union = candidate set)
+        val bIdx = spark.sparkContext.broadcast(indexed.flatMap { s =>
+          shardFiles(dfs, s.path).map(p => (p, s.minTs, s.maxTs))
+        }.zipWithIndex.map { case ((p, mn, mx), i) => (i, p, mn, mx) })
         q.as[(Long, Array[Float], Long, Long)]
           .flatMap { case (qid, qv, qtime, ttl) =>
             bIdx.value.collect {
-              case (sid, _, minTs, maxTs)
+              case (i, _, minTs, maxTs)
                   if maxTs >= qtime - ttl && minTs <= qtime =>
-                (sid, qid, qv, qtime, ttl)
+                (i, qid, qv, qtime, ttl)
             }
           }
           .groupByKey(_._1)
-          .flatMapGroups { (sid, it) =>
-            val path = bIdx.value.find(_._1 == sid).get._2
+          .flatMapGroups { (i, it) =>
+            val path = bIdx.value(i)._2
             val store = SidecarCache.get(path, sc.conf, efSearch)
             it.flatMap { case (_, qid, qv, qtime, ttl) =>
               store.search(qv, shortlist, qtime - ttl, qtime)

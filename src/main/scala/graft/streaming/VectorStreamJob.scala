@@ -463,14 +463,10 @@ object VectorStreamJob {
       // committed — but a crash after the catalog append and before the
       // sidecar seal leaves an indexed tier with one scan-only segment;
       // finish the sidecar here so re-execution converges
-      if (indexAtFlush) {
-        val idx = new org.apache.hadoop.fs.Path(
-          s"$coldDir/segment-$batchId-hnsw")
-        val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(idx))
-          graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId),
-            metric, m, efConstruction)
-      }
+      if (indexAtFlush &&
+          !graft.store.ColdTier.indexSealed(spark, coldDir, batchId))
+        graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId),
+          metric, m, efConstruction)
       return false
     }
     val rows = evictedRows(batch)

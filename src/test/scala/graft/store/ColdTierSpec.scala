@@ -337,6 +337,63 @@ class ColdTierSpec extends AnyFunSuite {
     assert(recallOf(mixed) >= 0.9, s"mixed recall ${recallOf(mixed)}")
   }
 
+  test("sharded sidecars: over-bound segment seals as committed shard graphs, probe unions shard shortlists, uncommitted dir reads as no-index") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtiershard").toString
+    val rnd = new java.util.Random(17L)
+    val centers = Array.fill(8)(Array.fill(8)(rnd.nextGaussian().toFloat * 3f))
+    val all = (0 until 900).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(_ + rnd.nextGaussian().toFloat * 0.3f), i.toLong)
+    }
+    ColdTier.seal(all.toDF("id", "vec", "eventTime"), dir, 0L)
+    ColdTier.sealIndexes(spark, dir, Seq(0L), Metric.L2, m = 8,
+      efConstruction = 64, maxGraphRows = 200)
+    // layout: a directory of shard graphs committed by the marker
+    val idx = new java.io.File(s"$dir/segment-0-hnsw")
+    assert(idx.isDirectory, "over-bound segment must seal as a shard dir")
+    val shards = idx.listFiles().map(_.getName).filter(_.startsWith("shard-"))
+    assert(shards.length == 5, s"900 rows / 200 bound -> 5 shards, got ${shards.toSeq}")
+    assert(new java.io.File(idx, "_SEALED").exists(), "marker must commit the dir")
+    val queries = all.indices.by(90).map { i =>
+      (i.toLong, all(i)._2, Long.MaxValue / 2, Long.MaxValue / 2)
+    }.toDF("qid", "qv", "qtime", "ttl")
+    def recallOf(got: Map[Long, Seq[Long]]): Double = {
+      val hits = got.map { case (qid, ids) =>
+        val qv = all(qid.toInt)._2
+        val want = all.map { case (id, v, _) => (id, Distances.l2(qv, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+        ids.count(want).toDouble / 10
+      }
+      hits.sum / hits.size
+    }
+    def run() = ColdTier.searchIndexed(spark, dir, queries, 10, Metric.L2,
+        shortlist = 30, efSearch = 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val got = run()
+    assert(got.size == queries.count())
+    assert(got.values.forall(_.size == 10))
+    assert(recallOf(got) >= 0.9, s"sharded recall ${recallOf(got)}")
+    assert(run() == got, "sharded probe must be deterministic")
+    // un-commit the dir: reads as no index -> exact scan fallback, complete
+    assert(new java.io.File(idx, "_SEALED").delete())
+    val scanned = run()
+    assert(scanned.size == got.size && scanned.values.forall(_.size == 10))
+    assert(recallOf(scanned) == 1.0, "scan fallback is exact")
+    // re-seal converges: marker restored, probe answers again
+    ColdTier.sealIndexes(spark, dir, Seq(0L), Metric.L2, m = 8,
+      efConstruction = 64, maxGraphRows = 200)
+    assert(new java.io.File(idx, "_SEALED").exists())
+    assert(run() == got, "re-seal must reproduce the deterministic graph probe")
+    // an at-bound segment keeps the single-file layout
+    ColdTier.sealIndexes(spark, dir, Seq(0L), Metric.L2, m = 8,
+      efConstruction = 64, maxGraphRows = 900)
+    assert(new java.io.File(s"$dir/segment-0-hnsw").isFile,
+      "at-or-under-bound segment must stay a single graph file")
+  }
+
   test("gc removes evicted segments' files incl. -codes/-hnsw companions; survivors keep answering") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
