@@ -27,6 +27,8 @@ object EvalQueries {
   private val hnswSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Compacted cold-tier dirs per sf dir (six flushes -> two segments). */
   private val compactedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Cold-tier dirs sealed with SHARDED HNSW sidecars per sf dir. */
+  private val shardedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   /** Cold-tier dirs with a sealed delete log per sf dir. */
   private val deletesDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -192,6 +194,41 @@ object EvalQueries {
         VectorQueries.K, graft.Metric.L2)
     },
 
+    "knn_coldtier_hnsw_sharded" -> { (s, dir) =>
+      // the SHARDED sidecar layout under the hard gate: a row bound far
+      // under segment size forces hash-of-id shard graphs per segment
+      // (the layout compaction produces at scale, where a single-task
+      // graph build would dominate the merge), and probeCandidates
+      // unions the per-shard shortlists. Same aux + exact-re-rank
+      // recipe as knn_coldtier_hnsw — the two entries answer the same
+      // queries through the two sidecar layouts, in a separate tier dir
+      // so neither reseals the other's generation.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = shardedDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold-shard")
+          .toString
+        (0 until 3).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") % 3 === i)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime")), t, i.toLong)
+        }
+        graft.store.ColdTier.sealIndexes(s, t, 0L until 3L,
+          graft.Metric.L2, m = 16, efConstruction = 128, maxGraphRows = 64)
+        t
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, queries,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2, efSearch = 100),
+        dir, "coldtier_hnsw_shard_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_hnsw_shard_shortlist"), queries,
+        VectorQueries.K, graft.Metric.L2)
+    },
+
     "multimodal_decode" -> { (s, dir) =>
       val media = Tables(s, dir, "documents")
         .select(col("doc_id").as("id"), lit("image").as("media_type"),
@@ -294,6 +331,19 @@ object EvalQueries {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
          |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_hnsw_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // same re-rank replay over the sharded layout's shortlist aux
+    "knn_coldtier_hnsw_sharded" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_hnsw_shard_shortlist")}),
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),

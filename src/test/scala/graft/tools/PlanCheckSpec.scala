@@ -42,6 +42,7 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_coldtier_deletes", true, true, false),
     ("knn_coldtier_sq", true, true, false),
     ("knn_coldtier_hnsw", true, true, false),
+    ("knn_coldtier_hnsw_sharded", true, true, false),
     ("ann_sfc_adaptive", false, true, false),
     ("embed_neardup", false, true, false),
     ("embed_neardup_lsh", true, true, false),
