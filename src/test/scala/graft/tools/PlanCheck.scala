@@ -22,7 +22,7 @@ object PlanCheck {
         .filter(l => l.contains("ReadSchema") || l.contains("PushedFilters"))
         .take(3).foreach(l => println("   " + l.trim.take(160)))
     }
-    Seq("q1_pricing_summary", "q3_revenue_by_nation", "q6_window_topn",
+    val defaults = Seq("q1_pricing_summary", "q3_revenue_by_nation", "q6_window_topn",
       "q11_interval_join", "knn_l2", "knn_ttl", "text_jaccard_pairs",
       "dedup_minhash", "knn_coldtier", "knn_coldtier_compacted",
       "knn_coldtier_deletes", "ann_sfc_adaptive",
@@ -34,7 +34,8 @@ object PlanCheck {
       "text_mix_langs", "text_pack_sequences", "knn_coldtier_sq",
       "knn_coldtier_hnsw", "ann_ivf_sq8", "ann_mrl_rerank",
       "ann_bq_rerank", "search_docs", "eval_mrr",
-      "search_hybrid_rrf").foreach(check)
+      "search_hybrid_rrf")
+    (if (args.nonEmpty) args.toSeq else defaults).foreach(check)
     spark.stop()
   }
 }
