@@ -81,17 +81,72 @@ class PlanCheckSpec extends AnyFunSuite {
     // same keys, still no silent regression to audit for); at sf0.001 the
     // entry returns ZERO rows and AQE collapses the whole plan to
     // EmptyRelation (nothing to audit), hence the sf0.01 override below
-    ("pipeline_curate", true, true, false))
+    ("pipeline_curate", true, true, false),
+    // round-8 extension: every remaining oracle entry is audited, so no
+    // entry's plan can regress invisibly between bench rounds
+    ("ann_ivf", false, true, false),
+    ("ann_ivf_filtered", false, true, false),
+    ("ann_lsh", false, true, false),
+    ("ann_lsh_proximity", false, true, false),
+    ("ann_lsh_random", false, true, false),
+    ("ann_odyssey", false, true, false),
+    ("ann_pq", false, true, false),
+    ("ann_pq_rerank", true, true, false),
+    ("ann_sfc", false, true, false),
+    ("dedup_simhash", true, true, false),
+    ("eval_recall", true, true, false),
+    ("knn_bruteforce", false, true, false),
+    ("knn_cosine", true, true, false),
+    ("knn_deletes", true, true, false),
+    ("knn_filtered", true, true, false),
+    ("knn_ip", true, true, false),
+    ("knn_partitioned", true, true, false),
+    ("knn_sql", true, true, false),
+    ("multimodal_decode", false, true, false),
+    ("multimodal_frames", false, true, false),
+    ("multimodal_resize", false, true, false),
+    ("part_hash_balance", false, true, false),
+    ("part_zorder", false, true, false),
+    ("q12_rollup", false, true, false),
+    ("q13_conditional_agg", true, true, false),
+    ("q14_having", false, true, false),
+    ("q15_scalar_subquery", true, true, false),
+    ("q16_exists_corr", true, true, false),
+    ("q17_json_extract", false, true, false),
+    ("q2_top_revenue_orders", true, true, false),
+    ("q4_semi_join", true, true, false),
+    // empty result at every generated SF (all customers have orders) —
+    // AQE collapses the whole frame to EmptyRelation, so it is audited
+    // with AQE off (see noAqe), where the static plan must be the
+    // broadcast anti-join with the o_custkey null-filter pushed down
+    ("q5_anti_join", true, true, false),
+    ("q7_distinct_agg", false, true, false),
+    ("q8_setops", true, true, false),
+    ("q9_events_hourly", false, true, false),
+    ("text_dedup_exact", true, true, false),
+    ("text_dedup_norm", true, true, false),
+    ("text_fingerprint", false, true, false),
+    ("text_langid", false, true, false),
+    ("text_quality", false, true, false),
+    ("text_stats", false, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
     Map("pipeline_curate" -> "/root/testdata/sf0.01")
 
+  /** Entries whose result set is empty at every generated SF: AQE
+   * replaces the executed plan with EmptyRelation (nothing to audit), so
+   * the assertion runs against the statically planned tree instead. */
+  private val noAqe: Set[String] = Set("q5_anti_join")
+
   test("every audited entry keeps its expected physical-plan shape") {
     spark.sparkContext.setLogLevel("ERROR")
     val failures = expectations.flatMap {
       case (name, wantBroadcast, wantPushed, allowSortMerge) =>
-        val p = PlanProps.of(spark, dirOverride.getOrElse(name, dir), name)
+        val aqeOff = noAqe(name)
+        if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val p = try PlanProps.of(spark, dirOverride.getOrElse(name, dir), name)
+          finally if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", "true")
         val errs = Seq(
           (!p.wscg) -> "no WholeStageCodegen span",
           (wantBroadcast && !p.broadcast) -> "expected broadcast join missing",
