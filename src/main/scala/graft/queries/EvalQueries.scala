@@ -31,6 +31,8 @@ object EvalQueries {
   private val shardedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   /** Cold-tier dirs with a sealed delete log per sf dir. */
   private val deletesDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Hot/cold tiered layout per sf dir: (tier dir, hot/cold ts cut). */
+  private val tieredDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
   private def sealedTier(s: SparkSession, dir: String): String =
     sealedDirs.getOrElseUpdate(dir, {
@@ -229,6 +231,67 @@ object EvalQueries {
         VectorQueries.K, graft.Metric.L2)
     },
 
+    "knn_tiered" -> { (s, dir) =>
+      // ONE query answered across BOTH tiers — the reference's
+      // hierarchical search (db/version_set.cc:2563-2655 probes the
+      // memtable and every fresh SST for a single query and merges):
+      // the newest quarter of the corpus (by eventTime) is the hot tier,
+      // probed through per-partition in-memory HNSW memtables
+      // (Ann.search — the streaming hot path's topology); the older
+      // three quarters are sealed cold segments probed through their
+      // HNSW sidecars with the query window clipped to the cold ts
+      // range. Both shortlists land as oracle aux; ONE unified exact
+      // re-rank over the union answers the query, so the DuckDB twin
+      // replays the whole cross-tier merge bit-exactly. (The repo's
+      // streaming design serves disjoint windows per tier by default —
+      // this entry is the single-query cross-tier composition.)
+      val e = Tables(s, dir, "embeddings")
+      val (tmp, cut) = tieredDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold-tier2")
+          .toString
+        val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
+        val c = maxId / 4 * 3
+        (0 until 2).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") < c && col("vec_id") % 2 === i)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime")), t, i.toLong)
+        }
+        graft.store.ColdTier.sealIndexes(s, t, 0L until 2L,
+          graft.Metric.L2, m = 16, efConstruction = 128)
+        // hot rows live as an unindexed third segment so the unified
+        // re-rank reads every tier's bytes from one catalog; the cold
+        // probe's clipped window keeps it out of the sidecar path
+        graft.store.ColdTier.seal(
+          e.where(col("vec_id") >= c)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("vec_id").as("eventTime")), t, 2L)
+        (t, c)
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      val coldQ = queries
+        .withColumn("qtime", lit(cut - 1)).withColumn("ttl", lit(cut - 1))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, coldQ,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2, efSearch = 100),
+        dir, "tiered_cold_shortlist")
+      val hot = e.where(col("vec_id") >= cut)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("vec_id").as("eventTime"))
+      OracleAux.write(
+        graft.ops.Ann.search(hot, queries,
+            graft.partitioners.SimplePartitioner(4), PqQueries.Shortlist,
+            graft.Metric.L2, useHnsw = true, efSearch = 100)
+          .select(col("qid"), col("id")),
+        dir, "tiered_hot_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "tiered_cold_shortlist")
+          .unionByName(OracleAux.read(s, dir, "tiered_hot_shortlist")),
+        queries, VectorQueries.K, graft.Metric.L2)
+    },
+
     "multimodal_decode" -> { (s, dir) =>
       val media = Tables(s, dir, "documents")
         .select(col("doc_id").as("id"), lit("image").as("media_type"),
@@ -344,6 +407,22 @@ object EvalQueries {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
          |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_hnsw_shard_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // cross-tier merge replay: the hot (memtable HNSW) and cold (sidecar)
+    // shortlists union into one candidate set; the twin re-ranks it
+    // exactly, so the whole hierarchical search is hash-compared
+    "knn_tiered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("tiered_cold_shortlist")}
+         |  UNION SELECT qid, id FROM ${OracleAux.ref("tiered_hot_shortlist")}),
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),

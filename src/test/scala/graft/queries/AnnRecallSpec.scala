@@ -44,6 +44,14 @@ class AnnRecallSpec extends AnyFunSuite {
   }
   test("ann_sfc recall@10 >= 0.85") { assert(recall("ann_sfc") >= 0.85) }
 
+  // The cross-tier single-query search (hot memtable HNSW + cold sidecar
+  // probes + unified re-rank) must recover nearly all true neighbors —
+  // each global top-10 id ranks <= 10 inside its own tier, so only a
+  // graph miss can lose it.
+  test("knn_tiered recall@10 >= 0.95 vs exact") {
+    assert(recall("knn_tiered") >= 0.95)
+  }
+
   // Filtered ANN routes through composite (cell, label) keys — recall is
   // measured against the FILTERED exact truth (knn_filtered), since the
   // label predicate changes the neighbor set.
