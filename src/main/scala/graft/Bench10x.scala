@@ -55,7 +55,12 @@ object Bench10x {
       .repartition(cpus * 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nVec10 = vecs10.count()
-    val q10 = vecs10.where(col("id") % 28541 === 0)
+    // ~2100 queries at sf0.1-10x: per-query comparisons need enough
+    // queries that fixed costs (job scheduling, sidecar cache warm-up)
+    // amortize — brute force scales linearly in queries, the indexed
+    // probe path sublinearly, and ~200 queries hid exactly that
+    val qMod = sys.env.getOrElse("SPARK_GRAFT_10X_QMOD", "2861").toLong
+    val q10 = vecs10.where(col("id") % qMod === 0)
       .select(col("id").as("qid"), col("vec").as("qv"),
         lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
       .cache()
@@ -82,6 +87,61 @@ object Bench10x {
       val t = truth(r.getLong(0))
       r.getSeq[Long](1).count(t.contains).toDouble / t.size
     }
+
+    // --- the amortized serving shape: ann_10x_sec above REBUILDS every
+    // per-partition graph per run (insert+query throughput — the
+    // streaming number), so comparing it against a cached-corpus scan
+    // reads as "ANN loses to brute force" when what actually loses is
+    // build-per-query. Seal the corpus into cold segments ALONG
+    // VECTOR-SPACE STRUCTURE (one segment per k-means cell) with HNSW
+    // sidecars ONCE (build, timed), then time the query pass alone with
+    // probeSegments routing — probes/query stay constant as the corpus
+    // grows, so query/sec on the built index vs query/sec of the exact
+    // scan is the comparison a 100-TB serving deployment cares about.
+    val tier = java.nio.file.Files.createTempDirectory("bench10x-tier")
+      .toString
+    val nSegs = cpus * 2
+    val bCells = spark.sparkContext.broadcast(cells)
+    val withCell = vecs10.withColumn("cell",
+      udf((v: Seq[Float]) => bCells.value.dataPartitions(v.toArray, 0L)(0))
+        .apply(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val liveCells = withCell.groupBy("cell").count()
+      .collect().map(_.getInt(0)).sorted // cell count is model-bounded
+    val (_, buildSec) = time {
+      liveCells.foreach { i =>
+        graft.store.ColdTier.seal(
+          withCell.where(col("cell") === i)
+            .select(col("id"), col("vec"), col("eventTime")), tier, i.toLong)
+      }
+      graft.store.ColdTier.sealIndexes(spark, tier,
+        liveCells.map(_.toLong).toSeq,
+        Metric.L2, m = 16, efConstruction = 48, maxGraphRows = 150000)
+    }
+    withCell.unpersist()
+    def idxRun() = graft.store.ColdTier.searchIndexed(spark, tier, q10, 10,
+        Metric.L2, shortlist = 64, efSearch = 64, probeSegments = 8)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    val (idxRows, idx1) = time(idxRun())
+    val idxTimes = idx1 +: (2 to reps).map { _ => System.gc(); time(idxRun())._2 }
+    def recallVsTruth(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val per = rows.map { r =>
+        val t = truth(r.getLong(0))
+        r.getSeq[Long](1).count(t.contains).toDouble / t.size
+      }
+      if (per.nonEmpty) per.sum / per.length else 0.0
+    }
+    val idxRecall = recallVsTruth(idxRows)
+    // the serving fast path: same routing + probes, graph distances
+    // merged directly — no tier-wide candidate-hydration scan
+    def fastRun() = graft.store.ColdTier.searchIndexedFast(spark, tier, q10,
+        10, Metric.L2, efSearch = 64, probeSegments = 8)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    val (fastRows, fast1) = time(fastRun())
+    val fastTimes = fast1 +: (2 to reps).map { _ => System.gc(); time(fastRun())._2 }
+    val fastRecall = recallVsTruth(fastRows)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tier))
+
     q10.unpersist(); vecs10.unpersist()
     val recall = if (rc.nonEmpty) rc.sum / rc.length else 0.0
     def arr(ts: Seq[Double]) =
@@ -91,7 +151,17 @@ object Bench10x {
       s""""n_vectors_10x":$nVec10,""" +
       s""""bf_10x_sec":${"%.2f".format(bfTimes.min)},""" +
       s""""ann_10x_sec":${"%.2f".format(annTimes.min)},""" +
-      s""""bf_10x_secs":${arr(bfTimes)},"ann_10x_secs":${arr(annTimes)}"""
+      s""""bf_10x_secs":${arr(bfTimes)},"ann_10x_secs":${arr(annTimes)},""" +
+      s""""ann_index_build_10x_sec":${"%.2f".format(buildSec)},""" +
+      s""""ann_indexed_query_10x_sec":${"%.2f".format(idxTimes.min)},""" +
+      s""""ann_indexed_query_10x_secs":${arr(idxTimes)},""" +
+      s""""ann_indexed_recall_10x":${"%.4f".format(idxRecall)},""" +
+      s""""ann_indexed_query_per_sec_10x":${"%.1f".format(nQ10 / idxTimes.min)},""" +
+      s""""ann_fastpath_query_10x_sec":${"%.2f".format(fastTimes.min)},""" +
+      s""""ann_fastpath_query_10x_secs":${arr(fastTimes)},""" +
+      s""""ann_fastpath_recall_10x":${"%.4f".format(fastRecall)},""" +
+      s""""ann_fastpath_query_per_sec_10x":${"%.1f".format(nQ10 / fastTimes.min)},""" +
+      s""""bf_query_per_sec_10x":${"%.1f".format(nQ10 / bfTimes.min)}"""
   }
 
   def main(args: Array[String]): Unit = {

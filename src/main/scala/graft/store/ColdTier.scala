@@ -664,20 +664,31 @@ object ColdTier {
    * broadcast joins. Driver work stays catalog-bounded. */
   def searchIndexed(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, metric: Metric = Metric.L2, shortlist: Int = 50,
-      efSearch: Int = 64): DataFrame = {
+      efSearch: Int = 64, probeSegments: Int = Int.MaxValue): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     rerankExact(spark, dir,
-      probeCandidates(spark, dir, queries, shortlist, metric, efSearch),
+      probeCandidates(spark, dir, queries, shortlist, metric, efSearch,
+        probeSegments),
       queries, k, metric)
   }
 
   /** The probe half of [[searchIndexed]]: distinct (qid, id) shortlist
    * candidates across fresh segments (sidecar probe, or exact scan
    * fallback for unindexed segments). Public so gated entries can
-   * materialize the candidate set as an oracle aux. */
+   * materialize the candidate set as an oracle aux.
+   *
+   * @param probeSegments per-query cap on how many INDEXED segments are
+   *        probed — the nearest by centroid distance (ties by segment
+   *        order), the IVF coarse-quantizer step at segment granularity.
+   *        When segments are sealed along vector-space structure (e.g.
+   *        one per k-means cell), probes/query stay CONSTANT as the
+   *        corpus grows — the property that lets the sidecar path beat a
+   *        linear scan at any scale. Default probes every fresh segment
+   *        (exhaustive — the lossless-replay entries rely on it);
+   *        unindexed segments are always scanned exactly. */
   def probeCandidates(spark: SparkSession, dir: String, queries: DataFrame,
       shortlist: Int, metric: Metric = Metric.L2,
-      efSearch: Int = 64): DataFrame = {
+      efSearch: Int = 64, probeSegments: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
@@ -697,21 +708,33 @@ object ColdTier {
         // one routing row per (shard, in-window query): segment-level
         // freshness applies at routing, so out-of-window probes never
         // ship; each shard of a sharded sidecar probes in its own task
-        // and contributes its own shortlist (union = candidate set)
-        val bIdx = spark.sparkContext.broadcast(indexed.flatMap { s =>
-          shardFiles(dfs, s.path).map(p => (p, s.minTs, s.maxTs))
-        }.zipWithIndex.map { case ((p, mn, mx), i) => (i, p, mn, mx) })
+        // and contributes its own shortlist (union = candidate set).
+        // With a probeSegments cap, each query keeps only its
+        // nearest-centroid segments before fanning out to their shards.
+        val bSegMeta = spark.sparkContext.broadcast(
+          indexed.map(s => (s.centroid, s.minTs, s.maxTs)))
+        val bIdx = spark.sparkContext.broadcast(
+          indexed.zipWithIndex.flatMap { case (s, si) =>
+            shardFiles(dfs, s.path).map(p => (si, p))
+          }.zipWithIndex.map { case ((si, p), i) => (i, si, p) })
+        val cap = probeSegments
         q.as[(Long, Array[Float], Long, Long)]
           .flatMap { case (qid, qv, qtime, ttl) =>
+            val metas = bSegMeta.value
+            val inWin = metas.indices.filter { si =>
+              metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime
+            }
+            val chosen: Int => Boolean =
+              if (cap >= inWin.size) inWin.toSet
+              else inWin.sortBy(si => (Distances.l2(qv, metas(si)._1), si))
+                .take(cap).toSet
             bIdx.value.collect {
-              case (i, _, minTs, maxTs)
-                  if maxTs >= qtime - ttl && minTs <= qtime =>
-                (i, qid, qv, qtime, ttl)
+              case (i, si, _) if chosen(si) => (i, qid, qv, qtime, ttl)
             }
           }
           .groupByKey(_._1)
           .flatMapGroups { (i, it) =>
-            val path = bIdx.value(i)._2
+            val path = bIdx.value(i)._3
             val store = SidecarCache.get(path, sc.conf, efSearch)
             it.flatMap { case (_, qid, qv, qtime, ttl) =>
               store.search(qv, shortlist, qtime - ttl, qtime)
@@ -738,6 +761,100 @@ object ColdTier {
           .select(col("qid"), explode(col("topk.ids")).as("id"))
       }
     probed.unionAll(scanned).distinct()
+  }
+
+  /** The serving fast path: route + probe sidecars exactly like
+   * [[probeCandidates]], but keep the graph's own distances and merge
+   * top-k per query directly — ZERO corpus IO after the probe (the
+   * reference never re-reads an SST for distances its index search
+   * already computed; [[searchIndexed]]'s exact re-rank exists for the
+   * bit-exact oracle gates and re-scans candidate vectors from parquet,
+   * which at corpus scale costs a tier-wide scan per query batch).
+   * Distances use the graph kernel (l2Fast — not last-ulp equal to the
+   * oracle kernel); freshness applies inside the graph search (per-entry
+   * ts window). Tombstones are applied conservatively BY ID (a
+   * deleted-then-reinserted id is suppressed here — use
+   * [[searchIndexed]] where versioned exactness matters). Unindexed
+   * fresh segments fall back to the exact scan, so results stay
+   * complete across mixed layouts. */
+  def searchIndexedFast(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, metric: Metric = Metric.L2, efSearch: Int = 64,
+      probeSegments: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+    val segs = catalog(spark, dir)
+    val fresh =
+      if (w.isNullAt(0)) Array.empty[SegmentStats]
+      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    val empty = spark.emptyDataset[(Long, Long, Double)]
+      .toDF("qid", "id", "dist")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dfs = new Path(dir).getFileSystem(hconf)
+    val (indexed, unindexed) = fresh.partition(s => indexSealed(dfs, s.path))
+    val sc = new SerConf(hconf)
+    val probed =
+      if (indexed.isEmpty) empty
+      else {
+        val bSegMeta = spark.sparkContext.broadcast(
+          indexed.map(s => (s.centroid, s.minTs, s.maxTs)))
+        val bIdx = spark.sparkContext.broadcast(
+          indexed.zipWithIndex.flatMap { case (s, si) =>
+            shardFiles(dfs, s.path).map(p => (si, p))
+          }.zipWithIndex.map { case ((si, p), i) => (i, si, p) })
+        val cap = probeSegments
+        q.as[(Long, Array[Float], Long, Long)]
+          .flatMap { case (qid, qv, qtime, ttl) =>
+            val metas = bSegMeta.value
+            val inWin = metas.indices.filter { si =>
+              metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime
+            }
+            val chosen: Int => Boolean =
+              if (cap >= inWin.size) inWin.toSet
+              else inWin.sortBy(si => (Distances.l2(qv, metas(si)._1), si))
+                .take(cap).toSet
+            bIdx.value.collect {
+              case (i, si, _) if chosen(si) => (i, qid, qv, qtime, ttl)
+            }
+          }
+          .groupByKey(_._1)
+          .flatMapGroups { (i, it) =>
+            val path = bIdx.value(i)._3
+            val store = SidecarCache.get(path, sc.conf, efSearch)
+            it.flatMap { case (_, qid, qv, qtime, ttl) =>
+              store.search(qv, k, qtime - ttl, qtime)
+                .map { case (id, d) => (qid, id, d) }
+            }
+          }.toDF("qid", "id", "dist")
+      }
+    val scanned =
+      if (unindexed.isEmpty) empty
+      else {
+        val data = applyTombstones(spark, dir,
+          spark.read.parquet(unindexed.map(_.path).toIndexedSeq: _*))
+        val probeQ = q.select(col("qid"), col("qv"),
+          (col("qtime") - col("ttl")).as("floor_ts"),
+          col("qtime").as("ceil_ts"))
+        data.join(broadcast(probeQ),
+            col("eventTime") >= col("floor_ts") &&
+            col("eventTime") <= col("ceil_ts"))
+          .select(col("qid"), col("id"),
+            Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
+      }
+    val cands = probed.unionAll(scanned)
+    val live = tombstones(spark, dir) match {
+      case Some(tombs) =>
+        cands.join(broadcast(tombs.select(col("id")).distinct()),
+          Seq("id"), "left_anti")
+      case None => cands
+    }
+    val topkUdaf = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    live.groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
+      .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
+        col("topk.dists").as("dist"))))
+      .select(col("qid"), (col("pos") + 1).as("rn"),
+        col("col.id").as("id"), col("col.dist").as("dist"))
   }
 
   /** Exact re-rank of a (qid, id) candidate set against the raw segments:

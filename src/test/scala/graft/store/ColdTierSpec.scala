@@ -337,6 +337,67 @@ class ColdTierSpec extends AnyFunSuite {
     assert(recallOf(mixed) >= 0.9, s"mixed recall ${recallOf(mixed)}")
   }
 
+  test("probeSegments routing: each query probes only its nearest-centroid segments; structure-aligned segments keep exactness at cap 1") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtierroute").toString
+    // four WELL-SEPARATED clusters, one segment each (ids partitioned by
+    // cluster: segment s holds ids [s*250, s*250+250)) — the layout
+    // vector-space sealing produces, where segment centroids carry real
+    // routing signal
+    val rnd = new java.util.Random(29L)
+    val centers = Array.tabulate(4) { c =>
+      Array.tabulate(8)(d => if (d == c * 2) 20f else 0f)
+    }
+    val all = (0 until 1000).map { i =>
+      val c = centers(i / 250)
+      (i.toLong, c.map(_ + rnd.nextGaussian().toFloat * 0.3f), i.toLong)
+    }
+    (0 until 4).foreach { sid =>
+      ColdTier.seal(
+        all.slice(sid * 250, sid * 250 + 250).toDF("id", "vec", "eventTime"),
+        dir, sid.toLong)
+    }
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2, m = 8,
+      efConstruction = 64)
+    val queries = all.indices.by(97).map { i =>
+      (i.toLong, all(i)._2, Long.MaxValue / 2, Long.MaxValue / 2)
+    }.toDF("qid", "qv", "qtime", "ttl")
+    // cap 1: candidates come ONLY from the query's own cluster's segment
+    val cand1 = ColdTier.probeCandidates(spark, dir, queries, shortlist = 30,
+      Metric.L2, efSearch = 64, probeSegments = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand1.nonEmpty)
+    assert(cand1.forall { case (qid, id) => id / 250 == qid / 250 },
+      "a routed candidate crossed into a far segment")
+    // separation => the global top-10 lives in the query's own cluster,
+    // so the cap-1 routed search must EQUAL exact brute force
+    val got = ColdTier.searchIndexed(spark, dir, queries, 10, Metric.L2,
+        shortlist = 30, efSearch = 64, probeSegments = 1)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    queries.collect().foreach { qr =>
+      val (qid, qv) = (qr.getLong(0), qr.getSeq[Float](1).toArray)
+      val want = all.map { case (id, v, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(got(qid) == want, s"qid $qid routed result diverged from exact")
+    }
+    // cap >= segment count degrades to the exhaustive default bit-for-bit
+    val exhaustive = ColdTier.probeCandidates(spark, dir, queries, 30,
+      Metric.L2, 64).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = ColdTier.probeCandidates(spark, dir, queries, 30,
+      Metric.L2, 64, probeSegments = 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exhaustive)
+    // the fast path (graph distances merged directly, no hydration scan)
+    // returns the same ids in the same order on the separated clusters
+    val fast = ColdTier.searchIndexedFast(spark, dir, queries, 10, Metric.L2,
+        efSearch = 64, probeSegments = 1)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qd, rs) => qd -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(fast == got, "fast path ids diverged from the re-ranked path")
+  }
+
   test("sharded sidecars: over-bound segment seals as committed shard graphs, probe unions shard shortlists, uncommitted dir reads as no-index") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
