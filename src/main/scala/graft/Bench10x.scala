@@ -135,7 +135,7 @@ object Bench10x {
     // the serving fast path: same routing + probes, graph distances
     // merged directly — no tier-wide candidate-hydration scan
     def fastRun() = graft.store.ColdTier.searchIndexedFast(spark, tier, q10,
-        10, Metric.L2, efSearch = 64, probeSegments = 8)
+        10, Metric.L2, efSearch = 64, probeSegments = 8, shortlist = 64)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     val (fastRows, fast1) = time(fastRun())
     val fastTimes = fast1 +: (2 to reps).map { _ => System.gc(); time(fastRun())._2 }

@@ -618,30 +618,49 @@ object ColdTier {
    * graphs hold full vector copies, and a long-lived executor under
    * segment rotation would otherwise accrete them without bound. */
   private object SidecarCache {
-    private val MaxEntries = 64
+    /** Soft entry cap. Eviction is LRU one-at-a-time — NEVER a full
+     * clear: a tier whose live graph count equals the cap (e.g. 64
+     * cell-segments probed every batch) would otherwise wipe the whole
+     * cache on each round and reload gigabytes per query batch
+     * (measured: the 6M-vector 64-segment tier spent ~20 s/batch
+     * re-deserializing graphs a working LRU keeps resident). */
+    private val MaxEntries =
+      Integer.getInteger("graft.coldtier.sidecarCacheEntries", 128).intValue()
+    private val tick = new java.util.concurrent.atomic.AtomicLong()
     private val cache = scala.collection.concurrent.TrieMap
-      .empty[(String, Long, Long, Int), HnswStore]
+      .empty[(String, Long, Long, Int), (HnswStore, java.util.concurrent.atomic.AtomicLong)]
     def get(path: String, conf: org.apache.hadoop.conf.Configuration,
         efSearch: Int): HnswStore = {
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
       val key = (path, st.getLen, st.getModificationTime, efSearch)
-      cache.getOrElse(key, {
-        cache.filterInPlace { case ((cp, _, _, _), _) => cp != path }
-        if (cache.size >= MaxEntries) {
-          cache.filterInPlace { case ((cp, _, _, _), _) =>
-            val cpp = new Path(cp)
-            try cpp.getFileSystem(conf).exists(cpp) catch { case _: Exception => false }
+      cache.get(key) match {
+        case Some((store, used)) => used.set(tick.incrementAndGet()); store
+        case None =>
+          // drop stale generations of this path, then gc'd-file entries,
+          // then least-recently-used entries until under the cap
+          cache.filterInPlace { case ((cp, _, _, _), _) => cp != path }
+          if (cache.size >= MaxEntries) {
+            cache.filterInPlace { case ((cp, _, _, _), _) =>
+              val cpp = new Path(cp)
+              try cpp.getFileSystem(conf).exists(cpp) catch { case _: Exception => false }
+            }
+            while (cache.size >= MaxEntries && cache.nonEmpty) {
+              val lru = cache.minBy { case (_, (_, used)) => used.get() }._1
+              cache.remove(lru)
+            }
           }
-          if (cache.size >= MaxEntries) cache.clear()
-        }
-        cache.getOrElseUpdate(key, {
-          val in = new java.io.DataInputStream(
-            new java.io.BufferedInputStream(fs.open(p)))
-          try HnswStore.readFrom(in, efSearch) finally in.close()
-        })
-      })
+          val (store, used) = cache.getOrElseUpdate(key, {
+            val in = new java.io.DataInputStream(
+              new java.io.BufferedInputStream(fs.open(p)))
+            try (HnswStore.readFrom(in, efSearch),
+              new java.util.concurrent.atomic.AtomicLong(tick.incrementAndGet()))
+            finally in.close()
+          })
+          used.set(tick.incrementAndGet())
+          store
+      }
     }
     /** Test hook: current entry count in this JVM. */
     private[store] def entryCount: Int = cache.size
@@ -779,7 +798,12 @@ object ColdTier {
    * complete across mixed layouts. */
   def searchIndexedFast(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, metric: Metric = Metric.L2, efSearch: Int = 64,
-      probeSegments: Int = Int.MaxValue): DataFrame = {
+      probeSegments: Int = Int.MaxValue, shortlist: Int = 50): DataFrame = {
+    // probe DEPTH (shortlist, not k) controls the graph's beam — ef is
+    // max(efSearch, 4*requested) inside the store, so asking each graph
+    // for only k neighbors quarters the beam and costs real recall
+    // (measured 0.755 vs 0.928 at k=10/shortlist=64 on the 6M tier)
+    val probeK = math.max(k, shortlist)
     import spark.implicits._
     val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
@@ -822,7 +846,7 @@ object ColdTier {
             val path = bIdx.value(i)._3
             val store = SidecarCache.get(path, sc.conf, efSearch)
             it.flatMap { case (_, qid, qv, qtime, ttl) =>
-              store.search(qv, k, qtime - ttl, qtime)
+              store.search(qv, probeK, qtime - ttl, qtime)
                 .map { case (id, d) => (qid, id, d) }
             }
           }.toDF("qid", "id", "dist")
