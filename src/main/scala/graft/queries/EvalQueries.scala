@@ -33,6 +33,8 @@ object EvalQueries {
   private val deletesDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   /** Hot/cold tiered layout per sf dir: (tier dir, hot/cold ts cut). */
   private val tieredDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  /** Cell-sealed (one segment per k-means cell) tier dirs per sf dir. */
+  private val routedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def sealedTier(s: SparkSession, dir: String): String =
     sealedDirs.getOrElseUpdate(dir, {
@@ -231,6 +233,53 @@ object EvalQueries {
         VectorQueries.K, graft.Metric.L2)
     },
 
+    "knn_coldtier_routed" -> { (s, dir) =>
+      // segment ROUTING under the hard gate: the tier is sealed along
+      // vector-space structure (one segment per k-means cell — the
+      // layout a vector-aware compaction produces at scale), each query
+      // probes only its probeSegments=2 nearest-centroid segments'
+      // sidecars, and the routed shortlist replays through the exact
+      // re-rank in DuckDB. Routing choice + graph walk are both inside
+      // the aux; the twin proves the re-rank bit-exactly (routing
+      // RECALL on separated clusters is spec-gated in ColdTierSpec).
+      val e = Tables(s, dir, "embeddings")
+      val tmp = routedDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold-routed")
+          .toString
+        val data = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("vec_id").as("eventTime"))
+        val sample = data.orderBy("id").collect()
+          .map(_.getSeq[Float](1).toArray)
+        val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
+          replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)
+        val bCells = s.sparkContext.broadcast(cells)
+        val cellOf = udf((v: Seq[Float]) =>
+          bCells.value.dataPartitions(v.toArray, 0L)(0))
+        val withCell = data.withColumn("cell", cellOf(col("vec")))
+        val live = withCell.groupBy("cell").count()
+          .collect().map(_.getInt(0)).sorted
+        live.foreach { c =>
+          graft.store.ColdTier.seal(
+            withCell.where(col("cell") === c)
+              .select(col("id"), col("vec"), col("eventTime")), t, c.toLong)
+        }
+        graft.store.ColdTier.sealIndexes(s, t, live.map(_.toLong).toSeq,
+          graft.Metric.L2, m = 16, efConstruction = 128)
+        t
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, queries,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2, efSearch = 100,
+          probeSegments = 2),
+        dir, "coldtier_routed_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_routed_shortlist"), queries,
+        VectorQueries.K, graft.Metric.L2)
+    },
+
     "knn_tiered" -> { (s, dir) =>
       // ONE query answered across BOTH tiers — the reference's
       // hierarchical search (db/version_set.cc:2563-2655 probes the
@@ -407,6 +456,19 @@ object EvalQueries {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
          |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_hnsw_shard_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // routed-probe replay: same re-rank recipe over the routed shortlist
+    "knn_coldtier_routed" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_routed_shortlist")}),
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),

@@ -83,6 +83,7 @@ class PlanCheckSpec extends AnyFunSuite {
     // EmptyRelation (nothing to audit), hence the sf0.01 override below
     ("pipeline_curate", true, true, false),
     ("knn_tiered", true, true, false),
+    ("knn_coldtier_routed", true, true, false),
     // round-8 extension: every remaining oracle entry is audited, so no
     // entry's plan can regress invisibly between bench rounds
     ("ann_ivf", false, true, false),
