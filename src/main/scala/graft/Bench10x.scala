@@ -106,16 +106,12 @@ object Bench10x {
       udf((v: Seq[Float]) => bCells.value.dataPartitions(v.toArray, 0L)(0))
         .apply(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val liveCells = withCell.groupBy("cell").count()
-      .collect().map(_.getInt(0)).sorted // cell count is model-bounded
     val (_, buildSec) = time {
-      liveCells.foreach { i =>
-        graft.store.ColdTier.seal(
-          withCell.where(col("cell") === i)
-            .select(col("id"), col("vec"), col("eventTime")), tier, i.toLong)
-      }
+      val segStats = graft.store.ColdTier.sealMany(
+        withCell.select(col("cell").cast("long").as("segmentId"), col("id"),
+          col("vec"), col("eventTime")), tier)
       graft.store.ColdTier.sealIndexes(spark, tier,
-        liveCells.map(_.toLong).toSeq,
+        segStats.map(_.segmentId).toSeq,
         Metric.L2, m = 16, efConstruction = 48, maxGraphRows = 150000)
     }
     withCell.unpersist()

@@ -255,15 +255,11 @@ object EvalQueries {
         val bCells = s.sparkContext.broadcast(cells)
         val cellOf = udf((v: Seq[Float]) =>
           bCells.value.dataPartitions(v.toArray, 0L)(0))
-        val withCell = data.withColumn("cell", cellOf(col("vec")))
-        val live = withCell.groupBy("cell").count()
-          .collect().map(_.getInt(0)).sorted
-        live.foreach { c =>
-          graft.store.ColdTier.seal(
-            withCell.where(col("cell") === c)
-              .select(col("id"), col("vec"), col("eventTime")), t, c.toLong)
-        }
-        graft.store.ColdTier.sealIndexes(s, t, live.map(_.toLong).toSeq,
+        // batch seal: the whole cell layout lands in ONE partitioned
+        // write (sealMany) — the shape a flush/compaction uses at scale
+        val segStats = graft.store.ColdTier.sealMany(
+          data.withColumn("segmentId", cellOf(col("vec")).cast("long")), t)
+        graft.store.ColdTier.sealIndexes(s, t, segStats.map(_.segmentId).toSeq,
           graft.Metric.L2, m = 16, efConstruction = 128)
         t
       })

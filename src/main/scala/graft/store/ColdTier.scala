@@ -184,6 +184,69 @@ object ColdTier {
   /** The file+stats half of [[seal]] — writes `segment-<id>` and computes
    * its catalog row WITHOUT touching the live catalog, so [[compact]] can
    * stage new segments and commit them in one atomic swap. */
+  /** Seal MANY segments in one pass: `vectors` carries its own
+   * `segmentId` column and the whole batch lands with ONE partitioned
+   * shuffle write + two grouped aggregate scans + one catalog append —
+   * versus 5 Spark jobs per segment through [[seal]] in a loop (the
+   * 64-cell 6M-vector tier build spent ~5 of its ~6 minutes re-scanning
+   * the corpus once per cell; a flush/compaction sealing N segments
+   * must not cost N corpus scans at any scale).
+   *
+   * Layout-compatible with [[seal]]: data files keep the `segmentId`
+   * column (the partition column is a duplicate that lives only in the
+   * staging path names) and land under `dir/segment-<id>` via one fs
+   * rename per segment. */
+  def sealMany(vectors: DataFrame, dir: String): Array[SegmentStats] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    heal(spark, dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    fs.mkdirs(dirPath)
+    val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID()}")
+    vectors.select(col("segmentId"), col("id"), col("vec"), col("eventTime"))
+      .withColumn("part", col("segmentId"))
+      .write.partitionBy("part").parquet(staging.toString)
+    val staged = fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("part="))
+    val ids = staged.map(_.getPath.getName.stripPrefix("part=").toLong).sorted
+    ids.foreach { sid =>
+      val dest = new Path(dir, s"segment-$sid")
+      fs.delete(dest, true)
+      require(fs.rename(new Path(staging, s"part=$sid"), dest),
+        s"rename of sealed segment $sid failed")
+    }
+    fs.delete(staging, true)
+    val written = spark.read.parquet(
+      ids.map(sid => s"$dir/segment-$sid").toIndexedSeq: _*)
+    val dim = written.select(size(col("vec"))).first().getInt(0)
+    val meanUdaf = udaf(new VecMeanAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val base = written.groupBy("segmentId").agg(
+        count(lit(1)).as("cnt"), min(col("eventTime")).as("minTs"),
+        max(col("eventTime")).as("maxTs"), meanUdaf(col("vec")).as("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Double](4).map(_.toFloat).toArray)).toMap
+    val bCent = spark.sparkContext.broadcast(base.map {
+      case (sid, (_, _, _, c)) => sid -> c
+    })
+    val radii = written.select(col("segmentId"), col("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (sid, v) => (sid, Distances.l2(v, bCent.value(sid))) }
+      .toDF("segmentId", "d2")
+      .groupBy("segmentId").agg(max(col("d2")).as("r2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val stats = ids.map { sid =>
+      val (cnt, mn, mx, cent) = base(sid)
+      SegmentStats(sid, s"$dir/segment-$sid", cnt, mn, mx, cent,
+        math.sqrt(radii(sid)))
+    }
+    stats.toSeq.toDF().write.mode("append").parquet(statsPath(dir))
+    stats
+  }
+
   private def writeSegment(vectors: DataFrame, dir: String,
       segmentId: Long): SegmentStats = {
     val spark = vectors.sparkSession

@@ -337,6 +337,38 @@ class ColdTierSpec extends AnyFunSuite {
     assert(recallOf(mixed) >= 0.9, s"mixed recall ${recallOf(mixed)}")
   }
 
+  test("sealMany: one-pass batch seal is equivalent to per-segment seal (catalog stats + search results)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("coldtier-many-a").toString
+    val dirB = Files.createTempDirectory("coldtier-many-b").toString
+    val all = mkVecs(600, 8, 77L, 0L)
+      .withColumn("segmentId", pmod(col("id"), lit(3)).cast("long"))
+    (0 until 3).foreach { sid =>
+      ColdTier.seal(all.where(col("segmentId") === sid)
+        .select("id", "vec", "eventTime"), dirA, sid.toLong)
+    }
+    val statsB = ColdTier.sealMany(all, dirB)
+    val statsA = ColdTier.catalog(spark, dirA).sortBy(_.segmentId)
+    assert(statsB.map(_.segmentId).toSeq == statsA.map(_.segmentId).toSeq)
+    statsA.zip(statsB.sortBy(_.segmentId)).foreach { case (a, b) =>
+      assert(a.count == b.count && a.minTs == b.minTs && a.maxTs == b.maxTs)
+      assert(a.centroid.zip(b.centroid).forall { case (x, y) =>
+        math.abs(x - y) < 1e-4f }, s"centroid drift seg ${a.segmentId}")
+      assert(math.abs(a.radius - b.radius) < 1e-6,
+        s"radius drift seg ${a.segmentId}")
+    }
+    // data files must carry the segmentId column (scan paths select it)
+    val cols = spark.read.parquet(s"$dirB/segment-0").columns.toSet
+    assert(cols == Set("segmentId", "id", "vec", "eventTime"))
+    val qv = all.select("vec").collect()(11).getSeq[Float](0).toArray
+    val queries = Seq((1L, qv, 5000L, 100000L)).toDF("qid", "qv", "qtime", "ttl")
+    def run(d: String) = ColdTier.search(spark, d, queries, 10, Metric.L2,
+        firstWaveFraction = 0.34, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(dirB) == run(dirA))
+  }
+
   test("probeSegments routing: each query probes only its nearest-centroid segments; structure-aligned segments keep exactness at cap 1") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
