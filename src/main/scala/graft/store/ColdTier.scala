@@ -204,6 +204,12 @@ object ColdTier {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(hconf)
     fs.mkdirs(dirPath)
+    // sweep staging left by a crashed prior sealMany: nothing references
+    // it (segments only count once renamed + cataloged), so the crashed
+    // attempt's caller re-runs and the orphan bytes must not accumulate
+    fs.listStatus(dirPath)
+      .filter(_.getPath.getName.startsWith(".staging-"))
+      .foreach(st => fs.delete(st.getPath, true))
     val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID()}")
     vectors.select(col("segmentId"), col("id"), col("vec"), col("eventTime"))
       .withColumn("part", col("segmentId"))
@@ -931,7 +937,7 @@ object ColdTier {
     val cands = probed.unionAll(scanned)
     val live = tombstones(spark, dir) match {
       case Some(tombs) =>
-        cands.join(broadcast(tombs.select(col("id")).distinct()),
+        cands.join(broadcast(tombs.select(col("del_id").as("id")).distinct()),
           Seq("id"), "left_anti")
       case None => cands
     }

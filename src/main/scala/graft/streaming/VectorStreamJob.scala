@@ -569,7 +569,9 @@ object VectorStreamJob {
    * disables and lists as future work, vector_options.h:37,42). Hot
    * queries are clamped to maxTtl so the tiers serve disjoint time
    * windows: older windows are answered by `ColdTier.search` over
-   * `coldDir`. Replicated partitioners (rf > 1) may flush an id from
+   * `coldDir` (or `ColdTier.searchIndexedFast` with probeSegments
+   * routing when sidecars were built at flush — the zero-corpus-IO
+   * serving path). Replicated partitioners (rf > 1) may flush an id from
    * more than one partition; the cold top-k merge dedups ids, so results
    * are unaffected (storage carries the replicas, as the hot tier did). */
   def run(events: Dataset[StreamEvent], model: PartitionerModel, k: Int,

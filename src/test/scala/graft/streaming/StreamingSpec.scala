@@ -496,7 +496,7 @@ class StreamingSpec extends AnyFunSuite {
     val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
     val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
       Metric.L2, maxTtl = 1000L, coldDir = Some(cold), compactEvery = 4,
-      compactTargetRows = 1000L) { merged =>
+      compactTargetRows = 1000L, indexAtFlush = true) { merged =>
       merged.collect().foreach(r => results.synchronized {
         results += ((r.getLong(0), r.getInt(1), r.getLong(2))) })
     }
@@ -553,6 +553,15 @@ class StreamingSpec extends AnyFunSuite {
       .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
       .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
     assert(gotCold == truth, s"cold search $gotCold != exact $truth")
+
+    // the sidecar built at flush survived compaction, and the serving
+    // fast path answers the same historical window from the graph alone
+    assert(graft.store.ColdTier.indexSealed(spark, cold, cat.head.segmentId),
+      "compacted segment lost its flush-built HNSW sidecar")
+    val gotFast = graft.store.ColdTier.searchIndexedFast(spark, cold,
+        queries, 5, Metric.L2, efSearch = 64)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    assert(gotFast == truth, s"fast path $gotFast != exact $truth")
   }
 
   test("lifecycle keeps flushing AFTER a compaction: merged-segment ids and the consolidated delete log never collide with micro-batch ids") {
