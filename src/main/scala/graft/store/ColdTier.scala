@@ -935,10 +935,18 @@ object ColdTier {
             Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
       }
     val cands = probed.unionAll(scanned)
+    // same byte-gated broadcast budget as applyTombstones: a consolidated
+    // log at deleteRatio 0.1 of a 100-TB corpus is far past any broadcast;
+    // the candidate side is small (queries x segments x shortlist), so the
+    // fallback shuffled-hash anti-join stays cheap
     val live = tombstones(spark, dir) match {
       case Some(tombs) =>
-        cands.join(broadcast(tombs.select(col("del_id").as("id")).distinct()),
-          Seq("id"), "left_anti")
+        val ids = tombs.select(col("del_id").as("id")).distinct()
+        val budget = spark.conf.getOption(TombstoneBroadcastMaxBytesKey)
+          .map(_.toLong).getOrElse(TombstoneBroadcastMaxBytesDefault)
+        if (deleteLogBytes(spark, dir) <= budget)
+          cands.join(broadcast(ids), Seq("id"), "left_anti")
+        else cands.join(ids.hint("shuffle_hash"), Seq("id"), "left_anti")
       case None => cands
     }
     val topkUdaf = udaf(new TopKAggregator(k),
