@@ -199,6 +199,19 @@ object ColdTier {
   def sealMany(vectors: DataFrame, dir: String): Array[SegmentStats] = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val stats = sealManyStaged(vectors, dir)
+    stats.toSeq.toDF().write.mode("append").parquet(statsPath(dir))
+    stats
+  }
+
+  /** [[sealMany]] without the catalog commit: segment files land on disk
+   * but stay unreferenced (a crash strands orphans that [[gc]] reclaims)
+   * until the caller commits them — by appending the returned stats, or
+   * atomically via a catalog swap ([[recluster]]). */
+  private def sealManyStaged(vectors: DataFrame,
+      dir: String): Array[SegmentStats] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     heal(spark, dir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
@@ -249,8 +262,83 @@ object ColdTier {
       SegmentStats(sid, s"$dir/segment-$sid", cnt, mn, mx, cent,
         math.sqrt(radii(sid)))
     }
-    stats.toSeq.toDF().write.mode("append").parquet(statsPath(dir))
     stats
+  }
+
+  /** Vector-aware recompaction: re-seal the ENTIRE live tier along
+   * vector-space structure — one segment per k-means cell — so
+   * [[probeCandidates]]' `probeSegments` routing has real centroid
+   * signal to route on. The streaming lifecycle accretes segments in
+   * TIME order (flush = one micro-batch's evictions), which is the
+   * layout freshness pruning wants but the worst case for centroid
+   * routing (every segment's centroid ≈ the global mean); this is the
+   * bridge: run it once the tier stops churning (or periodically, like
+   * the size-tiered [[compact]]) and the routed/fast-path serving cost
+   * per query becomes independent of corpus size.
+   *
+   * Same lifecycle contract as [[compact]]: tombstones apply physically
+   * to the rewritten rows, new segment files + sidecars land first
+   * (orphans until committed — [[gc]] reclaims on crash), ONE atomic
+   * catalog swap is the commit point, victims are gc'ed after, ids come
+   * from the reserved compaction namespace, the delete log is
+   * consolidated but kept. Temperature is redistributed
+   * proportional to row count (hit mass is additive but the old
+   * segment-to-hit mapping does not survive re-bucketing).
+   *
+   * The k-means fit reads an id-ordered `sampleCap` sample (driver-side,
+   * model-bounded — same contract as every fit in the repo); assignment
+   * and sealing are one distributed pass through [[sealManyStaged]]. */
+  def recluster(spark: SparkSession, dir: String, numCells: Int,
+      metric: Metric = Metric.L2, m: Int = 16, efConstruction: Int = 128,
+      maxGraphRows: Int = 50000, buildIndexes: Boolean = true,
+      sampleCap: Int = 8192, seed: Long = 42L): Array[SegmentStats] = {
+    require(numCells > 0, s"numCells $numCells must be positive")
+    val segs = catalog(spark, dir)
+    if (segs.isEmpty) return segs
+    val hasLog = tombstones(spark, dir).isDefined
+    val live = applyTombstones(spark, dir,
+        spark.read.parquet(segs.map(_.path).toIndexedSeq: _*))
+      .select(col("id"), col("vec"), col("eventTime"))
+    val sample = live.orderBy("id").limit(sampleCap)
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) { // every row tombstoned: the tier empties
+      swapCatalog(spark, dir, Array.empty)
+      gc(spark, dir)
+      return Array.empty
+    }
+    val cells = graft.partitioners.KMeansPartitioner.fit(sample,
+      k = math.min(numCells, sample.length), replicationFactor = 1,
+      iterations = 4, seed = seed, queryProbes = 1)
+    val bCells = spark.sparkContext.broadcast(cells)
+    val cellOf = udf((v: Seq[Float]) =>
+      bCells.value.dataPartitions(v.toArray, 0L)(0))
+    val base = math.max(CompactionIdBase - 1, segs.map(_.segmentId).max) + 1
+    val staged = sealManyStaged(
+      live.withColumn("segmentId", cellOf(col("vec")).cast("long") + base),
+      dir)
+    if (buildIndexes)
+      sealIndexes(spark, dir, staged.map(_.segmentId).toSeq, metric, m,
+        efConstruction, maxGraphRows)
+    val totalTemp = segs.map(_.temperature).sum
+    val totalRows = math.max(1L, staged.map(_.count).sum)
+    val out = staged.map(s =>
+      s.copy(temperature = totalTemp * s.count / totalRows))
+    swapCatalog(spark, dir, out)
+    gc(spark, dir)
+    if (hasLog) {
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val logDir = new Path(deleteLogPath(dir))
+      val name = s"batch-compact-${base + staged.length}"
+      val old = fs.listStatus(logDir).map(_.getPath)
+        .filterNot(_.getName == name)
+      val consolidated = tombstones(spark, dir).get
+        .groupBy("del_id").agg(max("del_ts").as("del_ts"))
+        .select(col("del_id").as("id"), col("del_ts").as("ts"))
+      sealDeletesNamed(consolidated, dir, name)
+      old.foreach(p => fs.delete(p, true))
+    }
+    out.sortBy(_.segmentId)
   }
 
   private def writeSegment(vectors: DataFrame, dir: String,

@@ -571,7 +571,9 @@ object VectorStreamJob {
    * windows: older windows are answered by `ColdTier.search` over
    * `coldDir` (or `ColdTier.searchIndexedFast` with probeSegments
    * routing when sidecars were built at flush — the zero-corpus-IO
-   * serving path). Replicated partitioners (rf > 1) may flush an id from
+   * serving path; run `ColdTier.recluster` once the tier stops churning
+   * to re-seal the time-accreted segments cell-aligned so that routing
+   * has centroid signal). Replicated partitioners (rf > 1) may flush an id from
    * more than one partition; the cold top-k merge dedups ids, so results
    * are unaffected (storage carries the replicas, as the hot tier did). */
   def run(events: Dataset[StreamEvent], model: PartitionerModel, k: Int,

@@ -369,6 +369,66 @@ class ColdTierSpec extends AnyFunSuite {
     assert(run(dirB) == run(dirA))
   }
 
+  test("recluster: time-accreted tier re-seals cell-aligned through the atomic swap — same search results, reserved ids, victims gc'ed, routing gains structure") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-recluster").toString
+    // four well-separated clusters INTERLEAVED across four time-ordered
+    // flush segments — the streaming layout, where every segment centroid
+    // is near the global mean and centroid routing has no signal
+    val rnd = new java.util.Random(31L)
+    val centers = Array.tabulate(4) { c =>
+      Array.tabulate(8)(d => if (d == c * 2) 20f else 0f)
+    }
+    val all = (0 until 800).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(_ + rnd.nextGaussian().toFloat * 0.3f), i.toLong)
+    }
+    (0 until 4).foreach { sid =>
+      ColdTier.seal(all.slice(sid * 200, sid * 200 + 200)
+        .toDF("id", "vec", "eventTime"), dir, sid.toLong)
+    }
+    // a delete log: recluster must apply it physically
+    ColdTier.sealDeletes(all.filter(_._1 % 19 == 2)
+      .map { case (id, _, ts) => (id, ts) }.toDF("id", "ts"), dir, 0L)
+    val survivors = all.filterNot(_._1 % 19 == 2)
+    val queries = all.indices.by(83).map { i =>
+      (i.toLong, all(i)._2, Long.MaxValue / 2, Long.MaxValue / 2)
+    }.toDF("qid", "qv", "qtime", "ttl")
+    def lossless() = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val before = lossless()
+
+    val out = ColdTier.recluster(spark, dir, numCells = 4, Metric.L2,
+      m = 8, efConstruction = 64)
+    // reserved namespace + old files gone + row multiset preserved
+    assert(out.forall(_.segmentId >= ColdTier.CompactionIdBase))
+    (0 until 4).foreach { sid =>
+      assert(!new java.io.File(s"$dir/segment-$sid").exists(),
+        s"victim segment-$sid survived gc")
+    }
+    assert(out.map(_.count).sum == survivors.length)
+    assert(lossless() == before, "recluster changed lossless results")
+    // cell alignment: with separated clusters each new segment holds one
+    // cluster, so the cap-1 routed fast path equals exact brute force
+    val got = ColdTier.searchIndexedFast(spark, dir, queries, 10, Metric.L2,
+        efSearch = 64, probeSegments = 1, shortlist = 30)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    queries.collect().foreach { qr =>
+      val (qid, qv) = (qr.getLong(0), qr.getSeq[Float](1).toArray)
+      val want = survivors.map { case (id, v, _) =>
+        (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(got(qid) == want, s"qid $qid routed-fast diverged post-recluster")
+    }
+    // the consolidated delete log survives (future flushes may carry
+    // covered rows)
+    assert(ColdTier.tombstones(spark, dir).isDefined)
+  }
+
   test("probeSegments routing: each query probes only its nearest-centroid segments; structure-aligned segments keep exactness at cap 1") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
