@@ -489,8 +489,17 @@ object Bench {
           efConstruction = 32))
         val probeDelCons = minOf2(ColdTier.searchIndexed(spark, cdir, cq, 10,
           Metric.L2, shortlist = 64).count())
+        // vector-aware recompaction: re-seal the (time-accreted, now
+        // compacted) tier cell-aligned, then serve through the routed
+        // fast path — the end state of the lifecycle. Costs ride the
+        // artifact so the recluster+routing story is measured, not told.
+        val (_, reclusterSec) = time(ColdTier.recluster(spark, cdir,
+          numCells = 8, Metric.L2, m = 8, efConstruction = 32))
+        val probeRouted = minOf2(ColdTier.searchIndexedFast(spark, cdir, cq,
+          10, Metric.L2, efSearch = 64, probeSegments = 2,
+          shortlist = 64).count())
         delRows.unpersist(); crows.unpersist(); cq.unpersist()
-        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_compact_sec":${"%.2f".format(compactSec)},"coldtier_tombstones":$nDel,"coldtier_probe_deletes_accreted_sec":${"%.2f".format(probeDelAcc)},"coldtier_probe_deletes_consolidated_sec":${"%.2f".format(probeDelCons)},"coldtier_compact_deletes_sec":${"%.2f".format(compactDelSec)}"""
+        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_compact_sec":${"%.2f".format(compactSec)},"coldtier_tombstones":$nDel,"coldtier_probe_deletes_accreted_sec":${"%.2f".format(probeDelAcc)},"coldtier_probe_deletes_consolidated_sec":${"%.2f".format(probeDelCons)},"coldtier_compact_deletes_sec":${"%.2f".format(compactDelSec)},"coldtier_recluster_sec":${"%.2f".format(reclusterSec)},"coldtier_probe_routed_fast_sec":${"%.2f".format(probeRouted)}"""
       }
 
     // --- 10x recall point: runs in a CHILD JVM ([[Bench10x]] — clean
