@@ -302,6 +302,7 @@ object ColdTier {
     val sample = live.orderBy("id").limit(sampleCap)
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
     if (sample.isEmpty) { // every row tombstoned: the tier empties
+      markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
       swapCatalog(spark, dir, Array.empty)
       gc(spark, dir)
       return Array.empty
@@ -323,6 +324,7 @@ object ColdTier {
     val totalRows = math.max(1L, staged.map(_.count).sum)
     val out = staged.map(s =>
       s.copy(temperature = totalTemp * s.count / totalRows))
+    markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
     swapCatalog(spark, dir, out)
     gc(spark, dir)
     if (hasLog) {
@@ -456,12 +458,45 @@ object ColdTier {
    * for a committed flush; only the catalog row is the commit point
    * (readers plan scans from the catalog alone, and [[gc]] deletes
    * uncataloged orphan dirs). */
+  private def consumedPath(dir: String) = s"$dir/_consumed"
+
+  /** Record flush-namespace segment ids a compaction/recluster is about
+   * to remove from the catalog. Written BEFORE the catalog swap: a crash
+   * in between leaves ids that are both consumed-marked and still
+   * cataloged — [[catalogContains]] is true either way, so the marker
+   * can only ever prevent a duplicate, never cause a lost flush. Without
+   * it, a micro-batch re-executed from the checkpoint AFTER a
+   * compaction consumed its flush segment sees no catalog row and seals
+   * its evicted rows AGAIN — results stay correct (the top-k merge
+   * dedups ids) but the duplicate rows accrete in storage on every
+   * crash-retry loop. */
+  private def markConsumed(spark: SparkSession, dir: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    val flushIds = ids.filter(_ < CompactionIdBase)
+    if (flushIds.nonEmpty)
+      flushIds.toDF("segmentId").coalesce(1)
+        .write.mode("append").parquet(consumedPath(dir))
+  }
+
+  private def consumedContains(spark: SparkSession, dir: String,
+      segmentId: Long): Boolean = {
+    val p = new Path(consumedPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && spark.read.parquet(consumedPath(dir))
+      .where(col("segmentId") === segmentId).limit(1).count() > 0
+  }
+
+  /** The flush commit predicate: the segment is in the live catalog, OR
+   * a compaction/recluster already consumed it (the id would otherwise
+   * look never-flushed after the merge removed its catalog row). */
   def catalogContains(spark: SparkSession, dir: String,
       segmentId: Long): Boolean = {
     heal(spark, dir)
     val p = new Path(statsPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && catalog(spark, dir).exists(_.segmentId == segmentId)
+    (fs.exists(p) && catalog(spark, dir).exists(_.segmentId == segmentId)) ||
+      consumedContains(spark, dir, segmentId)
   }
 
   /** V7: drop segments entirely older than the retention floor. Returns
@@ -472,7 +507,12 @@ object ColdTier {
    * back to `.tmp` if a crash lands between delete and rename. */
   def evict(spark: SparkSession, dir: String, retentionFloor: Long): Array[SegmentStats] = {
     import spark.implicits._
-    val keep = catalog(spark, dir).filter(_.maxTs >= retentionFloor)
+    val (keep, dropped) = catalog(spark, dir)
+      .partition(_.maxTs >= retentionFloor)
+    // an evicted flush id must stay "committed" for the flush predicate:
+    // a micro-batch re-executed after its segment aged out would
+    // otherwise re-seal already-expired rows into the live tier
+    markConsumed(spark, dir, dropped.map(_.segmentId).toSeq)
     swapCatalog(spark, dir, keep)
     keep
   }
@@ -587,6 +627,8 @@ object ColdTier {
         }
       }
     }.toArray
+    markConsumed(spark, dir,
+      segs.map(_.segmentId).toSeq.diff(out.map(_.segmentId).toSeq))
     swapCatalog(spark, dir, out)
     gc(spark, dir)
     // consolidate the delete log: one max-ts tombstone per id is

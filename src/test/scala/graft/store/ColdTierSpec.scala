@@ -369,6 +369,37 @@ class ColdTierSpec extends AnyFunSuite {
     assert(run(dirB) == run(dirA))
   }
 
+  test("consumed marker: flush ids removed by compact/recluster/evict stay committed for catalogContains") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-consumed").toString
+    ColdTier.seal(mkVecs(200, 8, 1L, 0L), dir, 0L)
+    ColdTier.seal(mkVecs(200, 8, 2L, 1000L), dir, 1L)
+    assert(ColdTier.catalogContains(spark, dir, 0L))
+    // compaction merges both flush segments away
+    ColdTier.compact(spark, dir, targetRows = 1000L)
+    val cat = ColdTier.catalog(spark, dir)
+    assert(cat.length == 1 && cat.head.segmentId >= ColdTier.CompactionIdBase)
+    // the catalog rows are gone, but the flush commit predicate holds —
+    // a re-executed micro-batch must NOT re-seal its rows
+    assert(ColdTier.catalogContains(spark, dir, 0L),
+      "compaction-consumed flush id lost its commit")
+    assert(ColdTier.catalogContains(spark, dir, 1L))
+    assert(!ColdTier.catalogContains(spark, dir, 7L))
+    // recluster consumes whatever it rewrites (incl. reserved-id members:
+    // only flush-namespace ids are recorded, reserved ones never collide)
+    ColdTier.seal(mkVecs(100, 8, 3L, 2000L), dir, 2L)
+    ColdTier.recluster(spark, dir, numCells = 2, m = 8, efConstruction = 32)
+    assert(ColdTier.catalogContains(spark, dir, 2L),
+      "recluster-consumed flush id lost its commit")
+    // evict drops whole segments past retention — same contract
+    ColdTier.seal(mkVecs(50, 8, 4L, 3000L), dir, 3L)
+    ColdTier.evict(spark, dir, retentionFloor = Long.MaxValue)
+    ColdTier.gc(spark, dir)
+    assert(ColdTier.catalogContains(spark, dir, 3L),
+      "evicted flush id lost its commit")
+  }
+
   test("recluster: time-accreted tier re-seals cell-aligned through the atomic swap — same search results, reserved ids, victims gc'ed, routing gains structure") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
