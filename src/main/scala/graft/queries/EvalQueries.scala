@@ -35,6 +35,8 @@ object EvalQueries {
   private val tieredDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
   /** Cell-sealed (one segment per k-means cell) tier dirs per sf dir. */
   private val routedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Time-accreted-then-reclustered tier dirs per sf dir. */
+  private val reclusteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def sealedTier(s: SparkSession, dir: String): String =
     sealedDirs.getOrElseUpdate(dir, {
@@ -231,6 +233,38 @@ object EvalQueries {
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "coldtier_hnsw_shard_shortlist"), queries,
         VectorQueries.K, graft.Metric.L2)
+    },
+
+    "knn_coldtier_reclustered" -> { (s, dir) =>
+      // vector-aware recompaction under the hard gate: four TIME-sliced
+      // flush segments (the streaming layout) recluster into k-means-cell
+      // segments through the atomic swap, and the lossless search over
+      // the reclustered tier must STILL equal exact kNN — recluster
+      // preserves the row multiset, so the oracle is the same exact-kNN
+      // twin as knn_coldtier through the third storage layout
+      // (accreted / compacted / reclustered).
+      val e = Tables(s, dir, "embeddings")
+      val tmp = reclusteredDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft-cold-recl").toString
+        val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
+        val slice = maxId / 4 + 1
+        (0 until 4).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") >= i * slice &&
+                col("vec_id") < (i + 1) * slice)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime")), t, i.toLong)
+        }
+        graft.store.ColdTier.recluster(s, t, numCells = 3,
+          graft.Metric.L2, m = 16, efConstruction = 128)
+        t
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+        graft.Metric.L2, firstWaveFraction = 0.5, terminationFactor = 1.0)
     },
 
     "knn_coldtier_routed" -> { (s, dir) =>
@@ -455,6 +489,19 @@ object EvalQueries {
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // recluster preserves the row multiset, so the reclustered tier
+    // answers the same exact-kNN twin as the accreted/compacted layouts
+    "knn_coldtier_reclustered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""

@@ -84,6 +84,7 @@ class PlanCheckSpec extends AnyFunSuite {
     ("pipeline_curate", true, true, false),
     ("knn_tiered", true, true, false),
     ("knn_coldtier_routed", true, true, false),
+    ("knn_coldtier_reclustered", true, true, false),
     // round-8 extension: every remaining oracle entry is audited, so no
     // entry's plan can regress invisibly between bench rounds
     ("ann_ivf", false, true, false),
