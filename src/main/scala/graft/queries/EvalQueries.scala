@@ -37,6 +37,8 @@ object EvalQueries {
   private val routedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   /** Time-accreted-then-reclustered tier dirs per sf dir. */
   private val reclusteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Snapshot-pinned tier dirs per sf dir: (tier dir, snapshot version). */
+  private val snapshotDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
   private def sealedTier(s: SparkSession, dir: String): String =
     sealedDirs.getOrElseUpdate(dir, {
@@ -148,6 +150,42 @@ object EvalQueries {
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
       graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
         graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0)
+    },
+
+    "knn_coldtier_snapshot" -> { (s, dir) =>
+      // TIME TRAVEL under the hard gate: ColdTier.snapshot pins the
+      // tier's catalog + tombstone state (the durable analog of the
+      // reference base engine's pinned Version reads, db/version_set.h)
+      // BEFORE a delete batch lands; one entry then answers the same
+      // queries through both views — the pinned read still sees the
+      // tombstoned stripe, the live read excludes it. Twin: the
+      // knn_coldtier (full corpus) and knn_coldtier_deletes (survivors)
+      // formulations unioned, tagged by view.
+      val e = Tables(s, dir, "embeddings")
+      val (tmp, v0) = snapshotDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold-snap")
+          .toString
+        (0 until 3).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") % 3 === i)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime")), t, i.toLong)
+        }
+        val v = graft.store.ColdTier.snapshot(s, t)
+        graft.store.ColdTier.sealDeletes(
+          e.where(col("vec_id") % 17 === 3)
+            .select(col("vec_id").as("id"), col("vec_id").as("ts")), t, 0L)
+        (t, v)
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      def run(snap: Option[Long]) =
+        graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+          graft.Metric.L2, firstWaveFraction = 0.34,
+          terminationFactor = 1.0, snapshot = snap)
+      run(Some(v0)).withColumn("src", lit("pinned"))
+        .unionByName(run(None).withColumn("src", lit("live")))
     },
 
     "knn_coldtier_sq" -> { (s, dir) =>
@@ -467,6 +505,28 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
+
+    // time travel: the pinned view answers the full-corpus exact-kNN
+    // formulation (no tombstone existed at snapshot time), the live view
+    // answers the tombstone-survivor one — one entry, both views
+    "knn_coldtier_snapshot" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+         |    for x in list_zip(q.qv, b.embedding)]) AS dist
+         |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d),
+         |dl AS (SELECT q.qid, b.vec_id AS id,
+         |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+         |    for x in list_zip(q.qv, b.embedding)]) AS dist
+         |  FROM q, embeddings b WHERE b.vec_id % 17 <> 3),
+         |rl AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM dl)
+         |SELECT 'pinned' AS src, qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}
+         |UNION ALL
+         |SELECT 'live' AS src, qid, rn, id, dist FROM rl WHERE rn <= ${VectorQueries.K}""".stripMargin,
 
     // replay the exact re-rank over the materialized HNSW shortlist aux
     "knn_coldtier_hnsw" ->

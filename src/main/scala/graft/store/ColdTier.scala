@@ -169,14 +169,19 @@ object ColdTier {
    * No log -> the input plan is returned untouched (zero cost). */
   private def applyTombstones(spark: SparkSession, dir: String,
       rows: DataFrame): DataFrame =
-    tombstones(spark, dir) match {
+    antiJoinTombstones(spark, rows, tombstones(spark, dir),
+      deleteLogBytes(spark, dir))
+
+  private def antiJoinTombstones(spark: SparkSession, rows: DataFrame,
+      tomb: Option[DataFrame], logBytes: Long): DataFrame =
+    tomb match {
       case None => rows
       case Some(d) =>
         val cond = rows("id") === d("del_id") &&
           rows("eventTime") <= d("del_ts")
         val budget = spark.conf.getOption(TombstoneBroadcastMaxBytesKey)
           .map(_.toLong).getOrElse(TombstoneBroadcastMaxBytesDefault)
-        if (deleteLogBytes(spark, dir) <= budget)
+        if (logBytes <= budget)
           rows.join(broadcast(d), cond, "left_anti")
         else rows.join(d.hint("shuffle_hash"), cond, "left_anti")
     }
@@ -499,6 +504,80 @@ object ColdTier {
       consumedContains(spark, dir, segmentId)
   }
 
+  // ------------------------------------------------------------- snapshots
+
+  private def snapRoot(dir: String) = s"$dir/_snap"
+  private def snapPath(dir: String, v: Long) = s"${snapRoot(dir)}/v$v"
+
+  /** Pin the tier's CURRENT logical state as immutable snapshot version
+   * `v` (time travel over system state — the lakehouse counterpart of the
+   * reference base engine's pinned `Version`/SuperVersion reads,
+   * db/version_set.h: readers hold a version while flush/compaction
+   * advance the live one; here the pin is durable and named).
+   *
+   * A snapshot copies two small things and no data bytes:
+   *  - the live segment catalog (`_segments` rows — paths + stats);
+   *  - the delete log as consolidated tombstone ROWS (one max-ts entry
+   *    per id). Rows, not batch-dir names: [[compact]] rewrites and
+   *    deletes log batch dirs, so names would dangle.
+   *
+   * Segment data files are shared with the live tier; [[gc]] keeps any
+   * file referenced by a live OR snapshot catalog, so compaction/evict
+   * after a snapshot cannot pull bytes out from under it ([[dropSnapshot]]
+   * + gc reclaims them). Written to a `.tmp-v` staging dir and renamed —
+   * a crashed snapshot leaves only staging, never a half-readable
+   * version. Single-writer per tier dir, like every other mutator here. */
+  def snapshot(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
+    val v = snapshots(spark, dir).lastOption.map(_ + 1L).getOrElse(0L)
+    val tmp = new Path(s"${snapRoot(dir)}/.tmp-v$v")
+    val live = new Path(snapPath(dir, v))
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    catalog(spark, dir).toSeq.toDF().coalesce(1)
+      .write.parquet(s"$tmp/_segments")
+    tombstones(spark, dir).foreach { d =>
+      d.groupBy("del_id").agg(max("del_ts").as("del_ts"))
+        .coalesce(1).write.parquet(s"$tmp/deletes")
+    }
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"snapshot: failed to rename $tmp to $live")
+    v
+  }
+
+  /** Live snapshot versions, ascending. */
+  def snapshots(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(snapRoot(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).collect {
+      case n if n.startsWith("v") => n.stripPrefix("v").toLong
+    }.sorted.toSeq
+  }
+
+  /** Unpin a snapshot; the next [[gc]] reclaims files only it referenced. */
+  def dropSnapshot(spark: SparkSession, dir: String, v: Long): Boolean = {
+    val p = new Path(snapPath(dir, v))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  /** The segment catalog as pinned by snapshot `v`. */
+  def catalogAt(spark: SparkSession, dir: String, v: Long): Array[SegmentStats] = {
+    import spark.implicits._
+    spark.read.parquet(s"${snapPath(dir, v)}/_segments")
+      .as[SegmentStats].collect()
+  }
+
+  private def tombstonesAt(spark: SparkSession, dir: String,
+      v: Long): (Option[DataFrame], Long) = {
+    val p = new Path(s"${snapPath(dir, v)}/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (None, 0L)
+    else (Some(spark.read.parquet(p.toString)),
+      fs.getContentSummary(p).getLength)
+  }
+
   /** V7: drop segments entirely older than the retention floor. Returns
    * surviving stats (files of dropped segments are left for out-of-band
    * deletion — metadata-first eviction like the reference's version edit).
@@ -525,7 +604,12 @@ object ColdTier {
    * truth, readers plan scans only from it, and [[heal]] never
    * resurrects data files. Returns the deleted paths. */
   def gc(spark: SparkSession, dir: String): Seq[String] = {
-    val live = catalog(spark, dir).map(s => new Path(s.path).getName).toSet
+    // files referenced by ANY pinned snapshot are as live as the catalog's:
+    // a snapshot taken before a compaction still plans scans over the
+    // pre-merge segment files
+    val live = (catalog(spark, dir) ++
+      snapshots(spark, dir).flatMap(v => catalogAt(spark, dir, v)))
+      .map(s => new Path(s.path).getName).toSet
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
@@ -1233,9 +1317,15 @@ object ColdTier {
       metric: Metric = Metric.L2,
       firstWaveFraction: Double = 0.3,
       terminationFactor: Double = 1.0,
-      ewmaThreshold: Option[Double] = None): DataFrame = {
+      ewmaThreshold: Option[Double] = None,
+      snapshot: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val segs = catalog(spark, dir)
+    // `snapshot` = time travel: plan over the pinned catalog and the
+    // pinned tombstone rows instead of the live ones — mutations sealed
+    // after [[ColdTier.snapshot]] (flushes, deletes, compactions) are
+    // invisible to this read
+    val segs = snapshot.map(v => catalogAt(spark, dir, v))
+      .getOrElse(catalog(spark, dir))
     val bSegs = spark.sparkContext.broadcast(segs)
     val prune = metric == Metric.L2
 
@@ -1273,8 +1363,13 @@ object ColdTier {
         spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "dist")
       } else {
         val paths = segs.filter(s => segIds(s.segmentId)).map(_.path)
-        val data = applyTombstones(spark, dir,
-          spark.read.parquet(paths.toIndexedSeq: _*))
+        val raw = spark.read.parquet(paths.toIndexedSeq: _*)
+        val data = snapshot match {
+          case Some(v) =>
+            val (tomb, bytes) = tombstonesAt(spark, dir, v)
+            antiJoinTombstones(spark, raw, tomb, bytes)
+          case None => applyTombstones(spark, dir, raw)
+        }
         val probeQ = waveProbes.join(q, "qid")
           .select(col("qid"), col("segmentId").as("p_seg"), col("qv"),
             (col("qtime") - col("ttl")).as("floor_ts"),

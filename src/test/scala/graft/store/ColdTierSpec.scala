@@ -834,4 +834,48 @@ class ColdTierSpec extends AnyFunSuite {
       .collect().map(_.getLong(2))
     assert(got.length == 150 && got.forall(_ >= 1050L))
   }
+
+  test("snapshot: pinned reads survive deletes, flushes, and compaction; gc protects pinned files until dropSnapshot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-snap").toString
+    (0 until 3).foreach(i =>
+      ColdTier.seal(mkVecs(200, 8, 70L + i, i * 1000L), dir, i.toLong))
+    val qv = mkVecs(1, 8, 99L, 0L).collect()(0).getSeq[Float](1).toArray
+    val queries = Seq((1L, qv, 100000L, 10000000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    def run(snap: Option[Long]) =
+      ColdTier.search(spark, dir, queries, 20, Metric.L2,
+          firstWaveFraction = 0.34, terminationFactor = 1.0, snapshot = snap)
+        .collect().sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))
+    val before = run(None)
+
+    val v0 = ColdTier.snapshot(spark, dir)
+    assert(v0 == 0L && ColdTier.snapshots(spark, dir) == Seq(0L))
+
+    // mutate the live tier every way at once: tombstone a stripe, flush a
+    // fourth segment, then compact (rewrites + gc's the originals and
+    // consolidates the delete log)
+    ColdTier.sealDeletes(
+      spark.range(0, 4000).select(col("id"), lit(100000L).as("ts"))
+        .where(col("id") % 7 === 3), dir, 0L)
+    ColdTier.seal(mkVecs(200, 8, 73L, 3000L), dir, 3L)
+    ColdTier.compact(spark, dir, targetRows = 10000L)
+    assert(ColdTier.catalog(spark, dir).length == 1)
+
+    // live read reflects every mutation; pinned read reflects none
+    val live = run(None)
+    assert(live.forall { case (id, _) => id % 7 != 3 })
+    assert(run(Some(v0)).sameElements(before),
+      "snapshot read must equal the pre-mutation result bit-for-bit")
+
+    // pre-merge files still on disk (gc kept them for the snapshot)...
+    val names = new java.io.File(dir).list().toSet
+    assert(Seq("segment-0", "segment-1", "segment-2").forall(names))
+    // ...and reclaimed once the pin is dropped
+    assert(ColdTier.dropSnapshot(spark, dir, v0))
+    ColdTier.gc(spark, dir)
+    val after = new java.io.File(dir).list().toSet
+    assert(Seq("segment-0", "segment-1", "segment-2").forall(n => !after(n)))
+    assert(run(None).sameElements(live), "live reads unaffected by the drop")
+  }
 }

@@ -40,6 +40,7 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_coldtier", true, true, false),
     ("knn_coldtier_compacted", true, true, false),
     ("knn_coldtier_deletes", true, true, false),
+    ("knn_coldtier_snapshot", true, true, false),
     ("knn_coldtier_sq", true, true, false),
     ("knn_coldtier_hnsw", true, true, false),
     ("knn_coldtier_hnsw_sharded", true, true, false),
