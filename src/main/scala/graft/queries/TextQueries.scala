@@ -170,6 +170,41 @@ object TextQueries {
             .otherwise(lit(0.0)).as("top_bigram_frac"))
     },
 
+    "text_lm_score" -> { (s, dir) =>
+      // CCNet-style statistical-LM quality scoring (Wenzek et al. 2019
+      // §4.2 ranks documents by LM perplexity; reference pipelines drop
+      // the worst tail): a bigram model TRAINED ON THE CORPUS scores each
+      // document by its mean inverse conditional probability
+      //   score(d) = (1/|bigrams(d)|) * sum_i c(w_i) / c(w_i, w_{i+1})
+      // — perplexity's harmonic structure without transcendentals (log /
+      // exp are not correctly rounded across engines; + and / are, so a
+      // position-ordered fold is bit-exact). High score = improbable
+      // transitions = boilerplate/shuffled text.
+      // 100-TB shape: the model is two grouped counts over the bigram
+      // stream (cost ~ corpus tokens); scoring hash-joins each document
+      // bigram to its count on the bigram key (never corpus²), then one
+      // per-doc fold, position-sorted so both engines sum in the same
+      // order.
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val big = t.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")))
+        .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+      val bigCnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val headCnt = bigCnt.groupBy("w1").agg(sum("cb").as("ch"))
+      big.join(bigCnt, Seq("w1", "w2")).join(headCnt, Seq("w1"))
+        .select(col("doc_id"), col("pos"),
+          (col("ch").cast("double") / col("cb")).as("inv_p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("aggregate(sort_array(collect_list(struct(pos, inv_p))), " +
+            "cast(0.0 AS double), (acc, x) -> acc + x.inv_p)").as("sum_inv_p"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_inv_p"),
+          (col("sum_inv_p") / col("n_bigrams")).as("lm_score"))
+    },
+
     "text_stopwords" -> { (s, dir) =>
       // Gopher's stop-word quality rule with a corpus-derived list: the
       // StopwordN most frequent tokens (ties by token) are the stopwords,
@@ -523,6 +558,27 @@ object TextQueries {
         |FROM documents""".stripMargin,
 
     "text_repetition" -> repetitionSql,
+
+    // corpus-trained bigram model, mean inverse conditional probability;
+    // the per-doc sum is a position-ordered list_sum so the double
+    // accumulation order matches Spark's sorted fold bit-for-bit
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, CAST(g.i AS INTEGER) AS pos,
+        |  toks[CAST(g.i AS INTEGER)] AS w1,
+        |  toks[CAST(g.i AS INTEGER) + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |  WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+        |hc AS (SELECT w1, SUM(cb) AS ch FROM bc GROUP BY 1),
+        |sc AS (SELECT doc_id, pos, CAST(ch AS DOUBLE) / cb AS inv_p
+        |  FROM bg JOIN bc USING (w1, w2) JOIN hc USING (w1)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  list_sum(list(inv_p ORDER BY pos)) AS sum_inv_p
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_inv_p,
+        |  sum_inv_p / n_bigrams AS lm_score FROM agg""".stripMargin,
 
     "text_stopwords" -> stopwordsSql,
 

@@ -131,6 +131,7 @@ class PlanCheckSpec extends AnyFunSuite {
     ("text_dedup_norm", true, true, false),
     ("text_fingerprint", false, true, false),
     ("text_langid", false, true, false),
+    ("text_lm_score", false, true, false),
     ("text_quality", false, true, false),
     ("text_stats", false, true, false))
 
