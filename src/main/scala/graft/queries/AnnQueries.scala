@@ -230,6 +230,39 @@ object AnnQueries {
         })
         comp.select(col("id").as("doc_id"), col("component").as("cluster_id"),
           (col("id") === col("component")).as("is_keeper"))
+      },
+      "dedup_keep_best" -> { (s, dir) =>
+        // quality-aware canonical selection: within each near-dup cluster
+        // keep the cleanest member (lowest punct_ratio, longer text then
+        // smaller id as tiebreaks) instead of dedup_clusters' arbitrary
+        // min-id keeper — the selection policy a curation pipeline
+        // actually wants ("keep the best copy", CCNet/RefinedWeb style).
+        // Cost is bounded by the PAIRED docs (cluster frame size), never
+        // the corpus: quality signals join onto cluster members only, and
+        // the per-cluster window shuffles that same small frame.
+        val comp = clustersCache.getOrElseUpdate((s, dir), {
+          val pairs = Dedup.minhashPairs(Tables(s, dir, "documents"),
+            numHashes = MinhashNumHashes, rowsPerBand = 4, shingleWidth = 3,
+            threshold = MinhashThreshold, maxBucketSize = MaxBucketSize)
+          OracleAux.write(pairs.select(col("i"), col("j")), dir,
+            "dedup_cluster_pairs")
+          Dedup.connectedComponents(
+            OracleAux.read(s, dir, "dedup_cluster_pairs"))
+        }).select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        val quality = Tables(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+              .as("punct_chars"))
+        // members << corpus: broadcast the cluster frame into the docs scan
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("punct_ratio").asc, col("n_chars").desc,
+            col("doc_id").asc)
+        quality.join(broadcast(comp), "doc_id")
+          .withColumn("punct_ratio",
+            col("punct_chars").cast("double") / greatest(col("n_chars"), lit(1)))
+          .select(col("doc_id"), col("cluster_id"), col("punct_ratio"),
+            (row_number().over(w) === 1).as("is_keeper"))
       })
 
   // keyed by (session, dir): a DataFrame (and its localCheckpoint blocks)
@@ -276,6 +309,31 @@ object AnnQueries {
            |SELECT id AS doc_id, min(lbl) AS cluster_id,
            |  id = min(lbl) AS is_keeper
            |FROM r GROUP BY id""".stripMargin,
+
+      // same component computation, quality-policy keeper: punct_ratio is
+      // ONE division of exact integers in both engines, so the window
+      // total order (ratio, n_chars DESC, doc_id) is bit-identical
+      "dedup_keep_best" ->
+        s"""WITH RECURSIVE p AS (
+           |  SELECT * FROM ${OracleAux.ref("dedup_cluster_pairs")}),
+           |e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+           |r(id, lbl) AS (
+           |  SELECT a, a FROM e
+           |  UNION
+           |  SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id),
+           |c AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+           |  FROM r GROUP BY id),
+           |q AS (SELECT doc_id, length(text) AS n_chars,
+           |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+           |    AS punct_chars FROM documents),
+           |j AS (SELECT c.doc_id, c.cluster_id, q.n_chars,
+           |  CAST(q.punct_chars AS DOUBLE) / greatest(q.n_chars, 1)
+           |    AS punct_ratio
+           |  FROM c JOIN q USING (doc_id))
+           |SELECT doc_id, cluster_id, punct_ratio,
+           |  row_number() OVER (PARTITION BY cluster_id
+           |    ORDER BY punct_ratio, n_chars DESC, doc_id) = 1 AS is_keeper
+           |FROM j""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH b AS (SELECT * FROM ${OracleAux.ref("dedup_simhash_bands")}),

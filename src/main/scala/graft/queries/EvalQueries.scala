@@ -53,6 +53,23 @@ object EvalQueries {
       t
     })
 
+  /** Like [[sealedTier]] but sealed WITH the label attribute column (the
+   * filtered-search layout). Kept separate so the attribute-less entries
+   * keep exercising the plain segment schema. */
+  private val filteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def filteredTier(s: SparkSession, dir: String): String =
+    filteredDirs.getOrElseUpdate(dir, {
+      val e = Tables(s, dir, "embeddings")
+      val t = java.nio.file.Files.createTempDirectory("graft-cold-flt").toString
+      (0 until 3).foreach { i =>
+        graft.store.ColdTier.seal(
+          e.where(col("vec_id") % 3 === i)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("vec_id").as("eventTime"), col("label")), t, i.toLong)
+      }
+      t
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_recall" -> { (s, dir) =>
       Recall.atK(
@@ -93,6 +110,27 @@ object EvalQueries {
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
       graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
         graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0)
+    },
+
+    "knn_coldtier_filtered" -> { (s, dir) =>
+      // attribute-filtered cold-tier search (the filtered-ANN surface the
+      // hot path has as knn_filtered, pushed into the sealed tier): the
+      // segments are sealed WITH the label attribute column, each query
+      // carries its own label, and only label-matching rows are
+      // candidates. The equality rides the broadcast probe join — no
+      // extra shuffle, the label column is the only extra scan IO — and
+      // wave pruning stays lossless (full-segment lower bounds also
+      // bound the filtered subset), so this must equal per-label exact
+      // kNN bit-for-bit.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = filteredTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+        graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0,
+        filterColumn = Some("label"))
     },
 
     "knn_coldtier_compacted" -> { (s, dir) =>
@@ -471,6 +509,19 @@ object EvalQueries {
          |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
          |    for x in list_zip(q.qv, b.embedding)]) AS dist
          |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
+
+    // per-label exact kNN: the filtered cold-tier search restricts the
+    // candidate set to label-matching rows before the same top-k
+    "knn_coldtier_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+         |    for x in list_zip(q.qv, b.embedding)]) AS dist
+         |  FROM q, embeddings b WHERE b.label = q.label),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,

@@ -229,7 +229,8 @@ object ColdTier {
       .filter(_.getPath.getName.startsWith(".staging-"))
       .foreach(st => fs.delete(st.getPath, true))
     val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID()}")
-    vectors.select(col("segmentId"), col("id"), col("vec"), col("eventTime"))
+    vectors.select(col("segmentId") +: (coreColumns.tail ++
+        attributeColumns(vectors)).map(col): _*)
       .withColumn("part", col("segmentId"))
       .write.partitionBy("part").parquet(staging.toString)
     val staged = fs.listStatus(staging)
@@ -301,9 +302,9 @@ object ColdTier {
     val segs = catalog(spark, dir)
     if (segs.isEmpty) return segs
     val hasLog = tombstones(spark, dir).isDefined
-    val live = applyTombstones(spark, dir,
-        spark.read.parquet(segs.map(_.path).toIndexedSeq: _*))
-      .select(col("id"), col("vec"), col("eventTime"))
+    val raw = spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
+    val live = applyTombstones(spark, dir, raw)
+      .select((coreColumns.tail ++ attributeColumns(raw)).map(col): _*)
     val sample = live.orderBy("id").limit(sampleCap)
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
     if (sample.isEmpty) { // every row tombstoned: the tier empties
@@ -348,12 +349,24 @@ object ColdTier {
     out.sortBy(_.segmentId)
   }
 
+  /** The four columns every segment carries. Any OTHER column on the
+   * input survives the seal verbatim ([[attributeColumns]]) — typed
+   * attribute payload (labels, source tags) for filtered search
+   * ([[search]]'s `filterColumn`); every scan/index/codes path projects
+   * the core four, so attributes cost nothing until a filter asks for
+   * them (Parquet column pruning). */
+  private val coreColumns = Seq("segmentId", "id", "vec", "eventTime")
+
+  /** Attribute (non-core) columns present on a seal input. */
+  private def attributeColumns(df: DataFrame): Seq[String] =
+    df.columns.filterNot(coreColumns.contains).toSeq
+
   private def writeSegment(vectors: DataFrame, dir: String,
       segmentId: Long): SegmentStats = {
     val spark = vectors.sparkSession
     val path = s"$dir/segment-$segmentId"
-    vectors.select(lit(segmentId).as("segmentId"), col("id"), col("vec"),
-        col("eventTime"))
+    vectors.select(lit(segmentId).as("segmentId") +:
+        (coreColumns.tail ++ attributeColumns(vectors)).map(col): _*)
       .write.mode("overwrite").parquet(path)
     val written = spark.read.parquet(path)
     val dim = written.select(size(col("vec"))).first().getInt(0)
@@ -1312,13 +1325,28 @@ object ColdTier {
    *        threshold for queries with no per-query threshold — the
    *        reference's adaptive termination (version_set.cc:2689-2698).
    *        Ignored in lossless mode, which stays provably exact.
+   * @param filterColumn attribute-filtered search (the Milvus/Qdrant
+   *        "filtered ANN" surface, cold-tier flavor): name of a segment
+   *        attribute column (sealed alongside the core four — see
+   *        [[coreColumns]]); queries must then carry a `qfilter` column
+   *        and only rows with `attribute === qfilter` are candidates.
+   *        The equality rides the broadcast probe join, so it is
+   *        evaluated row-local against the scan — no extra shuffle — and
+   *        the attribute column (dictionary-encoded ints/strings) is the
+   *        only additional IO. Wave pruning stays LOSSLESS under a
+   *        filter: segment lower bounds computed on the full segment
+   *        also bound its filtered subset, and a wave-1 top-k with fewer
+   *        than k filtered hits sets no threshold (scans everything).
+   *        For selective labels at scale, [[recluster]] keeps attributes
+   *        so a label-aligned seal turns this into partition pruning.
    */
   def search(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       metric: Metric = Metric.L2,
       firstWaveFraction: Double = 0.3,
       terminationFactor: Double = 1.0,
       ewmaThreshold: Option[Double] = None,
-      snapshot: Option[Long] = None): DataFrame = {
+      snapshot: Option[Long] = None,
+      filterColumn: Option[String] = None): DataFrame = {
     import spark.implicits._
     // `snapshot` = time travel: plan over the pinned catalog and the
     // pinned tombstone rows instead of the live ones — mutations sealed
@@ -1329,11 +1357,13 @@ object ColdTier {
     val bSegs = spark.sparkContext.broadcast(segs)
     val prune = metric == Metric.L2
 
-    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
+      filterColumn.map(_ => col("qfilter")): _*)
 
     // distributed probe planning over the broadcast catalog: one row per
     // (query, fresh segment), hottest-first wave assignment
-    val probes = q.as[(Long, Array[Float], Long, Long)]
+    val probes = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+      .as[(Long, Array[Float], Long, Long)]
       .mapPartitions { it =>
         val cat = bSegs.value
         it.flatMap { case (qid, qv, qtime, ttl) =>
@@ -1371,13 +1401,16 @@ object ColdTier {
           case None => applyTombstones(spark, dir, raw)
         }
         val probeQ = waveProbes.join(q, "qid")
-          .select(col("qid"), col("segmentId").as("p_seg"), col("qv"),
+          .select(Seq(col("qid"), col("segmentId").as("p_seg"), col("qv"),
             (col("qtime") - col("ttl")).as("floor_ts"),
-            col("qtime").as("ceil_ts"))
+            col("qtime").as("ceil_ts")) ++
+            filterColumn.map(_ => col("qfilter")): _*)
         data.join(broadcast(probeQ),
             data("segmentId") === col("p_seg") &&
             col("eventTime") >= col("floor_ts") &&
-            col("eventTime") <= col("ceil_ts"))
+            col("eventTime") <= col("ceil_ts") &&
+            filterColumn.map(f => data(f) === col("qfilter"))
+              .getOrElse(lit(true)))
           .select(col("qid"), col("id"),
             Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
       }

@@ -878,4 +878,53 @@ class ColdTierSpec extends AnyFunSuite {
     assert(Seq("segment-0", "segment-1", "segment-2").forall(n => !after(n)))
     assert(run(None).sameElements(live), "live reads unaffected by the drop")
   }
+
+  test("filtered search: per-query label filter equals per-label brute " +
+      "force; attributes survive compaction") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-flt").toString
+    val dim = 8
+    val rnd = new java.util.Random(11L)
+    val all = (0 until 900).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 5).toLong)
+    }
+    // three small segments sealed WITH the label attribute column
+    (0 until 3).foreach { s =>
+      ColdTier.seal(
+        all.filter(_._1 % 3 == s).toDF("id", "vec", "eventTime", "label"),
+        dir, s.toLong)
+    }
+
+    def brute(qv: Array[Float], label: Long, k: Int): Seq[Long] =
+      all.filter(_._4 == label)
+        .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+
+    val queries = (0 until 20).map { qi =>
+      val (_, qv, _, _) = all(qi * 37)
+      (qi.toLong, qv, 100000L, 1000000L, (qi % 5).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+
+    def got() = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 0.34, terminationFactor = 1.0,
+        filterColumn = Some("label"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+
+    val before = got()
+    (0 until 20).foreach { qi =>
+      assert(before(qi.toLong) == brute(all(qi * 37)._2, qi % 5, 10),
+        s"query $qi filtered result != per-label brute force")
+    }
+
+    // compaction preserves attribute columns: same filtered answers after
+    ColdTier.compact(spark, dir, targetRows = 10000L)
+    assert(ColdTier.catalog(spark, dir).length == 1)
+    assert(got() == before,
+      "filtered results must be unchanged by compaction")
+  }
 }

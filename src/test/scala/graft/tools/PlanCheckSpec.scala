@@ -133,7 +133,13 @@ class PlanCheckSpec extends AnyFunSuite {
     ("text_langid", false, true, false),
     ("text_lm_score", false, true, false),
     ("text_quality", false, true, false),
-    ("text_stats", false, true, false))
+    ("text_stats", false, true, false),
+    // attribute-filtered cold tier: same shape as knn_coldtier (broadcast
+    // probe join carrying the label equality, pushed scan filters)
+    ("knn_coldtier_filtered", true, true, false),
+    // cluster frame broadcasts into the documents scan; no scan filter
+    // (quality reads every document's text by design, like dedup_clusters)
+    ("dedup_keep_best", true, false, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
