@@ -42,6 +42,17 @@ object TextQueries {
   val PiiPhoneRem = 3
   /** Sequence-packing token budget (tokens per training sequence bin). */
   val PackBudget = 512
+  /** RAG-style chunking: window size and stride in characters (overlap =
+   * ChunkChars - ChunkStride). */
+  val ChunkChars = 200
+  val ChunkStride = 150
+  /** Exact-substring dedup (Lee et al. 2021): window width + stride in
+   * characters. A window hash shared by >= 2 distinct docs marks a
+   * duplicated span. */
+  val SubstrWindow = 60
+  val SubstrStride = 20
+  /** Vocabulary builder: top-N corpus tokens kept. */
+  val VocabN = 50
   /** Gopher-inspired quality-filter thresholds (Rae et al. 2021 §A1.1),
    * adapted to the synthetic corpus so the verdict actually splits it. */
   val FilterMinTokens = 30
@@ -407,6 +418,77 @@ object TextQueries {
         .withColumn("bucket", bucket)
         .where(col("bucket") < rate)
         .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+    },
+
+    "text_chunk" -> { (s, dir) =>
+      // RAG/embedding-pipeline chunking: fixed character windows with
+      // overlap (200-char chunks every 150 chars). Row-local transform +
+      // posexplode — no data crosses documents, so the pass scales
+      // embarrassingly; chunk identity is carried as an md5 so the output
+      // stays scalar for the oracle hash. The window count uses
+      // greatest(...,1) so zero/short docs still emit one chunk (Spark's
+      // sequence(0,-1) would otherwise count DOWN, not return empty).
+      val (c, st) = (ChunkChars, ChunkStride)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, greatest(cast(ceil(length(text) / cast($st as double)) as int), 1) - 1), " +
+            s"i -> substring(text, i * $st + 1, $c))"))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk")).as("chunk_hash"))
+    },
+
+    "text_dedup_substring" -> { (s, dir) =>
+      // exact-substring duplication profile (Lee et al. 2021,
+      // "Deduplicating Training Data Makes Language Models Better": drop
+      // verbatim spans shared across documents). Sliding 60-char windows
+      // at stride 20 are hashed row-locally; a window hash seen in >= 2
+      // distinct docs is a duplicated span. One corpus-wide aggregation
+      // keyed on the 32-char hash (never the text) + one join back —
+      // the same single-shuffle shape as exact dedup, so it holds at
+      // 100 TB; the duplicated-hash side is aggregated and threshold-
+      // filtered, far smaller than the corpus.
+      val (w, t) = (SubstrWindow, SubstrStride)
+      val wins = Tables(s, dir, "documents")
+        .where(length(col("text")) >= w)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, cast((length(text) - $w) / $t as int)), " +
+            s"i -> md5(substring(text, i * $t + 1, $w)))"))
+          .as(Seq("win_idx", "h")))
+      val dup = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2)
+        .select(col("h"))
+      val perDoc = wins.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"))
+      val dupPerDoc = wins.join(dup, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
+      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+          (coalesce(col("dup_windows"), lit(0L)).cast("double") /
+            col("n_windows")).as("dup_frac"))
+    },
+
+    "text_vocab" -> { (s, dir) =>
+      // vocabulary builder (tokenizer-training precursor): corpus-wide
+      // token counts, top-N by (count desc, token). One explode + one
+      // count shuffle keyed on the token + a global top-N — the
+      // truncation is a rank over the aggregated (distinct-token-sized)
+      // frame, never the corpus. Ties broken by binary token order so
+      // the cut is deterministic cross-engine.
+      val counts = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      // orderBy+limit plans as TakeOrderedAndProject — a distributed
+      // partial top-N over the aggregated frame, no single-task global
+      // sort; the rank window then runs over just VocabN rows.
+      counts.orderBy(col("n").desc, col("token")).limit(VocabN)
+        .select(col("token"), col("n"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("token"))).as("rank"))
     })
 
   private def statsSql: String =
@@ -648,5 +730,43 @@ object TextQueries {
          |FROM documents
          |WHERE doc_id * $SampleSalt % ${1L << 32} % 100 <
          |  CASE WHEN lang = 'en' THEN $SampleRateEn ELSE $SampleRateOther END"""
-        .stripMargin)
+        .stripMargin,
+
+    "text_chunk" ->
+      s"""SELECT doc_id, CAST(c.i AS INTEGER) AS chunk_idx,
+         |  length(substr(text, CAST(c.i AS INTEGER) * $ChunkStride + 1,
+         |    $ChunkChars)) AS chunk_len,
+         |  md5(substr(text, CAST(c.i AS INTEGER) * $ChunkStride + 1,
+         |    $ChunkChars)) AS chunk_hash
+         |FROM documents, unnest(range(GREATEST(
+         |  CAST(ceil(length(text) / (1.0 * $ChunkStride)) AS BIGINT), 1)))
+         |  AS c(i)""".stripMargin,
+
+    "text_dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, CAST(p.i AS INTEGER) AS win_idx,
+         |    md5(substr(text, CAST(p.i AS INTEGER) * $SubstrStride + 1,
+         |      $SubstrWindow)) AS h
+         |  FROM documents,
+         |    unnest(range((length(text) - $SubstrWindow) // $SubstrStride + 1))
+         |    AS p(i)
+         |  WHERE length(text) >= $SubstrWindow),
+         |d AS (SELECT h FROM w GROUP BY h
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |n AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
+         |du AS (SELECT doc_id, COUNT(*) AS dup_windows
+         |  FROM w JOIN d USING (h) GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_windows,
+         |  COALESCE(du.dup_windows, 0) AS dup_windows,
+         |  CAST(COALESCE(du.dup_windows, 0) AS DOUBLE) / n.n_windows
+         |    AS dup_frac
+         |FROM n LEFT JOIN du USING (doc_id)""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH c AS (SELECT t.token, COUNT(*) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents) t
+         |  WHERE t.token <> '' GROUP BY t.token)
+         |SELECT token, n,
+         |  row_number() OVER (ORDER BY n DESC, token) AS rank
+         |FROM c ORDER BY n DESC, token LIMIT $VocabN""".stripMargin)
 }

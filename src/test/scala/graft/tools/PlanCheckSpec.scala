@@ -139,7 +139,13 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_coldtier_filtered", true, true, false),
     // cluster frame broadcasts into the documents scan; no scan filter
     // (quality reads every document's text by design, like dedup_clusters)
-    ("dedup_keep_best", true, false, false))
+    ("dedup_keep_best", true, false, false),
+    // row-local chunking: scan + explode, no join at all
+    ("text_chunk", false, true, false),
+    // duplicated-hash side is aggregated + threshold-filtered → broadcast
+    ("text_dedup_substring", true, true, false),
+    // distributed TakeOrdered top-N over the aggregated token frame
+    ("text_vocab", false, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
