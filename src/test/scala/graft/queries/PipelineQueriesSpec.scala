@@ -182,4 +182,84 @@ class PipelineQueriesSpec extends AnyFunSuite {
       assert(gfrac == (if (n >= 2) topc.toDouble / (n - 1) else 0.0), s"doc $id bigram frac")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("text_chunk windows match an independent re-chunking of every doc") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val (c, st) = (TextQueries.ChunkChars, TextQueries.ChunkStride)
+    val got = TextQueries.queries("text_chunk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var total = 0
+    docs.foreach { case (id, text) =>
+      val n = math.max(math.ceil(text.length / st.toDouble).toInt, 1)
+      (0 until n).foreach { i =>
+        val chunk = text.substring(i * st, math.min(i * st + c, text.length))
+        val (len, hash) = got((id, i))
+        assert(len == chunk.length && hash == md5hex(chunk), s"doc $id chunk $i")
+        total += 1
+      }
+    }
+    assert(got.size == total, "no extra chunks beyond the expected windows")
+    // overlap property: consecutive chunks share ChunkChars-ChunkStride chars,
+    // so stride-prefixes plus the final chunk reconstruct each document
+    docs.take(10).foreach { case (_, text) =>
+      val n = math.max(math.ceil(text.length / st.toDouble).toInt, 1)
+      val rebuilt = (0 until n).map { i =>
+        val chunk = text.substring(i * st, math.min(i * st + c, text.length))
+        if (i < n - 1) chunk.take(st) else chunk
+      }.mkString
+      assert(rebuilt == text)
+    }
+  }
+
+  test("text_dedup_substring matches an independent local recomputation") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val (w, t) = (TextQueries.SubstrWindow, TextQueries.SubstrStride)
+    val got = TextQueries.queries("text_dedup_substring")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent implementation of the same definition: window hashes in
+    // plain local Scala, duplicated = seen in >= 2 distinct docs
+    val wins = docs.filter(_._2.length >= w).map { case (id, text) =>
+      id -> (0 to (text.length - w) / t)
+        .map(i => md5hex(text.substring(i * t, i * t + w)))
+    }
+    val docsPerHash = wins.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.length }
+    assert(got.size == wins.length)
+    wins.foreach { case (id, hs) =>
+      val dup = hs.count(h => docsPerHash(h) >= 2)
+      val (gn, gd, gf) = got(id)
+      assert(gn == hs.length && gd == dup, s"doc $id windows")
+      assert(gf == dup.toDouble / hs.length, s"doc $id dup_frac")
+    }
+    // the near-dup fixture clones must actually produce duplicated spans
+    assert(got.values.exists(_._2 > 0), "corpus must contain shared spans")
+  }
+
+  test("text_vocab equals an independent corpus count") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val got = TextQueries.queries("text_vocab")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .foldLeft(Map.empty[String, Long]) { (m, t) =>
+        m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+    val want = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextQueries.VocabN).zipWithIndex
+      .map { case ((t, n), i) => (t, n, i + 1) }
+    assert(got.sortBy(_._3).toSeq == want)
+  }
 }
