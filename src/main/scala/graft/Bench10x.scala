@@ -115,8 +115,12 @@ object Bench10x {
         Metric.L2, m = 16, efConstruction = 48, maxGraphRows = 150000)
     }
     withCell.unpersist()
+    // probeSegments 12 / efSearch 96: the serving paths beat the exact
+    // scan ~5x at probes=8/ef=64 but recorded recall 0.9275 — spending
+    // half the margin on wider probes buys the >= 0.95 recall a serving
+    // claim should carry (still a clear multiple over brute force)
     def idxRun() = graft.store.ColdTier.searchIndexed(spark, tier, q10, 10,
-        Metric.L2, shortlist = 64, efSearch = 64, probeSegments = 8)
+        Metric.L2, shortlist = 96, efSearch = 96, probeSegments = 12)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     val (idxRows, idx1) = time(idxRun())
     val idxTimes = idx1 +: (2 to reps).map { _ => System.gc(); time(idxRun())._2 }
@@ -131,7 +135,7 @@ object Bench10x {
     // the serving fast path: same routing + probes, graph distances
     // merged directly — no tier-wide candidate-hydration scan
     def fastRun() = graft.store.ColdTier.searchIndexedFast(spark, tier, q10,
-        10, Metric.L2, efSearch = 64, probeSegments = 8, shortlist = 64)
+        10, Metric.L2, efSearch = 96, probeSegments = 12, shortlist = 96)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     val (fastRows, fast1) = time(fastRun())
     val fastTimes = fast1 +: (2 to reps).map { _ => System.gc(); time(fastRun())._2 }
@@ -147,6 +151,11 @@ object Bench10x {
       s""""n_vectors_10x":$nVec10,""" +
       s""""bf_10x_sec":${"%.2f".format(bfTimes.min)},""" +
       s""""ann_10x_sec":${"%.2f".format(annTimes.min)},""" +
+      // self-adjudicating semantics: ann_10x_sec REBUILDS every
+      // per-partition graph inside the run (it is an insert+query
+      // throughput number); the serving comparison against bf_10x_sec is
+      // ann_indexed_/ann_fastpath_query_10x_sec on the once-built index
+      s""""ann_10x_includes_graph_build":true,""" +
       s""""bf_10x_secs":${arr(bfTimes)},"ann_10x_secs":${arr(annTimes)},""" +
       s""""ann_index_build_10x_sec":${"%.2f".format(buildSec)},""" +
       s""""ann_indexed_query_10x_sec":${"%.2f".format(idxTimes.min)},""" +

@@ -53,6 +53,11 @@ object TextQueries {
   val SubstrStride = 20
   /** Vocabulary builder: top-N corpus tokens kept. */
   val VocabN = 50
+  /** RAG ingestion+serving composition: chunk-key packing base (chunk_idx
+   * must stay below it), query-selection modulus, neighbors returned. */
+  val RagKeyBase = 4096L
+  val RagQueryMod = 97L
+  val RagK = 5
   /** Gopher-inspired quality-filter thresholds (Rae et al. 2021 §A1.1),
    * adapted to the synthetic corpus so the verdict actually splits it. */
   val FilterMinTokens = 30
@@ -489,6 +494,44 @@ object TextQueries {
         .select(col("token"), col("n"),
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("n").desc, col("token"))).as("rank"))
+    },
+
+    "pipeline_rag" -> { (s, dir) =>
+      // THE RAG ingestion + serving composition: chunk documents
+      // (text_chunk windows), featurize each chunk row-locally
+      // (deterministic 8-dim char-class histogram — an embedding-model
+      // stand-in whose integer arithmetic replays exactly in SQL), index
+      // and answer related-chunk queries through the SAME partitioned
+      // brute-force kernel every knn_* entry uses, then hydrate results
+      // back to chunk identity. Scale shape: chunking + featurizing are
+      // row-local over the corpus; queries (1/97 of chunks) broadcast
+      // into the scan; the hit set is k x queries rows, joined back to
+      // chunks by broadcasting the HITS, never shuffling the corpus.
+      // Integer-valued distances make the gate float-free end-to-end.
+      val (c, st) = (ChunkChars, ChunkStride)
+      val chunks = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, greatest(cast(ceil(length(text) / cast($st as double)) as int), 1) - 1), " +
+            s"i -> substring(text, i * $st + 1, $c))"))
+          .as(Seq("chunk_idx", "chunk")))
+        .where(length(col("chunk")) > 0)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+          (col("doc_id") * RagKeyBase + col("chunk_idx")).as("ckey"),
+          expr("transform(sequence(0, 7), j -> cast(aggregate(" +
+            "sequence(1, length(chunk)), 0L, " +
+            "(acc, i) -> acc + IF(ascii(substring(chunk, i, 1)) % 8 = j, 1L, 0L)) as float))")
+            .as("v"))
+      val vectors = chunks.select(col("ckey").as("id"), col("v").as("vec"),
+        lit(0L).as("eventTime"))
+      val queries = chunks.where(col("ckey") % RagQueryMod === 0)
+        .select(col("ckey").as("qid"), col("v").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      val hits = graft.ops.Ann.bruteForce(vectors, queries, RagK)
+      chunks.select(col("ckey"), col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_hash"))
+        .join(broadcast(hits), col("ckey") === hits("id"))
+        .select(col("qid"), col("rn"), col("id"), col("dist"),
+          col("doc_id"), col("chunk_idx"), col("chunk_hash"))
     })
 
   private def statsSql: String =
@@ -768,5 +811,36 @@ object TextQueries {
          |  WHERE t.token <> '' GROUP BY t.token)
          |SELECT token, n,
          |  row_number() OVER (ORDER BY n DESC, token) AS rank
-         |FROM c ORDER BY n DESC, token LIMIT $VocabN""".stripMargin)
+         |FROM c ORDER BY n DESC, token LIMIT $VocabN""".stripMargin,
+
+    // the full RAG replay: chunk windows, integer char-class histogram
+    // features, exact (dist, id) top-k, chunk-identity hydration. All
+    // arithmetic is integer-exact (distances are sums of squared int
+    // diffs, exact in DOUBLE), so the composition hashes bit-for-bit.
+    "pipeline_rag" ->
+      s"""WITH ch AS (SELECT doc_id, CAST(c.i AS INTEGER) AS chunk_idx,
+         |    substr(text, CAST(c.i AS INTEGER) * $ChunkStride + 1,
+         |      $ChunkChars) AS chunk
+         |  FROM documents, unnest(range(GREATEST(
+         |    CAST(ceil(length(text) / (1.0 * $ChunkStride)) AS BIGINT), 1)))
+         |    AS c(i)),
+         |f AS (SELECT doc_id, chunk_idx, chunk,
+         |    doc_id * $RagKeyBase + chunk_idx AS ckey,
+         |    [list_sum([CASE WHEN ascii(substr(chunk, CAST(i AS INTEGER), 1))
+         |        % 8 = CAST(j AS INTEGER) THEN 1 ELSE 0 END
+         |      for i in range(1, length(chunk) + 1)])
+         |      for j in range(0, 8)] AS v
+         |  FROM ch WHERE length(chunk) > 0),
+         |q AS (SELECT ckey AS qid, v AS qv FROM f
+         |  WHERE ckey % $RagQueryMod = 0),
+         |d AS (SELECT q.qid, f2.ckey AS id,
+         |    list_sum([CAST((x[1] - x[2]) * (x[1] - x[2]) AS DOUBLE)
+         |      for x in list_zip(q.qv, f2.v)]) AS dist
+         |  FROM q, f f2),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+         |  FROM d)
+         |SELECT r.qid, r.rn, r.id, r.dist, f.doc_id, f.chunk_idx,
+         |  md5(f.chunk) AS chunk_hash
+         |FROM r JOIN f ON r.id = f.ckey WHERE r.rn <= $RagK""".stripMargin)
 }

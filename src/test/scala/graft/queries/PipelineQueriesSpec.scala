@@ -247,6 +247,29 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "corpus must contain shared spans")
   }
 
+  test("pipeline_rag: self-retrieval, k rows per query, hydration integrity") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = TextQueries.queries("pipeline_rag")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, hits) =>
+      assert(hits.length == TextQueries.RagK, s"query $qid row count")
+      assert(hits.map(_.getInt(1)).sorted.toSeq == (1 to TextQueries.RagK),
+        s"query $qid rn sequence")
+      // the query chunk itself is a 0-distance candidate, so the top hit
+      // must sit at distance 0 (a clone with a smaller key may win the tie)
+      assert(hits.minBy(_.getInt(1)).getDouble(3) == 0.0, s"query $qid top dist")
+      // distances ascend with rn
+      val sorted = hits.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(sorted == sorted.sorted, s"query $qid dist order")
+    }
+    // hydration integrity: the packed key decodes to the joined identity
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(4) * TextQueries.RagKeyBase
+        + r.getInt(5), "id != doc_id*base+chunk_idx")
+    }
+  }
+
   test("text_vocab equals an independent corpus count") {
     spark.sparkContext.setLogLevel("ERROR")
     val got = TextQueries.queries("text_vocab")(spark, dir).collect()

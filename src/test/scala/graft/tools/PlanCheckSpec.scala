@@ -145,7 +145,10 @@ class PlanCheckSpec extends AnyFunSuite {
     // duplicated-hash side is aggregated + threshold-filtered → broadcast
     ("text_dedup_substring", true, true, false),
     // distributed TakeOrdered top-N over the aggregated token frame
-    ("text_vocab", false, true, false))
+    ("text_vocab", false, true, false),
+    // RAG composition: queries broadcast into the brute-force scan, hits
+    // broadcast back into the chunk hydration join
+    ("pipeline_rag", true, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
