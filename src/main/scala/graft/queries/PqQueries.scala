@@ -121,6 +121,44 @@ object PqQueries {
       (m, drCodes, qrBack)
     })
 
+  // OPQ: outer alternation rounds for the learned rotation
+  val OpqIterations = 3
+
+  private val opqPrepared =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ops.Opq.OpqModel, DataFrame)]
+
+  /** OPQ prepare: fit rotation+codebooks on the shared sample, rotate
+   * the corpus/queries row-locally (R broadcast), materialize rotated
+   * queries + codebooks + codes as aux. The oracle replays ADC from the
+   * aux exactly like ann_pq; the exact re-rank runs in the ORIGINAL
+   * space (L2 is rotation-invariant), so its replay needs no rotation
+   * arithmetic at all. */
+  private def opqPrepare(s: SparkSession, dir: String): (graft.ops.Opq.OpqModel, DataFrame) =
+    opqPrepared.getOrElseUpdate(dir, {
+      import s.implicits._
+      val om = graft.ops.Opq.fit(fitSample(s, dir), NumSub, CodesPerSub,
+        Iterations, OpqIterations, Seed)
+      val cbRows = for {
+        sub <- 0 until om.pq.numSub
+        code <- 0 until om.pq.codesPerSub
+      } yield (sub, code, om.pq.codebooks(sub)(code).toSeq)
+      OracleAux.write(cbRows.toDF("sub", "code", "cvec"), dir, "ann_opq_cb")
+      val bm = s.sparkContext.broadcast(om)
+      val rotated = corpus(s, dir).as[(Long, Array[Float])]
+        .map { case (id, v) => (id, bm.value.rotate(v)) }.toDF("id", "vec")
+      val codes = Pq.encodeDf(rotated, om.pq)
+      OracleAux.write(codes.select(col("id"),
+        posexplode(col("codes")).as(Seq("sub", "code"))), dir, "ann_opq_codes")
+      val qRot = queriesDf(s, dir).as[(Long, Array[Float])]
+        .map { case (qid, v) => (qid, bm.value.rotate(v)) }.toDF("qid", "qv")
+      OracleAux.write(qRot, dir, "ann_opq_q")
+      val back = OracleAux.read(s, dir, "ann_opq_codes")
+        .groupBy("id")
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          c => c.getField("code")).as("codes"))
+      (om, back)
+    })
+
   // SQ8: per-dimension uniform grid, one byte per dimension (4x memory
   // cut at dim=64) — see graft.ops.Sq.
   val SqLevels = 256
@@ -224,6 +262,16 @@ object PqQueries {
       val (m, drCodes, qr) = ivfPrepare(s, dir)
       Pq.rerankExact(Pq.searchRoutedAdc(drCodes, qr, m, Shortlist),
         corpus(s, dir), queriesDf(s, dir), K)
+    },
+    "ann_opq_rerank" -> { (s, dir) =>
+      // OPQ (learned-rotation PQ): ADC shortlist in the rotated space
+      // (rotated queries read back from the aux the oracle replays),
+      // exact re-rank in the original space — rotation invariance of L2
+      // makes the two spaces agree on true distances.
+      val (om, codes) = opqPrepare(s, dir)
+      val qRot = OracleAux.read(s, dir, "ann_opq_q")
+      Pq.rerankExact(Pq.search(codes, qRot, om.pq, Shortlist),
+        corpus(s, dir), queriesDf(s, dir), K)
     })
 
   /** ADC replay: subdist = ordered zip-sum over the subspace slice,
@@ -252,6 +300,26 @@ object PqQueries {
       .stripMargin
 
   private def adcCte: String = adcCteFor("ann_pq_cb", "ann_pq_codes", SubDim)
+
+  /** OPQ ADC replay: identical fold, but the query side is the ROTATED
+   * query aux (the oracle never re-derives the rotation — materialized
+   * values are the contract, as with every seeded model in the suite). */
+  private def opqAdcCte: String =
+    s"""cb AS (SELECT * FROM ${OracleAux.ref("ann_opq_cb")}),
+       |c AS (SELECT * FROM ${OracleAux.ref("ann_opq_codes")}),
+       |q AS (SELECT qid, qv FROM ${OracleAux.ref("ann_opq_q")}),
+       |sd AS (SELECT q.qid, c.id, c.sub,
+       |  list_sum([(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |      * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |    for x in list_zip(
+       |      list_slice(q.qv, c.sub*$SubDim+1, c.sub*$SubDim+$SubDim),
+       |      cb.cvec)]) AS subdist
+       |  FROM q CROSS JOIN c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+       |d AS (SELECT qid, id, list_sum(list(subdist ORDER BY sub)) AS dist
+       |  FROM sd GROUP BY qid, id),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)"""
+      .stripMargin
 
   private def sqCte: String = adcCteFor("ann_sq8_cb", "ann_sq8_codes", 1)
 
@@ -349,6 +417,17 @@ object PqQueries {
 
     "ann_pq_rerank" ->
       s"""WITH $adcCte,
+         |short AS (SELECT qid, id FROM r WHERE rn <= $Shortlist),
+         |ex AS (SELECT s.qid, s.id,
+         |  ${VectorQueries.l2Sql("q2.embedding", "b.embedding")} AS dist
+         |  FROM short s JOIN embeddings q2 ON q2.vec_id = s.qid
+         |  JOIN embeddings b ON b.vec_id = s.id),
+         |rr AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
+         |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin,
+
+    "ann_opq_rerank" ->
+      s"""WITH $opqAdcCte,
          |short AS (SELECT qid, id FROM r WHERE rn <= $Shortlist),
          |ex AS (SELECT s.qid, s.id,
          |  ${VectorQueries.l2Sql("q2.embedding", "b.embedding")} AS dist

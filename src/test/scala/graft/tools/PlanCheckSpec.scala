@@ -148,7 +148,9 @@ class PlanCheckSpec extends AnyFunSuite {
     ("text_vocab", false, true, false),
     // RAG composition: queries broadcast into the brute-force scan, hits
     // broadcast back into the chunk hydration join
-    ("pipeline_rag", true, true, false))
+    ("pipeline_rag", true, true, false),
+    // OPQ: same ADC + broadcast-rerank shape as ann_pq_rerank
+    ("ann_opq_rerank", true, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
