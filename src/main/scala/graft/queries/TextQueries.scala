@@ -496,6 +496,34 @@ object TextQueries {
             .orderBy(col("n").desc, col("token"))).as("rank"))
     },
 
+    "text_length_quantiles" -> { (s, dir) =>
+      // per-language token-length distribution (the report a curation
+      // pipeline emits before/after filtering). Quantiles are defined
+      // rank-based — value at rank ceil(q*n) ordered by (n_tokens,
+      // doc_id) — in PURE INTEGER arithmetic, so both engines agree
+      // bit-for-bit with no interpolation semantics to reconcile.
+      // NOTE the per-lang global sort is the ORACLE shape: at 100 TB a
+      // report uses approx_percentile (t-digest sketch, one pass, no
+      // sort) — this entry is its exact twin, the same relationship
+      // embed_neardup has to embed_neardup_lsh.
+      val t = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("n_tokens"), col("doc_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val ranked = t
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+      // `div` (integer division): `/` on longs is DOUBLE in Spark SQL and
+      // rnk == 125.99 would never match
+      def at(pct: Int) = max(when(
+        col("rnk") === expr(s"(cnt * $pct + 99) div 100"), col("n_tokens")))
+      ranked.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        at(25).as("p25"), at(50).as("p50"),
+        at(75).as("p75"), at(95).as("p95"))
+    },
+
     "pipeline_rag" -> { (s, dir) =>
       // THE RAG ingestion + serving composition: chunk documents
       // (text_chunk windows), featurize each chunk row-locally
@@ -812,6 +840,21 @@ object TextQueries {
          |SELECT token, n,
          |  row_number() OVER (ORDER BY n DESC, token) AS rank
          |FROM c ORDER BY n DESC, token LIMIT $VocabN""".stripMargin,
+
+    "text_length_quantiles" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |rk AS (SELECT lang, n_tokens,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY n_tokens, doc_id) AS rnk,
+         |  COUNT(*) OVER (PARTITION BY lang) AS cnt FROM t)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  MAX(CASE WHEN rnk = (cnt * 25 + 99) // 100 THEN n_tokens END) AS p25,
+         |  MAX(CASE WHEN rnk = (cnt * 50 + 99) // 100 THEN n_tokens END) AS p50,
+         |  MAX(CASE WHEN rnk = (cnt * 75 + 99) // 100 THEN n_tokens END) AS p75,
+         |  MAX(CASE WHEN rnk = (cnt * 95 + 99) // 100 THEN n_tokens END) AS p95
+         |FROM rk GROUP BY lang""".stripMargin,
 
     // the full RAG replay: chunk windows, integer char-class histogram
     // features, exact (dist, id) top-k, chunk-identity hydration. All

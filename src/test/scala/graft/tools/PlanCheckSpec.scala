@@ -150,7 +150,10 @@ class PlanCheckSpec extends AnyFunSuite {
     // broadcast back into the chunk hydration join
     ("pipeline_rag", true, true, false),
     // OPQ: same ADC + broadcast-rerank shape as ann_pq_rerank
-    ("ann_opq_rerank", true, true, false))
+    ("ann_opq_rerank", true, true, false),
+    // per-lang window + agg, no join (exact oracle shape; scale path is
+    // a one-pass approx_percentile sketch — documented in the entry)
+    ("text_length_quantiles", false, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
