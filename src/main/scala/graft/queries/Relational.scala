@@ -181,6 +181,28 @@ object Relational {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))
+    },
+
+    "q18_retention" -> { (s, dir) =>
+      // hour-over-hour cohort retention: of the users active in hour h,
+      // how many return in h+1. The self-join keys on (hour, user) over
+      // the DISTINCT (hour, user) frame — both sides are activity-sized,
+      // not event-sized, and shuffle on the composite key (the
+      // analytics-warehouse retention shape).
+      val a = Tables.events(s, dir)
+        .select(floor(col("tsn") / lit(3600000000000L)).as("h"),
+          col("user_id"))
+        .distinct()
+      val act = a.groupBy("h").agg(count(lit(1)).as("active"))
+      val ret = a.join(
+          a.select((col("h") - 1).as("h"), col("user_id")),
+          Seq("h", "user_id"))
+        .groupBy("h").agg(count(lit(1)).as("retained"))
+      act.join(ret, Seq("h"), "left")
+        .select(col("h").as("hour_bucket"), col("active"),
+          coalesce(col("retained"), lit(0L)).as("retained"),
+          (coalesce(col("retained"), lit(0L)).cast("double") / col("active"))
+            .as("retention_rate"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -312,5 +334,19 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q18_retention" ->
+      """WITH a AS (SELECT DISTINCT
+        |  CAST(FLOOR(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS h,
+        |  user_id FROM events),
+        |act AS (SELECT h, COUNT(*) AS active FROM a GROUP BY h),
+        |r AS (SELECT a.h, COUNT(*) AS retained
+        |  FROM a JOIN a b ON b.user_id = a.user_id AND b.h = a.h + 1
+        |  GROUP BY a.h)
+        |SELECT act.h AS hour_bucket, act.active,
+        |  COALESCE(r.retained, 0) AS retained,
+        |  CAST(COALESCE(r.retained, 0) AS DOUBLE) / act.active
+        |    AS retention_rate
+        |FROM act LEFT JOIN r ON r.h = act.h""".stripMargin)
 }

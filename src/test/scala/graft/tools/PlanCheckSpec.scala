@@ -153,7 +153,10 @@ class PlanCheckSpec extends AnyFunSuite {
     ("ann_opq_rerank", true, true, false),
     // per-lang window + agg, no join (exact oracle shape; scale path is
     // a one-pass approx_percentile sketch — documented in the entry)
-    ("text_length_quantiles", false, true, false))
+    ("text_length_quantiles", false, true, false),
+    // retention self-join keys on (hour, user) over the distinct
+    // activity frame; at this sf the shifted side broadcasts
+    ("q18_retention", true, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
