@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermarked tumbling-window aggregation: the completed stream must
+ * equal the batch twin, emission is append-only (immutable once out),
+ * and rows later than the watermark horizon are dropped — the three
+ * documented Structured Streaming properties the operator relies on. */
+class EventWindowsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val H = 3600L // seconds per hour
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("completed stream equals the batch twin; late row dropped") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = input.toDF().toDF("ts", "event_type", "value")
+
+    // batch 1: two hours of events, out of order inside the lateness
+    val b1 = Seq(
+      (ts(10), "click", 1.0), (ts(H + 20), "click", 2.0),
+      (ts(30), "view", 3.0), (ts(5), "click", 0.5))
+    // batch 2: advances event time to hour 4; the watermark COMPUTED
+    // from it (4h10s - 1h = 3h10s) only takes effect in the NEXT batch
+    // (the documented one-batch lag), closing hours 0..2 there
+    val b2 = Seq((ts(4 * H + 10), "flush", 0.0))
+    // batch 3: a too-late straggler for hour 0 — beyond the now-active
+    // watermark, must be dropped, not folded into the closing window
+    val late = (ts(40), "click", 99.0)
+
+    val q = EventWindows.hourly(stream, "1 hour").writeStream
+      .format("memory").queryName("ew_test").outputMode("append").start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    input.addData(late, (ts(4 * H + 20), "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ew_test")
+      .select("window_start", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+
+    // batch twin over b1 only — the late row was dropped and the flush
+    // rows' hour-4 window never closed, so the emitted set must be
+    // exactly the b1 aggregation
+    val want = EventWindows.hourlyBatch(
+        b1.toDF("ts", "event_type", "value"))
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // sanity: the late row's value must not be folded anywhere
+    assert(!got.exists(_._4 == 99.0) &&
+      got.find(t => t._1 == 0 && t._2 == "click").get._3 == 2L)
+  }
+}
