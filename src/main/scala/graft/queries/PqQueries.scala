@@ -272,6 +272,22 @@ object PqQueries {
       val qRot = OracleAux.read(s, dir, "ann_opq_q")
       Pq.rerankExact(Pq.search(codes, qRot, om.pq, Shortlist),
         corpus(s, dir), queriesDf(s, dir), K)
+    },
+    "ann_opq_ivf" -> { (s, dir) =>
+      // the Faiss "OPQ,IVF,PQ" standard composition: the shared coarse
+      // quantizer routes in the ORIGINAL space (L2 rotation invariance
+      // means cell geometry is equivalent either side of R, so the
+      // ann_ivf_pq routing aux is reused verbatim), and the probed-cell
+      // ADC scan runs over OPQ codes with the ROTATED queries. Oracle:
+      // the routed replay with the OPQ codebook/code/query aux.
+      val (om, opqCodes) = opqPrepare(s, dir)
+      val (_, _, qr) = ivfPrepare(s, dir)
+      val drOpq = OracleAux.read(s, dir, "ann_ivf_pq_dr").join(opqCodes, "id")
+        .select(col("pid"), col("id"), col("codes"))
+      val qrRot = qr.drop("qv")
+        .join(broadcast(OracleAux.read(s, dir, "ann_opq_q")), "qid")
+        .select(col("pid"), col("qid"), col("qv"))
+      Pq.searchRoutedAdc(drOpq, qrRot, om.pq, K)
     })
 
   /** ADC replay: subdist = ordered zip-sum over the subspace slice,
@@ -355,6 +371,29 @@ object PqQueries {
   private def routedAdcCte: String =
     routedAdcCteFor("ann_pq_cb", "ann_pq_codes", SubDim)
 
+  /** Routed OPQ replay: the ann_ivf_pq routing aux with the OPQ
+   * codebook/code tables and the rotated-query aux as q. */
+  private def routedOpqCte: String =
+    s"""cb AS (SELECT * FROM ${OracleAux.ref("ann_opq_cb")}),
+       |c AS (SELECT * FROM ${OracleAux.ref("ann_opq_codes")}),
+       |q AS (SELECT qid, qv FROM ${OracleAux.ref("ann_opq_q")}),
+       |dr AS (SELECT * FROM ${OracleAux.ref("ann_ivf_pq_dr")}),
+       |qr AS (SELECT * FROM ${OracleAux.ref("ann_ivf_pq_qr")}),
+       |cand AS (SELECT DISTINCT qr.qid, dr.id FROM qr JOIN dr ON qr.pid = dr.pid),
+       |sd AS (SELECT q.qid, c.id, c.sub,
+       |  list_sum([(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |      * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |    for x in list_zip(
+       |      list_slice(q.qv, c.sub*$SubDim+1, c.sub*$SubDim+$SubDim),
+       |      cb.cvec)]) AS subdist
+       |  FROM cand n JOIN q ON q.qid = n.qid JOIN c ON c.id = n.id
+       |  JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+       |d AS (SELECT qid, id, list_sum(list(subdist ORDER BY sub)) AS dist
+       |  FROM sd GROUP BY qid, id),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)"""
+      .stripMargin
+
   private def routedSqCte: String =
     routedAdcCteFor("ann_sq8_cb", "ann_sq8_codes", 1)
 
@@ -425,6 +464,10 @@ object PqQueries {
          |rr AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
          |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin,
+
+    "ann_opq_ivf" ->
+      s"""WITH $routedOpqCte
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
 
     "ann_opq_rerank" ->
       s"""WITH $opqAdcCte,

@@ -156,7 +156,9 @@ class PlanCheckSpec extends AnyFunSuite {
     ("text_length_quantiles", false, true, false),
     // retention self-join keys on (hour, user) over the distinct
     // activity frame; at this sf the shifted side broadcasts
-    ("q18_retention", true, true, false))
+    ("q18_retention", true, true, false),
+    // OPQ,IVF,PQ composition: routed-cell ADC with broadcast model
+    ("ann_opq_ivf", true, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
