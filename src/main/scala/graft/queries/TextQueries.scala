@@ -496,6 +496,34 @@ object TextQueries {
             .orderBy(col("n").desc, col("token"))).as("rank"))
     },
 
+    "text_dedup_url" -> { (s, dir) =>
+      // URL-canonicalization dedup (the CommonCrawl-pipeline stage that
+      // runs BEFORE content dedup): the synthetic corpus has no URL
+      // column, so one is planted deterministically from (source,
+      // doc_id) with the classic duplicate-generating variants — case
+      // noise, trailing slash, tracking params — and the canonicalizer
+      // (lowercase, strip query string, strip trailing slash) must
+      // collapse them. Row-local normalize + ONE groupBy on the
+      // canonical key + join back: exact-dedup shape, holds at any
+      // corpus size.
+      val url = concat(
+        when(col("doc_id") % 4 === 1, lit("HTTPS://WWW"))
+          .otherwise(lit("https://www")),
+        lit(".example.com/page/"), (col("doc_id") % 101).cast("string"),
+        when(col("doc_id") % 4 === 2, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&ref=x"))
+          .otherwise(lit("")))
+      val canon = regexp_replace(
+        regexp_replace(lower(url), "\\?.*$", ""), "/$", "")
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), canon.as("canon"))
+      val k = t.groupBy("canon").agg(
+        min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      t.join(k, "canon")
+        .select(col("doc_id"), md5(col("canon")).as("canon_md5"),
+          col("n_copies"), (col("doc_id") === col("keeper")).as("is_keeper"))
+    },
+
     "text_length_quantiles" -> { (s, dir) =>
       // per-language token-length distribution (the report a curation
       // pipeline emits before/after filtering). Quantiles are defined
@@ -840,6 +868,24 @@ object TextQueries {
          |SELECT token, n,
          |  row_number() OVER (ORDER BY n DESC, token) AS rank
          |FROM c ORDER BY n DESC, token LIMIT $VocabN""".stripMargin,
+
+    "text_dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW'
+        |    ELSE 'https://www' END ||
+        |  '.example.com/page/' || CAST(doc_id % 101 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=x'
+        |    ELSE '' END AS url
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(url), '\?.*$', ''),
+        |    '/$', '') AS canon FROM u),
+        |k AS (SELECT canon, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |  FROM t GROUP BY canon)
+        |SELECT t.doc_id, md5(t.canon) AS canon_md5, k.n_copies,
+        |  t.doc_id = k.keeper AS is_keeper
+        |FROM t JOIN k USING (canon)""".stripMargin,
 
     "text_length_quantiles" ->
       s"""WITH t AS (SELECT doc_id, lang,

@@ -158,7 +158,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // activity frame; at this sf the shifted side broadcasts
     ("q18_retention", true, true, false),
     // OPQ,IVF,PQ composition: routed-cell ADC with broadcast model
-    ("ann_opq_ivf", true, true, false))
+    ("ann_opq_ivf", true, true, false),
+    // exact-dedup shape on the canonical-url key
+    ("text_dedup_url", true, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
