@@ -60,4 +60,16 @@ object EventWindows {
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
+
+  /** Stream-static enrichment — the most common production streaming
+   * join: each micro-batch of events joins a STATIC dimension frame
+   * (here keyed on `event_type`). The static side is explicitly
+   * broadcast: stateless, no watermark needed, per-batch cost is one
+   * hash probe per event row — the dimension never shuffles the stream
+   * and the join adds no streaming state at all (contrast the
+   * stream-stream case, which must buffer both sides). At cluster
+   * scale the dimension rides the broadcast, the stream stays in its
+   * source partitioning. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
 }

@@ -66,4 +66,37 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(!got.exists(_._4 == 99.0) &&
       got.find(t => t._1 == 0 && t._2 == "click").get._3 == 2L)
   }
+
+  test("stream-static enrichment equals the batch join, dim broadcast") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val dim = Seq(("click", 1.5), ("view", 0.2))
+      .toDF("event_type", "weight")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = input.toDF().toDF("ts", "event_type", "value")
+
+    val rows = Seq(
+      (ts(10), "click", 1.0), (ts(20), "view", 2.0),
+      (ts(30), "scroll", 3.0)) // no dim row -> left join keeps it
+
+    val q = EventWindows.enrich(stream, dim)
+      .select(col("ts"), col("event_type"), col("value"), col("weight"))
+      .writeStream.format("memory").queryName("ew_enrich")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ew_enrich").collect()
+      .map(r => (r.getString(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val want = EventWindows.enrich(rows.toDF("ts", "event_type", "value"), dim)
+      .select(col("ts"), col("event_type"), col("value"), col("weight"))
+      .collect().map(r => (r.getString(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == want && got.size == 3)
+    assert(got.contains(("scroll", 3.0, None)), "unmatched type survives the left join")
+  }
 }
