@@ -152,11 +152,13 @@ object Dedup {
       banded.select(col("doc_id"), col("band_idx"), col("band_key"))
         .as[(Long, Int, Long)], maxBucketSize)
     val sh = banded.select(col("doc_id"), col("sh")).dropDuplicates("doc_id")
-    val ham = udf((a: Long, b: Long) => Text.hammingDistance(a, b))
+    // native bit_count(xor) == Long.bitCount(a ^ b) (the UDF this
+    // replaces) — the exact-Hamming verdict stays in whole-stage codegen
     pairs
       .join(sh.select(col("doc_id").as("i"), col("sh").as("sh_a")), "i")
       .join(sh.select(col("doc_id").as("j"), col("sh").as("sh_b")), "j")
-      .select(col("i"), col("j"), ham(col("sh_a"), col("sh_b")).as("hamming"))
+      .select(col("i"), col("j"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
