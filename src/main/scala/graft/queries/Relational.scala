@@ -183,6 +183,21 @@ object Relational {
           max(col("k")).as("max_k"))
     },
 
+    "q19_sliding_windows" -> { (s, dir) =>
+      // SLIDING windows via Spark's built-in window() (1h width, 30min
+      // slide — every event lands in exactly width/slide = 2 windows).
+      // The twin replays the documented expansion (start = slide-aligned
+      // floors covering the event) in pure integer microsecond
+      // arithmetic; window starts surface as unix seconds so no
+      // timestamp rendering semantics cross the engine boundary.
+      val e = Tables.events(s, dir)
+        .withColumn("ts", timestamp_micros((col("tsn") / 1000).cast("long")))
+      e.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+
     "q18_retention" -> { (s, dir) =>
       // hour-over-hour cohort retention: of the users active in hour h,
       // how many return in h+1. The self-join keys on (hour, user) over
@@ -335,6 +350,18 @@ object Relational {
         |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q19_sliding_windows" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value
+         |  FROM events),
+         |x AS (SELECT ((tus // 1800000000) - k.k) * 1800000000 AS ws,
+         |    event_type, value
+         |  FROM e, unnest(range(2)) AS k(k)
+         |  WHERE ((tus // 1800000000) - k.k) * 1800000000 >= 0
+         |    AND tus < ((tus // 1800000000) - k.k) * 1800000000 + 3600000000)
+         |SELECT ws // 1000000 AS win_start, event_type, COUNT(*) AS n,
+         |  ${Tables.dsumSql("value")} AS sum_value
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q18_retention" ->
       """WITH a AS (SELECT DISTINCT

@@ -160,7 +160,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // OPQ,IVF,PQ composition: routed-cell ADC with broadcast model
     ("ann_opq_ivf", true, true, false),
     // exact-dedup shape on the canonical-url key
-    ("text_dedup_url", true, true, false))
+    ("text_dedup_url", true, true, false),
+    // built-in sliding window(): explode to width/slide rows + one agg
+    ("q19_sliding_windows", false, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
