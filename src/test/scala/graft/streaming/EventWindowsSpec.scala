@@ -67,6 +67,48 @@ class EventWindowsSpec extends AnyFunSuite {
       got.find(t => t._1 == 0 && t._2 == "click").get._3 == 2L)
   }
 
+  test("windowed aggregation state survives a checkpointed stop/restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = input.toDF().toDF("ts", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ew-ckpt").toString
+    // the memory sink cannot recover from a checkpoint — foreachBatch can
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Double)]
+    def start() = EventWindows.hourly(stream, "1 hour").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => emitted.synchronized {
+          emitted += ((r.getTimestamp(0).getTime / 1000, r.getString(1),
+            r.getLong(2), r.getDouble(3)))
+        })
+      }.start()
+
+    // half of hour-0 before the stop, half after: the recovered state
+    // must fold BOTH halves into the single emitted hour-0 row
+    val q1 = start()
+    input.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    input.addData((ts(30), "click", 4.0))
+    q2.processAllAvailable()
+    // advance watermark past hour 0 (one-batch lag -> two nudges)
+    input.addData((ts(3 * H), "flush", 0.0))
+    q2.processAllAvailable()
+    input.addData((ts(3 * H + 10), "flush", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val hour0 = emitted.synchronized(emitted.toSeq)
+      .filter(_._2 == "click").map(t => (t._1, t._3, t._4))
+    assert(hour0 == Seq((0L, 3L, 7.0)),
+      s"recovered state must fold pre- and post-restart rows: $hour0")
+  }
+
   test("stream-static enrichment equals the batch join, dim broadcast") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
