@@ -318,6 +318,26 @@ object Bench {
     // throughput: corpus build + all queries over the ANN wall time
     val vecPerSec = (nVec + nQ) / annSec
 
+    // efSearch tradeoff sweep — the reference's own tuning methodology
+    // (recall@k vs efSearch): one extra run per point on the identical
+    // build, recall against the same exact truth. Emitted as its own
+    // JSON line so the curve is recorded evidence, not a claim.
+    val efPoints = Seq(16, 32, 128).map { ef =>
+      System.gc()
+      val (rows, sec) = time(
+        Ann.search(vecs, queries, model, 10, Metric.L2,
+            useHnsw = true, hnswM = 16, efConstruction = 48, efSearch = ef)
+          .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect())
+      val rc = rows.map { r =>
+        val t = truth(r.getLong(0))
+        r.getSeq[Long](1).count(t.contains).toDouble / t.size
+      }
+      val rec = if (rc.nonEmpty) rc.sum / rc.length else 0.0
+      s"""{"ef":$ef,"recall":${"%.4f".format(rec)},"sec":${"%.2f".format(sec)}}"""
+    }
+    println(s"""{"metric":"ef_sweep","points":[${
+      (efPoints :+ s"""{"ef":64,"recall":${"%.4f".format(annRecall)},"sec":${"%.2f".format(annSec)}}""").mkString(",")}]}""")
+
     // scale sweep: double the corpus (jittered clones under fresh ids, so
     // the cluster mixture and density are preserved) and run the same ANN
     // section once — vectors/s holding near the 1x number is the local
