@@ -112,6 +112,22 @@ object EvalQueries {
         graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0)
     },
 
+    "knn_coldtier_cosine" -> { (s, dir) =>
+      // the NON-L2 cold-tier path under the hard gate: cosine disables
+      // the triangle-inequality skip (ColdTier: `prune = metric == L2`),
+      // so every fresh segment scans in one wave — this entry gates that
+      // fallback's correctness through the same catalog/freshness
+      // machinery, bit-exact vs exact cosine kNN.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = sealedTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+        graft.Metric.Cosine, firstWaveFraction = 0.34,
+        terminationFactor = 1.0)
+    },
+
     "knn_coldtier_filtered" -> { (s, dir) =>
       // attribute-filtered cold-tier search (the filtered-ANN surface the
       // hot path has as knn_filtered, pushed into the sealed tier): the
@@ -512,6 +528,17 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
+
+    "knn_coldtier_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${VectorQueries.cosSql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
 
     // per-label exact kNN: the filtered cold-tier search restricts the
     // candidate set to label-matching rows before the same top-k

@@ -261,11 +261,11 @@ object VectorQueries {
   /** DuckDB twin of the sequential-double-accumulation distance exprs. */
   private[queries] def l2Sql(a: String, b: String) =
     s"list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) for x in list_zip($a, $b)])"
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"list_sum([ CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) for x in list_zip($a, $b)])"
-  private def normSql(a: String) = s"list_sum([ CAST(y AS DOUBLE)*CAST(y AS DOUBLE) for y in $a])"
+  private[queries] def normSql(a: String) = s"list_sum([ CAST(y AS DOUBLE)*CAST(y AS DOUBLE) for y in $a])"
   private def ipSql(a: String, b: String) = s"1.0 - ${dotSql(a, b)}"
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"1.0 - ${dotSql(a, b)} / sqrt(${normSql(a)} * ${normSql(b)})"
 
   private def knnOracle(distExpr: String, extraPred: String = "true") =

@@ -162,7 +162,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // exact-dedup shape on the canonical-url key
     ("text_dedup_url", true, true, false),
     // built-in sliding window(): explode to width/slide rows + one agg
-    ("q19_sliding_windows", false, true, false))
+    ("q19_sliding_windows", false, true, false),
+    // non-L2 cold tier: same broadcast-probe shape, no segment skip
+    ("knn_coldtier_cosine", true, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
