@@ -77,6 +77,16 @@ object EvalQueries {
         VectorQueries.queries("knn_l2")(s, dir), VectorQueries.K)
     },
 
+    "eval_ndcg" -> { (s, dir) =>
+      // C8 evaluation, NDCG flavor: rank-discounted gain of the
+      // TTL-restricted ranking against the unrestricted top-k as binary
+      // relevance. Discounts are driver-computed literals shared with
+      // the twin — no transcendental runs on either engine.
+      Recall.ndcgAtK(
+        VectorQueries.queries("knn_ttl")(s, dir),
+        VectorQueries.queries("knn_l2")(s, dir), VectorQueries.K)
+    },
+
     "eval_mrr" -> { (s, dir) =>
       // C8 evaluation, MRR flavor: reciprocal rank of the first
       // TTL-restricted hit that the unrestricted top-k also contains
@@ -673,6 +683,31 @@ object EvalQueries {
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
         .stripMargin,
+
+    "eval_ndcg" -> {
+      def knn(extraPred: String) =
+        s"""SELECT qid, id, rn FROM (
+           |  SELECT q.qid, b.vec_id AS id, row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+           |      for x in list_zip(q.qv, b.embedding)]), b.vec_id) AS rn
+           |  FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           |        WHERE vec_id % ${VectorQueries.QueryMod} = 0) q,
+           |       embeddings b WHERE $extraPred) WHERE rn <= ${VectorQueries.K}""".stripMargin
+      val ds = graft.ops.Recall.ndcgDiscountsScaled(VectorQueries.K)
+      val caseD = (1 to VectorQueries.K)
+        .map(r => s"WHEN ${r} THEN ${ds(r - 1)}").mkString(" ")
+      s"""WITH a AS (${knn(s"b.vec_id >= q.qid - ${VectorQueries.Ttl} AND b.vec_id <= q.qid")}),
+         |b AS (${knn("true")}),
+         |h AS (SELECT a.qid, a.rn,
+         |  CASE a.rn $caseD END AS d
+         |  FROM a JOIN b ON a.qid = b.qid AND a.id = b.id),
+         |g AS (SELECT qid, CAST(SUM(d) AS BIGINT) AS dcg
+         |  FROM h GROUP BY qid)
+         |SELECT qs.qid, CAST(COALESCE(g.dcg, 0) AS DOUBLE)
+         |  / CAST(${ds.sum} AS DOUBLE) AS ndcg
+         |FROM (SELECT DISTINCT qid FROM a) qs LEFT JOIN g USING (qid)"""
+        .stripMargin
+    },
 
     "eval_mrr" -> {
       def knn(extraPred: String) =

@@ -164,7 +164,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // built-in sliding window(): explode to width/slide rows + one agg
     ("q19_sliding_windows", false, true, false),
     // non-L2 cold tier: same broadcast-probe shape, no segment skip
-    ("knn_coldtier_cosine", true, true, false))
+    ("knn_coldtier_cosine", true, true, false),
+    // eval family shape: broadcast hits join over k x queries rows
+    ("eval_ndcg", true, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
