@@ -565,18 +565,31 @@ object TextQueries {
       // chunks by broadcasting the HITS, never shuffling the corpus.
       // Integer-valued distances make the gate float-free end-to-end.
       val (c, st) = (ChunkChars, ChunkStride)
+      import s.implicits._
+      // the featurizer runs as ONE typed-map JVM pass (an interpreted
+      // higher-order aggregate() here cost ~10 s/invocation at sf0.1 —
+      // 20M per-element evaluations; the JVM loop is ~100x cheaper and
+      // the integer counts are bit-identical), and the frame persists
+      // because THREE sides consume it (index, queries, hydration)
       val chunks = Tables(s, dir, "documents")
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, greatest(cast(ceil(length(text) / cast($st as double)) as int), 1) - 1), " +
             s"i -> substring(text, i * $st + 1, $c))"))
           .as(Seq("chunk_idx", "chunk")))
         .where(length(col("chunk")) > 0)
-        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
-          (col("doc_id") * RagKeyBase + col("chunk_idx")).as("ckey"),
-          expr("transform(sequence(0, 7), j -> cast(aggregate(" +
-            "sequence(1, length(chunk)), 0L, " +
-            "(acc, i) -> acc + IF(ascii(substring(chunk, i, 1)) % 8 = j, 1L, 0L)) as float))")
-            .as("v"))
+        .as[(Long, Int, String)]
+        .map { case (docId, idx, chunk) =>
+          val v = new Array[Float](8)
+          var i = 0
+          while (i < chunk.length) {
+            v(chunk.charAt(i) % 8) += 1f
+            i += 1
+          }
+          (docId, idx, chunk, docId * RagKeyBase + idx, v)
+        }
+        .toDF("doc_id", "chunk_idx", "chunk", "ckey", "v")
+        .persist()
+      graft.CacheRegistry.retain(s"rag:$dir", Seq(chunks))
       val vectors = chunks.select(col("ckey").as("id"), col("v").as("vec"),
         lit(0L).as("eventTime"))
       val queries = chunks.where(col("ckey") % RagQueryMod === 0)
