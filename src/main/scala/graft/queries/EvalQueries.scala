@@ -138,6 +138,18 @@ object EvalQueries {
         terminationFactor = 1.0)
     },
 
+    "knn_coldtier_ip" -> { (s, dir) =>
+      // inner product completes the cold tier's metric matrix (L2 skips
+      // segments, cosine/IP scan every fresh segment in one wave)
+      val e = Tables(s, dir, "embeddings")
+      val tmp = sealedTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+        graft.Metric.IP, firstWaveFraction = 0.34, terminationFactor = 1.0)
+    },
+
     "knn_coldtier_filtered" -> { (s, dir) =>
       // attribute-filtered cold-tier search (the filtered-ANN surface the
       // hot path has as knn_filtered, pushed into the sealed tier): the
@@ -538,6 +550,17 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
+
+    "knn_coldtier_ip" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${VectorQueries.ipSql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
 
     "knn_coldtier_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -264,7 +264,7 @@ object VectorQueries {
   private[queries] def dotSql(a: String, b: String) =
     s"list_sum([ CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) for x in list_zip($a, $b)])"
   private[queries] def normSql(a: String) = s"list_sum([ CAST(y AS DOUBLE)*CAST(y AS DOUBLE) for y in $a])"
-  private def ipSql(a: String, b: String) = s"1.0 - ${dotSql(a, b)}"
+  private[queries] def ipSql(a: String, b: String) = s"1.0 - ${dotSql(a, b)}"
   private[queries] def cosSql(a: String, b: String) =
     s"1.0 - ${dotSql(a, b)} / sqrt(${normSql(a)} * ${normSql(b)})"
 

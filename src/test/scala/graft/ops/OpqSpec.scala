@@ -51,6 +51,20 @@ class OpqSpec extends AnyFunSuite {
       == m2.pq.codebooks.flatten.flatten.toSeq)
   }
 
+  test("ann_opq_rerank recall >= 0.9 vs exact kNN on the fixture") {
+    val spark = graft.SparkEntry.configure(
+      org.apache.spark.sql.SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.PqQueries.queries("ann_opq_rerank")(spark, dir)
+    val truth = graft.queries.VectorQueries.queries("knn_l2")(spark, dir)
+    val rec = graft.ops.Recall.meanAtK(got, truth, graft.queries.PqQueries.K)
+    info(f"opq reranked recall $rec%.4f")
+    assert(rec >= 0.9, f"reranked OPQ recall $rec%.4f")
+  }
+
   test("learned rotation beats plain PQ quantization error on correlated data") {
     val sample = mkCorrelated(1500, 3L)
     val plain = Pq.fit(sample, NumSub, 64, 6, 42L)

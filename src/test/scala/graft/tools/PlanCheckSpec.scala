@@ -166,7 +166,8 @@ class PlanCheckSpec extends AnyFunSuite {
     // non-L2 cold tier: same broadcast-probe shape, no segment skip
     ("knn_coldtier_cosine", true, true, false),
     // eval family shape: broadcast hits join over k x queries rows
-    ("eval_ndcg", true, true, false))
+    ("eval_ndcg", true, true, false),
+    ("knn_coldtier_ip", true, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
