@@ -138,6 +138,21 @@ object EvalQueries {
         terminationFactor = 1.0)
     },
 
+    "coldtier_stats" -> { (s, dir) =>
+      // the catalog itself under the hard gate — the observability view
+      // an operator reads (reference analog: the SST metadata the base
+      // engine's version set maintains). The seal layout is
+      // deterministic (vec_id % 3 stripes with vec_id event times), so
+      // count/min/max per segment are independently derivable by the
+      // twin; float stats (centroid/radius) are excluded — their
+      // accumulation order is partition-layout-dependent by design.
+      val tmp = sealedTier(s, dir)
+      s.read.parquet(s"$tmp/_segments")
+        .select(col("segmentId").as("segment_id"),
+          col("count").as("n_rows"),
+          col("minTs").as("min_ts"), col("maxTs").as("max_ts"))
+    },
+
     "knn_coldtier_ip" -> { (s, dir) =>
       // inner product completes the cold tier's metric matrix (L2 skips
       // segments, cosine/IP scan every fresh segment in one wave)
@@ -550,6 +565,11 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
+
+    "coldtier_stats" ->
+      """SELECT vec_id % 3 AS segment_id, COUNT(*) AS n_rows,
+        |  MIN(vec_id) AS min_ts, MAX(vec_id) AS max_ts
+        |FROM embeddings GROUP BY 1""".stripMargin,
 
     "knn_coldtier_ip" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

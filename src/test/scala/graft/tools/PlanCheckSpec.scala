@@ -167,7 +167,9 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_coldtier_cosine", true, true, false),
     // eval family shape: broadcast hits join over k x queries rows
     ("eval_ndcg", true, true, false),
-    ("knn_coldtier_ip", true, true, false))
+    ("knn_coldtier_ip", true, true, false),
+    // catalog observability view: a bare stats-parquet scan
+    ("coldtier_stats", false, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
