@@ -43,6 +43,12 @@ object PartitionQueries {
   private def sparkShift(x: String, i: Int) = s"shiftright($x, $i)"
   private def duckShift(x: String, i: Int) = s"(($x) >> $i)"
 
+  /** Binary-reflected Gray code g = x XOR (x >> 1) — the per-coordinate
+   * step of [[graft.functions.GrayCurve]], closed-form in both engines
+   * (Spark `^`, DuckDB `xor()`). */
+  private def sparkGray(x: String) = s"((($x)) ^ ${sparkShift(s"($x)", 1)})"
+  private def duckGray(x: String) = s"xor(($x), ${duckShift(x, 1)})"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "part_hash_balance" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
@@ -55,6 +61,16 @@ object PartitionQueries {
       val qy = quant("element_at(embedding, 2)")
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr(zorderExpr(qx, qy, sparkShift)).as("zindex"))
+    },
+
+    "part_gray" -> { (s, dir) =>
+      // the Gray-coded curve (P5's `gray` option): per-coordinate
+      // binary-reflected Gray then the same Z interleave — matches
+      // GrayCurve.index by construction, closed-form in SQL
+      val gx = sparkGray(quant("element_at(embedding, 1)"))
+      val gy = sparkGray(quant("element_at(embedding, 2)"))
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(zorderExpr(gx, gy, sparkShift)).as("gindex"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -66,5 +82,11 @@ object PartitionQueries {
       val qx = quant("embedding[1]")
       val qy = quant("embedding[2]")
       s"""SELECT vec_id, ${zorderExpr(qx, qy, duckShift)} AS zindex FROM embeddings"""
+    },
+
+    "part_gray" -> {
+      val gx = duckGray(quant("embedding[1]"))
+      val gy = duckGray(quant("embedding[2]"))
+      s"""SELECT vec_id, ${zorderExpr(gx, gy, duckShift)} AS gindex FROM embeddings"""
     })
 }

@@ -86,4 +86,15 @@ class CurvesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ZOrderCurve(2, 2).index(Array(1L)))
     intercept[IllegalArgumentException](PeanoCurve(2, 2).index(Array(9L, 0L)))
   }
+
+  test("part_gray oracle arithmetic equals GrayCurve.index on the full grid") {
+    // the SQL twin's closed form (per-coordinate g = x ^ (x >> 1), then
+    // the Z interleave) must BE GrayCurve, not merely resemble it
+    val g = GrayCurve(2, 7)
+    val z = ZOrderCurve(2, 7)
+    for (x <- 0L until 128L; y <- 0L until 128L by 7) {
+      val viaSql = z.index(Array(x ^ (x >> 1), y ^ (y >> 1)))
+      assert(viaSql == g.index(Array(x, y)), s"cell ($x, $y)")
+    }
+  }
 }

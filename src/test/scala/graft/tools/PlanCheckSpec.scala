@@ -169,7 +169,8 @@ class PlanCheckSpec extends AnyFunSuite {
     ("eval_ndcg", true, true, false),
     ("knn_coldtier_ip", true, true, false),
     // catalog observability view: a bare stats-parquet scan
-    ("coldtier_stats", false, true, false))
+    ("coldtier_stats", false, true, false),
+    ("part_gray", false, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
   private val dirOverride: Map[String, String] =
