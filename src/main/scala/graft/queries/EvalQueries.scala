@@ -411,7 +411,10 @@ object EvalQueries {
           .toString
         val data = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
           col("vec_id").as("eventTime"))
-        val sample = data.orderBy("id").collect()
+        // fit sample is BOUNDED (id-ordered for determinism, like
+        // ColdTier.recluster's sampleCap) — the routing model must be
+        // fittable from a driver-sized sample regardless of corpus size
+        val sample = data.orderBy("id").limit(8192).collect()
           .map(_.getSeq[Float](1).toArray)
         val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
           replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)

@@ -896,7 +896,7 @@ object ColdTier {
           new java.io.BufferedOutputStream(tfs.create(target, true)))
         try store.writeTo(os) finally os.close()
         sid
-      }.collect()
+      }.collect() // one row per (segment, shard): catalog-bounded
     // commit the sharded layouts — marker AFTER all shard tasks returned
     shardCounts.foreach { case (sid, n) =>
       if (n > 1)

@@ -33,6 +33,49 @@ class StagedRateSpec extends AnyFunSuite {
   }
 }
 
+/** Grep-gate: every `.collect()` in an entry path must be visibly bounded.
+  *
+  * The 100-TB contract for driver-side materialization is: query
+  * broadcast (the query set is sampled, never the corpus), catalog/stats
+  * reads (one row per segment), aggregates, or `limit(...)`-capped fit
+  * samples. An unbounded corpus collect (the round-8 `knn_coldtier_routed`
+  * setup bug) must not reappear: this scans all non-harness main sources
+  * and fails on any `.collect()` whose surrounding statement shows none
+  * of those bounds.
+  */
+class BoundedCollectSpec extends AnyFunSuite {
+  test("no unbounded .collect() in any entry path") {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val harness = Set("Bench.scala", "Bench10x.scala", "Verify.scala")
+    val allow = Seq(
+      "limit(",        // driver-capped sample
+      ".agg(",         // aggregate result
+      ".groupBy(",     // grouped aggregate (keys are catalog/query-bounded)
+      "first()",       // single row
+      "qid",           // query-broadcast contract: collects the QUERY set
+      "SegmentStats",  // catalog read: one row per segment
+      "statsPath",     // catalog read
+      "_segments",     // snapshot-pinned catalog read
+      "catalog-bounded" // annotated: result size = O(segments), not O(rows)
+    )
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") &&
+        !harness.contains(p.getFileName.toString)).toSeq
+    val offenders = files.flatMap { p =>
+      val lines = java.nio.file.Files.readAllLines(p).asScala.toIndexedSeq
+      lines.zipWithIndex.collect {
+        case (l, i) if l.contains(".collect()") &&
+          !(math.max(0, i - 8) to i)
+            .exists(j => allow.exists(lines(j).contains)) =>
+          s"$p:${i + 1}: ${l.trim}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded .collect() sites:\n${offenders.mkString("\n")}")
+  }
+}
+
 class SqlSurfaceSpec extends AnyFunSuite {
   private lazy val spark = SparkSession.builder().master("local[2]")
     .config("spark.ui.enabled", "false").getOrCreate()
