@@ -909,8 +909,8 @@ object ColdTier {
    * a re-sealed segment (new bytes) loads fresh; entries for replaced
    * generations are evicted so long-lived executors don't accumulate dead
    * graphs. Same-path eviction alone can't cover segments REMOVED by
-   * gc/compaction (their paths are never requested again), so every load
-   * past `MaxEntries` first sweeps entries whose backing file is gone —
+   * gc/compaction (their paths are never requested again), so every cache
+   * miss first sweeps entries whose backing file is gone —
    * graphs hold full vector copies, and a long-lived executor under
    * segment rotation would otherwise accrete them without bound. */
   private object SidecarCache {
@@ -934,14 +934,21 @@ object ColdTier {
       cache.get(key) match {
         case Some((store, used)) => used.set(tick.incrementAndGet()); store
         case None =>
-          // drop stale generations of this path, then gc'd-file entries,
-          // then least-recently-used entries until under the cap
+          // drop stale generations of this path, then sweep entries whose
+          // backing file is gone (gc/compaction removed the segment — its
+          // path is never requested again, so same-path eviction can't
+          // reach it, and each dead graph pins a full vector copy), then
+          // LRU-evict until under the cap. The dead-file sweep runs on
+          // EVERY miss, not just under cap pressure: misses are rare
+          // (one per new segment generation) and an exists() is a
+          // metadata op, while a pressure-only sweep lets up to cap-1
+          // dead graphs pin executor memory indefinitely.
           cache.filterInPlace { case ((cp, _, _, _), _) => cp != path }
+          cache.filterInPlace { case ((cp, _, _, _), _) =>
+            val cpp = new Path(cp)
+            try cpp.getFileSystem(conf).exists(cpp) catch { case _: Exception => false }
+          }
           if (cache.size >= MaxEntries) {
-            cache.filterInPlace { case ((cp, _, _, _), _) =>
-              val cpp = new Path(cp)
-              try cpp.getFileSystem(conf).exists(cpp) catch { case _: Exception => false }
-            }
             while (cache.size >= MaxEntries && cache.nonEmpty) {
               val lru = cache.minBy { case (_, (_, used)) => used.get() }._1
               cache.remove(lru)
@@ -960,7 +967,14 @@ object ColdTier {
     }
     /** Test hook: current entry count in this JVM. */
     private[store] def entryCount: Int = cache.size
+    /** Test hook: backing paths of all cached graphs in this JVM. */
+    private[store] def cachedPaths: Set[String] =
+      cache.keySet.map(_._1).toSet
   }
+
+  /** Observability: sidecar-graph cache entries resident in this JVM
+   * (on a cluster, per-executor; local mode = the one JVM). */
+  def sidecarCachePaths: Set[String] = SidecarCache.cachedPaths
 
   /** Probe-path cold search (V9): per-query shortlist from each fresh
    * segment's HNSW sidecar — loaded lazily executor-side, probed instead

@@ -672,6 +672,41 @@ class ColdTierSpec extends AnyFunSuite {
       shortlist = 30).count() == 20)
   }
 
+  test("sidecar cache sweeps dead graphs on the next miss after compact+gc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-cachesweep").toString
+    val segData = (0 until 4).map(i => mkVecs(100, 8, 50L + i, i * 1000L))
+    segData.zipWithIndex.foreach { case (df, i) =>
+      ColdTier.seal(df, dir, i.toLong)
+    }
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2, m = 8,
+      efConstruction = 32)
+    val q = segData.head.orderBy("id").limit(1)
+      .select("vec").collect()(0).getSeq[Float](0).toArray
+    val queries = Seq((1L, q, 100000L, 10000000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    // populate the executor-local cache with all four sidecars
+    ColdTier.searchIndexed(spark, dir, queries, 5, Metric.L2,
+      shortlist = 10).count()
+    val oldPaths = (0 until 4).map(i => s"$dir/segment-$i-hnsw")
+    assert(oldPaths.exists(p =>
+        ColdTier.sidecarCachePaths.exists(_.endsWith(new java.io.File(p).getName))),
+      "setup: old sidecars should be cached after the first probe")
+    // compact gc's the victims; their sidecar files are gone
+    ColdTier.compact(spark, dir, targetRows = 200L)
+    assert(oldPaths.forall(p => !new java.io.File(p).exists()))
+    // next probe misses on the merged segments' sidecars -> sweep runs
+    ColdTier.searchIndexed(spark, dir, queries, 5, Metric.L2,
+      shortlist = 10).count()
+    val dead = ColdTier.sidecarCachePaths.filterNot { p =>
+      try new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(p))
+      catch { case _: Exception => false }
+    }
+    assert(dead.isEmpty, s"cache holds graphs of gc'ed segments: $dead")
+  }
+
   test("delete log: tombstones shadow flushed rows in every search path, versioned; compact applies them physically and consolidates the log") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-tomb").toString
