@@ -479,10 +479,18 @@ object VectorStreamJob {
   }
 
   /** [[PartialResult]] plus the watermark column the stateful merge's
-   * event-time timeout rides on. */
+   * event-time timeout rides on. `vecs` rides along so flush partials
+   * can pass through the tapped merge intact. */
   final case class TsPartial(queryId: Long, pid: Int, numPartitionsSent: Int,
       ids: Array[Long], dists: Array[Double], queryEventTime: Long,
-      ingestMillis: Long, eventTs: java.sql.Timestamp)
+      ingestMillis: Long, eventTs: java.sql.Timestamp,
+      vecs: Array[Array[Float]] = null)
+
+  /** One output row of the tapped cross-batch merge: EITHER a completed
+   * search result (`res` set, `pass` null) OR a lifecycle partial passed
+   * through untouched (`pass` set — flush / delete-log / dump rows, which
+   * must reach the sink's foreachBatch even though they never merge). */
+  final case class MergedRow(res: SearchResult, pass: PartialResult)
 
   /** C3 merge with CROSS-BATCH completeness (reference
    * PartialResultProcessFunction.java:14-59): the per-batch
@@ -503,22 +511,57 @@ object VectorStreamJob {
       timeoutMs: Long = 10 * 60 * 1000L): Dataset[SearchResult] = {
     val spark = partials.sparkSession
     import spark.implicits._
-    // the watermark delay doubles as the late-partial allowance: fMGWS
-    // with an event-time timeout filters input older than the watermark.
     // Dump/flush partials (sent <= 0) never enter the merge — a negative
     // `sent` would make the completeness check trivially true and leak
-    // them as results
+    // them as results; with no lifecycle consumer downstream they are
+    // simply dropped (the tapped variant passes them through instead)
+    mergePartialsStatefulTapped(
+      partials.filter(_.numPartitionsSent > 0), k, timeoutMs)
+      .map(_.res)
+  }
+
+  /** [[mergePartialsStateful]] with a lifecycle TAP (the composition the
+   * reference actually runs: RocksDBKeyedProcessFunction ingesting and
+   * flushing WHILE PartialResultProcessFunction completes queries
+   * incrementally, VStreamSearchJob.java:21-49): lifecycle partials —
+   * hot->cold flush rows, delete-log tombstones, state dumps (all
+   * `sent <= 0`) — pass through the stateful merge untouched instead of
+   * being filtered, so ONE downstream foreachBatch can both sink
+   * completed queries and seal flush/delete batches into the cold tier.
+   *
+   * Group key: query partials key on (queryId, -1) and merge across
+   * triggers exactly as before; lifecycle partials key on
+   * (queryId, pid) — per-partition groups, so pass-through stays
+   * parallel (no all-flush-rows-to-one-task hotspot) and can never
+   * collide with a query group (pid >= 0 vs the reserved -1). Lifecycle
+   * groups touch no state and set no timeout; their rows are emitted in
+   * the same trigger they arrive. */
+  def mergePartialsStatefulTapped(partials: Dataset[PartialResult], k: Int,
+      timeoutMs: Long = 10 * 60 * 1000L): Dataset[MergedRow] = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    // the watermark delay doubles as the late-partial allowance: fMGWS
+    // with an event-time timeout filters input older than the watermark.
+    // Lifecycle partials are stamped with the flush-time wall clock, so
+    // they both survive the filter and keep the watermark current.
     val withTs = partials
-      .filter(_.numPartitionsSent > 0)
       .withColumn("eventTs", timestamp_millis(col("ingestMillis")))
       .withWatermark("eventTs", s"$timeoutMs milliseconds")
       .as[TsPartial]
-    withTs.groupByKey(_.queryId).flatMapGroupsWithState(
+    withTs.groupByKey(p =>
+        (p.queryId, if (p.numPartitionsSent > 0) -1 else p.pid))
+      .flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-      (qid: Long, it: Iterator[TsPartial], state: GroupState[MergeBuf]) => {
+      (key: (Long, Int), it: Iterator[TsPartial], state: GroupState[MergeBuf]) => {
+        val qid = key._1
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
+        } else if (key._2 >= 0) {
+          // lifecycle pass-through: no state, no timeout, emit as-is
+          it.map(p => MergedRow(null, PartialResult(p.queryId, p.pid,
+            p.numPartitionsSent, p.ids, p.dists, p.queryEventTime,
+            p.ingestMillis, p.vecs)))
         } else {
           val prev = state.getOption
           val pidSet = new java.util.HashSet[Int]()
@@ -539,8 +582,9 @@ object VectorStreamJob {
           if (sent > 0 && pidSet.size() >= sent) {
             state.remove()
             val now = System.currentTimeMillis()
-            Iterator.tabulate(ids.length)(r =>
-              SearchResult(qid, r + 1, ids(r), ds(r), (now - ingest).toDouble))
+            Iterator.tabulate(ids.length)(r => MergedRow(
+              SearchResult(qid, r + 1, ids(r), ds(r), (now - ingest).toDouble),
+              null))
           } else {
             import scala.jdk.CollectionConverters._
             state.update(MergeBuf(pidSet.iterator().asScala.map(_.intValue())
@@ -558,7 +602,11 @@ object VectorStreamJob {
    * per micro-batch via foreachBatch into `sink`. With `crossBatchMerge`
    * the C3 merge is the stateful cross-batch variant (a query's fan-out
    * may straddle micro-batches and still completes); otherwise it is the
-   * one-aggregation per-batch merge.
+   * one-aggregation per-batch merge. `crossBatchMerge` COMPOSES with
+   * `coldDir`: the lifecycle partials pass through the stateful merge
+   * ([[mergePartialsStatefulTapped]]), so the reference's full operating
+   * mode — continuous ingest + TTL flush + incremental completeness —
+   * runs as one job.
    *
    * With `coldDir` set, the job runs the full LSM lifecycle: TTL-evicted
    * hot state flushes into cold segments per micro-batch ([[flushBatch]],
@@ -600,13 +648,37 @@ object VectorStreamJob {
               dropLateQueries = dropLateQueries, flushEvicted = flush)
             else partials(routed, metric, maxTtl, dropLateQueries, flush)
     val w =
-      if (crossBatchMerge) {
-        // flush partials are filtered out inside the stateful merge, so
-        // the flush tap must ride the partial stream upstream of it —
-        // coldDir with crossBatchMerge would need a second sink; keep the
-        // lifecycle on the per-batch-merge path where one foreachBatch
-        // sees everything
-        require(!flush, "coldDir requires the per-batch merge path")
+      if (crossBatchMerge && flush) {
+        // the reference's full operating mode in ONE job
+        // (VStreamSearchJob.java:21-49): continuous ingest with TTL flush
+        // to cold segments AND incremental cross-trigger query
+        // completeness. Lifecycle partials ride THROUGH the stateful
+        // merge as pass-through envelope rows (mergePartialsStatefulTapped),
+        // so one foreachBatch sinks completed queries and seals
+        // flush/delete batches — same idempotency contract as the
+        // per-batch path (the catalog row commits the flush).
+        mergePartialsStatefulTapped(p, k).writeStream
+          .outputMode(OutputMode.Append)
+          .foreachBatch { (batch: Dataset[MergedRow], bid: Long) =>
+            // two consumers (result sink + lifecycle seal) — persist so
+            // the chained stateful operators' lineage runs once
+            val df = batch.toDF().persist()
+            try {
+              sink(df.where(col("res").isNotNull).select("res.*"))
+              val pass = df.where(col("pass").isNotNull).select("pass.*")
+              flushBatch(pass, coldDir.get, bid, metric, indexAtFlush,
+                m = hnswM, efConstruction = hnswEfConstruction)
+              graft.store.ColdTier.sealDeletes(deleteLogRows(pass),
+                coldDir.get, bid)
+              if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0) {
+                graft.store.ColdTier.compact(spark, coldDir.get,
+                  targetRows = compactTargetRows, metric = metric,
+                  m = hnswM, efConstruction = hnswEfConstruction)
+                ()
+              }
+            } finally df.unpersist()
+          }
+      } else if (crossBatchMerge) {
         mergePartialsStateful(p, k).writeStream
           .outputMode(OutputMode.Append)
           .foreachBatch { (batch: Dataset[SearchResult], _: Long) =>

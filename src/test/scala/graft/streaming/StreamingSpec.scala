@@ -488,6 +488,138 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("tapped merge: a fan-out straddling a trigger completes WHILE flush+delete partials seal to cold in the same job") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-tapped").toString
+    val input = MemoryStream[PartialResult]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val q = VectorStreamJob.mergePartialsStatefulTapped(input.toDS(), k = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[MergedRow], bid: Long) =>
+        val df = b.toDF().persist()
+        try {
+          df.where(org.apache.spark.sql.functions.col("res").isNotNull)
+            .select("res.*").collect().foreach(r => results.synchronized {
+              results += ((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) })
+          val pass = df.where(
+            org.apache.spark.sql.functions.col("pass").isNotNull).select("pass.*")
+          VectorStreamJob.flushBatch(pass, cold, bid, Metric.L2)
+          graft.store.ColdTier.sealDeletes(
+            VectorStreamJob.deleteLogRows(pass), cold, bid)
+        } finally df.unpersist()
+        ()
+      }.start()
+    val now = System.currentTimeMillis()
+    // trigger 1: partition 0 of a 2-way fan-out reports, AND partition 0
+    // TTL-flushes two rows to cold — in the same micro-batch
+    input.addData(
+      PartialResult(7L, 0, 2, Array(1L, 2L), Array(0.1, 0.2), 100L, now),
+      PartialResult(-1L, 0, FlushSent, Array(10L, 11L),
+        Array(10.0, 11.0), 100L, now, Array(vec(10), vec(11))))
+    q.processAllAvailable()
+    assert(results.synchronized(results.isEmpty),
+      "incomplete fan-out must not emit")
+    val cat1 = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat1.map(_.count).sum == 2L,
+      s"trigger-1 flush must seal before the query completes: ${cat1.toList}")
+    // trigger 2: partition 1 completes the query (overlapping id 2 —
+    // cross-trigger dedup), partition 1 flushes another row, and a
+    // delete-log tombstone for an already-flushed id rides along
+    input.addData(
+      PartialResult(7L, 1, 2, Array(3L, 2L), Array(0.05, 0.2), 100L,
+        System.currentTimeMillis()),
+      PartialResult(-1L, 1, FlushSent, Array(12L), Array(12.0), 100L,
+        System.currentTimeMillis(), Array(vec(12))),
+      PartialResult(10L, 1, DeleteLogSent, Array(10L), Array(50.0), 50L,
+        System.currentTimeMillis()))
+    q.processAllAvailable()
+    q.stop()
+    val got = results.synchronized(results.sortBy(_._2))
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      Seq((7L, 1, 3L), (7L, 2, 1L), (7L, 3, 2L)),
+      s"merged top-k across triggers: $got")
+    // both triggers' flushes are sealed segments; the delete log shadows
+    // the tombstoned id in the cold search
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.map(_.count).sum == 3L, s"cold rows: ${cat.toList}")
+    val queries = Seq((1L, vec(10), 10000L, 100000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    val coldIds = graft.store.ColdTier.search(spark, cold, queries, 3,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().map(_.getLong(2)).toSet
+    assert(coldIds == Set(11L, 12L),
+      s"tombstoned id 10 must be shadowed: $coldIds")
+  }
+
+  test("full operating mode in ONE job: crossBatchMerge + hot->cold flush + compaction, results bit-equal to exact truth") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-fullmode").toString
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, crossBatchMerge = true,
+      coldDir = Some(cold), compactEvery = 4, compactTargetRows = 1000L,
+      indexAtFlush = true) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2))) })
+    }
+    // epoch 0: ids 0..19 at ts 0..19; delete id 5 while hot
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)): _*)
+    q.processAllAvailable()
+    input.addData(StreamEvent("d", 5L, null, 30L, 0L, 0))
+    q.processAllAvailable()
+    // epoch 1 at ts 5000.. -> eviction floor retires epoch 0 to cold
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0)): _*)
+    q.processAllAvailable()
+    // epoch 2 retires epoch 1; a hot query rides along and must complete
+    // through the STATEFUL merge in the same job that is flushing
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", 200L + i, vec(200 + i), 10000L + i, 0L, 0)) :+
+      StreamEvent("q", 9000L, vec(205), 10050L, 1000L, 5): _*)
+    q.processAllAvailable()
+    // post-flush delete: only the logged tombstone can shadow id 7 in cold
+    input.addData(StreamEvent("d", 7L, null, 10010L, 0L, 0))
+    q.processAllAvailable()
+    // land on bid % compactEvery == 0 -> compaction in the same job
+    input.addData(StreamEvent("i", 300L, vec(300), 10020L, 0L, 0))
+    q.processAllAvailable()
+    q.stop()
+
+    // the hot query completed via the cross-batch merge, bit-equal to
+    // the exact top-5 over its maxTtl-clamped window (epoch 2, ts>=9050)
+    val hotTruth = (0 until 20).map(i => (200L + i,
+        Distances.l2(vec(205), vec(200 + i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val hot = results.synchronized {
+      results.filter(_._1 == 9000L).sortBy(_._2).map(_._3).toList }
+    assert(hot == hotTruth, s"hot query: $hot != $hotTruth")
+
+    // cold tier: epoch 0 minus hot-deleted 5, plus epoch 1; compacted;
+    // post-flush delete of 7 applied physically by the compaction
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.length == 1, s"compaction should leave one segment: ${cat.toList}")
+    assert(cat.head.count == 38L)
+    // an old window answered bit-exactly from cold, through the sidecar
+    // built at flush (survives compaction) — zero-corpus-IO serving path
+    val queries = Seq((1L, vec(3), 2000L, 2000L)).toDF("qid", "qv", "qtime", "ttl")
+    val coldTruth = (0 until 20).filterNot(i => i == 5 || i == 7)
+      .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val gotCold = graft.store.ColdTier.search(spark, cold, queries, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    assert(gotCold == coldTruth, s"cold search $gotCold != exact $coldTruth")
+    assert(graft.store.ColdTier.indexSealed(spark, cold, cat.head.segmentId))
+    val gotFast = graft.store.ColdTier.searchIndexedFast(spark, cold,
+        queries, 5, Metric.L2, efSearch = 64)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    assert(gotFast == coldTruth, s"fast path $gotFast != exact $coldTruth")
+  }
+
   test("hot->cold lifecycle: TTL-evicted state flushes into cold segments, tiers serve disjoint windows, compaction wired") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
