@@ -140,6 +140,41 @@ object Bench10x {
     val (fastRows, fast1) = time(fastRun())
     val fastTimes = fast1 +: (2 to reps).map { _ => System.gc(); time(fastRun())._2 }
     val fastRecall = recallVsTruth(fastRows)
+
+    // --- V5 early termination at scale: the EWMA-assisted approximate
+    // two-wave scan (terminationFactor 0.8, reference vector_options.h:
+    // 79-96 + version_set.cc:2689-2698) on the same cell-aligned tier.
+    // Lossless scan first (the exactness baseline AND the EWMA's training
+    // signal via learnThreshold), then the approximate pass with
+    // per-query thresholds + the learned fallback; the probe-plan stats
+    // record how many wave-2 segment probes the threshold actually
+    // skipped. Recall is vs the exact brute-force truth.
+    import graft.store.ColdTier
+    def losslessScan() = ColdTier.search(spark, tier, q10, 10, Metric.L2,
+      firstWaveFraction = 0.25, terminationFactor = 1.0)
+    System.gc()
+    val (losslessDf, lossless1) = time {
+      val df = losslessScan(); df.count(); df
+    }
+    val losslessTimes = lossless1 +: (2 to reps).map { _ =>
+      System.gc(); time(losslessScan().count())._2 }
+    val ewma = ColdTier.learnThreshold(losslessDf, 10, None)
+    // probe-plan instrumentation runs eagerly at call time — keep it in
+    // its own UNTIMED pass so the timed reps measure the search alone
+    val etStats = scala.collection.mutable.Map.empty[String, Long]
+    ColdTier.search(spark, tier, q10, 10, Metric.L2,
+      firstWaveFraction = 0.25, terminationFactor = 0.8,
+      ewmaThreshold = ewma, searchStats = Some(etStats))
+    def approxRun() = ColdTier.search(spark, tier, q10, 10, Metric.L2,
+        firstWaveFraction = 0.25, terminationFactor = 0.8,
+        ewmaThreshold = ewma)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    System.gc()
+    val (etRows, et1) = time(approxRun())
+    val etTimes = et1 +: (2 to reps).map { _ => System.gc(); time(approxRun())._2 }
+    val etRecall = recallVsTruth(etRows)
+    val w2Planned = etStats.getOrElse("wave2_planned", 0L)
+    val w2Scanned = etStats.getOrElse("wave2_scanned", 0L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tier))
 
     q10.unpersist(); vecs10.unpersist()
@@ -166,6 +201,14 @@ object Bench10x {
       s""""ann_fastpath_query_10x_secs":${arr(fastTimes)},""" +
       s""""ann_fastpath_recall_10x":${"%.4f".format(fastRecall)},""" +
       s""""ann_fastpath_query_per_sec_10x":${"%.1f".format(nQ10 / fastTimes.min)},""" +
+      s""""coldscan_lossless_10x_sec":${"%.2f".format(losslessTimes.min)},""" +
+      s""""coldscan_early_term_10x_sec":${"%.2f".format(etTimes.min)},""" +
+      s""""coldscan_early_term_10x_secs":${arr(etTimes)},""" +
+      s""""coldscan_early_term_recall_10x":${"%.4f".format(etRecall)},""" +
+      s""""coldscan_wave2_planned_10x":$w2Planned,""" +
+      s""""coldscan_wave2_scanned_10x":$w2Scanned,""" +
+      s""""coldscan_wave2_skipped_frac_10x":${"%.3f".format(
+        if (w2Planned == 0) 0.0 else 1.0 - w2Scanned.toDouble / w2Planned)},""" +
       s""""bf_query_per_sec_10x":${"%.1f".format(nQ10 / bfTimes.min)}"""
   }
 

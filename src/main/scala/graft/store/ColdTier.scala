@@ -1360,7 +1360,13 @@ object ColdTier {
       terminationFactor: Double = 1.0,
       ewmaThreshold: Option[Double] = None,
       snapshot: Option[Long] = None,
-      filterColumn: Option[String] = None): DataFrame = {
+      filterColumn: Option[String] = None,
+      // when set, filled with probe-plan instrumentation (catalog-bounded
+      // counts, two extra tiny actions): wave1_probes, wave2_planned,
+      // wave2_scanned — the early-termination evidence (segments skipped
+      // = planned - scanned)
+      searchStats: Option[scala.collection.mutable.Map[String, Long]] = None)
+      : DataFrame = {
     import spark.implicits._
     // `snapshot` = time travel: plan over the pinned catalog and the
     // pinned tombstone rows instead of the live ones — mutations sealed
@@ -1450,12 +1456,17 @@ object ColdTier {
     val fallback = ewmaThreshold.filter(_ => terminationFactor < 1.0)
       .map(e => lit(e * terminationFactor))
       .getOrElse(lit(null).cast("double"))
-    val wave2 = scanWave(
-      probes.where(col("wave") === 2)
-        .join(thresholds, Seq("qid"), "left")
-        .withColumn("eff", coalesce(col("thr"), fallback))
-        .where(col("eff").isNull || col("lower_bound") <= col("eff"))
-        .select("qid", "segmentId", "wave", "lower_bound"))
+    val wave2Kept = probes.where(col("wave") === 2)
+      .join(thresholds, Seq("qid"), "left")
+      .withColumn("eff", coalesce(col("thr"), fallback))
+      .where(col("eff").isNull || col("lower_bound") <= col("eff"))
+      .select("qid", "segmentId", "wave", "lower_bound")
+    searchStats.foreach { m =>
+      m("wave1_probes") = probes.where(col("wave") === 1).count()
+      m("wave2_planned") = probes.where(col("wave") === 2).count()
+      m("wave2_scanned") = wave2Kept.count()
+    }
+    val wave2 = scanWave(wave2Kept)
 
     // probes/wave1Top must stay cached while the returned (lazy) result
     // is consumed; the registry unpersists older generations instead

@@ -173,6 +173,55 @@ class ColdTierSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"approximate-termination recall: $recall")
   }
 
+  test("EWMA-assisted early termination: recall >= 0.95 while skipping a real fraction of wave-2 probes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-et").toString
+    val dim = 8
+    // sixteen tight clusters, one per segment — the cell-aligned layout
+    // the 10x bench serves from
+    (0 until 16).foreach { c =>
+      val rnd = new java.util.Random(300L + c)
+      val rows = (0 until 250).map { i =>
+        val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.3f)
+        v(0) += 4f * (c % 4); v(1) += 4f * (c / 4)
+        (c * 1000L + i, v, 500L + i)
+      }
+      ColdTier.seal(rows.toDF("id", "vec", "eventTime"), dir, c.toLong)
+    }
+    val qrnd = new java.util.Random(77L)
+    val qs = (0 until 24).map { qi =>
+      val c = qi % 16
+      val v = Array.fill(dim)(qrnd.nextGaussian().toFloat * 0.3f)
+      v(0) += 4f * (c % 4); v(1) += 4f * (c / 4)
+      (qi.toLong, v, 10000L, 100000L)
+    }
+    val qdf = qs.toDF("qid", "qv", "qtime", "ttl")
+    val losslessDf = ColdTier.search(spark, dir, qdf, 10, Metric.L2,
+      firstWaveFraction = 0.25, terminationFactor = 1.0)
+    val lossless = losslessDf.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ewma = ColdTier.learnThreshold(losslessDf, 10, None)
+    assert(ewma.isDefined)
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val approx = ColdTier.search(spark, dir, qdf, 10, Metric.L2,
+        firstWaveFraction = 0.25, terminationFactor = 0.8,
+        ewmaThreshold = ewma, searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = qs.map { case (qid, _, _, _) =>
+      approx.getOrElse(qid, Set.empty)
+        .intersect(lossless(qid)).size.toDouble / lossless(qid).size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.95, s"early-termination recall: $recall")
+    val planned = stats("wave2_planned")
+    val scanned = stats("wave2_scanned")
+    assert(planned > 0 && scanned < planned,
+      s"early termination must skip probes: $scanned/$planned")
+    assert(1.0 - scanned.toDouble / planned >= 0.3,
+      s"skip fraction too small to be evidence: $scanned/$planned")
+  }
+
   test("EWMA threshold gates under-filled queries only in approximate mode") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-ewma").toString
