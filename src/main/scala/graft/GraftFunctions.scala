@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // SURVEY §4.3 stretch: ORDER BY <distance> LIMIT k over a registered
+    // corpus is served from its sealed index (opt-in via KnnIndex.register)
+    ext.injectOptimizerRule(session => graft.plans.KnnProbeRewrite(session))
   }
 }

@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, FloatType, ArrayType}
+import graft.Metric
+import graft.functions.{CosineDistance, IpDistance, L2Distance}
+
+/**
+ * SURVEY §4.3 (stretch): serve `ORDER BY <distance>(vec, <literal>) LIMIT k`
+ * from a sealed vector index instead of a full corpus scan.
+ *
+ * The reference has no SQL surface at all — its kNN entry point is the
+ * stream job. This is the Spark-native surface on top of the same cold
+ * tier: [[KnnIndex.register]] declares that kNN queries over a corpus
+ * path should be answered by the HNSW sidecars of a cell-sealed
+ * [[graft.store.ColdTier]] directory (built from the same rows), and the
+ * injected optimizer rule [[KnnProbeRewrite]] rewrites the matching
+ * logical pattern into the index probe's own logical plan — Spark's
+ * `TakeOrderedAndProject` over a full distance scan becomes a
+ * probeSegments-routed graph walk with zero corpus IO.
+ *
+ * Registration is the opt-in: an index-served ORDER BY is APPROXIMATE
+ * (graph recall — spec-gated ≥ the same bars as every other ANN surface
+ * here), which is exactly the trade the user requests by registering.
+ * Without a registration — or with `spark.graft.knn.rewrite=false` — the
+ * plan is untouched and Spark executes the exact scan.
+ *
+ * Matched shape (what `df.select(id, dist).orderBy(dist).limit(k)` and
+ * the SQL `SELECT id, l2_distance(vec, array(...)) AS dist FROM corpus
+ * ORDER BY dist LIMIT k` both analyze to):
+ *
+ *   GlobalLimit k
+ *     LocalLimit k
+ *       Sort [dist ASC], global
+ *         Project [idCol, Alias(distance(vecCol, foldable) | swapped) AS dist]
+ *           LogicalRelation parquet(registered path)
+ *
+ * The projection may list only the registered id column and the distance
+ * alias (the classic vector-search answer shape): anything wider would
+ * need candidate hydration — that variant stays on the exact path rather
+ * than silently changing more of the query than was opted into.
+ */
+object KnnIndex {
+  final case class Registration(coldDir: String, idCol: String,
+      vecCol: String, metric: Metric, efSearch: Int, probeSegments: Int,
+      shortlist: Int)
+
+  private val reg =
+    scala.collection.concurrent.TrieMap.empty[String, Registration]
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  /** Declare that kNN ORDER-BY queries over `corpusPath` are served by
+   * the sealed tier at `coldDir` (sidecars must be sealed). */
+  def register(corpusPath: String, coldDir: String, idCol: String = "id",
+      vecCol: String = "vec", metric: Metric = Metric.L2,
+      efSearch: Int = 96, probeSegments: Int = Int.MaxValue,
+      shortlist: Int = 64): Unit =
+    reg.put(norm(corpusPath),
+      Registration(coldDir, idCol, vecCol, metric, efSearch, probeSegments,
+        shortlist))
+
+  def unregister(corpusPath: String): Unit = reg.remove(norm(corpusPath))
+  def clear(): Unit = reg.clear()
+
+  /** Install [[KnnProbeRewrite]] on an ALREADY-BUILT session (idempotent).
+   * `withExtensions` only applies at session construction — a session
+   * obtained from a shared `getOrCreate()` (the Verify/bench harness, a
+   * shared test JVM) never saw [[graft.GraftExtensions]], so the rule
+   * rides `experimental.extraOptimizations` instead (a post-optimizer
+   * batch; the matched Limit/Sort/Project shape is stable there). A
+   * session built with the extensions applies the rule in the main
+   * batch and a second copy here would find its pattern already
+   * rewritten — still harmless, but the guard keeps the list clean. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[KnnProbeRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ KnnProbeRewrite(spark)
+  }
+
+  private[plans] def lookup(paths: Seq[String]): Option[Registration] =
+    paths.flatMap(p => reg.get(norm(p))).headOption
+}
+
+case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def metricOf(e: Expression): Option[(Metric, Expression, Expression)] =
+    e match {
+      case L2Distance(a, b) => Some((Metric.L2, a, b))
+      case IpDistance(a, b) => Some((Metric.IP, a, b))
+      case CosineDistance(a, b) => Some((Metric.Cosine, a, b))
+      case _ => None
+    }
+
+  /** The (vec attribute, query literal) pair in either argument order. */
+  private def vecAndQuery(a: Expression, b: Expression)
+      : Option[(AttributeReference, Array[Float])] = {
+    def asQuery(e: Expression): Option[Array[Float]] =
+      if (!e.foldable) None
+      else e.dataType match {
+        case ArrayType(FloatType, _) =>
+          Option(e.eval()).map(
+            _.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toFloatArray())
+        case ArrayType(DoubleType, _) =>
+          Option(e.eval()).map(
+            _.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toDoubleArray().map(_.toFloat))
+        case _ => None
+      }
+    (a, b) match {
+      case (attr: AttributeReference, q) => asQuery(q).map((attr, _))
+      case (q, attr: AttributeReference) => asQuery(q).map((attr, _))
+      case _ => None
+    }
+  }
+
+  /** Root paths of the underlying file relation, looking through
+   * pass-through (attribute-only) Projects that column pruning may have
+   * inserted between the matched Project and the scan. */
+  private def relationPaths(plan: LogicalPlan): Seq[String] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.map(_.toString)
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      relationPaths(child)
+    case _ => Seq.empty
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (spark.conf.get("spark.graft.knn.rewrite", "true") != "true") return plan
+    plan.transformDown {
+      case lim @ Limit(IntegerLiteral(k),
+          Sort(Seq(SortOrder(sortRef: AttributeReference, Ascending, _, _)),
+            true, Project(projList, rel), _))
+          if relationPaths(rel).nonEmpty =>
+        val rewritten = for {
+          r <- KnnIndex.lookup(relationPaths(rel))
+          distAlias <- projList.collectFirst {
+            case al @ Alias(d, _) if al.exprId == sortRef.exprId => (al, d)
+          }
+          (metric, a, b) <- metricOf(distAlias._2)
+          if metric == r.metric
+          (vecAttr, qv) <- vecAndQuery(a, b)
+          if vecAttr.name == r.vecCol
+          idAttr <- projList.collectFirst {
+            case at: AttributeReference if at.name == r.idCol => at
+          }
+          // schema parity with the probe output (id LONG, dist DOUBLE) —
+          // an exprId swap under a different type would corrupt parents
+          if idAttr.dataType == org.apache.spark.sql.types.LongType
+          if distAlias._1.dataType == DoubleType
+          // the ONLY projected columns are the id and the distance — the
+          // shape the probe answers without hydration
+          if projList.forall {
+            case at: AttributeReference => at.name == r.idCol
+            case al: Alias => al.exprId == distAlias._1.exprId
+            case _ => false
+          }
+        } yield {
+          val probe = graft.store.ColdTier.searchIndexedFast(spark,
+            r.coldDir, singleQuery(qv), k, metric, efSearch = r.efSearch,
+            probeSegments = r.probeSegments,
+            shortlist = math.max(r.shortlist, k))
+            .select(col("id"), col("dist"))
+          val probePlan = probe.queryExecution.analyzed
+          val pid = probePlan.output.find(_.name == "id").get
+          val pdist = probePlan.output.find(_.name == "dist").get
+          // re-expose the probe's columns under the ORIGINAL attribute
+          // ids so every parent operator keeps resolving; re-assert the
+          // ordering contract the matched Sort promised
+          val ordered = Sort(
+            Seq(SortOrder(pdist, Ascending)), global = true, probePlan)
+          val out: Seq[NamedExpression] = projList.map {
+            case at: AttributeReference =>
+              Alias(pid, at.name)(exprId = at.exprId)
+            case al: Alias => Alias(pdist, al.name)(exprId = al.exprId)
+            case other => other
+          }
+          logInfo(s"graft: serving ORDER BY ${metric} distance LIMIT $k " +
+            s"over ${relationPaths(rel).head} from index ${r.coldDir}")
+          Project(out, ordered)
+        }
+        rewritten.getOrElse(lim) // no registration / shape mismatch: exact path
+    }
+  }
+
+  private def singleQuery(qv: Array[Float]) = {
+    import spark.implicits._
+    Seq((0L, qv, Long.MaxValue / 2, Long.MaxValue / 2))
+      .toDF("qid", "qv", "qtime", "ttl")
+  }
+}

@@ -35,8 +35,38 @@ object EvalQueries {
   private val tieredDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
   /** Cell-sealed (one segment per k-means cell) tier dirs per sf dir. */
   private val routedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Cell-sealed + HNSW-indexed tier over the embeddings table (shared by
+   * `knn_coldtier_routed` and `knn_sql_rewrite`). The k-means fit sample
+   * is BOUNDED (id-ordered for determinism, like ColdTier.recluster's
+   * sampleCap) — the routing model must be fittable from a driver-sized
+   * sample regardless of corpus size. */
+  private def routedTier(s: SparkSession, dir: String): String =
+    routedDirs.getOrElseUpdate(dir, {
+      val e = Tables(s, dir, "embeddings")
+      val t = java.nio.file.Files.createTempDirectory("graft-cold-routed")
+        .toString
+      val data = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").as("eventTime"))
+      val sample = data.orderBy("id").limit(8192).collect()
+        .map(_.getSeq[Float](1).toArray)
+      val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
+        replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)
+      val bCells = s.sparkContext.broadcast(cells)
+      val cellOf = udf((v: Seq[Float]) =>
+        bCells.value.dataPartitions(v.toArray, 0L)(0))
+      // batch seal: the whole cell layout lands in ONE partitioned
+      // write (sealMany) — the shape a flush/compaction uses at scale
+      val segStats = graft.store.ColdTier.sealMany(
+        data.withColumn("segmentId", cellOf(col("vec")).cast("long")), t)
+      graft.store.ColdTier.sealIndexes(s, t, segStats.map(_.segmentId).toSeq,
+        graft.Metric.L2, m = 16, efConstruction = 128)
+      t
+    })
   /** Time-accreted-then-reclustered tier dirs per sf dir. */
   private val reclusteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Top-n of the SQL-rewrite entry (one literal query; the LIMIT). */
+  private val SqlRewriteK = 500
   /** Snapshot-pinned tier dirs per sf dir: (tier dir, snapshot version). */
   private val snapshotDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
@@ -406,29 +436,7 @@ object EvalQueries {
       // the aux; the twin proves the re-rank bit-exactly (routing
       // RECALL on separated clusters is spec-gated in ColdTierSpec).
       val e = Tables(s, dir, "embeddings")
-      val tmp = routedDirs.getOrElseUpdate(dir, {
-        val t = java.nio.file.Files.createTempDirectory("graft-cold-routed")
-          .toString
-        val data = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
-          col("vec_id").as("eventTime"))
-        // fit sample is BOUNDED (id-ordered for determinism, like
-        // ColdTier.recluster's sampleCap) — the routing model must be
-        // fittable from a driver-sized sample regardless of corpus size
-        val sample = data.orderBy("id").limit(8192).collect()
-          .map(_.getSeq[Float](1).toArray)
-        val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
-          replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)
-        val bCells = s.sparkContext.broadcast(cells)
-        val cellOf = udf((v: Seq[Float]) =>
-          bCells.value.dataPartitions(v.toArray, 0L)(0))
-        // batch seal: the whole cell layout lands in ONE partitioned
-        // write (sealMany) — the shape a flush/compaction uses at scale
-        val segStats = graft.store.ColdTier.sealMany(
-          data.withColumn("segmentId", cellOf(col("vec")).cast("long")), t)
-        graft.store.ColdTier.sealIndexes(s, t, segStats.map(_.segmentId).toSeq,
-          graft.Metric.L2, m = 16, efConstruction = 128)
-        t
-      })
+      val tmp = routedTier(s, dir)
       val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
@@ -440,6 +448,53 @@ object EvalQueries {
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "coldtier_routed_shortlist"), queries,
         VectorQueries.K, graft.Metric.L2)
+    },
+
+    "knn_sql_rewrite" -> { (s, dir) =>
+      // SURVEY §4.3 stretch as an ORACLE-GATED surface: the SQL a user
+      // writes — `SELECT vec_id, l2_distance(embedding, <literal>) AS
+      // dist FROM corpus ORDER BY dist LIMIT n` — over the REGISTERED
+      // embeddings corpus is optimizer-rewritten (KnnProbeRewrite) into
+      // the cell-routed graph probe with ZERO file scans at query time.
+      // The entry THROWS if the plan still scans the corpus, so a
+      // rewrite regression turns the driver's gate red instead of
+      // silently falling back to the exact scan. The probe's id choices
+      // land as oracle aux and replay through the exact re-rank — the
+      // knn_coldtier_routed recipe; graph recall + the no-rewrite
+      // negative cases are spec-gated in KnnRewriteSpec.
+      val tmp = routedTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = 2, shortlist = SqlRewriteK)
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus")
+        val df = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus ORDER BY dist LIMIT $SqlRewriteK"""
+            .stripMargin)
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }
+        require(scans.isEmpty, "knn_sql_rewrite: the ORDER BY plan still " +
+          "scans files — the index rewrite did not fire")
+        OracleAux.write(
+          df.select(lit(0L).as("qid"), col("vec_id").as("id")),
+          dir, "sql_rewrite_ids")
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val queries = e.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "sql_rewrite_ids"), queries,
+        SqlRewriteK, graft.Metric.L2)
     },
 
     "knn_tiered" -> { (s, dir) =>
@@ -699,6 +754,20 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // SQL-rewrite replay: the optimizer-served top-n's ids re-ranked
+    // exactly — one query (vec_id 0), the routed-probe recipe
+    "knn_sql_rewrite" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_ids")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteK"""
         .stripMargin,
 
     // routed-probe replay: same re-rank recipe over the routed shortlist

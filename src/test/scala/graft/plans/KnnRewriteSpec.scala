@@ -1,0 +1,155 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftExtensions, Metric}
+import graft.functions.Distances
+import graft.store.ColdTier
+
+class KnnRewriteSpec extends AnyFunSuite {
+  // getOrCreate() in a shared test JVM returns whichever session an
+  // earlier suite built — `.withExtensions` is silently ignored then, so
+  // the rule is installed the runtime way (KnnIndex.install), the same
+  // path a Verify/bench session uses. GraftFunctions.register supplies
+  // the l2_distance SQL function for the same reason.
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    KnnIndex.install(s)
+    graft.GraftFunctions.register(s)
+    s
+  }
+
+  private val dim = 8
+
+  private def clustered(n: Int): Seq[(Long, Array[Float], Long)] = {
+    (0 until n).map { i =>
+      val c = i % 4
+      val rnd = new java.util.Random(1000L + i)
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.3f)
+      v(0) += 5f * c
+      (i.toLong, v, 100L + i)
+    }
+  }
+
+  /** corpus parquet + cell-sealed indexed tier over the same rows. */
+  private def fixture(): (String, String, Seq[(Long, Array[Float], Long)]) = {
+    import spark.implicits._
+    val rows = clustered(800)
+    val corpusPath = Files.createTempDirectory("knnrw-corpus").toString
+    rows.toDF("id", "vec", "eventTime").write.mode("overwrite")
+      .parquet(corpusPath)
+    val coldDir = Files.createTempDirectory("knnrw-tier").toString
+    val withSeg = rows.toDF("id", "vec", "eventTime")
+      .withColumn("segmentId", (col("id") % 4).cast("long"))
+    ColdTier.sealMany(withSeg, coldDir)
+    ColdTier.sealIndexes(spark, coldDir, 0L until 4L, Metric.L2, m = 8,
+      efConstruction = 64)
+    (corpusPath, coldDir, rows)
+  }
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+
+  test("ORDER BY l2_distance LIMIT k over a registered corpus is served from the index, results match the probe and truth") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val (corpusPath, coldDir, rows) = fixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64)
+      val q = rows(42)._2
+      val corpus = spark.read.parquet(corpusPath)
+      val df = corpus
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      // the rewrite replaced the corpus scan with the tier's
+      // the graph-only fast path reads NO parquet at query time (sidecars
+      // are probed via broadcast index metadata) — the rewritten plan has
+      // no file scan at all, corpus or otherwise
+      val paths = scanPaths(df)
+      assert(!paths.exists(_.contains(corpusPath)),
+        s"corpus scan survived the rewrite: $paths")
+      assert(paths.isEmpty,
+        s"zero-corpus-IO serving path expected, found scans: $paths")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == 10)
+      assert(got.map(_._2).sliding(2).forall(w => w(0) <= w(1)),
+        "ascending distance order preserved")
+      // bit-parity with the probe the rewrite claims to serve from
+      import spark.implicits._
+      val qDf = Seq((0L, q, Long.MaxValue / 2, Long.MaxValue / 2))
+        .toDF("qid", "qv", "qtime", "ttl")
+      val probe = ColdTier.searchIndexedFast(spark, coldDir, qDf, 10,
+          Metric.L2, efSearch = 96, probeSegments = 4, shortlist = 64)
+        .orderBy("rn").collect().map(r => (r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == probe.toSeq, "rewrite output != index probe output")
+      // quality vs exact truth (same bar as every ANN surface)
+      val truth = rows.map { case (id, v, _) => (id, Distances.l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val recall = got.map(_._1).count(truth.contains).toDouble / truth.size
+      assert(recall >= 0.9, s"rewrite recall: $recall")
+    } finally KnnIndex.clear()
+  }
+
+  test("SQL surface: SELECT ... ORDER BY l2_distance(...) LIMIT k rewrites too") {
+    val (corpusPath, coldDir, rows) = fixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96, probeSegments = 4,
+        shortlist = 64)
+      val q = rows(7)._2
+      spark.read.parquet(corpusPath).createOrReplaceTempView("knn_corpus")
+      val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      val df = spark.sql(
+        s"""SELECT id, l2_distance(vec, $arr) AS dist
+           |FROM knn_corpus ORDER BY dist LIMIT 5""".stripMargin)
+      assert(!scanPaths(df).exists(_.contains(corpusPath)),
+        "SQL query must be served from the tier, not the corpus scan")
+      val got = df.collect().map(_.getLong(0))
+      assert(got.length == 5 && got.contains(7L),
+        s"query at a stored point must find it: ${got.toList}")
+    } finally KnnIndex.clear()
+  }
+
+  test("no rewrite without registration, with the conf off, on DESC, or on wider projections") {
+    val (corpusPath, coldDir, rows) = fixture()
+    val q = rows(0)._2
+    def plan(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val corpus = spark.read.parquet(corpusPath)
+      f(corpus)
+    }
+    def base(c: org.apache.spark.sql.DataFrame) = c
+      .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+    try {
+      // unregistered: untouched exact plan over the corpus
+      assert(scanPaths(plan(c => base(c).orderBy("dist").limit(10)))
+        .exists(_.contains(corpusPath)))
+      KnnIndex.register(corpusPath, coldDir)
+      // conf kill switch
+      spark.conf.set("spark.graft.knn.rewrite", "false")
+      assert(scanPaths(plan(c => base(c).orderBy("dist").limit(10)))
+        .exists(_.contains(corpusPath)))
+      spark.conf.set("spark.graft.knn.rewrite", "true")
+      // DESC = farthest-first — not a kNN probe
+      assert(scanPaths(plan(c => base(c).orderBy(col("dist").desc).limit(10)))
+        .exists(_.contains(corpusPath)))
+      // wider projection would need hydration: stays exact
+      assert(scanPaths(plan(c => c.select(col("id"), col("vec"),
+          Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10))).exists(_.contains(corpusPath)))
+      // sanity: the canonical shape DOES rewrite under the same session
+      assert(!scanPaths(plan(c => base(c).orderBy("dist").limit(10)))
+        .exists(_.contains(corpusPath)))
+    } finally KnnIndex.clear()
+  }
+}

@@ -168,6 +168,11 @@ class PlanCheckSpec extends AnyFunSuite {
     // eval family shape: broadcast hits join over k x queries rows
     ("eval_ndcg", true, true, false),
     ("knn_coldtier_ip", true, true, false),
+    // SQL-rewrite entry OUTPUT = the exact re-rank over the aux ids
+    // (broadcast candidate + query joins, vec_id=0 filter pushed); the
+    // zero-file-scan property of the REWRITTEN plan itself is asserted
+    // inside the entry (it throws if the corpus scan survives)
+    ("knn_sql_rewrite", true, true, false),
     // catalog observability view: a bare stats-parquet scan
     ("coldtier_stats", false, true, false),
     ("part_gray", false, true, false))
