@@ -131,6 +131,62 @@ object Bench {
       reps.map(_._2.length).sum)
   }
 
+  /** Composed-mode point: cross-batch merge AND hot→cold TTL flush in ONE
+   * job — the reference's full operating topology (continuous ingest,
+   * TTL eviction sealing cold segments, incremental cross-trigger query
+   * completeness) — under the same chunked feed as the plain-mode
+   * headline, so the artifact records what the flush tap costs next to
+   * it. ts = insertion order and maxTtl = a quarter of the feed, so the
+   * hot tier continuously evicts + flushes WHILE queries ask for the
+   * fresh window; returns (insert/s, p50 ms, p99 ms, sealed segments). */
+  private def composedStreamBench(spark: SparkSession,
+      rows: Array[(Long, Array[Float], Long)], parts: Int)
+      : (Double, Double, Double, Int) = {
+    import graft.streaming.VectorStreamJob
+    import graft.streaming.VectorStreamJob.StreamEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val streamSession = spark.newSession()
+    streamSession.conf.set("spark.sql.shuffle.partitions", parts)
+    import streamSession.implicits._
+    implicit val sqlCtx = streamSession.sqlContext
+    val coldDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-cold").toString
+    val maxTtl = (rows.length / 4).toLong
+    val input = MemoryStream[StreamEvent]
+    val latencies = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sq = VectorStreamJob.run(input.toDS(),
+      graft.partitioners.SimplePartitioner(parts), k = 10, Metric.L2,
+      maxTtl = maxTtl, useHnsw = true, crossBatchMerge = true,
+      coldDir = Some(coldDir)) { merged =>
+      merged.groupBy("qid").agg(max("latency_ms").as("l")).collect()
+        .foreach(r => latencies.synchronized { latencies += r.getDouble(1) })
+    }
+    val qrnd = new java.util.Random(13L)
+    var fed = 0L
+    def feedChunk(chunk: Array[(Long, Array[Float], Long)]): Unit = {
+      val inserts = chunk.map { case (id, v, _) =>
+        fed += 1; StreamEvent("i", id, v, fed, 0L, 0) }
+      val qs = (0 until 16).map { i =>
+        val (_, v, _) = chunk(qrnd.nextInt(chunk.length))
+        StreamEvent("q", 2000000000L + fed + i, v, fed, maxTtl, 10)
+      }
+      input.addData(inserts.toIndexedSeq ++ qs: _*)
+      sq.processAllAvailable()
+    }
+    val chunks = rows.grouped(2000).toArray
+    feedChunk(chunks.head) // warmup, untimed
+    latencies.synchronized(latencies.clear())
+    val (_, sec) = time(chunks.tail.foreach(feedChunk))
+    sq.stop()
+    val lat = latencies.synchronized { latencies.sorted.toArray }
+    def pctOf(p: Double): Double =
+      if (lat.isEmpty) -1.0
+      else lat(math.min(lat.length - 1, (p * lat.length).toInt))
+    val nSegs = graft.store.ColdTier.catalog(streamSession, coldDir).length
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(coldDir))
+    (chunks.tail.map(_.length).sum / sec, pctOf(0.5), pctOf(0.99), nSegs)
+  }
+
   /** Spawn [[Bench10x]] in a fresh JVM: the parent's classpath
    * (`java.class.path` — sbt's forked run passes a real -cp) and its
    * module/system flags (the Spark-on-JDK17 --add-opens set rides the
@@ -228,8 +284,18 @@ object Bench {
          |  ${v("ann_indexed_query_per_sec_10x")} q/s (recall
          |  ${v("ann_indexed_recall_10x")}). Probes/query stay constant as the
          |  corpus grows.
+         |- **Coarse-quantizer routing at catalog scale**
+         |  (${v("routing_segments")} synthetic centroids — the per-query
+         |  routing unit cost of a ~100-TB tier at ~1 GB cells): exact
+         |  linear selection ${v("routing_linear_q_per_sec")} routes/s vs
+         |  the IVF_HNSW centroid graph walk
+         |  **${v("routing_graph_q_per_sec")} routes/s** at routing recall
+         |  ${v("routing_graph_recall")} (cap ${v("routing_probe_cap")};
+         |  router build ${v("routing_build_sec")} s, once per catalog
+         |  change).
          |- **Early termination at 10×** (V5 approximate mode,
-         |  terminationFactor 0.8 + learned EWMA): lossless two-wave scan
+         |  terminationFactor 0.8 + learned EWMA,
+         |  ${v("coldscan_et_queries")}-query subsample): lossless two-wave scan
          |  ${v("coldscan_lossless_10x_sec")} s → approximate
          |  ${v("coldscan_early_term_10x_sec")} s at recall
          |  ${v("coldscan_early_term_recall_10x")} vs exact truth, skipping
@@ -245,7 +311,13 @@ object Bench {
          |  p50/p99 ${v("stream_latency_p50_ms@16")}/${v("stream_latency_p99_ms@16")} ms
          |  at 16 partitions, ${v("stream_latency_p50_ms@32")}/${v("stream_latency_p99_ms@32")} ms
          |  at 32 (insert/s ${v("stream_insert_per_sec@16")} and
-         |  ${v("stream_insert_per_sec@32")}).
+         |  ${v("stream_insert_per_sec@32")}). Composed mode — cross-batch
+         |  merge AND TTL flush to cold segments in ONE job, the
+         |  reference's full operating topology — sustains
+         |  ${v("stream_composed_insert_per_sec")} inserts/s at p50
+         |  ${v("stream_composed_p50_ms")} / p99
+         |  ${v("stream_composed_p99_ms")} ms while sealing
+         |  ${v("stream_composed_flushed_segments")} segments.
          |- **Cold-tier lifecycle** (12 flush-sized segments → compact):
          |  lossless scan ${v("coldtier_scan_accreted_sec")} s accreted →
          |  ${v("coldtier_scan_compacted_sec")} s compacted; sidecar probe
@@ -372,6 +444,11 @@ object Bench {
         System.gc()
         streamBench(spark, streamRows, fp, nReps = 2)
       }
+    // composed-mode (merge + TTL flush in one job) next to the plain
+    // headline: the flush tap's measured cost, not a guess
+    System.gc()
+    val (composedIns, composedP50, composedP99, composedSegs) =
+      composedStreamBench(spark, streamRows.take(12000), streamParts)
     // drop the streaming section's heap garbage (state maps, batch
     // buffers) before the allocation-heavy index sections
     System.gc()
@@ -659,6 +736,34 @@ object Bench {
         s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_compact_sec":${"%.2f".format(compactSec)},"coldtier_tombstones":$nDel,"coldtier_probe_deletes_accreted_sec":${"%.2f".format(probeDelAcc)},"coldtier_probe_deletes_consolidated_sec":${"%.2f".format(probeDelCons)},"coldtier_compact_deletes_sec":${"%.2f".format(compactDelSec)},"coldtier_recluster_sec":${"%.2f".format(reclusterSec)},"coldtier_probe_routed_fast_sec":${"%.2f".format(probeRouted)}"""
       }
 
+    // --- coarse-quantizer routing at CATALOG scale: a 100-TB tier at
+    // ~1 GB cells is ~1e5 segments, where the per-query nearest-centroid
+    // selection is the loop that stops scaling. Measured driver-side
+    // single-thread (it is a per-task unit cost, not a cluster number):
+    // the exact linear selection (the probe path's own linearRoute) vs
+    // the CentroidRouter graph walk (IVF_HNSW coarse quantizer), plus
+    // the router's one-off build cost and its routing recall vs the
+    // exact choice. Synthetic centroids — routing cost depends on S and
+    // dim only, not on what the cells contain.
+    val routingKeys: String = {
+      import graft.store.ColdTier
+      val segS = 100000; val rdim = 32; val capR = 12; val nRq = 512
+      val rrnd = new java.util.Random(11L)
+      val cents = Array.fill(segS)(Array.fill(rdim)(rrnd.nextFloat()))
+      val (router, routerBuild) =
+        time(ColdTier.CentroidRouter(cents, efRoute = 64))
+      val rqs = Array.fill(nRq)(Array.fill(rdim)(rrnd.nextFloat()))
+      val all: IndexedSeq[Int] = 0 until segS
+      val (linSets, linSec) = time(
+        rqs.map(q => ColdTier.linearRoute(q, all, cents(_), capR)))
+      router.route(rqs(0), capR, _ => true, segS) // decode+JIT, untimed
+      val (gSets, gSec) = time(rqs.map(q =>
+        router.route(q, capR, _ => true, segS).getOrElse(Set.empty)))
+      val recall = rqs.indices.map(i =>
+        gSets(i).intersect(linSets(i)).size.toDouble / capR).sum / nRq
+      s""""routing_segments":$segS,"routing_probe_cap":$capR,"routing_build_sec":${"%.2f".format(routerBuild)},"routing_linear_q_per_sec":${"%.1f".format(nRq / linSec)},"routing_graph_q_per_sec":${"%.1f".format(nRq / gSec)},"routing_graph_recall":${"%.3f".format(recall)}"""
+    }
+
     // --- 10x recall point: runs in a CHILD JVM ([[Bench10x]] — clean
     // heap by construction; the in-JVM variant mis-recorded the headline
     // scale comparison twice under ambient old-gen/page-cache pressure,
@@ -716,7 +821,7 @@ object Bench {
         s"""{"parts":${p.parts},"p50_ms":${"%.1f".format(p.pct(0.5))},"p99_ms":${"%.1f".format(p.pct(0.99))},"insert_per_sec":${"%.1f".format(p.insertPerSec)},"reps":${
           p.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"queries":${p.nQueries}}""")
         .mkString(",")}]}"""
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys,"partition_balance":${"%.3f".format(balance)}"""
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys,"stream_composed_insert_per_sec":${"%.1f".format(composedIns)},"stream_composed_p50_ms":${"%.1f".format(composedP50)},"stream_composed_p99_ms":${"%.1f".format(composedP99)},"stream_composed_flushed_segments":$composedSegs,$routingKeys,"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =
@@ -736,6 +841,7 @@ object Bench {
     queryLines.foreach(println)
     coldLine.foreach(println)
     println(streamFanoutLine)
+    println(s"""{"metric":"routing",$routingKeys}""")
     println(headline)
     spark.stop()
   }

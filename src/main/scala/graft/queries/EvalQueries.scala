@@ -450,6 +450,31 @@ object EvalQueries {
         VectorQueries.K, graft.Metric.L2)
     },
 
+    "knn_coldtier_graph_routed" -> { (s, dir) =>
+      // IVF_HNSW-style coarse quantization: ROUTING itself goes through
+      // a graph walk over the segment centroids (CentroidRouter) instead
+      // of the linear nearest-centroid sort — O(ef·log S) per query, the
+      // routing shape a 100-TB tier (~10^5 segments at ~1 GB cells)
+      // needs; the linear sort is the very loop that stops scaling
+      // there. Same aux-replay recipe as knn_coldtier_routed: the routed
+      // shortlist replays through the exact re-rank in DuckDB; router ==
+      // linear equivalence on separated cells and the narrow-window
+      // fallback are spec-gated in ColdTierSpec.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = routedTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, queries,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2, efSearch = 100,
+          probeSegments = 2, routeEf = 64),
+        dir, "coldtier_graph_routed_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_graph_routed_shortlist"), queries,
+        VectorQueries.K, graft.Metric.L2)
+    },
+
     "knn_sql_rewrite" -> { (s, dir) =>
       // SURVEY §4.3 stretch as an ORACLE-GATED surface: the SQL a user
       // writes — `SELECT vec_id, l2_distance(embedding, <literal>) AS
@@ -751,6 +776,21 @@ object EvalQueries {
          |d AS (SELECT q.qid, b.vec_id AS id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // graph-routed replay: identical twin to knn_coldtier_routed — the
+    // routing mechanism (graph walk vs linear sort) is inside the aux
+    "knn_coldtier_graph_routed" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${
+            OracleAux.ref("coldtier_graph_routed_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""

@@ -993,13 +993,109 @@ object ColdTier {
    * broadcast joins. Driver work stays catalog-bounded. */
   def searchIndexed(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, metric: Metric = Metric.L2, shortlist: Int = 50,
-      efSearch: Int = 64, probeSegments: Int = Int.MaxValue): DataFrame = {
+      efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
+      routeEf: Int = 0): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries, shortlist, metric, efSearch,
-        probeSegments),
+        probeSegments, routeEf),
       queries, k, metric)
   }
+
+  /** Graph router over segment centroids — the IVF_HNSW coarse-quantizer
+   * shape (the Faiss "IVF…_HNSW…" index family): when the catalog holds
+   * enough segments that the per-query linear nearest-centroid sort
+   * dominates routing (a 100-TB tier at ~1 GB cells is ~10⁵ segments),
+   * each query walks a tiny HNSW over the centroids instead —
+   * O(ef·log S) per query vs O(S). Built driver-side from the catalog
+   * (one vector per segment — catalog-bounded by construction),
+   * serialized once, decoded lazily per executor after broadcast.
+   *
+   * Graph routing makes the ROUTING step approximate too (standard
+   * IVF_HNSW semantics): probed cells are the walk's nearest centroids,
+   * not provably the true nearest. Freshness is never weakened: the walk
+   * over-fetches 4×, the per-query window filter applies after it, and a
+   * query whose in-window survivors fall short of the cap falls back to
+   * the exact linear route — so a narrow window changes cost, not
+   * semantics. */
+  final class CentroidRouter private[store] (bytes: Array[Byte],
+      val efRoute: Int) extends Serializable {
+    @transient private lazy val graph: HnswStore = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try HnswStore.readFrom(in, efSearch = efRoute) finally in.close()
+    }
+    /** The `cap` nearest in-window segment positions by graph walk, or
+     * None when the window filter leaves too few (caller falls back to
+     * the exact linear route). Synchronized: the decoded graph is ONE
+     * instance per executor shared by every routing task, and
+     * HnswStore's search scratch is not thread-safe (the sidecar probe
+     * path never shares a graph across tasks — one group per shard — so
+     * it needs no lock). A walk is O(ef·log S) ≈ microseconds, so the
+     * lock is not a routing bottleneck at executor core counts. */
+    def route(qv: Array[Float], cap: Int, inWin: Int => Boolean,
+        nInWin: Int): Option[Set[Int]] = {
+      val found = graph.synchronized {
+        graph.search(qv, cap * 4, Long.MinValue, Long.MaxValue)
+      }
+      val hits = found.iterator.map(_._1.toInt).filter(inWin).take(cap).toSet
+      if (hits.size >= math.min(cap, nInWin)) Some(hits) else None
+    }
+  }
+
+  object CentroidRouter {
+    /** Deterministic build over centroids in position order (label =
+     * array index; seeded HNSW build). Routing metric is L2 over
+     * centroids, matching the linear route's sort key. */
+    def apply(centroids: Array[Array[Float]], m: Int = 16,
+        efConstruction: Int = 100, efRoute: Int = 64): CentroidRouter = {
+      val g = new HnswStore(Metric.L2, m, efConstruction, efSearch = efRoute)
+      centroids.zipWithIndex.foreach { case (c, i) => g.put(i.toLong, 0L, c) }
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      g.writeTo(o); o.close()
+      new CentroidRouter(bos.toByteArray, efRoute)
+    }
+  }
+
+  /** Exact linear route: the `cap` smallest (centroid-L2, position) pairs
+   * among the in-window segment positions, by bounded insertion into a
+   * cap-sized sorted pair of primitive arrays — O(S·dim) distance work
+   * and O(cap) memory, no full sort, no tuple boxing (the sortBy it
+   * replaces allocated and sorted all S). Selection order (dist, then
+   * position) is identical to the sortBy, so routed aux replays are
+   * unchanged. */
+  private[graft] def linearRoute(qv: Array[Float], inWin: IndexedSeq[Int],
+      centroidOf: Int => Array[Float], cap: Int): Set[Int] = {
+    val ds = new Array[Double](cap)
+    val is = new Array[Int](cap)
+    var n = 0
+    val it = inWin.iterator
+    while (it.hasNext) {
+      val si = it.next()
+      val d = Distances.l2(qv, centroidOf(si))
+      if (n < cap || d < ds(n - 1) || (d == ds(n - 1) && si < is(n - 1))) {
+        var j = math.min(n, cap - 1)
+        while (j > 0 && (ds(j - 1) > d || (ds(j - 1) == d && is(j - 1) > si))) {
+          ds(j) = ds(j - 1); is(j) = is(j - 1); j -= 1
+        }
+        ds(j) = d; is(j) = si
+        if (n < cap) n += 1
+      }
+    }
+    (0 until n).map(is).toSet
+  }
+
+  /** Per-JVM router cache: serving calls re-route against the same sealed
+   * layout; key = the exact indexed-segment set + knob, so any catalog
+   * change (compact/gc/flush) naturally misses to a fresh build. */
+  private val routerCache =
+    scala.collection.concurrent.TrieMap.empty[String, CentroidRouter]
+  private def routerFor(dir: String, indexed: Array[SegmentStats],
+      efRoute: Int): CentroidRouter =
+    routerCache.getOrElseUpdate(
+      s"$dir|$efRoute|${indexed.map(_.segmentId).mkString(",")}",
+      CentroidRouter(indexed.map(_.centroid), efRoute = efRoute))
 
   /** The probe half of [[searchIndexed]]: distinct (qid, id) shortlist
    * candidates across fresh segments (sidecar probe, or exact scan
@@ -1014,10 +1110,17 @@ object ColdTier {
    *        corpus grows — the property that lets the sidecar path beat a
    *        linear scan at any scale. Default probes every fresh segment
    *        (exhaustive — the lossless-replay entries rely on it);
-   *        unindexed segments are always scanned exactly. */
+   *        unindexed segments are always scanned exactly.
+   * @param routeEf when > 0, route through a [[CentroidRouter]] graph
+   *        walk at this ef instead of the linear centroid sort (the
+   *        IVF_HNSW quantizer — routing cost O(ef·log S) per query
+   *        instead of O(S); routing becomes approximate, window
+   *        semantics unchanged). Only meaningful with a probeSegments
+   *        cap. */
   def probeCandidates(spark: SparkSession, dir: String, queries: DataFrame,
       shortlist: Int, metric: Metric = Metric.L2,
-      efSearch: Int = 64, probeSegments: Int = Int.MaxValue): DataFrame = {
+      efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
+      routeEf: Int = 0): DataFrame = {
     import spark.implicits._
     val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
@@ -1047,16 +1150,27 @@ object ColdTier {
             shardFiles(dfs, s.path).map(p => (si, p))
           }.zipWithIndex.map { case ((si, p), i) => (i, si, p) })
         val cap = probeSegments
+        val bRouter =
+          if (routeEf > 0 && cap < indexed.length)
+            Some(spark.sparkContext.broadcast(
+              routerFor(dir, indexed, routeEf)))
+          else None
         q.as[(Long, Array[Float], Long, Long)]
           .flatMap { case (qid, qv, qtime, ttl) =>
             val metas = bSegMeta.value
             val inWin = metas.indices.filter { si =>
               metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime
             }
+            def linear: Set[Int] = linearRoute(qv, inWin, metas(_)._1, cap)
             val chosen: Int => Boolean =
               if (cap >= inWin.size) inWin.toSet
-              else inWin.sortBy(si => (Distances.l2(qv, metas(si)._1), si))
-                .take(cap).toSet
+              else bRouter match {
+                case Some(r) =>
+                  val inWinSet = inWin.toSet
+                  r.value.route(qv, cap, inWinSet, inWin.size)
+                    .getOrElse(linear)
+                case None => linear
+              }
             bIdx.value.collect {
               case (i, si, _) if chosen(si) => (i, qid, qv, qtime, ttl)
             }
@@ -1108,7 +1222,8 @@ object ColdTier {
    * complete across mixed layouts. */
   def searchIndexedFast(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, metric: Metric = Metric.L2, efSearch: Int = 64,
-      probeSegments: Int = Int.MaxValue, shortlist: Int = 50): DataFrame = {
+      probeSegments: Int = Int.MaxValue, shortlist: Int = 50,
+      routeEf: Int = 0): DataFrame = {
     // probe DEPTH (shortlist, not k) controls the graph's beam — ef is
     // max(efSearch, 4*requested) inside the store, so asking each graph
     // for only k neighbors quarters the beam and costs real recall
@@ -1137,16 +1252,27 @@ object ColdTier {
             shardFiles(dfs, s.path).map(p => (si, p))
           }.zipWithIndex.map { case ((si, p), i) => (i, si, p) })
         val cap = probeSegments
+        val bRouter =
+          if (routeEf > 0 && cap < indexed.length)
+            Some(spark.sparkContext.broadcast(
+              routerFor(dir, indexed, routeEf)))
+          else None
         q.as[(Long, Array[Float], Long, Long)]
           .flatMap { case (qid, qv, qtime, ttl) =>
             val metas = bSegMeta.value
             val inWin = metas.indices.filter { si =>
               metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime
             }
+            def linear: Set[Int] = linearRoute(qv, inWin, metas(_)._1, cap)
             val chosen: Int => Boolean =
               if (cap >= inWin.size) inWin.toSet
-              else inWin.sortBy(si => (Distances.l2(qv, metas(si)._1), si))
-                .take(cap).toSet
+              else bRouter match {
+                case Some(r) =>
+                  val inWinSet = inWin.toSet
+                  r.value.route(qv, cap, inWinSet, inWin.size)
+                    .getOrElse(linear)
+                case None => linear
+              }
             bIdx.value.collect {
               case (i, si, _) if chosen(si) => (i, qid, qv, qtime, ttl)
             }

@@ -222,6 +222,72 @@ class ColdTierSpec extends AnyFunSuite {
       s"skip fraction too small to be evidence: $scanned/$planned")
   }
 
+  test("linearRoute == full-sort selection, ties and partial windows included (property)") {
+    val rnd = new java.util.Random(5L)
+    (0 until 200).foreach { _ =>
+      val s = 1 + rnd.nextInt(40)
+      val cap = 1 + rnd.nextInt(8)
+      val dim = 4
+      val cents = Array.fill(s)(Array.fill(dim)(rnd.nextFloat()))
+      if (s > 3) cents(s - 1) = cents(0).clone() // exercise the tie-break
+      val q = Array.fill(dim)(rnd.nextFloat())
+      val inWin = (0 until s).filter(_ => rnd.nextBoolean())
+      val want = inWin
+        .sortBy(si => (graft.functions.Distances.l2(q, cents(si)), si))
+        .take(cap).toSet
+      assert(ColdTier.linearRoute(q, inWin, cents(_), cap) == want)
+    }
+  }
+
+  test("CentroidRouter: graph routing matches linear routing on separated cells, and narrow windows keep exact semantics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-router").toString
+    val dim = 8
+    // 64 well-separated cells on an 8x8 grid, one segment each — enough
+    // centroids that the graph walk is a real search, not an enumeration
+    (0 until 64).foreach { c =>
+      val rnd = new java.util.Random(900L + c)
+      val rows = (0 until 60).map { i =>
+        val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.2f)
+        v(0) += 4f * (c % 8); v(1) += 4f * (c / 8)
+        (c * 1000L + i, v, c * 100L + i)
+      }
+      ColdTier.seal(rows.toDF("id", "vec", "eventTime"), dir, c.toLong)
+    }
+    ColdTier.sealIndexes(spark, dir, 0L until 64L, Metric.L2, m = 8,
+      efConstruction = 64)
+    val qrnd = new java.util.Random(33L)
+    val qs = (0 until 32).map { qi =>
+      val c = qi * 2 % 64
+      val v = Array.fill(dim)(qrnd.nextGaussian().toFloat * 0.2f)
+      v(0) += 4f * (c % 8); v(1) += 4f * (c / 8)
+      (qi.toLong, v, 100000L, 1000000L)
+    }
+    val qdf = qs.toDF("qid", "qv", "qtime", "ttl")
+    def probe(routeEf: Int) = ColdTier.probeCandidates(spark, dir, qdf,
+        shortlist = 20, Metric.L2, efSearch = 64, probeSegments = 2,
+        routeEf = routeEf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(64) == probe(0),
+      "graph routing must choose the same probed segments as the linear " +
+        "sort on separated cells")
+    // narrow window (only segments 0..15 have eventTime <= 1599): the
+    // window filter applies after the walk and the fallback keeps exact
+    // freshness semantics — graph-routed results == linear under the
+    // SAME window
+    val nq = qs.map { case (qid, v, _, _) => (qid, v, 1599L, 1599L) }
+      .toDF("qid", "qv", "qtime", "ttl")
+    def probeNarrow(routeEf: Int) = ColdTier.probeCandidates(spark, dir, nq,
+        shortlist = 20, Metric.L2, efSearch = 64, probeSegments = 2,
+        routeEf = routeEf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrowG = probeNarrow(64)
+    assert(narrowG == probeNarrow(0),
+      "narrow-window graph routing must equal linear routing")
+    assert(narrowG.forall { case (_, id) => id < 16000L },
+      "window must exclude every segment sealed after the cut")
+  }
+
   test("EWMA threshold gates under-filled queries only in approximate mode") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-ewma").toString

@@ -168,6 +168,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // eval family shape: broadcast hits join over k x queries rows
     ("eval_ndcg", true, true, false),
     ("knn_coldtier_ip", true, true, false),
+    // graph-routed coarse quantization: identical output shape to
+    // knn_coldtier_routed (the routing mechanism lives inside the aux)
+    ("knn_coldtier_graph_routed", true, true, false),
     // SQL-rewrite entry OUTPUT = the exact re-rank over the aux ids
     // (broadcast candidate + query joins, vec_id=0 filter pushed); the
     // zero-file-scan property of the REWRITTEN plan itself is asserted
