@@ -37,8 +37,14 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_ttl", true, true, false),
     ("text_jaccard_pairs", true, true, false),
     ("dedup_minhash", true, true, false),
-    ("knn_coldtier", true, true, false),
-    ("knn_coldtier_compacted", true, true, false),
+    // the lossless wave scans score through the bounded-heap kernel
+    // (mapPartitions over the broadcast probe set — measured 19x cheaper
+    // per pair than the broadcast-join + per-row-UDAF formulation it
+    // replaced), so no broadcast JOIN is expected in these plans anymore;
+    // variants that also apply tombstones/snapshots keep a broadcast
+    // (the anti-join), filtered keeps the join formulation
+    ("knn_coldtier", false, true, false),
+    ("knn_coldtier_compacted", false, true, false),
     ("knn_coldtier_deletes", true, true, false),
     ("knn_coldtier_snapshot", true, true, false),
     ("knn_coldtier_sq", true, true, false),
@@ -85,7 +91,7 @@ class PlanCheckSpec extends AnyFunSuite {
     ("pipeline_curate", true, true, false),
     ("knn_tiered", true, true, false),
     ("knn_coldtier_routed", true, true, false),
-    ("knn_coldtier_reclustered", true, true, false),
+    ("knn_coldtier_reclustered", false, true, false), // kernel scan, see knn_coldtier
     // round-8 extension: every remaining oracle entry is audited, so no
     // entry's plan can regress invisibly between bench rounds
     ("ann_ivf", false, true, false),
@@ -164,10 +170,10 @@ class PlanCheckSpec extends AnyFunSuite {
     // built-in sliding window(): explode to width/slide rows + one agg
     ("q19_sliding_windows", false, true, false),
     // non-L2 cold tier: same broadcast-probe shape, no segment skip
-    ("knn_coldtier_cosine", true, true, false),
+    ("knn_coldtier_cosine", false, true, false), // kernel scan, see knn_coldtier
     // eval family shape: broadcast hits join over k x queries rows
     ("eval_ndcg", true, true, false),
-    ("knn_coldtier_ip", true, true, false),
+    ("knn_coldtier_ip", false, true, false), // kernel scan, see knn_coldtier
     // graph-routed coarse quantization: identical output shape to
     // knn_coldtier_routed (the routing mechanism lives inside the aux)
     ("knn_coldtier_graph_routed", true, true, false),
