@@ -450,6 +450,38 @@ object EvalQueries {
         VectorQueries.K, graft.Metric.L2)
     },
 
+    "knn_coldtier_early_term" -> { (s, dir) =>
+      // V5's APPROXIMATE mode under the hard gate: the two-wave scan at
+      // terminationFactor 0.8 with the learned kth-distance EWMA
+      // fallback (the reference's adaptive termination,
+      // vector_options.h:79-96 + version_set.cc:2689-2698) over the
+      // cell-aligned tier — wave-2 segments whose lower bound exceeds
+      // the per-query (or learned) threshold are never scanned. The
+      // approximate result's ids land as oracle aux and replay through
+      // the exact re-rank (the routed recipe): which segments were
+      // skipped is inside the aux; recall ≥0.95 with a real skip
+      // fraction is spec-gated (ColdTierSpec), and the 10× skip/recall
+      // evidence is a bench line.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = routedTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      val lossless = graft.store.ColdTier.search(s, tmp, queries,
+        VectorQueries.K, graft.Metric.L2, firstWaveFraction = 0.25,
+        terminationFactor = 1.0)
+      val ewma = graft.store.ColdTier.learnThreshold(lossless,
+        VectorQueries.K, None)
+      val approx = graft.store.ColdTier.search(s, tmp, queries,
+        VectorQueries.K, graft.Metric.L2, firstWaveFraction = 0.25,
+        terminationFactor = 0.8, ewmaThreshold = ewma)
+      OracleAux.write(approx.select("qid", "id"), dir,
+        "coldtier_et_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_et_shortlist"), queries,
+        VectorQueries.K, graft.Metric.L2)
+    },
+
     "knn_coldtier_graph_routed" -> { (s, dir) =>
       // IVF_HNSW-style coarse quantization: ROUTING itself goes through
       // a graph walk over the segment centroids (CentroidRouter) instead
@@ -776,6 +808,20 @@ object EvalQueries {
          |d AS (SELECT q.qid, b.vec_id AS id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM q, embeddings b),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // early-termination replay: the approximate scan's ids re-ranked
+    // exactly — the skip decisions live inside the aux
+    "knn_coldtier_early_term" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_et_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""

@@ -177,6 +177,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // graph-routed coarse quantization: identical output shape to
     // knn_coldtier_routed (the routing mechanism lives inside the aux)
     ("knn_coldtier_graph_routed", true, true, false),
+    // V5 approximate mode: output = exact re-rank over the aux ids
+    // (the skip decisions live inside the aux)
+    ("knn_coldtier_early_term", true, true, false),
     // SQL-rewrite entry OUTPUT = the exact re-rank over the aux ids
     // (broadcast candidate + query joins, vec_id=0 filter pushed); the
     // zero-file-scan property of the REWRITTEN plan itself is asserted
