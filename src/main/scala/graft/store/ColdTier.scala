@@ -1088,14 +1088,35 @@ object ColdTier {
 
   /** Per-JVM router cache: serving calls re-route against the same sealed
    * layout; key = the exact indexed-segment set + knob, so any catalog
-   * change (compact/gc/flush) naturally misses to a fresh build. */
-  private val routerCache =
-    scala.collection.concurrent.TrieMap.empty[String, CentroidRouter]
+   * change (compact/gc/flush) naturally misses to a fresh build. Bounded
+   * (a long-lived process re-sealing a tier would otherwise accumulate
+   * one dead router — S centroid vectors each — per catalog generation;
+   * the SidecarCache needed the same hygiene): on overflow the stalest
+   * generations of the SAME dir go first, then global LRU. */
+  private val RouterCacheMax =
+    Integer.getInteger("graft.coldtier.routerCacheEntries", 8).intValue()
+  private val routerTick = new java.util.concurrent.atomic.AtomicLong()
+  private val routerCache = scala.collection.concurrent.TrieMap
+    .empty[String, (CentroidRouter, java.util.concurrent.atomic.AtomicLong)]
   private def routerFor(dir: String, indexed: Array[SegmentStats],
-      efRoute: Int): CentroidRouter =
-    routerCache.getOrElseUpdate(
-      s"$dir|$efRoute|${indexed.map(_.segmentId).mkString(",")}",
-      CentroidRouter(indexed.map(_.centroid), efRoute = efRoute))
+      efRoute: Int): CentroidRouter = {
+    val key = s"$dir|$efRoute|${indexed.map(_.segmentId).mkString(",")}"
+    routerCache.get(key) match {
+      case Some((r, used)) =>
+        used.set(routerTick.incrementAndGet()); r
+      case None =>
+        routerCache.filterInPlace { case (k, _) =>
+          k == key || !k.startsWith(s"$dir|$efRoute|")
+        }
+        while (routerCache.size >= RouterCacheMax && routerCache.nonEmpty)
+          routerCache.remove(
+            routerCache.minBy { case (_, (_, u)) => u.get() }._1)
+        routerCache.getOrElseUpdate(key,
+          (CentroidRouter(indexed.map(_.centroid), efRoute = efRoute),
+            new java.util.concurrent.atomic.AtomicLong(
+              routerTick.incrementAndGet())))._1
+    }
+  }
 
   /** The probe half of [[searchIndexed]]: distinct (qid, id) shortlist
    * candidates across fresh segments (sidecar probe, or exact scan

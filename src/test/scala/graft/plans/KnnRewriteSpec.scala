@@ -121,6 +121,42 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  test("cosine registration serves cosine ORDER BY; a metric mismatch stays on the exact plan") {
+    import spark.implicits._
+    val rows = clustered(600)
+    val corpusPath = Files.createTempDirectory("knnrw-cos-corpus").toString
+    rows.toDF("id", "vec", "eventTime").write.mode("overwrite")
+      .parquet(corpusPath)
+    val coldDir = Files.createTempDirectory("knnrw-cos-tier").toString
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime")
+      .withColumn("segmentId", (col("id") % 4).cast("long")), coldDir)
+    ColdTier.sealIndexes(spark, coldDir, 0L until 4L, Metric.Cosine, m = 8,
+      efConstruction = 64)
+    try {
+      KnnIndex.register(corpusPath, coldDir, metric = Metric.Cosine,
+        efSearch = 96, probeSegments = 4, shortlist = 64)
+      val q = rows(11)._2
+      val corpus = spark.read.parquet(corpusPath)
+      // metric mismatch: an L2 ORDER BY over a cosine registration must
+      // NOT be served from the cosine index — exact plan untouched
+      val l2Df = corpus
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(scanPaths(l2Df).exists(_.contains(corpusPath)),
+        "L2 query over a cosine registration must stay on the exact scan")
+      val cosDf = corpus
+        .select(col("id"), Distances.cosine(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(scanPaths(cosDf).isEmpty,
+        "cosine query must be served from the cosine index")
+      val got = cosDf.collect().map(_.getLong(0))
+      val truth = rows.map { case (id, v, _) => (id, Distances.cosine(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val recall = got.count(truth.contains).toDouble / truth.size
+      assert(recall >= 0.9, s"cosine rewrite recall: $recall")
+    } finally KnnIndex.clear()
+  }
+
   test("no rewrite without registration, with the conf off, on DESC, or on wider projections") {
     val (corpusPath, coldDir, rows) = fixture()
     val q = rows(0)._2
