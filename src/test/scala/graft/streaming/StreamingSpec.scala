@@ -620,6 +620,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotFast == coldTruth, s"fast path $gotFast != exact $coldTruth")
   }
 
+  test("flushBatch replay is idempotent and converges: a re-executed micro-batch neither duplicates rows nor loses the sidecar") {
+    import spark.implicits._
+    val cold = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val pass = Seq(PartialResult(-1L, 0, FlushSent, Array(10L, 11L),
+        Array(10.0, 11.0), 100L, 0L, Array(vec(10), vec(11))))
+      .toDS().toDF()
+    // first execution seals; the foreachBatch REPLAY of the same batch id
+    // (restart-from-checkpoint semantics) must see the committed catalog
+    // row and no-op
+    assert(VectorStreamJob.flushBatch(pass, cold, 3L, Metric.L2))
+    assert(!VectorStreamJob.flushBatch(pass, cold, 3L, Metric.L2))
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.map(_.count).sum == 2L, s"replay duplicated rows: ${cat.toList}")
+    // crash window: catalog row committed but the sidecar seal never ran
+    // (indexAtFlush=false stands in for the crash) — the replay with
+    // indexAtFlush=true must CONVERGE by finishing the sidecar
+    val pass2 = Seq(PartialResult(-1L, 0, FlushSent, Array(20L, 21L),
+        Array(20.0, 21.0), 200L, 0L, Array(vec(20), vec(21))))
+      .toDS().toDF()
+    assert(VectorStreamJob.flushBatch(pass2, cold, 4L, Metric.L2,
+      indexAtFlush = false))
+    assert(!graft.store.ColdTier.indexSealed(spark, cold, 4L))
+    assert(!VectorStreamJob.flushBatch(pass2, cold, 4L, Metric.L2,
+      indexAtFlush = true))
+    assert(graft.store.ColdTier.indexSealed(spark, cold, 4L),
+      "replay must finish the missing sidecar (crash-repair convergence)")
+  }
+
+  test("composed mode survives a restart: checkpointed merge state recovers, flush replay stays idempotent, no duplicate cold rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cmp-ckpt").toString
+    val cold = java.nio.file.Files.createTempDirectory("graft-cmp-cold").toString
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    def start() = VectorStreamJob.run(input.toDS(), SimplePartitioner(2),
+      k = 5, Metric.L2, maxTtl = 1000L, crossBatchMerge = true,
+      coldDir = Some(cold), checkpointDir = Some(ckpt)) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2))) })
+    }
+    val q1 = start()
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)): _*)
+    q1.processAllAvailable()
+    // epoch 1 at ts 5000.. -> eviction floor retires epoch 0 to cold
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // kill: executor-cache loss AND a restart from the checkpoint — the
+    // restarted query may REPLAY the last micro-batch, so the flush must
+    // be idempotent against the already-committed catalog row
+    VectorStreamJob.IndexCache.invalidateAll()
+    val q2 = start()
+    // epoch 2 retires epoch 1; a fresh query over epoch 2 must complete
+    // through the RECOVERED stateful merge in the same restarted job
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", 200L + i, vec(200 + i), 10000L + i, 0L, 0)) :+
+      StreamEvent("q", 9100L, vec(207), 10050L, 1000L, 5): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val hotTruth = (0 until 20).map(i => (200L + i,
+        Distances.l2(vec(207), vec(200 + i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val hot = results.synchronized {
+      results.filter(_._1 == 9100L).sortBy(_._2).map(_._3).toList }
+    assert(hot == hotTruth, s"post-restart hot query: $hot != $hotTruth")
+    // epochs 0 and 1 flushed EXACTLY once each across the restart: 40
+    // cold rows total — a replayed flush that dodged the idempotency
+    // check would show as duplicates here
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.map(_.count).sum == 40L,
+      s"cold rows must be exactly 40 (no replay duplicates): ${cat.toList}")
+    // and an epoch-0 window answers bit-exactly from cold
+    val queries = Seq((1L, vec(4), 2000L, 2000L)).toDF("qid", "qv", "qtime", "ttl")
+    val coldTruth = (0 until 20)
+      .map(i => (i.toLong, Distances.l2(vec(4), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val gotCold = graft.store.ColdTier.search(spark, cold, queries, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    assert(gotCold == coldTruth, s"cold search $gotCold != exact $coldTruth")
+  }
+
   test("hot->cold lifecycle: TTL-evicted state flushes into cold segments, tiers serve disjoint windows, compaction wired") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
