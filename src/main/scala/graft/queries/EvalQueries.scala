@@ -23,6 +23,8 @@ object EvalQueries {
   private val sealedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   /** Dirs whose segments have SQ8 code companions sealed. */
   private val codesSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Dirs whose segments have PQ code companions sealed. */
+  private val pqCodesSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Dirs whose segments have HNSW index sidecars sealed. */
   private val hnswSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Compacted cold-tier dirs per sf dir (six flushes -> two segments). */
@@ -330,6 +332,33 @@ object EvalQueries {
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
       graft.store.ColdTier.searchCompressed(s, tmp, queries, VectorQueries.K,
         model, PqQueries.Shortlist)
+    },
+
+    "knn_coldtier_pq" -> { (s, dir) =>
+      // the 32x-compressed cold tier under the hard gate: PQ code
+      // companions sealed beside the segments (same dir-cached codebooks
+      // as ann_pq, so the oracle replays from the ann_pq aux), searched
+      // through ColdTier.searchCompressedPq — IVFADC+R on the sealed
+      // tier, ADC scored in the bounded-heap kernel with per-query
+      // freshness, global shortlist merge, exact re-rank. With every
+      // segment inside the query window this must equal the
+      // ann_pq_rerank pipeline bit-for-bit — two independent execution
+      // paths (catalog + companions + freshness machinery vs a single
+      // flat code table) against one SQL twin; the knn_coldtier_sq
+      // recipe at 32x instead of 4x.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = sealedTier(s, dir)
+      val model = PqQueries.pqModelFor(s, dir)
+      pqCodesSealed.getOrElseUpdate(dir, {
+        (0L until 3L).foreach(sid =>
+          graft.store.ColdTier.sealPqCodes(s, tmp, sid, model))
+        true
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.searchCompressedPq(s, tmp, queries,
+        VectorQueries.K, model, PqQueries.Shortlist)
     },
 
     "knn_coldtier_hnsw" -> { (s, dir) =>
@@ -724,6 +753,9 @@ object EvalQueries {
     // identical SQL twin to ann_sq8_rerank: with every segment fresh, the
     // compressed cold tier IS that pipeline via an independent path
     "knn_coldtier_sq" -> PqQueries.oracles("ann_sq8_rerank"),
+    // independent-path twin: the cold-tier PQ scan must replay the flat
+    // ann_pq_rerank pipeline bit-for-bit (same codebooks, full window)
+    "knn_coldtier_pq" -> PqQueries.oracles("ann_pq_rerank"),
 
     // compaction preserves the row multiset, so the compacted tier answers
     // the same exact-kNN twin as the uncompacted one

@@ -219,6 +219,12 @@ object PqQueries {
   private[queries] def sqModelFor(s: SparkSession, dir: String): graft.ops.Sq.SqModel =
     sqPrepare(s, dir)._1
 
+  /** The dir-cached PQ model, with its codes aux materialized (the
+   * cold-tier PQ entry shares ann_pq_rerank's oracle, which replays from
+   * that aux). */
+  private[queries] def pqModelFor(s: SparkSession, dir: String): Pq.PqModel =
+    prepare(s, dir)._1
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq8" -> { (s, dir) =>
       val (m, codes) = sqPrepare(s, dir)

@@ -773,6 +773,24 @@ object ColdTier {
       .write.mode("overwrite").parquet(s"$dir/segment-$segmentId-codes")
   }
 
+  /** PQ code companions beside a sealed segment (`segment-N-pqcodes`):
+   * the 32×-compressed variant of [[sealCodes]] (subDim-grouped centroid
+   * ids instead of per-dimension SQ8 grids) — what a 100-TB tier's scan
+   * wave wants, since the cold tier is IO-bound and the compression
+   * factor is the speedup. Encoded distributed, same layout contract as
+   * the SQ companion. */
+  def sealPqCodes(spark: SparkSession, dir: String, segmentId: Long,
+      model: graft.ops.Pq.PqModel): Unit = {
+    import spark.implicits._
+    val bm = spark.sparkContext.broadcast(model)
+    spark.read.parquet(s"$dir/segment-$segmentId")
+      .select(col("segmentId"), col("id"), col("vec"), col("eventTime"))
+      .as[(Long, Long, Array[Float], Long)]
+      .map { case (sid, id, v, ts) => (sid, id, bm.value.encode(v), ts) }
+      .toDF("segmentId", "id", "codes", "eventTime")
+      .write.mode("overwrite").parquet(s"$dir/segment-$segmentId-pqcodes")
+  }
+
   /** Hadoop Configuration is not Serializable; standard write/readFields
    * wrapper so tasks can reach the driver's filesystem config. */
   private final class SerConf(
@@ -1465,6 +1483,82 @@ object ColdTier {
         col("topk.dists").as("dist"))))
       .select(col("qid"), (col("pos") + 1).as("rn"),
         col("col.id").as("id"), col("col.dist").as("dist"))
+  }
+
+  /** IVFADC+R over the sealed tier — the PQ (32×) sibling of
+   * [[searchCompressed]]: the scan wave reads only the PQ code companions
+   * of every fresh segment, scores them through per-partition ADC
+   * lookup tables + bounded (dist, id) max-heaps (the [[graft.ops.Pq]]
+   * kernel, never a join-row per pair), applies per-query freshness
+   * inside the kernel and tombstones pre-shortlist, then exactly
+   * re-ranks ONLY the shortlisted ids against the raw segments via
+   * [[rerankExact]]. With every segment in-window this is bit-equal to
+   * `Pq.searchReranked` over the same codes — an independent execution
+   * path against the same oracle. L2 only (ADC tables are L2). */
+  def searchCompressedPq(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, model: graft.ops.Pq.PqModel,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    import spark.implicits._
+    val segs = catalog(spark, dir)
+    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+    val fresh =
+      if (w.isNullAt(0)) Array.empty[SegmentStats]
+      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    if (fresh.isEmpty)
+      return spark.emptyDataset[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "id", "dist")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val missingCodes = fresh.filterNot { s =>
+      val p = new org.apache.hadoop.fs.Path(s"${s.path}-pqcodes")
+      p.getFileSystem(hconf).exists(p)
+    }
+    require(missingCodes.isEmpty,
+      s"searchCompressedPq: fresh segment(s) without PQ code companions: " +
+        missingCodes.map(_.path).mkString(", ") +
+        " — run ColdTier.sealPqCodes(segmentId, model) for each")
+    // query-broadcast contract: qid-keyed query block resident per task
+    val qArr = q.as[(Long, Array[Float], Long, Long)].collect()
+    val bq = spark.sparkContext.broadcast(qArr)
+    val bm = spark.sparkContext.broadcast(model)
+    val sl = shortlist
+    // tombstones pre-shortlist, so deleted rows never consume slots;
+    // per-partition ADC partials merge to the GLOBAL top-`shortlist`
+    // exactly as Pq.search does — the shortlist set must be identical to
+    // the flat-code pipeline's for the bit-equality claim to hold
+    val partials = applyTombstones(spark, dir, spark.read
+        .parquet(fresh.map(s => s"${s.path}-pqcodes").toIndexedSeq: _*))
+      .select(col("id"), col("codes"), col("eventTime"))
+      .as[(Long, Array[Int], Long)]
+      .mapPartitions { it =>
+        val m = bm.value
+        val qs = bq.value
+        if (!it.hasNext || qs.isEmpty) Iterator.empty
+        else {
+          val tables = qs.map(qr => m.adcTable(qr._2))
+          val heaps = Array.fill(qs.length)(
+            new graft.functions.BoundedTopK(sl))
+          while (it.hasNext) {
+            val (id, cs, ts) = it.next()
+            var qi = 0
+            while (qi < qs.length) {
+              val qr = qs(qi)
+              if (ts >= qr._3 - qr._4 && ts <= qr._3)
+                heaps(qi).offer(m.adcDistance(tables(qi), cs), id)
+              qi += 1
+            }
+          }
+          Iterator.range(0, qs.length).flatMap { qi =>
+            val (ids, ds) = heaps(qi).drainSorted()
+            if (ids.isEmpty) Iterator.empty
+            else Iterator.single(graft.ops.Ann.PartialList(qs(qi)._1, ids, ds))
+          }
+        }
+      }
+    val short = graft.ops.Ann.mergePartialLists(partials.toDF(), sl)
+      .select(col("qid"), col("id"))
+    rerankExact(spark, dir, short, q, k, Metric.L2)
   }
 
   /** Search the cold tier: per-query segment pruning (freshness window +

@@ -48,6 +48,8 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_coldtier_deletes", true, true, false),
     ("knn_coldtier_snapshot", true, true, false),
     ("knn_coldtier_sq", true, true, false),
+    // PQ cold scan: ADC kernel (no join) + broadcast-join exact re-rank
+    ("knn_coldtier_pq", true, true, false),
     ("knn_coldtier_hnsw", true, true, false),
     ("knn_coldtier_hnsw_sharded", true, true, false),
     ("ann_sfc_adaptive", false, true, false),
