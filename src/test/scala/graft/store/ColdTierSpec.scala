@@ -379,6 +379,43 @@ class ColdTierSpec extends AnyFunSuite {
     assert(fres.nonEmpty && fres.forall(id => id >= 1000L && id < 2000L))
   }
 
+  test("PQ compressed search: ADC scan + exact re-rank, recall >= 0.95 vs lossless; freshness holds in the kernel") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-pq").toString
+    val s1 = mkVecs(300, 8, 41L, 0L)
+    val s2 = mkVecs(300, 8, 42L, 1000L)
+    val s3 = mkVecs(300, 8, 43L, 2000L)
+    ColdTier.seal(s1, dir, 1L); ColdTier.seal(s2, dir, 2L); ColdTier.seal(s3, dir, 3L)
+    val sample = s1.unionAll(s2).unionAll(s3).orderBy("id")
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    val model = graft.ops.Pq.fit(sample, numSub = 4, codesPerSub = 64,
+      iterations = 6, seed = 42L)
+    (1L to 3L).foreach(sid => ColdTier.sealPqCodes(spark, dir, sid, model))
+
+    val all = sample.zipWithIndex
+    val queries = Seq(10L, 200L, 433L, 777L).zipWithIndex.map { case (i, qi) =>
+      (qi.toLong, all(i.toInt)._1, 5000L, 100000L) }
+      .toDF("qid", "qv", "qtime", "ttl")
+    val exact = ColdTier.search(spark, dir, queries, 10, Metric.L2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val got = ColdTier.searchCompressedPq(spark, dir, queries, 10, model,
+        shortlist = 50)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+    info(s"PQ compressed recall@10 per query: ${recalls.mkString(", ")}")
+    assert(recalls.sum / recalls.size >= 0.95)
+
+    // freshness applies INSIDE the ADC kernel: a window covering only
+    // segment 2 must shortlist (and return) only its ids
+    val fq = Seq((9L, all(450)._1, 1999L, 999L)).toDF("qid", "qv", "qtime", "ttl")
+    val fres = ColdTier.searchCompressedPq(spark, dir, fq, 5, model, 25)
+      .collect().map(_.getLong(2))
+    assert(fres.nonEmpty && fres.forall(id => id >= 1000L && id < 2000L))
+  }
+
   test("hnsw sidecar roundtrip: deserialized graph answers searches identically") {
     val rnd = new java.util.Random(11L)
     val store = new HnswStore(Metric.L2, m = 8, efConstruction = 64, efSearch = 32)
