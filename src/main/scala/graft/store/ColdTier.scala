@@ -1585,10 +1585,12 @@ object ColdTier {
    *        attribute column (sealed alongside the core four — see
    *        [[coreColumns]]); queries must then carry a `qfilter` column
    *        and only rows with `attribute === qfilter` are candidates.
-   *        The equality rides the broadcast probe join, so it is
-   *        evaluated row-local against the scan — no extra shuffle — and
-   *        the attribute column (dictionary-encoded ints/strings) is the
-   *        only additional IO. Wave pruning stays LOSSLESS under a
+   *        The qfilter value rides the broadcast probe tuple into the
+   *        bounded-heap scan kernel — one equality branch per (row,
+   *        query) next to the freshness bounds, no join, no extra
+   *        shuffle — and the attribute column (dictionary-encoded
+   *        ints/strings) is the only additional IO. Wave pruning stays
+   *        LOSSLESS under a
    *        filter: segment lower bounds computed on the full segment
    *        also bound its filtered subset, and a wave-1 top-k with fewer
    *        than k filtered hits sets no threshold (scans everything).
@@ -1661,101 +1663,101 @@ object ColdTier {
             antiJoinTombstones(spark, raw, tomb, bytes)
           case None => applyTombstones(spark, dir, raw)
         }
-        if (filterColumn.isDefined) {
-          // attribute-filtered variant: the broadcast-join formulation —
-          // the qfilter equality rides the join row-locally; the kernel
-          // below covers the unfiltered hot paths
-          val probeQ = waveProbes.join(q, "qid")
-            .select(Seq(col("qid"), col("segmentId").as("p_seg"), col("qv"),
-              (col("qtime") - col("ttl")).as("floor_ts"),
-              col("qtime").as("ceil_ts")) ++
-              filterColumn.map(_ => col("qfilter")): _*)
-          data.join(broadcast(probeQ),
-              data("segmentId") === col("p_seg") &&
-              col("eventTime") >= col("floor_ts") &&
-              col("eventTime") <= col("ceil_ts") &&
-              filterColumn.map(f => data(f) === col("qfilter"))
-                .getOrElse(lit(true)))
-            .select(col("qid"), col("id"),
-              Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
-        } else {
-          // the bruteForce scan kernel, segment-aware: the probe set
-          // rides the SAME query-broadcast contract the broadcast-hash
-          // join shipped before (collected per (query, probed segment),
-          // grouped by segment, broadcast once); the corpus side streams
-          // through per-partition bounded (dist, id) max-heaps and only
-          // ≤ k rows per (query, segment, partition) ever materialize.
-          // The join formulation this replaces materialized one row per
-          // (corpus row × probing query) and pushed each through the
-          // top-k UDAF — measured 19x the kernel's cost at the 10x point
-          // (360 s vs the 19 s bf scan over the same pair mass).
-          // Distances use the scalar sequential-double kernels, bit-equal
-          // to the codegen expressions (both are oracle-gated), with L2's
-          // monotone early abandon exactly as in Ann.bruteForce.
-          val probeArr = waveProbes.join(q, "qid")
-            .select(col("segmentId"), col("qid"), col("qv"),
-              (col("qtime") - col("ttl")).as("floor_ts"),
-              col("qtime").as("ceil_ts"))
-            .as[(Long, Long, Array[Float], Long, Long)]
-            .collect() // qid-keyed probe rows: the query-broadcast contract
-          val bySeg: Map[Long, Array[(Long, Array[Float], Long, Long)]] =
-            probeArr.groupBy(_._1).map { case (sid, a) =>
-              (sid, a.map(p => (p._2, p._3, p._4, p._5)))
-            }
-          val bProbes = spark.sparkContext.broadcast(bySeg)
-          val distFn = Distances.forMetric(metric)
-          val l2Abandon = metric == Metric.L2
-          val kk = k
-          data.select(col("segmentId"), col("id"), col("vec"),
-              col("eventTime"))
-            .as[(Long, Long, Array[Float], Long)]
-            .mapPartitions { rows =>
-              val perSeg = bProbes.value
-              // a partition is usually one segment's rows, but Spark
-              // packs small files together — heaps are per (segment in
-              // this partition, probing query), resolved through a
-              // last-segment fast path since rows arrive file-contiguous
-              val heapsBySeg = scala.collection.mutable.LongMap
-                .empty[Array[graft.functions.BoundedTopK]]
-              var curSid = Long.MinValue
-              var curQs: Array[(Long, Array[Float], Long, Long)] = null
-              var curHeaps: Array[graft.functions.BoundedTopK] = null
-              rows.foreach { case (sid, id, v, ts) =>
-                if (sid != curSid) {
-                  curSid = sid
-                  curQs = perSeg.getOrElse(sid, null)
-                  curHeaps =
-                    if (curQs == null) null
-                    else heapsBySeg.getOrElseUpdate(sid,
-                      Array.fill(curQs.length)(
-                        new graft.functions.BoundedTopK(kk)))
-                }
-                if (curQs != null) {
-                  var qi = 0
-                  while (qi < curQs.length) {
-                    val qrow = curQs(qi)
-                    if (ts >= qrow._3 && ts <= qrow._4) {
-                      val h = curHeaps(qi)
-                      if (l2Abandon) {
-                        val bd = h.bound
-                        val d = Distances.l2Bounded(qrow._2, v, bd)
-                        if (d <= bd) h.offer(d, id)
-                      } else h.offer(distFn(qrow._2, v), id)
-                    }
-                    qi += 1
+        // the bruteForce scan kernel, segment-aware: the probe set
+        // rides the SAME query-broadcast contract the broadcast-hash
+        // join shipped before (collected per (query, probed segment),
+        // grouped by segment, broadcast once); the corpus side streams
+        // through per-partition bounded (dist, id) max-heaps and only
+        // ≤ k rows per (query, segment, partition) ever materialize.
+        // The join formulation this replaces materialized one row per
+        // (corpus row × probing query) and pushed each through the
+        // top-k UDAF — measured 19x the kernel's cost at the 10x point
+        // (360 s vs the 19 s bf scan over the same pair mass).
+        // Distances use the scalar sequential-double kernels, bit-equal
+        // to the codegen expressions (both are oracle-gated), with L2's
+        // monotone early abandon exactly as in Ann.bruteForce.
+        //
+        // The attribute filter rides the SAME kernel: the qfilter value
+        // travels in the broadcast probe tuple and the equality is one
+        // branch per (row, query) next to the freshness bounds — the
+        // join formulation this replaces materialized every joined row
+        // before filtering, paying the 19x the unfiltered path escaped.
+        // Both sides compare through a string cast of the same column
+        // type (attributes are dictionary-encoded ints/strings —
+        // coreColumns doc), so equality matches the SQL `attr === qf`
+        // the join evaluated; null attr or null qfilter matches nothing,
+        // exactly like SQL's null-rejecting equality. The attribute
+        // column is read from the scan only when a filter is requested.
+        val filtered = filterColumn.isDefined
+        val probeArr = waveProbes.join(q, "qid")
+          .select(col("segmentId"), col("qid"), col("qv"),
+            (col("qtime") - col("ttl")).as("floor_ts"),
+            col("qtime").as("ceil_ts"),
+            filterColumn.map(_ => col("qfilter").cast("string"))
+              .getOrElse(lit(null).cast("string")).as("qf"))
+          .as[(Long, Long, Array[Float], Long, Long, String)]
+          .collect() // qid-keyed probe rows: the query-broadcast contract
+        val bySeg: Map[Long, Array[(Long, Array[Float], Long, Long, String)]] =
+          probeArr.groupBy(_._1).map { case (sid, a) =>
+            (sid, a.map(p => (p._2, p._3, p._4, p._5, p._6)))
+          }
+        val bProbes = spark.sparkContext.broadcast(bySeg)
+        val distFn = Distances.forMetric(metric)
+        val l2Abandon = metric == Metric.L2
+        val kk = k
+        data.select(col("segmentId"), col("id"), col("vec"),
+            col("eventTime"),
+            filterColumn.map(f => col(f).cast("string"))
+              .getOrElse(lit(null).cast("string")).as("attr"))
+          .as[(Long, Long, Array[Float], Long, String)]
+          .mapPartitions { rows =>
+            val perSeg = bProbes.value
+            // a partition is usually one segment's rows, but Spark
+            // packs small files together — heaps are per (segment in
+            // this partition, probing query), resolved through a
+            // last-segment fast path since rows arrive file-contiguous
+            val heapsBySeg = scala.collection.mutable.LongMap
+              .empty[Array[graft.functions.BoundedTopK]]
+            var curSid = Long.MinValue
+            var curQs: Array[(Long, Array[Float], Long, Long, String)] = null
+            var curHeaps: Array[graft.functions.BoundedTopK] = null
+            rows.foreach { case (sid, id, v, ts, attr) =>
+              if (sid != curSid) {
+                curSid = sid
+                curQs = perSeg.getOrElse(sid, null)
+                curHeaps =
+                  if (curQs == null) null
+                  else heapsBySeg.getOrElseUpdate(sid,
+                    Array.fill(curQs.length)(
+                      new graft.functions.BoundedTopK(kk)))
+              }
+              if (curQs != null) {
+                var qi = 0
+                while (qi < curQs.length) {
+                  val qrow = curQs(qi)
+                  if (ts >= qrow._3 && ts <= qrow._4 &&
+                      (!filtered || (attr != null && qrow._5 != null &&
+                        attr == qrow._5))) {
+                    val h = curHeaps(qi)
+                    if (l2Abandon) {
+                      val bd = h.bound
+                      val d = Distances.l2Bounded(qrow._2, v, bd)
+                      if (d <= bd) h.offer(d, id)
+                    } else h.offer(distFn(qrow._2, v), id)
                   }
+                  qi += 1
                 }
               }
-              heapsBySeg.iterator.flatMap { case (sid, heaps) =>
-                val qs = perSeg(sid)
-                Iterator.range(0, heaps.length).flatMap { qi =>
-                  val (ids, ds) = heaps(qi).drainSorted()
-                  Iterator.range(0, ids.length)
-                    .map(j => (qs(qi)._1, ids(j), ds(j)))
-                }
+            }
+            heapsBySeg.iterator.flatMap { case (sid, heaps) =>
+              val qs = perSeg(sid)
+              Iterator.range(0, heaps.length).flatMap { qi =>
+                val (ids, ds) = heaps(qi).drainSorted()
+                Iterator.range(0, ids.length)
+                  .map(j => (qs(qi)._1, ids(j), ds(j)))
               }
-            }.toDF("qid", "id", "dist")
-        }
+            }
+          }.toDF("qid", "id", "dist")
       }
     }
 

@@ -142,9 +142,10 @@ class PlanCheckSpec extends AnyFunSuite {
     ("text_lm_score", false, true, false),
     ("text_quality", false, true, false),
     ("text_stats", false, true, false),
-    // attribute-filtered cold tier: same shape as knn_coldtier (broadcast
-    // probe join carrying the label equality, pushed scan filters)
-    ("knn_coldtier_filtered", true, true, false),
+    // attribute-filtered cold tier: same kernel as knn_coldtier — the
+    // label equality rides the broadcast probe TUPLE into the bounded-heap
+    // scan, so there is no broadcast JOIN left in this plan either
+    ("knn_coldtier_filtered", false, true, false),
     // cluster frame broadcasts into the documents scan; no scan filter
     // (quality reads every document's text by design, like dedup_clusters)
     ("dedup_keep_best", true, false, false),
