@@ -46,9 +46,18 @@ import graft.functions.{CosineDistance, IpDistance, L2Distance}
  * than silently changing more of the query than was opted into.
  */
 object KnnIndex {
+  /** @param filterColumns attribute columns sealed into the tier's
+   *        segments (ColdTier attribute payload) that a matched
+   *        `WHERE <col> = <literal>` may be served against. A filtered
+   *        probe hydrates only the graph shortlist (candidate-bounded
+   *        IO, not zero-IO like the bare probe) and over-fetches the
+   *        shortlist by `filterOverfetch` since the graph walk is
+   *        filter-oblivious — size `shortlist * filterOverfetch /
+   *        selectivity` to the label distribution when registering. */
   final case class Registration(coldDir: String, idCol: String,
       vecCol: String, metric: Metric, efSearch: Int, probeSegments: Int,
-      shortlist: Int)
+      shortlist: Int, filterColumns: Set[String] = Set.empty,
+      filterOverfetch: Int = 4)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Registration]
@@ -61,10 +70,11 @@ object KnnIndex {
   def register(corpusPath: String, coldDir: String, idCol: String = "id",
       vecCol: String = "vec", metric: Metric = Metric.L2,
       efSearch: Int = 96, probeSegments: Int = Int.MaxValue,
-      shortlist: Int = 64): Unit =
+      shortlist: Int = 64, filterColumns: Set[String] = Set.empty,
+      filterOverfetch: Int = 4): Unit =
     reg.put(norm(corpusPath),
       Registration(coldDir, idCol, vecCol, metric, efSearch, probeSegments,
-        shortlist))
+        shortlist, filterColumns, filterOverfetch))
 
   def unregister(corpusPath: String): Unit = reg.remove(norm(corpusPath))
   def clear(): Unit = reg.clear()
@@ -133,15 +143,67 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => Seq.empty
   }
 
+  /** Split a conjunction into its conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Decompose a matched WHERE into the single `attr = foldable` equality
+   * on a REGISTERED filter column. Optimizer-inferred `isnotnull(attr)`
+   * conjuncts on the same attribute are tolerated (InferFiltersFrom-
+   * Constraints adds one next to every pushed equality); any other
+   * conjunct bails the rewrite — the query keeps its exact plan rather
+   * than silently dropping a predicate. */
+  private def eqFilter(cond: Expression, allowed: Set[String])
+      : Option[(AttributeReference, Expression)] = {
+    val cs = conjuncts(cond)
+    def asEq(e: Expression): Option[(AttributeReference, Expression)] =
+      e match {
+        case EqualTo(a: AttributeReference, l)
+            if l.foldable && allowed(a.name) => Some((a, l))
+        case EqualTo(l, a: AttributeReference)
+            if l.foldable && allowed(a.name) => Some((a, l))
+        case _ => None
+      }
+    val eqs = cs.flatMap(asEq)
+    val rest = cs.filter(asEq(_).isEmpty)
+    eqs match {
+      case Seq((attr, lit)) if rest.forall {
+        case IsNotNull(a: AttributeReference) => a.exprId == attr.exprId
+        case _ => false
+      } => Some((attr, lit))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.get("spark.graft.knn.rewrite", "true") != "true") return plan
     plan.transformDown {
       case lim @ Limit(IntegerLiteral(k),
           Sort(Seq(SortOrder(sortRef: AttributeReference, Ascending, _, _)),
-            true, Project(projList, rel), _))
-          if relationPaths(rel).nonEmpty =>
-        val rewritten = for {
+            true, Project(projList, below), _))
+          if relationPaths(below match {
+            case Filter(_, ch) => ch
+            case ch => ch
+          }).nonEmpty =>
+        val (condOpt, rel) = below match {
+          case Filter(c, ch) => (Some(c), ch)
+          case ch => (None, ch)
+        }
+        // the probe construction runs eager Spark work (catalog read,
+        // broadcast builds) at PLAN time: a stale registration — coldDir
+        // deleted or corrupted after register — must degrade to the
+        // exact scan the query would have run unregistered, not fail the
+        // whole optimization pass (and not leak a half-built probe)
+        val rewritten = try { for {
           r <- KnnIndex.lookup(relationPaths(rel))
+          // a WHERE must be the one-equality shape on a sealed attribute
+          // the registration declared; otherwise stay on the exact path
+          fspec <- condOpt match {
+            case None => Some(None)
+            case Some(c) => eqFilter(c, r.filterColumns).map(Some(_))
+          }
           distAlias <- projList.collectFirst {
             case al @ Alias(d, _) if al.exprId == sortRef.exprId => (al, d)
           }
@@ -164,12 +226,42 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           }
         } yield {
-          val probe = graft.store.ColdTier.searchIndexedFast(spark,
-            r.coldDir, singleQuery(qv), k, metric, efSearch = r.efSearch,
-            probeSegments = r.probeSegments,
-            shortlist = math.max(r.shortlist, k))
-            .select(col("id"), col("dist"))
-          val probePlan = probe.queryExecution.analyzed
+          val probe = fspec match {
+            case None =>
+              graft.store.ColdTier.searchIndexedFast(spark,
+                r.coldDir, singleQuery(qv), k, metric, efSearch = r.efSearch,
+                probeSegments = r.probeSegments,
+                shortlist = math.max(r.shortlist, k))
+                .select(col("id"), col("dist"))
+            case Some((fattr, litE)) =>
+              // filtered probe: the graph shortlist is filter-oblivious,
+              // so it is over-fetched by filterOverfetch, then ONLY the
+              // shortlisted ids are hydrated (the attribute rides the
+              // candidate-bounded re-rank join) and re-ranked under the
+              // equality. Candidate-bounded IO instead of the bare
+              // probe's zero IO — still no corpus scan.
+              val fv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .convertToScala(litE.eval(), litE.dataType)
+              val qDf = singleQuery(qv).withColumn("qfilter",
+                org.apache.spark.sql.functions.lit(fv))
+              val short = math.max(r.shortlist, k) *
+                math.max(1, r.filterOverfetch)
+              val cands = graft.store.ColdTier.probeCandidates(spark,
+                r.coldDir, qDf, shortlist = short, metric = metric,
+                efSearch = r.efSearch, probeSegments = r.probeSegments)
+              graft.store.ColdTier.rerankExact(spark, r.coldDir, cands,
+                qDf, k, metric, filterColumn = Some(fattr.name))
+                .select(col("id"), col("dist"))
+          }
+          // splice the OPTIMIZED probe plan: this rule runs after the
+          // main optimizer batches (extraOptimizations), so an analyzed
+          // splice would carry ResolvedHint operators (rerankExact's
+          // broadcast hints) past EliminateResolvedHint and fail
+          // physical planning; optimizing the probe in its own pass
+          // converts them to join hints first (no recursion risk — a
+          // probe plan never contains the registered-corpus ORDER BY
+          // shape this rule matches)
+          val probePlan = probe.queryExecution.optimizedPlan
           val pid = probePlan.output.find(_.name == "id").get
           val pdist = probePlan.output.find(_.name == "dist").get
           // re-expose the probe's columns under the ORIGINAL attribute
@@ -186,14 +278,26 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           logInfo(s"graft: serving ORDER BY ${metric} distance LIMIT $k " +
             s"over ${relationPaths(rel).head} from index ${r.coldDir}")
           Project(out, ordered)
+        } } catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning("graft: kNN index rewrite failed at plan time " +
+              s"(stale registration over ${relationPaths(rel)}?) — " +
+              s"falling back to the exact scan: $e")
+            None
         }
         rewritten.getOrElse(lim) // no registration / shape mismatch: exact path
     }
   }
 
+  /** The rewrite's probe row. A registered ORDER BY carries no time
+   * predicate, so the freshness window must cover EVERY eventTime the
+   * corpus may hold: qtime = MaxValue/2 with ttl = MaxValue puts the
+   * floor at about -MaxValue/2 — negative eventTimes are in-window too
+   * (the old MaxValue/2 ttl silently excluded them from a rewritten
+   * top-k). */
   private def singleQuery(qv: Array[Float]) = {
     import spark.implicits._
-    Seq((0L, qv, Long.MaxValue / 2, Long.MaxValue / 2))
+    Seq((0L, qv, Long.MaxValue / 2, Long.MaxValue))
       .toDF("qid", "qv", "qtime", "ttl")
   }
 }

@@ -40,9 +40,20 @@ object EvalQueries {
 
   /** Cell-sealed + HNSW-indexed tier over the embeddings table (shared by
    * `knn_coldtier_routed` and `knn_sql_rewrite`). The k-means fit sample
-   * is BOUNDED (id-ordered for determinism, like ColdTier.recluster's
-   * sampleCap) — the routing model must be fittable from a driver-sized
-   * sample regardless of corpus size. */
+   * is BOUNDED (deterministic, like ColdTier.recluster's sampleCap) —
+   * the routing model must be fittable from a driver-sized sample
+   * regardless of corpus size — and STRIDED across the id range (id %
+   * stride == 0), not an id-ordered prefix: if ids correlate with
+   * position in embedding space, a prefix sample misses clusters and
+   * silently degrades routing recall. */
+  private def fitSample(data: org.apache.spark.sql.DataFrame,
+      cap: Int = 8192): Array[Array[Float]] = {
+    val n = data.count()
+    val stride = math.max(1L, n / cap)
+    data.where(col("id") % stride === 0).orderBy("id")
+      .limit(cap).collect().map(_.getSeq[Float](1).toArray)
+  }
+
   private def routedTier(s: SparkSession, dir: String): String =
     routedDirs.getOrElseUpdate(dir, {
       val e = Tables(s, dir, "embeddings")
@@ -50,8 +61,7 @@ object EvalQueries {
         .toString
       val data = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
         col("vec_id").as("eventTime"))
-      val sample = data.orderBy("id").limit(8192).collect()
-        .map(_.getSeq[Float](1).toArray)
+      val sample = fitSample(data)
       val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
         replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)
       val bCells = s.sparkContext.broadcast(cells)
@@ -65,10 +75,40 @@ object EvalQueries {
         graft.Metric.L2, m = 16, efConstruction = 128)
       t
     })
+  /** Cell-sealed + indexed tier WITH the label attribute (the
+   * filtered-rewrite layout) per sf dir. */
+  private val routedFilteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** [[routedTier]] sealed with the label attribute riding the segments —
+   * the layout a filtered SQL rewrite hydrates its shortlist against. */
+  private def routedFilteredTier(s: SparkSession, dir: String): String =
+    routedFilteredDirs.getOrElseUpdate(dir, {
+      val e = Tables(s, dir, "embeddings")
+      val t = java.nio.file.Files.createTempDirectory("graft-cold-rflt")
+        .toString
+      val data = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").as("eventTime"), col("label"))
+      val sample = fitSample(data)
+      val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
+        replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)
+      val bCells = s.sparkContext.broadcast(cells)
+      val cellOf = udf((v: Seq[Float]) =>
+        bCells.value.dataPartitions(v.toArray, 0L)(0))
+      val segStats = graft.store.ColdTier.sealMany(
+        data.withColumn("segmentId", cellOf(col("vec")).cast("long")), t)
+      graft.store.ColdTier.sealIndexes(s, t, segStats.map(_.segmentId).toSeq,
+        graft.Metric.L2, m = 16, efConstruction = 128)
+      t
+    })
+
   /** Time-accreted-then-reclustered tier dirs per sf dir. */
   private val reclusteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   /** Top-n of the SQL-rewrite entry (one literal query; the LIMIT). */
   private val SqlRewriteK = 500
+  /** Top-n of the FILTERED SQL-rewrite entry — smaller than SqlRewriteK
+   * so the filter-oblivious shortlist (overfetched 4x) keeps headroom
+   * over the matching-label candidate mass. */
+  private val SqlRewriteFilteredK = 200
   /** Snapshot-pinned tier dirs per sf dir: (tier dir, snapshot version). */
   private val snapshotDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
@@ -583,6 +623,64 @@ object EvalQueries {
         SqlRewriteK, graft.Metric.L2)
     },
 
+    "knn_sql_rewrite_filtered" -> { (s, dir) =>
+      // the FILTERED SQL-rewrite surface (the most common production kNN
+      // shape: `WHERE label = x ORDER BY dist LIMIT k`): the optimizer
+      // routes the matched equality into the index probe — graph
+      // shortlist over-fetched 4x, then ONLY the shortlist hydrated
+      // against the tier (the label rides the candidate-bounded re-rank
+      // join) — so the corpus is never scanned. The entry THROWS if a
+      // corpus scan survives; tier hydration scans are expected (this
+      // surface is candidate-bounded IO, not zero-IO like the bare
+      // rewrite). Chosen ids land as oracle aux and replay through the
+      // filtered exact re-rank — the knn_sql_rewrite recipe.
+      val tmp = routedFilteredTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val r0 = e.where(col("vec_id") === 0L)
+        .select(col("embedding"), col("label")).head()
+      val qv = r0.getSeq[Float](0).toArray
+      val lbl = r0.getInt(1)
+      try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = 2, shortlist = SqlRewriteK,
+          filterColumns = Set("label"), filterOverfetch = 4)
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_flt")
+        val df = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus_flt WHERE label = $lbl
+             |ORDER BY dist LIMIT $SqlRewriteFilteredK""".stripMargin)
+        val corpusScans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                l.relation
+                  .asInstanceOf[
+                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.exists(_.toString
+                    .contains("embeddings.parquet")) => l
+        }
+        require(corpusScans.isEmpty, "knn_sql_rewrite_filtered: the " +
+          "filtered ORDER BY plan still scans the corpus — the index " +
+          "rewrite did not fire")
+        OracleAux.write(
+          df.select(lit(0L).as("qid"), col("vec_id").as("id")),
+          dir, "sql_rewrite_filtered_ids")
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val queries = e.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "sql_rewrite_filtered_ids"), queries,
+        SqlRewriteFilteredK, graft.Metric.L2, filterColumn = Some("label"))
+    },
+
     "knn_tiered" -> { (s, dir) =>
       // ONE query answered across BOTH tiers — the reference's
       // hierarchical search (db/version_set.cc:2563-2655 probes the
@@ -886,6 +984,22 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteK"""
+        .stripMargin,
+
+    // filtered SQL-rewrite replay: the filtered top-n's ids re-ranked
+    // exactly under the same label equality (the aux carries only
+    // label-matching ids — the WHERE guards against aux drift)
+    "knn_sql_rewrite_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_filtered_ids")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label = q.label),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteFilteredK"""
         .stripMargin,
 
     // routed-probe replay: same re-rank recipe over the routed shortlist

@@ -1123,16 +1123,23 @@ object ColdTier {
       case Some((r, used)) =>
         used.set(routerTick.incrementAndGet()); r
       case None =>
-        routerCache.filterInPlace { case (k, _) =>
-          k == key || !k.startsWith(s"$dir|$efRoute|")
+        // synchronized: the miss path is a driver-side check-then-act on
+        // the shared map (nonEmpty→minBy races to empty.minBy under
+        // concurrent misses, and two misses would each build the
+        // expensive graph). Contention is negligible — one lock per
+        // router BUILD, not per route.
+        routerCache.synchronized {
+          routerCache.filterInPlace { case (k, _) =>
+            k == key || !k.startsWith(s"$dir|$efRoute|")
+          }
+          while (routerCache.size >= RouterCacheMax && routerCache.nonEmpty)
+            routerCache.remove(
+              routerCache.minBy { case (_, (_, u)) => u.get() }._1)
+          routerCache.getOrElseUpdate(key,
+            (CentroidRouter(indexed.map(_.centroid), efRoute = efRoute),
+              new java.util.concurrent.atomic.AtomicLong(
+                routerTick.incrementAndGet())))._1
         }
-        while (routerCache.size >= RouterCacheMax && routerCache.nonEmpty)
-          routerCache.remove(
-            routerCache.minBy { case (_, (_, u)) => u.get() }._1)
-        routerCache.getOrElseUpdate(key,
-          (CentroidRouter(indexed.map(_.centroid), efRoute = efRoute),
-            new java.util.concurrent.atomic.AtomicLong(
-              routerTick.incrementAndGet())))._1
     }
   }
 
@@ -1367,11 +1374,20 @@ object ColdTier {
   /** Exact re-rank of a (qid, id) candidate set against the raw segments:
    * vector IO only for candidate ids, per-query freshness re-applied,
    * oracle-kernel distances — shared by [[searchIndexed]] and the gated
-   * replay entries. */
+   * replay entries.
+   *
+   * @param filterColumn attribute-filtered re-rank (the filtered-ANN
+   *        hydration step): queries must carry a `qfilter` column and
+   *        only candidate rows whose sealed `filterColumn` attribute
+   *        equals the query's qfilter survive the re-rank. Hydration
+   *        stays candidate-bounded — the attribute is read only for
+   *        shortlisted ids, riding the same broadcast candidate join. */
   def rerankExact(spark: SparkSession, dir: String, candidates: DataFrame,
-      queries: DataFrame, k: Int, metric: Metric = Metric.L2): DataFrame = {
+      queries: DataFrame, k: Int, metric: Metric = Metric.L2,
+      filterColumn: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
+      filterColumn.map(_ => col("qfilter")): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
     val segs = catalog(spark, dir)
     val fresh =
@@ -1384,15 +1400,20 @@ object ColdTier {
     // id (graphs are immutable after seal) — it dies at the re-rank
     val raw = applyTombstones(spark, dir,
       spark.read.parquet(fresh.map(_.path).toIndexedSeq: _*))
-      .select(col("id"), col("vec"), col("eventTime"))
-    val probeQ = q.select(col("qid"), col("qv"),
-      (col("qtime") - col("ttl")).as("floor_ts"), col("qtime").as("ceil_ts"))
+      .select(Seq("id", "vec", "eventTime").map(col) ++
+        filterColumn.map(col): _*)
+    val probeQ = q.select(Seq(col("qid"), col("qv"),
+      (col("qtime") - col("ttl")).as("floor_ts"),
+      col("qtime").as("ceil_ts")) ++
+      filterColumn.map(_ => col("qfilter")): _*)
     val topkUdaf = udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     raw.join(broadcast(candidates.select("qid", "id").distinct()), "id")
       .join(broadcast(probeQ), "qid")
       .where(col("eventTime") >= col("floor_ts") &&
-        col("eventTime") <= col("ceil_ts"))
+        col("eventTime") <= col("ceil_ts") &&
+        filterColumn.map(f => col(f) === col("qfilter"))
+          .getOrElse(lit(true)))
       .select(col("qid"), col("id"),
         Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
       .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))

@@ -157,6 +157,105 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  /** corpus WITH a label column + cell-sealed indexed tier carrying the
+   * label attribute; half the eventTimes are negative to pin the
+   * full-Long freshness window of the rewrite's probe. */
+  private def filteredFixture()
+      : (String, String, Seq[(Long, Array[Float], Long, Int)]) = {
+    import spark.implicits._
+    val rows = clustered(800).map { case (id, v, _) =>
+      (id, v, id - 400L, (id % 3).toInt)
+    }
+    val corpusPath = Files.createTempDirectory("knnrw-fcorpus").toString
+    rows.toDF("id", "vec", "eventTime", "label").write.mode("overwrite")
+      .parquet(corpusPath)
+    val coldDir = Files.createTempDirectory("knnrw-ftier").toString
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", (col("id") % 4).cast("long")), coldDir)
+    ColdTier.sealIndexes(spark, coldDir, 0L until 4L, Metric.L2, m = 8,
+      efConstruction = 64)
+    (corpusPath, coldDir, rows)
+  }
+
+  test("WHERE label = x ORDER BY dist LIMIT k is served from the index, hydrating only the shortlist") {
+    val (corpusPath, coldDir, rows) = filteredFixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64, filterColumns = Set("label"))
+      val q = rows(42)._2
+      val corpus = spark.read.parquet(corpusPath)
+      val df = corpus.where(col("label") === 1)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      val paths = scanPaths(df)
+      assert(!paths.exists(_.contains(corpusPath)),
+        s"corpus scan survived the filtered rewrite: $paths")
+      // unlike the bare probe, the filtered probe hydrates the shortlist
+      // against the TIER segments — candidate-bounded scans of the tier
+      // are expected, corpus scans are not
+      assert(paths.forall(_.contains(coldDir)),
+        s"only tier hydration scans expected, found: $paths")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == 10)
+      assert(got.forall { case (id, _) => id % 3 == 1 },
+        s"filter violated: ${got.toList}")
+      assert(got.map(_._2).sliding(2).forall(w => w(0) <= w(1)))
+      // negative eventTimes are in-window (full-Long probe window): the
+      // label-1 truth includes ids below 400 whose ts is negative
+      val truth = rows.filter(_._4 == 1)
+        .map { case (id, v, _, _) => (id, Distances.l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      assert(truth.exists(_ < 400L), "fixture must cover negative ts")
+      val recall = got.map(_._1).count(truth.contains).toDouble / truth.size
+      assert(recall >= 0.9, s"filtered rewrite recall: $recall")
+
+      // SQL surface of the same shape
+      corpus.createOrReplaceTempView("knn_fcorpus")
+      val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      val sqlDf = spark.sql(
+        s"""SELECT id, l2_distance(vec, $arr) AS dist
+           |FROM knn_fcorpus WHERE label = 1
+           |ORDER BY dist LIMIT 10""".stripMargin)
+      assert(!scanPaths(sqlDf).exists(_.contains(corpusPath)),
+        "SQL filtered query must be served from the tier")
+      assert(sqlDf.collect().map(_.getLong(0)).toSeq == got.map(_._1).toSeq,
+        "SQL and DataFrame surfaces must agree")
+
+      // a filter on an UNREGISTERED column stays on the exact plan
+      val unreg = corpus.where(col("eventTime") === 100L)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(scanPaths(unreg).exists(_.contains(corpusPath)),
+        "unregistered filter column must not rewrite")
+      // a non-equality predicate stays on the exact plan
+      val range = corpus.where(col("label") > 0)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(scanPaths(range).exists(_.contains(corpusPath)),
+        "non-equality filter must not rewrite")
+    } finally KnnIndex.clear()
+  }
+
+  test("stale registration: a deleted tier degrades to the exact scan at plan time instead of failing the query") {
+    val (corpusPath, coldDir, rows) = fixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(coldDir))
+      val q = rows(3)._2
+      val df = spark.read.parquet(corpusPath)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      // planning must neither throw nor serve from the dead index
+      assert(scanPaths(df).exists(_.contains(corpusPath)),
+        "stale registration must fall back to the exact corpus scan")
+      val got = df.collect().map(_.getLong(0))
+      assert(got.length == 10 && got.contains(3L),
+        s"exact fallback must answer: ${got.toList}")
+    } finally KnnIndex.clear()
+  }
+
   test("no rewrite without registration, with the conf off, on DESC, or on wider projections") {
     val (corpusPath, coldDir, rows) = fixture()
     val q = rows(0)._2

@@ -188,6 +188,10 @@ class PlanCheckSpec extends AnyFunSuite {
     // zero-file-scan property of the REWRITTEN plan itself is asserted
     // inside the entry (it throws if the corpus scan survives)
     ("knn_sql_rewrite", true, true, false),
+    // filtered-rewrite entry OUTPUT = the label-filtered exact re-rank
+    // over the aux ids — same broadcast shape; the no-corpus-scan
+    // property of the rewritten plan is asserted inside the entry
+    ("knn_sql_rewrite_filtered", true, true, false),
     // catalog observability view: a bare stats-parquet scan
     ("coldtier_stats", false, true, false),
     ("part_gray", false, true, false))
