@@ -122,8 +122,14 @@ object Bench10x {
     def idxRun() = graft.store.ColdTier.searchIndexed(spark, tier, q10, 10,
         Metric.L2, shortlist = 96, efSearch = 96, probeSegments = 12)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    val (idxRows, idx1) = time(idxRun())
-    val idxTimes = idx1 +: (2 to reps).map { _ => System.gc(); time(idxRun())._2 }
+    // rep 1 cold-loads every shard sidecar from disk — the r9 artifact's
+    // [24.10, 16.61] rep spread was exactly that IO riding the min-of-2
+    // (r8 happened to run warmer). The cold pass gets its own key; the
+    // serving number is min over >= 2 WARM reps only.
+    val (idxRows, idxCold) = time(idxRun())
+    val idxWarm = (1 to math.max(2, reps - 1)).map { _ =>
+      System.gc(); time(idxRun())._2 }
+    val idxTimes = idxCold +: idxWarm
     def recallVsTruth(rows: Array[org.apache.spark.sql.Row]): Double = {
       val per = rows.map { r =>
         val t = truth(r.getLong(0))
@@ -199,10 +205,11 @@ object Bench10x {
       s""""ann_10x_includes_graph_build":true,""" +
       s""""bf_10x_secs":${arr(bfTimes)},"ann_10x_secs":${arr(annTimes)},""" +
       s""""ann_index_build_10x_sec":${"%.2f".format(buildSec)},""" +
-      s""""ann_indexed_query_10x_sec":${"%.2f".format(idxTimes.min)},""" +
+      s""""ann_indexed_query_10x_sec":${"%.2f".format(idxWarm.min)},""" +
+      s""""ann_indexed_query_10x_cold_sec":${"%.2f".format(idxCold)},""" +
       s""""ann_indexed_query_10x_secs":${arr(idxTimes)},""" +
       s""""ann_indexed_recall_10x":${"%.4f".format(idxRecall)},""" +
-      s""""ann_indexed_query_per_sec_10x":${"%.1f".format(nQ10 / idxTimes.min)},""" +
+      s""""ann_indexed_query_per_sec_10x":${"%.1f".format(nQ10 / idxWarm.min)},""" +
       s""""ann_fastpath_query_10x_sec":${"%.2f".format(fastTimes.min)},""" +
       s""""ann_fastpath_query_10x_secs":${arr(fastTimes)},""" +
       s""""ann_fastpath_recall_10x":${"%.4f".format(fastRecall)},""" +

@@ -985,6 +985,8 @@ object ColdTier {
     }
     /** Test hook: current entry count in this JVM. */
     private[store] def entryCount: Int = cache.size
+    /** Bench/test hook: drop everything (see sidecarCacheInvalidate). */
+    private[store] def invalidateAll(): Unit = cache.clear()
     /** Test hook: backing paths of all cached graphs in this JVM. */
     private[store] def cachedPaths: Set[String] =
       cache.keySet.map(_._1).toSet
@@ -993,6 +995,13 @@ object ColdTier {
   /** Observability: sidecar-graph cache entries resident in this JVM
    * (on a cluster, per-executor; local mode = the one JVM). */
   def sidecarCachePaths: Set[String] = SidecarCache.cachedPaths
+
+  /** Drop every cached sidecar graph in this JVM. NOT for serving use —
+   * the LRU exists precisely so graphs stay resident — but a benchmark
+   * that wants to attribute cold-load IO vs warm probe cost needs a
+   * deterministic cold start (the r9 artifact moved 6x between rounds
+   * purely on ambient cache state). */
+  def sidecarCacheInvalidate(): Unit = SidecarCache.invalidateAll()
 
   /** Probe-path cold search (V9): per-query shortlist from each fresh
    * segment's HNSW sidecar — loaded lazily executor-side, probed instead

@@ -705,6 +705,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotCold == coldTruth, s"cold search $gotCold != exact $coldTruth")
   }
 
+  test("amortized flush (flushEveryBatches): evicted rows stage across triggers and restarts, seal every Nth batch, drain seals the tail — no lost or duplicated cold rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-amf-ckpt").toString
+    val cold = java.nio.file.Files.createTempDirectory("graft-amf-cold").toString
+    def start() = VectorStreamJob.run(input.toDS(), SimplePartitioner(2),
+      k = 5, Metric.L2, maxTtl = 1000L, crossBatchMerge = true,
+      coldDir = Some(cold), checkpointDir = Some(ckpt),
+      flushEveryBatches = 2) { _ => () }
+    val q1 = start()
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0)): _*)
+    q1.processAllAvailable()
+    // epoch 1 retires epoch 0 — its rows stage (or seal on an even bid)
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // kill-and-recover mid-staging: staged files are on the tier's
+    // storage, so rows evicted in already-committed batches survive;
+    // the replayed last batch re-stages idempotently (overwrite)
+    val q2 = start()
+    input.addData((0 until 20).map(i =>
+      StreamEvent("i", 200L + i, vec(200 + i), 10000L + i, 0L, 0)): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    // shutdown drain seals whatever is still staged; a second drain is a
+    // no-op (idempotent — nothing staged after the first)
+    VectorStreamJob.drainStaged(spark, cold, Metric.L2)
+    assert(!VectorStreamJob.drainStaged(spark, cold, Metric.L2),
+      "second drain must find nothing staged")
+    // epochs 0 and 1 reached cold EXACTLY once each across staging,
+    // sealing, restart, and drain; epoch 2 is still hot
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.map(_.count).sum == 40L,
+      s"cold rows must be exactly 40: ${cat.toList}")
+    // amortization held: fewer segments than flush-bearing batches
+    assert(cat.length <= 3, s"expected few amortized segments: ${cat.toList}")
+    // and the content answers bit-exactly
+    val queries = Seq((1L, vec(4), 2000L, 2000L)).toDF("qid", "qv", "qtime", "ttl")
+    val coldTruth = (0 until 20)
+      .map(i => (i.toLong, Distances.l2(vec(4), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val gotCold = graft.store.ColdTier.search(spark, cold, queries, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    assert(gotCold == coldTruth, s"cold search $gotCold != exact $coldTruth")
+  }
+
   test("hot->cold lifecycle: TTL-evicted state flushes into cold segments, tiers serve disjoint windows, compaction wired") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
