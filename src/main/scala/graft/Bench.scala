@@ -117,7 +117,12 @@ object Bench {
       input.addData(inserts.toIndexedSeq ++ qs: _*)
       sq.processAllAvailable()
     }
-    val chunks = rows.grouped(chunkRows).toArray
+    // a feed smaller than two chunks would leave ZERO timed reps and
+    // crash reps.maxBy — clamp the trigger size so warmup + at least one
+    // timed chunk always exist (smoke runs at toy sf hit this with the
+    // 8000-row production-trigger points over a 6000-row corpus)
+    val effChunk = math.max(500, math.min(chunkRows, rows.length / 2))
+    val chunks = rows.grouped(effChunk).toArray
     feedChunk(chunks.head) // warmup (codegen + state-store init), untimed
     // timed reps over disjoint chunk ranges, per-rep raw values recorded —
     // single-shot streaming numbers have mis-recorded under ambient
@@ -189,7 +194,9 @@ object Bench {
       input.addData(inserts.toIndexedSeq ++ qs: _*)
       sq.processAllAvailable()
     }
-    val chunks = rows.grouped(chunkRows).toArray
+    // same small-feed clamp as streamBench: never zero timed reps
+    val effChunk = math.max(500, math.min(chunkRows, rows.length / 2))
+    val chunks = rows.grouped(effChunk).toArray
     feedChunk(chunks.head) // warmup, untimed
     val repRanges = chunks.tail.grouped(
       math.max(1, math.ceil(chunks.tail.length.toDouble / nReps).toInt))
@@ -472,12 +479,12 @@ object Bench {
     // 2000-row micro-batches; 32 partitions is pure per-task overhead on
     // the latency path), 3 reps over disjoint chunk ranges
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
-    val streamRows = vecs.limit(20000)
-      .as[(Long, Array[Float], Long)].collect()
-    // larger feed for the production-trigger (8000-row) points so each
-    // rep still spans multiple triggers; corpus-capped at small sf
+    // one collect serves both feeds: the 40k superset for the
+    // production-trigger (8000-row) points (corpus-capped at small sf)
+    // and its 20k prefix for the 2000-row-chunk points
     val streamRowsBig = vecs.limit(40000)
       .as[(Long, Array[Float], Long)].collect()
+    val streamRows = streamRowsBig.take(20000)
     val headlinePoint = streamBench(spark, streamRows, streamParts, nReps = 3)
     def pct(p: Double): Double = headlinePoint.pct(p)
     val streamQueries = headlinePoint.nQueries

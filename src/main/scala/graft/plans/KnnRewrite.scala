@@ -290,11 +290,14 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The rewrite's probe row. A registered ORDER BY carries no time
-   * predicate, so the freshness window must cover EVERY eventTime the
-   * corpus may hold: qtime = MaxValue/2 with ttl = MaxValue puts the
-   * floor at about -MaxValue/2 — negative eventTimes are in-window too
-   * (the old MaxValue/2 ttl silently excluded them from a rewritten
-   * top-k). */
+   * predicate, so the freshness window must cover every eventTime the
+   * corpus may hold: qtime = MaxValue/2 with ttl = MaxValue spans
+   * (-2^62, 2^62] — negative eventTimes are in-window (the old
+   * MaxValue/2 ttl silently excluded them from a rewritten top-k). The
+   * FULL Long range is unreachable with a (qtime, ttl) window without
+   * overflowing `qtime - ttl`; eventTimes beyond ±2^62 (4.6e18 — three
+   * orders past nanosecond epoch stamps) are out of contract for a
+   * registered corpus. */
   private def singleQuery(qv: Array[Float]) = {
     import spark.implicits._
     Seq((0L, qv, Long.MaxValue / 2, Long.MaxValue))

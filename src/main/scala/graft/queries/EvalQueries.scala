@@ -49,32 +49,42 @@ object EvalQueries {
   private def fitSample(data: org.apache.spark.sql.DataFrame,
       cap: Int = 8192): Array[Array[Float]] = {
     val n = data.count()
-    val stride = math.max(1L, n / cap)
+    // ceiling division: floor would give stride 1 for any corpus under
+    // 2*cap rows — exactly the id-ordered prefix this sample exists to
+    // avoid
+    val stride = math.max(1L, (n + cap - 1) / cap)
     data.where(col("id") % stride === 0).orderBy("id")
       .limit(cap).collect().map(_.getSeq[Float](1).toArray)
   }
 
+  /** ONE cell-sealed + HNSW-indexed tier builder (shared by the plain and
+   * label-carrying layouts so their recipes can never diverge): strided
+   * k-means fit sample, one partitioned sealMany write, sidecars. */
+  private def buildRoutedTier(s: SparkSession, dir: String,
+      prefix: String, extraCols: Seq[String]): String = {
+    val e = Tables(s, dir, "embeddings")
+    val t = java.nio.file.Files.createTempDirectory(prefix).toString
+    val data = e.select(Seq(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("vec_id").as("eventTime")) ++
+      extraCols.map(col): _*)
+    val sample = fitSample(data)
+    val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
+      replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)
+    val bCells = s.sparkContext.broadcast(cells)
+    val cellOf = udf((v: Seq[Float]) =>
+      bCells.value.dataPartitions(v.toArray, 0L)(0))
+    // batch seal: the whole cell layout lands in ONE partitioned
+    // write (sealMany) — the shape a flush/compaction uses at scale
+    val segStats = graft.store.ColdTier.sealMany(
+      data.withColumn("segmentId", cellOf(col("vec")).cast("long")), t)
+    graft.store.ColdTier.sealIndexes(s, t, segStats.map(_.segmentId).toSeq,
+      graft.Metric.L2, m = 16, efConstruction = 128)
+    t
+  }
+
   private def routedTier(s: SparkSession, dir: String): String =
-    routedDirs.getOrElseUpdate(dir, {
-      val e = Tables(s, dir, "embeddings")
-      val t = java.nio.file.Files.createTempDirectory("graft-cold-routed")
-        .toString
-      val data = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
-        col("vec_id").as("eventTime"))
-      val sample = fitSample(data)
-      val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
-        replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)
-      val bCells = s.sparkContext.broadcast(cells)
-      val cellOf = udf((v: Seq[Float]) =>
-        bCells.value.dataPartitions(v.toArray, 0L)(0))
-      // batch seal: the whole cell layout lands in ONE partitioned
-      // write (sealMany) — the shape a flush/compaction uses at scale
-      val segStats = graft.store.ColdTier.sealMany(
-        data.withColumn("segmentId", cellOf(col("vec")).cast("long")), t)
-      graft.store.ColdTier.sealIndexes(s, t, segStats.map(_.segmentId).toSeq,
-        graft.Metric.L2, m = 16, efConstruction = 128)
-      t
-    })
+    routedDirs.getOrElseUpdate(dir,
+      buildRoutedTier(s, dir, "graft-cold-routed", Seq.empty))
   /** Cell-sealed + indexed tier WITH the label attribute (the
    * filtered-rewrite layout) per sf dir. */
   private val routedFilteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -82,24 +92,8 @@ object EvalQueries {
   /** [[routedTier]] sealed with the label attribute riding the segments —
    * the layout a filtered SQL rewrite hydrates its shortlist against. */
   private def routedFilteredTier(s: SparkSession, dir: String): String =
-    routedFilteredDirs.getOrElseUpdate(dir, {
-      val e = Tables(s, dir, "embeddings")
-      val t = java.nio.file.Files.createTempDirectory("graft-cold-rflt")
-        .toString
-      val data = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
-        col("vec_id").as("eventTime"), col("label"))
-      val sample = fitSample(data)
-      val cells = graft.partitioners.KMeansPartitioner.fit(sample, k = 4,
-        replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 2)
-      val bCells = s.sparkContext.broadcast(cells)
-      val cellOf = udf((v: Seq[Float]) =>
-        bCells.value.dataPartitions(v.toArray, 0L)(0))
-      val segStats = graft.store.ColdTier.sealMany(
-        data.withColumn("segmentId", cellOf(col("vec")).cast("long")), t)
-      graft.store.ColdTier.sealIndexes(s, t, segStats.map(_.segmentId).toSeq,
-        graft.Metric.L2, m = 16, efConstruction = 128)
-      t
-    })
+    routedFilteredDirs.getOrElseUpdate(dir,
+      buildRoutedTier(s, dir, "graft-cold-rflt", Seq("label")))
 
   /** Time-accreted-then-reclustered tier dirs per sf dir. */
   private val reclusteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]

@@ -1712,18 +1712,26 @@ object ColdTier {
         // branch per (row, query) next to the freshness bounds — the
         // join formulation this replaces materialized every joined row
         // before filtering, paying the 19x the unfiltered path escaped.
-        // Both sides compare through a string cast of the same column
-        // type (attributes are dictionary-encoded ints/strings —
-        // coreColumns doc), so equality matches the SQL `attr === qf`
-        // the join evaluated; null attr or null qfilter matches nothing,
-        // exactly like SQL's null-rejecting equality. The attribute
-        // column is read from the scan only when a filter is requested.
+        // Both sides are first cast to their TIGHTEST COMMON TYPE (the
+        // coercion the SQL `attr === qfilter` equality the join
+        // evaluated would apply — an int attribute vs a double qfilter
+        // compares as double, not as the strings "1" vs "1.0"), then to
+        // string for the in-kernel comparison; null attr or null qfilter
+        // matches nothing, exactly like SQL's null-rejecting equality.
+        // The attribute column is read from the scan only when a filter
+        // is requested.
         val filtered = filterColumn.isDefined
+        val filterCast = filterColumn.map { f =>
+          org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findTightestCommonType(data.schema(f).dataType,
+              q.schema("qfilter").dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+        }
         val probeArr = waveProbes.join(q, "qid")
           .select(col("segmentId"), col("qid"), col("qv"),
             (col("qtime") - col("ttl")).as("floor_ts"),
             col("qtime").as("ceil_ts"),
-            filterColumn.map(_ => col("qfilter").cast("string"))
+            filterCast.map(t => col("qfilter").cast(t).cast("string"))
               .getOrElse(lit(null).cast("string")).as("qf"))
           .as[(Long, Long, Array[Float], Long, Long, String)]
           .collect() // qid-keyed probe rows: the query-broadcast contract
@@ -1737,7 +1745,7 @@ object ColdTier {
         val kk = k
         data.select(col("segmentId"), col("id"), col("vec"),
             col("eventTime"),
-            filterColumn.map(f => col(f).cast("string"))
+            filterColumn.map(f => col(f).cast(filterCast.get).cast("string"))
               .getOrElse(lit(null).cast("string")).as("attr"))
           .as[(Long, Long, Array[Float], Long, String)]
           .mapPartitions { rows =>

@@ -498,6 +498,38 @@ object VectorStreamJob {
     evictedRows(batch).write.mode("overwrite")
       .parquet(s"${stagingPath(coldDir)}/stage-$batchId")
 
+  private def stagingConsumedPath(coldDir: String) =
+    s"$coldDir/_staging-consumed"
+
+  /** Staged batch ids a previous seal/drain already consumed. Written
+   * AFTER the seal's catalog append (before it, a crash would mark rows
+   * consumed that were never sealed — a lost flush; after it, the only
+   * residual crash window can produce a duplicate, never a loss — the
+   * same trade [[graft.store.ColdTier]]'s compaction marker makes).
+   * Exists for the drain-then-restart composition: [[drainStaged]]
+   * seals staged rows of a batch the CHECKPOINT never committed, the
+   * restarted stream replays that batch and re-stages the same rows
+   * (overwrite — correct for replay), and without the marker the next
+   * sealing batch would seal them AGAIN under a segment id
+   * catalogContains cannot associate with the drain's. One 8-byte row
+   * per consumed staged batch — growth is negligible. */
+  private def consumedStagedIds(spark: SparkSession,
+      coldDir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stagingConsumedPath(coldDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString)
+      .select("stagedId").collect().map(_.getLong(0)).toSet
+  }
+
+  private def markStagedConsumed(spark: SparkSession, coldDir: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toDF("stagedId").coalesce(1).write.mode("append")
+        .parquet(stagingConsumedPath(coldDir))
+  }
+
   private def stagedDirs(spark: SparkSession, coldDir: String,
       upTo: Long): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val p = new org.apache.hadoop.fs.Path(stagingPath(coldDir))
@@ -523,7 +555,7 @@ object VectorStreamJob {
   def sealStaged(spark: SparkSession, coldDir: String, batchId: Long,
       metric: Metric, indexAtFlush: Boolean = false, m: Int = 16,
       efConstruction: Int = 64): Boolean = {
-    val staged = stagedDirs(spark, coldDir, batchId)
+    val all = stagedDirs(spark, coldDir, batchId)
     val fs = new org.apache.hadoop.fs.Path(coldDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (graft.store.ColdTier.catalogContains(spark, coldDir, batchId)) {
@@ -531,15 +563,21 @@ object VectorStreamJob {
           !graft.store.ColdTier.indexSealed(spark, coldDir, batchId))
         graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId),
           metric, m, efConstruction)
-      staged.foreach { case (_, sp) => fs.delete(sp, true) }
+      all.foreach { case (_, sp) => fs.delete(sp, true) }
       return false
     }
+    // a replayed batch re-stages rows a drain already sealed
+    // ([[consumedStagedIds]]) — clean those up instead of re-sealing
+    val consumed = consumedStagedIds(spark, coldDir)
+    val (dead, staged) = all.partition { case (id, _) => consumed(id) }
+    dead.foreach { case (_, sp) => fs.delete(sp, true) }
     if (staged.isEmpty) return false
     val rows = spark.read.parquet(staged.map(_._2.toString): _*)
     graft.store.ColdTier.seal(rows, coldDir, batchId)
     if (indexAtFlush)
       graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId), metric,
         m, efConstruction)
+    markStagedConsumed(spark, coldDir, staged.map(_._1))
     staged.foreach { case (_, sp) => fs.delete(sp, true) }
     true
   }

@@ -1113,5 +1113,23 @@ class ColdTierSpec extends AnyFunSuite {
     assert(ColdTier.catalog(spark, dir).length == 1)
     assert(got() == before,
       "filtered results must be unchanged by compaction")
+
+    // cross-typed equality keeps SQL coercion semantics: a DOUBLE
+    // qfilter against the LONG label column must match numerically
+    // (1.0 == 1), not as the strings "1.0" vs "1" — the kernel casts
+    // both sides to their tightest common type first
+    val qDouble = (0 until 20).map { qi =>
+      val (_, qv, _, _) = all(qi * 37)
+      (qi.toLong, qv, 100000L, 1000000L, (qi % 5).toDouble)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val gotDouble = ColdTier.search(spark, dir, qDouble, 10, Metric.L2,
+        firstWaveFraction = 0.34, terminationFactor = 1.0,
+        filterColumn = Some("label"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(gotDouble == before,
+      "double qfilter vs long label must coerce numerically")
   }
 }

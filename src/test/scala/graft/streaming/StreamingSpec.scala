@@ -724,6 +724,12 @@ class StreamingSpec extends AnyFunSuite {
       StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0)): _*)
     q1.processAllAvailable()
     q1.stop()
+    // shutdown flush BEFORE a restart (the operator's memtable-drain):
+    // this seals rows of a batch the CHECKPOINT may not have committed —
+    // the restarted stream replays that batch and re-stages the same
+    // rows, and the consumed-staging marker must stop the next sealing
+    // batch from sealing them AGAIN under a different segment id
+    VectorStreamJob.drainStaged(spark, cold, Metric.L2)
     // kill-and-recover mid-staging: staged files are on the tier's
     // storage, so rows evicted in already-committed batches survive;
     // the replayed last batch re-stages idempotently (overwrite)
