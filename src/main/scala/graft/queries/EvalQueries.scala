@@ -95,6 +95,22 @@ object EvalQueries {
     routedFilteredDirs.getOrElseUpdate(dir,
       buildRoutedTier(s, dir, "graft-cold-rflt", Seq("label")))
 
+  /** Label-ALIGNED tier (one segment per label) + attr-stats sidecar per
+   * sf dir — the partition-pruning layout for filtered search. */
+  private val alignedFilteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def alignedFilteredTier(s: SparkSession, dir: String): String =
+    alignedFilteredDirs.getOrElseUpdate(dir, {
+      val e = Tables(s, dir, "embeddings")
+      val t = java.nio.file.Files.createTempDirectory("graft-cold-aligned")
+        .toString
+      graft.store.ColdTier.sealMany(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("vec_id").as("eventTime"), col("label"),
+          col("label").cast("long").as("segmentId")), t)
+      graft.store.ColdTier.sealAttrStats(s, t, "label")
+      t
+    })
+
   /** Time-accreted-then-reclustered tier dirs per sf dir. */
   private val reclusteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   /** Top-n of the SQL-rewrite entry (one literal query; the LIMIT). */
@@ -250,6 +266,34 @@ object EvalQueries {
       graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
         graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0,
         filterColumn = Some("label"))
+    },
+
+    "knn_coldtier_filtered_pruned" -> { (s, dir) =>
+      // the PARTITION-PRUNING flavor of filtered search: the tier is
+      // label-ALIGNED (one segment per label, sealAttrStats sidecar), so
+      // probe planning drops every segment whose label range cannot
+      // admit the query's qfilter — zero IO for non-matching segments.
+      // The entry THROWS unless the plan collapsed to exactly one probe
+      // per query (pruning engaged, not just filtered), and the result
+      // must STILL be per-label exact kNN bit-for-bit — pruning is
+      // lossless (a pruned segment provably holds no matching row).
+      val e = Tables(s, dir, "embeddings")
+      val tmp = alignedFilteredTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      val stats = scala.collection.mutable.Map.empty[String, Long]
+      val out = graft.store.ColdTier.search(s, tmp, queries,
+        VectorQueries.K, graft.Metric.L2, firstWaveFraction = 0.34,
+        terminationFactor = 1.0, filterColumn = Some("label"),
+        searchStats = Some(stats))
+      val nq = queries.count()
+      val planned = stats("wave1_probes") + stats("wave2_planned")
+      require(planned == nq, s"knn_coldtier_filtered_pruned: expected " +
+        s"$nq probes (one admissible segment per query), planned $planned " +
+        "— attr-stats pruning did not engage")
+      out
     },
 
     "knn_coldtier_compacted" -> { (s, dir) =>
@@ -774,6 +818,19 @@ object EvalQueries {
             .as("first_byte"))
     })
 
+  /** Per-label exact kNN — the shared DuckDB twin of every filtered
+   * cold-tier surface (time-sliced and label-aligned layouts alike). */
+  private val filteredKnnOracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+       |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+       |d AS (SELECT q.qid, b.vec_id AS id,
+       |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |    for x in list_zip(q.qv, b.embedding)]) AS dist
+       |  FROM q, embeddings b WHERE b.label = q.label),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+       |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "eval_recall" -> {
       def knn(extraPred: String) =
@@ -831,16 +888,11 @@ object EvalQueries {
 
     // per-label exact kNN: the filtered cold-tier search restricts the
     // candidate set to label-matching rows before the same top-k
-    "knn_coldtier_filtered" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
-         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
-         |d AS (SELECT q.qid, b.vec_id AS id,
-         |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
-         |    for x in list_zip(q.qv, b.embedding)]) AS dist
-         |  FROM q, embeddings b WHERE b.label = q.label),
-         |r AS (SELECT qid, id, dist,
-         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
-         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin,
+    "knn_coldtier_filtered" -> filteredKnnOracle,
+    // the label-aligned + attr-stats layout answers the SAME per-label
+    // exact kNN — pruning changes which segments are touched, never the
+    // result (an independent storage layout through an identical twin)
+    "knn_coldtier_filtered_pruned" -> filteredKnnOracle,
 
     // identical SQL twin to ann_sq8_rerank: with every segment fresh, the
     // compressed cold tier IS that pipeline via an independent path

@@ -104,6 +104,72 @@ object ColdTier {
     stats
   }
 
+  private def attrStatsPath(dir: String, column: String) =
+    s"$dir/attr-stats/$column"
+
+  /** Per-segment min/max sidecar for an ATTRIBUTE column — the filtered
+   * search's partition-pruning signal. One grouped aggregate over the
+   * cataloged segments, overwritten in place (re-run after compaction /
+   * recluster to refresh; the read side treats a missing stats row as
+   * "never prune", so stale or absent stats only cost performance, never
+   * correctness). With a label-ALIGNED seal (one segment per label — a
+   * recluster key choice), a filtered search then plans probes only into
+   * the segments whose [min,max] admits the query's qfilter — at a
+   * 100-TB tier this is the difference between scanning every fresh
+   * segment and touching 1/|labels| of them, with zero IO for the rest. */
+  def sealAttrStats(spark: SparkSession, dir: String,
+      column: String): Unit = {
+    val segs = catalog(spark, dir)
+    if (segs.isEmpty) return
+    spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
+      .groupBy("segmentId")
+      .agg(min(col(column)).as("amin"), max(col(column)).as("amax"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(attrStatsPath(dir, column))
+  }
+
+  /** Loaded attr stats, numeric or lexicographic. A stats row whose min
+   * is null means the segment's attribute is all-null — no row can
+   * match a (null-rejecting) equality, so it prunes unconditionally;
+   * a segment with NO stats row is never pruned. */
+  private final case class AttrStats(numeric: Boolean,
+      num: Map[Long, (Double, Double)],
+      str: Map[Long, (String, String)]) extends Serializable {
+    def mayMatch(segId: Long, qfd: Double, qfs: String): Boolean =
+      if (numeric) num.get(segId) match {
+        case Some((lo, hi)) => !qfd.isNaN && !lo.isNaN && qfd >= lo && qfd <= hi
+        case None => true
+      } else str.get(segId) match {
+        case Some((lo, hi)) =>
+          qfs != null && lo != null && qfs >= lo && qfs <= hi
+        case None => true
+      }
+  }
+
+  private def loadAttrStats(spark: SparkSession, dir: String,
+      column: String): Option[AttrStats] = {
+    val p = new Path(attrStatsPath(dir, column))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val df = spark.read.parquet(p.toString)
+    val numeric = df.schema("amin").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (numeric) {
+      // one row per segment: catalog-bounded collect
+      val m = df.select(col("segmentId"), col("amin").cast("double"),
+          col("amax").cast("double")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) (Double.NaN, Double.NaN)
+          else (r.getDouble(1), r.getDouble(2)))).toMap
+      Some(AttrStats(numeric = true, m, null))
+    } else {
+      // one row per segment: catalog-bounded collect
+      val m = df.select(col("segmentId"), col("amin").cast("string"),
+          col("amax").cast("string")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      Some(AttrStats(numeric = false, null, m))
+    }
+  }
+
   private def deleteLogPath(dir: String) = s"$dir/deletes-log"
 
   /** Append a batch of delete tombstones `(id, ts)` to the tier's delete
@@ -1624,8 +1690,13 @@ object ColdTier {
    *        filter: segment lower bounds computed on the full segment
    *        also bound its filtered subset, and a wave-1 top-k with fewer
    *        than k filtered hits sets no threshold (scans everything).
-   *        For selective labels at scale, [[recluster]] keeps attributes
-   *        so a label-aligned seal turns this into partition pruning.
+   *        When a [[sealAttrStats]] sidecar exists for the column, probe
+   *        planning additionally DROPS segments whose attribute
+   *        [min,max] cannot admit the query's qfilter — with a
+   *        label-aligned seal ([[recluster]] keeps attributes) this is
+   *        real partition pruning: zero IO for non-matching segments,
+   *        still lossless (a pruned segment provably holds no
+   *        equality-matching row).
    */
   def search(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       metric: Metric = Metric.L2,
@@ -1653,14 +1724,35 @@ object ColdTier {
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
 
+    // attribute-range pruning (only for filtered searches, only when the
+    // [[sealAttrStats]] sidecar exists): segments whose [min,max] cannot
+    // admit the query's qfilter are dropped at PLAN time — zero IO, the
+    // partition-pruning payoff of a label-aligned seal. Lossless: a
+    // pruned segment provably holds no equality-matching row.
+    val attrStats = filterColumn.flatMap(f => loadAttrStats(spark, dir, f))
+    val bAttr = attrStats.map(spark.sparkContext.broadcast(_))
+    val statsNumeric = attrStats.exists(_.numeric)
+
     // distributed probe planning over the broadcast catalog: one row per
-    // (query, fresh segment), hottest-first wave assignment
-    val probes = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
-      .as[(Long, Array[Float], Long, Long)]
+    // (query, fresh + attr-admissible segment), hottest-first wave
+    // assignment. qfd/qfs carry the qfilter for the bounds check (NaN /
+    // null when absent — matching the null-rejecting equality).
+    val probes = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
+        (if (bAttr.isDefined && statsNumeric)
+          coalesce(col("qfilter").cast("double"), lit(Double.NaN))
+        else lit(Double.NaN)).as("qfd"),
+        (if (bAttr.isDefined && !statsNumeric)
+          filterColumn.map(_ => col("qfilter").cast("string"))
+            .getOrElse(lit(null).cast("string"))
+        else lit(null).cast("string")).as("qfs"))
+      .as[(Long, Array[Float], Long, Long, Double, String)]
       .mapPartitions { it =>
         val cat = bSegs.value
-        it.flatMap { case (qid, qv, qtime, ttl) =>
-          val fresh = cat.filter(s => s.maxTs >= qtime - ttl && s.minTs <= qtime)
+        val st = bAttr.map(_.value)
+        it.flatMap { case (qid, qv, qtime, ttl, qfd, qfs) =>
+          val fresh = cat.filter(s =>
+            s.maxTs >= qtime - ttl && s.minTs <= qtime &&
+              st.forall(_.mayMatch(s.segmentId, qfd, qfs)))
           // hottest-first: lower bound, then temperature (V6) for the
           // frequent lb=0 ties when the query sits inside several radii
           val lbs = fresh.map { s =>

@@ -1132,4 +1132,74 @@ class ColdTierSpec extends AnyFunSuite {
     assert(gotDouble == before,
       "double qfilter vs long label must coerce numerically")
   }
+
+  test("attr-stats pruning: a label-aligned tier plans probes only into admissible segments, results stay per-label exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attrprune").toString
+    val dim = 8
+    val rnd = new java.util.Random(17L)
+    val nLabels = 5
+    val all = (0 until 1000).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % nLabels).toLong)
+    }
+    // label-ALIGNED seal: one segment per label (the recluster-key
+    // layout the pruning doc promises), then the stats sidecar
+    ColdTier.sealMany(all.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", col("label")), dir)
+    ColdTier.sealAttrStats(spark, dir, "label")
+
+    def brute(qv: Array[Float], label: Long, k: Int): Seq[Long] =
+      all.filter(_._4 == label)
+        .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+
+    val nQ = 20
+    val queries = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = all(qi * 41)
+      (qi.toLong, qv, 100000L, 1000000L, (qi % nLabels).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"), searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    (0 until nQ).foreach { qi =>
+      assert(got(qi.toLong) == brute(all(qi * 41)._2, qi % nLabels, 10),
+        s"query $qi pruned-filtered result != per-label brute force")
+    }
+    // PRUNED plan: one admissible segment per query, not nLabels —
+    // (wave1 + wave2) probes collapse to exactly nQ
+    val planned = stats("wave1_probes") + stats("wave2_planned")
+    assert(planned == nQ.toLong,
+      s"expected $nQ pruned probes (1/query), planned $planned")
+
+    // a query whose label no segment admits plans ZERO probes and
+    // returns empty (null-rejecting equality semantics)
+    val missQ = Seq((99L, all(3)._2, 100000L, 1000000L, 42L))
+      .toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val missStats = scala.collection.mutable.Map.empty[String, Long]
+    val miss = ColdTier.search(spark, dir, missQ, 10, Metric.L2,
+      firstWaveFraction = 1.0, terminationFactor = 1.0,
+      filterColumn = Some("label"), searchStats = Some(missStats)).count()
+    assert(miss == 0L && missStats("wave1_probes") == 0L,
+      "out-of-range qfilter must prune every segment")
+
+    // stats are advisory: deleting the sidecar keeps results identical
+    // (every segment planned again — prune is performance, not truth)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/attr-stats"))
+    val got2 = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(got2 == got, "results must not depend on the stats sidecar")
+  }
 }

@@ -146,6 +146,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // label equality rides the broadcast probe TUPLE into the bounded-heap
     // scan, so there is no broadcast JOIN left in this plan either
     ("knn_coldtier_filtered", false, true, false),
+    // label-aligned + attr-stats pruning: same kernel, fewer segments
+    // planned (the entry itself asserts one probe per query)
+    ("knn_coldtier_filtered_pruned", false, true, false),
     // cluster frame broadcasts into the documents scan; no scan filter
     // (quality reads every document's text by design, like dedup_clusters)
     ("dedup_keep_best", true, false, false),
