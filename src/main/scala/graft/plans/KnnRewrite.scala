@@ -244,13 +244,11 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 .convertToScala(litE.eval(), litE.dataType)
               val qDf = singleQuery(qv).withColumn("qfilter",
                 org.apache.spark.sql.functions.lit(fv))
-              val short = math.max(r.shortlist, k) *
-                math.max(1, r.filterOverfetch)
-              val cands = graft.store.ColdTier.probeCandidates(spark,
-                r.coldDir, qDf, shortlist = short, metric = metric,
-                efSearch = r.efSearch, probeSegments = r.probeSegments)
-              graft.store.ColdTier.rerankExact(spark, r.coldDir, cands,
-                qDf, k, metric, filterColumn = Some(fattr.name))
+              graft.store.ColdTier.searchIndexedFiltered(spark, r.coldDir,
+                qDf, k, fattr.name, metric,
+                shortlist = math.max(r.shortlist, k),
+                efSearch = r.efSearch, probeSegments = r.probeSegments,
+                overfetch = r.filterOverfetch)
                 .select(col("id"), col("dist"))
           }
           // splice the OPTIMIZED probe plan: this rule runs after the

@@ -1446,6 +1446,28 @@ object ColdTier {
         col("col.id").as("id"), col("col.dist").as("dist"))
   }
 
+  /** Attribute-filtered sidecar search (the filtered-ANN surface on the
+   * indexed path, what the filtered SQL rewrite serves from): the graph
+   * shortlist is filter-OBLIVIOUS, so it is over-fetched by
+   * `overfetch`, then ONLY the shortlisted ids are hydrated — the
+   * attribute rides the candidate-bounded re-rank join — and re-ranked
+   * under `attribute === qfilter`. Candidate-bounded IO (never a tier
+   * scan); recall under selective labels is bounded by
+   * shortlist × overfetch vs the label's local density — size them to
+   * the label distribution. Queries must carry a `qfilter` column. */
+  def searchIndexedFiltered(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, filterColumn: String,
+      metric: Metric = Metric.L2, shortlist: Int = 50,
+      efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
+      overfetch: Int = 4, routeEf: Int = 0): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    rerankExact(spark, dir,
+      probeCandidates(spark, dir, queries,
+        shortlist * math.max(1, overfetch), metric, efSearch,
+        probeSegments, routeEf),
+      queries, k, metric, filterColumn = Some(filterColumn))
+  }
+
   /** Exact re-rank of a (qid, id) candidate set against the raw segments:
    * vector IO only for candidate ids, per-query freshness re-applied,
    * oracle-kernel distances — shared by [[searchIndexed]] and the gated
