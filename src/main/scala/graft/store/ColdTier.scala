@@ -128,6 +128,34 @@ object ColdTier {
       .parquet(attrStatsPath(dir, column))
   }
 
+  /** Columns with a sealed attr-stats sidecar. */
+  private def attrStatsColumns(spark: SparkSession,
+      dir: String): Seq[String] = {
+    val p = new Path(s"$dir/attr-stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq
+  }
+
+  /** Re-seal every attr-stats sidecar against the CURRENT catalog —
+   * called by [[compact]]/[[recluster]] after their catalog swap so
+   * pruning keeps working across the lifecycle (stats for consumed
+   * segments are merely ignored, but the MERGED segments would have no
+   * rows and never prune). A column that can no longer be computed
+   * (e.g. dropped by a schema change) has its sidecar deleted rather
+   * than left stale. */
+  private def refreshAttrStats(spark: SparkSession, dir: String): Unit =
+    attrStatsColumns(spark, dir).foreach { c =>
+      try sealAttrStats(spark, dir, c)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          val p = new Path(attrStatsPath(dir, c))
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+      }
+    }
+
   /** Loaded attr stats, numeric or lexicographic. A stats row whose min
    * is null means the segment's attribute is all-null — no row can
    * match a (null-rejecting) equality, so it prunes unconditionally;
@@ -399,6 +427,7 @@ object ColdTier {
     markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
     swapCatalog(spark, dir, out)
     gc(spark, dir)
+    refreshAttrStats(spark, dir)
     if (hasLog) {
       val fs = new Path(dir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
@@ -794,6 +823,7 @@ object ColdTier {
       segs.map(_.segmentId).toSeq.diff(out.map(_.segmentId).toSeq))
     swapCatalog(spark, dir, out)
     gc(spark, dir)
+    refreshAttrStats(spark, dir)
     // consolidate the delete log: one max-ts tombstone per id is
     // covering-equivalent to any multiset of entries for that id. The
     // consolidated batch is written FIRST, then the old batch dirs are

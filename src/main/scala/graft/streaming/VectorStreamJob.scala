@@ -518,6 +518,8 @@ object VectorStreamJob {
     val p = new org.apache.hadoop.fs.Path(stagingConsumedPath(coldDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty
+    // catalog-bounded: one 8-byte id per consumed staged BATCH (flush
+    // history, never corpus rows)
     else spark.read.parquet(p.toString)
       .select("stagedId").collect().map(_.getLong(0)).toSet
   }

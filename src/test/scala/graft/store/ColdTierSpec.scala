@@ -1189,6 +1189,24 @@ class ColdTierSpec extends AnyFunSuite {
     assert(miss == 0L && missStats("wave1_probes") == 0L,
       "out-of-range qfilter must prune every segment")
 
+    // lifecycle: compaction refreshes the sidecar against the NEW
+    // catalog (stats keyed by the merged segment ids), and filtered
+    // results stay exact
+    ColdTier.compact(spark, dir, targetRows = 10000L)
+    val newIds = ColdTier.catalog(spark, dir).map(_.segmentId).toSet
+    val statIds = spark.read.parquet(s"$dir/attr-stats/label")
+      .select("segmentId").collect().map(_.getLong(0)).toSet
+    assert(statIds == newIds,
+      s"compaction must refresh attr stats: $statIds != $newIds")
+    val gotC = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(gotC == got, "filtered results must survive compaction+refresh")
+
     // stats are advisory: deleting the sidecar keeps results identical
     // (every segment planned again — prune is performance, not truth)
     org.apache.commons.io.FileUtils.deleteDirectory(
