@@ -1271,9 +1271,10 @@ object ColdTier {
   def probeCandidates(spark: SparkSession, dir: String, queries: DataFrame,
       shortlist: Int, metric: Metric = Metric.L2,
       efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
-      routeEf: Int = 0): DataFrame = {
+      routeEf: Int = 0, filterColumn: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
+      filterColumn.map(_ => col("qfilter")): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
     val segs = catalog(spark, dir)
     val fresh =
@@ -1285,6 +1286,24 @@ object ColdTier {
     val dfs = new Path(dir).getFileSystem(hconf)
     val (indexed, unindexed) = fresh.partition(s => indexSealed(dfs, s.path))
     val sc = new SerConf(hconf)
+    // attr-range pruning, same contract as [[search]]: only for
+    // filtered probes, only when the [[sealAttrStats]] sidecar exists.
+    // Routing then fans out ONLY to admissible segments — on a
+    // label-aligned tier this both skips IO and makes a capped probe's
+    // shortlist label-dense (the cap picks nearest centroids among
+    // segments that can actually match).
+    val attrStats = filterColumn.flatMap(f => loadAttrStats(spark, dir, f))
+    val bAttr = attrStats.map(spark.sparkContext.broadcast(_))
+    val statsNumeric = attrStats.exists(_.numeric)
+    val qPlan = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
+        (if (bAttr.isDefined && statsNumeric)
+          coalesce(col("qfilter").cast("double"), lit(Double.NaN))
+        else lit(Double.NaN)).as("qfd"),
+        (if (bAttr.isDefined && !statsNumeric)
+          filterColumn.map(_ => col("qfilter").cast("string"))
+            .getOrElse(lit(null).cast("string"))
+        else lit(null).cast("string")).as("qfs"))
+      .as[(Long, Array[Float], Long, Long, Double, String)]
     val probed =
       if (indexed.isEmpty) empty
       else {
@@ -1295,7 +1314,7 @@ object ColdTier {
         // With a probeSegments cap, each query keeps only its
         // nearest-centroid segments before fanning out to their shards.
         val bSegMeta = spark.sparkContext.broadcast(
-          indexed.map(s => (s.centroid, s.minTs, s.maxTs)))
+          indexed.map(s => (s.centroid, s.minTs, s.maxTs, s.segmentId)))
         val bIdx = spark.sparkContext.broadcast(
           indexed.zipWithIndex.flatMap { case (s, si) =>
             shardFiles(dfs, s.path).map(p => (si, p))
@@ -1306,11 +1325,13 @@ object ColdTier {
             Some(spark.sparkContext.broadcast(
               routerFor(dir, indexed, routeEf)))
           else None
-        q.as[(Long, Array[Float], Long, Long)]
-          .flatMap { case (qid, qv, qtime, ttl) =>
+        qPlan
+          .flatMap { case (qid, qv, qtime, ttl, qfd, qfs) =>
             val metas = bSegMeta.value
+            val st = bAttr.map(_.value)
             val inWin = metas.indices.filter { si =>
-              metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime
+              metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime &&
+                st.forall(_.mayMatch(metas(si)._4, qfd, qfs))
             }
             def linear: Set[Int] = linearRoute(qv, inWin, metas(_)._1, cap)
             val chosen: Int => Boolean =
@@ -1341,13 +1362,17 @@ object ColdTier {
       else {
         val data = applyTombstones(spark, dir,
           spark.read.parquet(unindexed.map(_.path).toIndexedSeq: _*))
-        val probeQ = q.select(col("qid"), col("qv"),
-          (col("qtime") - col("ttl")).as("floor_ts"), col("qtime").as("ceil_ts"))
+        val probeQ = q.select(Seq(col("qid"), col("qv"),
+          (col("qtime") - col("ttl")).as("floor_ts"),
+          col("qtime").as("ceil_ts")) ++
+          filterColumn.map(_ => col("qfilter")): _*)
         val shortUdaf = udaf(new TopKAggregator(shortlist),
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
         data.join(broadcast(probeQ),
             col("eventTime") >= col("floor_ts") &&
-            col("eventTime") <= col("ceil_ts"))
+            col("eventTime") <= col("ceil_ts") &&
+            filterColumn.map(f => data(f) === col("qfilter"))
+              .getOrElse(lit(true)))
           .select(col("qid"), col("id"),
             Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
           .groupBy("qid")
@@ -1484,7 +1509,12 @@ object ColdTier {
    * under `attribute === qfilter`. Candidate-bounded IO (never a tier
    * scan); recall under selective labels is bounded by
    * shortlist × overfetch vs the label's local density — size them to
-   * the label distribution. Queries must carry a `qfilter` column. */
+   * the label distribution. Queries must carry a `qfilter` column.
+   * With a [[sealAttrStats]] sidecar the routing step additionally
+   * drops non-admissible segments (and a capped probe then picks its
+   * nearest centroids among segments that can actually match — on a
+   * label-aligned tier the shortlist becomes label-dense, recovering
+   * the recall a filter-oblivious walk loses on selective labels). */
   def searchIndexedFiltered(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int, filterColumn: String,
       metric: Metric = Metric.L2, shortlist: Int = 50,
@@ -1494,7 +1524,7 @@ object ColdTier {
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries,
         shortlist * math.max(1, overfetch), metric, efSearch,
-        probeSegments, routeEf),
+        probeSegments, routeEf, filterColumn = Some(filterColumn)),
       queries, k, metric, filterColumn = Some(filterColumn))
   }
 

@@ -1220,4 +1220,55 @@ class ColdTierSpec extends AnyFunSuite {
       }
     assert(got2 == got, "results must not depend on the stats sidecar")
   }
+
+  test("searchIndexedFiltered + attr stats: capped routing fans out only to admissible segments, shortlist stays label-dense") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-idxflt").toString
+    val dim = 8
+    val rnd = new java.util.Random(23L)
+    val nLabels = 4
+    val all = (0 until 800).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % nLabels).toLong)
+    }
+    ColdTier.sealMany(all.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", col("label")), dir)
+    ColdTier.sealIndexes(spark, dir, 0L until nLabels.toLong, Metric.L2,
+      m = 8, efConstruction = 64)
+    ColdTier.sealAttrStats(spark, dir, "label")
+
+    val nQ = 12
+    val queries = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = all(qi * 53)
+      (qi.toLong, qv, 100000L, 1000000L, (qi % nLabels).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+
+    // probeSegments = 1: WITHOUT pruning the cap would pick the single
+    // nearest-centroid segment regardless of label (labels are spread
+    // uniformly, so centroids nearly coincide and the chosen segment is
+    // effectively arbitrary — wrong-label shortlists come back empty
+    // after the filter for ~3/4 of queries); WITH pruning the one
+    // admissible segment is the label's own
+    val got = ColdTier.searchIndexedFiltered(spark, dir, queries, 10,
+        "label", Metric.L2, shortlist = 64, efSearch = 96,
+        probeSegments = 1)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    def brute(qv: Array[Float], label: Long, k: Int): Seq[Long] =
+      all.filter(_._4 == label)
+        .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+    (0 until nQ).foreach { qi =>
+      val res = got.getOrElse(qi.toLong, Seq.empty)
+      assert(res.nonEmpty, s"query $qi returned nothing — the capped " +
+        "probe did not route to the admissible segment")
+      assert(res.forall(_ % nLabels == qi % nLabels),
+        s"query $qi returned wrong-label ids: $res")
+      val truth = brute(all(qi * 53)._2, qi % nLabels, 10).toSet
+      val recall = res.count(truth.contains).toDouble / truth.size
+      assert(recall >= 0.9, s"query $qi recall $recall")
+    }
+  }
 }
