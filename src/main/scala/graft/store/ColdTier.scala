@@ -142,40 +142,101 @@ object ColdTier {
    * called by [[compact]]/[[recluster]] after their catalog swap so
    * pruning keeps working across the lifecycle (stats for consumed
    * segments are merely ignored, but the MERGED segments would have no
-   * rows and never prune). A column that can no longer be computed
-   * (e.g. dropped by a schema change) has its sidecar deleted rather
-   * than left stale. */
-  private def refreshAttrStats(spark: SparkSession, dir: String): Unit =
+   * rows and never prune). With `rewrittenIds` the refresh is
+   * INCREMENTAL: surviving segments' stats rows are immutable (segment
+   * files never change in place), so only the newly written segments
+   * are re-aggregated — a compaction that merged two flush segments
+   * must not pay a whole-tier scan per sidecar column. A column that
+   * can no longer be computed (e.g. dropped by a schema change) has its
+   * sidecar deleted rather than left stale. */
+  private def refreshAttrStats(spark: SparkSession, dir: String,
+      rewrittenIds: Option[Set[Long]] = None): Unit =
     attrStatsColumns(spark, dir).foreach { c =>
-      try sealAttrStats(spark, dir, c)
-      catch {
+      try {
+        rewrittenIds match {
+          case None => sealAttrStats(spark, dir, c)
+          case Some(newIds) =>
+            val cat = catalog(spark, dir)
+            val newSegs = cat.filter(s => newIds(s.segmentId))
+            val keepIds = (cat.map(_.segmentId).toSet -- newIds).toSeq
+            val p = attrStatsPath(dir, c)
+            val old = spark.read.parquet(p)
+            // one row per surviving segment: catalog-bounded collect
+            // (materialized driver-side so the overwrite below never
+            // reads from the path it is replacing)
+            val keptRows = old
+              .where(col("segmentId").isin(keepIds: _*)).collect()
+            val keptDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(keptRows.toIndexedSeq, 1),
+              old.schema)
+            val refreshed =
+              if (newSegs.isEmpty) keptDf
+              else keptDf.unionByName(
+                spark.read.parquet(newSegs.map(_.path).toIndexedSeq: _*)
+                  .groupBy("segmentId")
+                  .agg(min(col(c)).as("amin"), max(col(c)).as("amax")))
+            refreshed.coalesce(1).write.mode("overwrite").parquet(p)
+        }
+      } catch {
         case scala.util.control.NonFatal(_) =>
-          val p = new Path(attrStatsPath(dir, c))
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(p, true)
+          val sp = new Path(attrStatsPath(dir, c))
+          sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(sp, true)
       }
     }
 
-  /** Loaded attr stats, numeric or lexicographic. A stats row whose min
-   * is null means the segment's attribute is all-null — no row can
-   * match a (null-rejecting) equality, so it prunes unconditionally;
-   * a segment with NO stats row is never pruned. */
+  /** Unsigned lexicographic compare of UTF-8 bytes — Spark's own string
+   * ordering (UTF8String is byte-ordered = code-point-ordered). Java
+   * String.compareTo orders by UTF-16 code UNIT, which inverts
+   * supplementary characters vs BMP private-use ones — comparing in the
+   * sealed min/max's own order keeps pruning lossless for any label. */
+  private def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = (a(i) & 0xff) - (b(i) & 0xff)
+      if (x != 0) return x
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Loaded attr stats, numeric or lexicographic. Pruning is strictly
+   * CONSERVATIVE — it may only drop a segment when no row can match:
+   * a segment with no stats row never prunes; NaN anywhere (in the
+   * sealed bounds or the qfilter) never prunes (NaN breaks interval
+   * reasoning — the scan kernel decides); an all-null attribute is an
+   * empty interval (numeric: (+inf,-inf); string: null bounds) that
+   * prunes for any non-null qfilter (a null-rejecting equality can
+   * match nothing there); string bounds compare in UTF-8 byte order,
+   * the order they were sealed in. */
   private final case class AttrStats(numeric: Boolean,
       num: Map[Long, (Double, Double)],
-      str: Map[Long, (String, String)]) extends Serializable {
-    def mayMatch(segId: Long, qfd: Double, qfs: String): Boolean =
+      str: Map[Long, (Array[Byte], Array[Byte])]) extends Serializable {
+    def mayMatch(segId: Long, qfd: Double, qfB: Array[Byte]): Boolean =
       if (numeric) num.get(segId) match {
-        case Some((lo, hi)) => !qfd.isNaN && !lo.isNaN && qfd >= lo && qfd <= hi
+        case Some((lo, hi)) =>
+          if (qfd.isNaN || lo.isNaN || hi.isNaN) true
+          else qfd >= lo && qfd <= hi
         case None => true
       } else str.get(segId) match {
         case Some((lo, hi)) =>
-          qfs != null && lo != null && qfs >= lo && qfs <= hi
+          if (qfB == null) true
+          else if (lo == null) false
+          else utf8Compare(qfB, lo) >= 0 && utf8Compare(qfB, hi) <= 0
         case None => true
       }
   }
 
+  /** Read the sidecar, or None when absent OR unreadable: a crash
+   * mid-overwrite (sealAttrStats/refresh are plain overwrites, not
+   * tmp+rename) or a concurrent refresh can leave/expose a dir with no
+   * committed parquet — the advisory contract ("stats only cost
+   * performance, never correctness") demands that reads degrade to
+   * no-pruning rather than fail the search; re-running sealAttrStats
+   * restores the sidecar. */
   private def loadAttrStats(spark: SparkSession, dir: String,
-      column: String): Option[AttrStats] = {
+      column: String): Option[AttrStats] = try {
     val p = new Path(attrStatsPath(dir, column))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -186,16 +247,53 @@ object ColdTier {
       // one row per segment: catalog-bounded collect
       val m = df.select(col("segmentId"), col("amin").cast("double"),
           col("amax").cast("double")).collect()
-        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) (Double.NaN, Double.NaN)
-          else (r.getDouble(1), r.getDouble(2)))).toMap
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1))
+          (Double.PositiveInfinity, Double.NegativeInfinity)
+        else (r.getDouble(1), r.getDouble(2)))).toMap
       Some(AttrStats(numeric = true, m, null))
     } else {
       // one row per segment: catalog-bounded collect
       val m = df.select(col("segmentId"), col("amin").cast("string"),
           col("amax").cast("string")).collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+        .map { r =>
+          def b(i: Int): Array[Byte] =
+            if (r.isNullAt(i)) null
+            else r.getString(i)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          r.getLong(0) -> ((b(1), b(2)))
+        }.toMap
       Some(AttrStats(numeric = false, null, m))
     }
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** The shared pruning preamble of [[search]] and [[probeCandidates]]:
+   * stats (only when the qfilter's type FAMILY matches the sealed
+   * attribute's — numeric-vs-numeric compares as double exactly like
+   * the kernel coercion, string-vs-string in UTF-8 order; a cross-family
+   * pair is served by broader SQL coercion on the match side, which an
+   * interval test cannot soundly imply, so pruning disables itself) and
+   * the (qfd, qfs) projection columns for the planning tuple. */
+  private def attrPruning(spark: SparkSession, dir: String,
+      filterColumn: Option[String],
+      queries: DataFrame): (Option[AttrStats],
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val stats = filterColumn.flatMap { f =>
+      loadAttrStats(spark, dir, f).filter { st =>
+        val qfNumeric = queries.schema("qfilter").dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        st.numeric == qfNumeric
+      }
+    }
+    val qfd =
+      if (stats.exists(_.numeric))
+        coalesce(col("qfilter").cast("double"), lit(Double.NaN))
+      else lit(Double.NaN)
+    val qfs =
+      if (stats.exists(s => !s.numeric)) col("qfilter").cast("string")
+      else lit(null).cast("string")
+    (stats, qfd.as("qfd"), qfs.as("qfs"))
   }
 
   private def deleteLogPath(dir: String) = s"$dir/deletes-log"
@@ -823,7 +921,8 @@ object ColdTier {
       segs.map(_.segmentId).toSeq.diff(out.map(_.segmentId).toSeq))
     swapCatalog(spark, dir, out)
     gc(spark, dir)
-    refreshAttrStats(spark, dir)
+    refreshAttrStats(spark, dir, Some(
+      out.map(_.segmentId).toSet -- segs.map(_.segmentId).toSet))
     // consolidate the delete log: one max-ts tombstone per id is
     // covering-equivalent to any multiset of entries for that id. The
     // consolidated batch is written FIRST, then the old batch dirs are
@@ -1292,17 +1391,11 @@ object ColdTier {
     // label-aligned tier this both skips IO and makes a capped probe's
     // shortlist label-dense (the cap picks nearest centroids among
     // segments that can actually match).
-    val attrStats = filterColumn.flatMap(f => loadAttrStats(spark, dir, f))
+    val (attrStats, qfdCol, qfsCol) =
+      attrPruning(spark, dir, filterColumn, q)
     val bAttr = attrStats.map(spark.sparkContext.broadcast(_))
-    val statsNumeric = attrStats.exists(_.numeric)
     val qPlan = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
-        (if (bAttr.isDefined && statsNumeric)
-          coalesce(col("qfilter").cast("double"), lit(Double.NaN))
-        else lit(Double.NaN)).as("qfd"),
-        (if (bAttr.isDefined && !statsNumeric)
-          filterColumn.map(_ => col("qfilter").cast("string"))
-            .getOrElse(lit(null).cast("string"))
-        else lit(null).cast("string")).as("qfs"))
+        qfdCol, qfsCol)
       .as[(Long, Array[Float], Long, Long, Double, String)]
     val probed =
       if (indexed.isEmpty) empty
@@ -1329,9 +1422,11 @@ object ColdTier {
           .flatMap { case (qid, qv, qtime, ttl, qfd, qfs) =>
             val metas = bSegMeta.value
             val st = bAttr.map(_.value)
+            val qfB = if (qfs == null) null
+              else qfs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             val inWin = metas.indices.filter { si =>
               metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime &&
-                st.forall(_.mayMatch(metas(si)._4, qfd, qfs))
+                st.forall(_.mayMatch(metas(si)._4, qfd, qfB))
             }
             def linear: Set[Int] = linearRoute(qv, inWin, metas(_)._1, cap)
             val chosen: Int => Boolean =
@@ -1811,30 +1906,26 @@ object ColdTier {
     // admit the query's qfilter are dropped at PLAN time — zero IO, the
     // partition-pruning payoff of a label-aligned seal. Lossless: a
     // pruned segment provably holds no equality-matching row.
-    val attrStats = filterColumn.flatMap(f => loadAttrStats(spark, dir, f))
+    val (attrStats, qfdCol, qfsCol) =
+      attrPruning(spark, dir, filterColumn, q)
     val bAttr = attrStats.map(spark.sparkContext.broadcast(_))
-    val statsNumeric = attrStats.exists(_.numeric)
 
     // distributed probe planning over the broadcast catalog: one row per
     // (query, fresh + attr-admissible segment), hottest-first wave
     // assignment. qfd/qfs carry the qfilter for the bounds check (NaN /
     // null when absent — matching the null-rejecting equality).
     val probes = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
-        (if (bAttr.isDefined && statsNumeric)
-          coalesce(col("qfilter").cast("double"), lit(Double.NaN))
-        else lit(Double.NaN)).as("qfd"),
-        (if (bAttr.isDefined && !statsNumeric)
-          filterColumn.map(_ => col("qfilter").cast("string"))
-            .getOrElse(lit(null).cast("string"))
-        else lit(null).cast("string")).as("qfs"))
+        qfdCol, qfsCol)
       .as[(Long, Array[Float], Long, Long, Double, String)]
       .mapPartitions { it =>
         val cat = bSegs.value
         val st = bAttr.map(_.value)
         it.flatMap { case (qid, qv, qtime, ttl, qfd, qfs) =>
+          val qfB = if (qfs == null) null
+            else qfs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val fresh = cat.filter(s =>
             s.maxTs >= qtime - ttl && s.minTs <= qtime &&
-              st.forall(_.mayMatch(s.segmentId, qfd, qfs)))
+              st.forall(_.mayMatch(s.segmentId, qfd, qfB)))
           // hottest-first: lower bound, then temperature (V6) for the
           // frequent lb=0 ties when the query sits inside several radii
           val lbs = fresh.map { s =>

@@ -1221,6 +1221,48 @@ class ColdTierSpec extends AnyFunSuite {
     assert(got2 == got, "results must not depend on the stats sidecar")
   }
 
+  test("attr-stats family guard: a string-labeled tier with a numeric qfilter disables pruning (broader SQL coercion could match rows an interval test would drop)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attrfam").toString
+    val dim = 8
+    val rnd = new java.util.Random(29L)
+    val nLabels = 3
+    val all = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % nLabels).toString)
+    }
+    ColdTier.sealMany(all.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", (col("id") % nLabels).cast("long")), dir)
+    ColdTier.sealAttrStats(spark, dir, "label")
+    val nQ = 6
+    // NUMERIC qfilter against the STRING label column: the sealed stats
+    // are lexicographic, so an interval test on the stringified double
+    // ("1.0" vs ["1","1"]) would falsely prune — the family guard must
+    // turn pruning OFF and the equality must still resolve row-level
+    val queries = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = all(qi * 31)
+      (qi.toLong, qv, 100000L, 1000000L, (qi % nLabels).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got = ColdTier.search(spark, dir, queries, 5, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"), searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(stats("wave1_probes") + stats("wave2_planned") ==
+      (nQ * nLabels).toLong,
+      "cross-family qfilter must plan every segment (pruning off)")
+    (0 until nQ).foreach { qi =>
+      val truth = all.filter(_._4 == (qi % nLabels).toString)
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qi * 31)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+      assert(got(qi.toLong) == truth,
+        s"query $qi cross-family filtered result != per-label truth")
+    }
+  }
+
   test("searchIndexedFiltered + attr stats: capped routing fans out only to admissible segments, shortlist stays label-dense") {
     import spark.implicits._
     val dir = Files.createTempDirectory("coldtier-idxflt").toString
