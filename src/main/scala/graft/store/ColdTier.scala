@@ -228,6 +228,16 @@ object ColdTier {
       }
   }
 
+  /** Driver-side stats cache keyed by (path, mtime): a serving workload
+   * issues many filtered searches against the same tier and must not
+   * pay a parquet read per call. Staleness is SAFE by construction —
+   * a stats row per segmentId is immutable (segment files never change
+   * in place), segments missing from a stale map simply don't prune,
+   * and rows for dead ids are never consulted — so an mtime miss only
+   * costs the one reload. Stale generations of a path evict on load. */
+  private val attrStatsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), AttrStats]
+
   /** Read the sidecar, or None when absent OR unreadable: a crash
    * mid-overwrite (sealAttrStats/refresh are plain overwrites, not
    * tmp+rename) or a concurrent refresh can leave/expose a dir with no
@@ -240,17 +250,19 @@ object ColdTier {
     val p = new Path(attrStatsPath(dir, column))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
+    val ckey = (p.toString, fs.getFileStatus(p).getModificationTime)
+    attrStatsCache.get(ckey).foreach(st => return Some(st))
     val df = spark.read.parquet(p.toString)
     val numeric = df.schema("amin").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    if (numeric) {
+    val loaded = if (numeric) {
       // one row per segment: catalog-bounded collect
       val m = df.select(col("segmentId"), col("amin").cast("double"),
           col("amax").cast("double")).collect()
         .map(r => r.getLong(0) -> (if (r.isNullAt(1))
           (Double.PositiveInfinity, Double.NegativeInfinity)
         else (r.getDouble(1), r.getDouble(2)))).toMap
-      Some(AttrStats(numeric = true, m, null))
+      AttrStats(numeric = true, m, null)
     } else {
       // one row per segment: catalog-bounded collect
       val m = df.select(col("segmentId"), col("amin").cast("string"),
@@ -262,8 +274,13 @@ object ColdTier {
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           r.getLong(0) -> ((b(1), b(2)))
         }.toMap
-      Some(AttrStats(numeric = false, null, m))
+      AttrStats(numeric = false, null, m)
     }
+    attrStatsCache.synchronized {
+      attrStatsCache.filterInPlace { case ((cp, _), _) => cp != ckey._1 }
+      attrStatsCache.put(ckey, loaded)
+    }
+    Some(loaded)
   } catch {
     case scala.util.control.NonFatal(_) => None
   }
