@@ -53,11 +53,19 @@ object KnnIndex {
    *        IO, not zero-IO like the bare probe) and over-fetches the
    *        shortlist by `filterOverfetch` since the graph walk is
    *        filter-oblivious — size `shortlist * filterOverfetch /
-   *        selectivity` to the label distribution when registering. */
+   *        selectivity` to the label distribution when registering.
+   * @param timeColumn the corpus column whose values were sealed as the
+   *        tier's `eventTime`. A matched range predicate on it (`ts >=
+   *        a`, `ts < b`, `BETWEEN`, or a point `ts = v`) becomes the
+   *        probe's freshness window — the reference's TTL semantics
+   *        surfaced in SQL ("top-k among the last N days"). Bounds are
+   *        clamped to the same ±2^62 eventTime contract the bare
+   *        rewrite imposes. Disjoint from `filterColumns` (an equality
+   *        on the time column is a point window, not a label filter). */
   final case class Registration(coldDir: String, idCol: String,
       vecCol: String, metric: Metric, efSearch: Int, probeSegments: Int,
       shortlist: Int, filterColumns: Set[String] = Set.empty,
-      filterOverfetch: Int = 4)
+      filterOverfetch: Int = 4, timeColumn: Option[String] = None)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Registration]
@@ -71,10 +79,13 @@ object KnnIndex {
       vecCol: String = "vec", metric: Metric = Metric.L2,
       efSearch: Int = 96, probeSegments: Int = Int.MaxValue,
       shortlist: Int = 64, filterColumns: Set[String] = Set.empty,
-      filterOverfetch: Int = 4): Unit =
+      filterOverfetch: Int = 4, timeColumn: Option[String] = None): Unit = {
+    require(timeColumn.forall(t => !filterColumns(t)),
+      s"timeColumn $timeColumn must not also be a filter column")
     reg.put(norm(corpusPath),
       Registration(coldDir, idCol, vecCol, metric, efSearch, probeSegments,
-        shortlist, filterColumns, filterOverfetch))
+        shortlist, filterColumns, filterOverfetch, timeColumn))
+  }
 
   def unregister(corpusPath: String): Unit = reg.remove(norm(corpusPath))
   def clear(): Unit = reg.clear()
@@ -149,14 +160,102 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Decompose a matched WHERE into the single `attr = foldable` equality
-   * on a REGISTERED filter column. Optimizer-inferred `isnotnull(attr)`
-   * conjuncts on the same attribute are tolerated (InferFiltersFrom-
-   * Constraints adds one next to every pushed equality); any other
-   * conjunct bails the rewrite — the query keeps its exact plan rather
-   * than silently dropping a predicate. */
-  private def eqFilter(cond: Expression, allowed: Set[String])
-      : Option[(AttributeReference, Expression)] = {
+  /** The contract eventTime window of a registered corpus (scaladoc on
+   * [[singleQuery]]): [-2^62, 2^62 - 1], the widest span a (qtime, ttl)
+   * pair can express without overflowing `qtime - ttl`. */
+  private val FloorDef: Long = Long.MaxValue / 2 - Long.MaxValue // -2^62
+  private val CeilDef: Long = Long.MaxValue / 2                  // 2^62 - 1
+
+  /** The inclusive freshness bounds a single conjunct contributes when
+   * it is a comparison between the registered time column and an
+   * integral foldable: (lowers, uppers). Strict bounds convert exactly
+   * on integral types (`ts > a` == `ts >= a+1`); a point `ts = v`
+   * contributes both. Empty when the conjunct is not a time bound. */
+  private def timeBounds(e: Expression, tname: String)
+      : (Seq[Long], Seq[Long], Option[ExprId]) = {
+    def timeAttr(x: Expression): Option[AttributeReference] = x match {
+      case ar: AttributeReference if ar.name == tname &&
+          (ar.dataType == org.apache.spark.sql.types.LongType ||
+           ar.dataType == org.apache.spark.sql.types.IntegerType ||
+           ar.dataType == org.apache.spark.sql.types.ShortType ||
+           ar.dataType == org.apache.spark.sql.types.ByteType) => Some(ar)
+      case _ => None
+    }
+    def longOf(l: Expression): Option[Long] =
+      if (!l.foldable) None
+      else Option(l.eval()).collect {
+        case v: java.lang.Long => v.longValue()
+        case v: java.lang.Integer => v.longValue()
+        case v: java.lang.Short => v.longValue()
+        case v: java.lang.Byte => v.longValue()
+      }
+    def lo(v: Long, strict: Boolean): Option[Long] =
+      if (!strict) Some(v)
+      else if (v == Long.MaxValue) None else Some(v + 1)
+    def hi(v: Long, strict: Boolean): Option[Long] =
+      if (!strict) Some(v)
+      else if (v == Long.MinValue) None else Some(v - 1)
+    val none = (Seq.empty[Long], Seq.empty[Long], None)
+    def bound(a: Expression, l: Expression, aIsLower: Boolean,
+        strict: Boolean) =
+      (timeAttr(a), longOf(l)) match {
+        case (Some(ar), Some(v)) =>
+          val b = if (aIsLower) lo(v, strict) else hi(v, strict)
+          // an unrepresentable strict bound (ts > Long.MaxValue) is an
+          // unsatisfiable window; emit a crossed pair so the caller bails
+          b match {
+            case Some(x) if aIsLower => (Seq(x), Seq.empty, Some(ar.exprId))
+            case Some(x) => (Seq.empty, Seq(x), Some(ar.exprId))
+            case None => (Seq(Long.MaxValue), Seq(Long.MinValue),
+              Some(ar.exprId))
+          }
+        case _ => none
+      }
+    e match {
+      case GreaterThanOrEqual(a, l) if timeAttr(a).isDefined =>
+        bound(a, l, aIsLower = true, strict = false)
+      case GreaterThan(a, l) if timeAttr(a).isDefined =>
+        bound(a, l, aIsLower = true, strict = true)
+      case LessThanOrEqual(a, l) if timeAttr(a).isDefined =>
+        bound(a, l, aIsLower = false, strict = false)
+      case LessThan(a, l) if timeAttr(a).isDefined =>
+        bound(a, l, aIsLower = false, strict = true)
+      case GreaterThanOrEqual(l, a) if timeAttr(a).isDefined =>
+        bound(a, l, aIsLower = false, strict = false)
+      case GreaterThan(l, a) if timeAttr(a).isDefined =>
+        bound(a, l, aIsLower = false, strict = true)
+      case LessThanOrEqual(l, a) if timeAttr(a).isDefined =>
+        bound(a, l, aIsLower = true, strict = false)
+      case LessThan(l, a) if timeAttr(a).isDefined =>
+        bound(a, l, aIsLower = true, strict = true)
+      case EqualTo(a, l) if timeAttr(a).isDefined =>
+        (timeAttr(a), longOf(l)) match {
+          case (Some(ar), Some(v)) => (Seq(v), Seq(v), Some(ar.exprId))
+          case _ => none
+        }
+      case EqualTo(l, a) if timeAttr(a).isDefined =>
+        longOf(l).map(v => (Seq(v), Seq(v),
+          timeAttr(a).map(_.exprId))).getOrElse(none)
+      case _ => none
+    }
+  }
+
+  /** Decompose a matched WHERE into at most one `attr = foldable`
+   * equality on a REGISTERED filter column plus any number of range
+   * conjuncts on the REGISTERED time column, folded into one inclusive
+   * freshness window clamped to the ±2^62 contract. Optimizer-inferred
+   * `isnotnull(attr)` conjuncts are tolerated only NEXT TO a real
+   * extracted conjunct on the same attribute (an equality or range
+   * already implies non-null, so dropping the isnotnull preserves
+   * semantics; a BARE isnotnull does not — it would make the probe
+   * return null-attribute rows the query excludes). Any other conjunct
+   * — or an unsatisfiable window (floor > ceil) — bails the rewrite:
+   * the query keeps its exact plan rather than silently dropping or
+   * widening a predicate. */
+  private def decompose(cond: Expression, allowed: Set[String],
+      timeCol: Option[String])
+      : Option[(Option[(AttributeReference, Expression)],
+                Option[(Long, Long)])] = {
     val cs = conjuncts(cond)
     def asEq(e: Expression): Option[(AttributeReference, Expression)] =
       e match {
@@ -166,15 +265,38 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             if l.foldable && allowed(a.name) => Some((a, l))
         case _ => None
       }
-    val eqs = cs.flatMap(asEq)
-    val rest = cs.filter(asEq(_).isEmpty)
-    eqs match {
-      case Seq((attr, lit)) if rest.forall {
-        case IsNotNull(a: AttributeReference) => a.exprId == attr.exprId
-        case _ => false
-      } => Some((attr, lit))
-      case _ => None
+    var eq: Option[(AttributeReference, Expression)] = None
+    var lowers = List.empty[Long]
+    var uppers = List.empty[Long]
+    val realAttrIds = scala.collection.mutable.Set.empty[ExprId]
+    val leftovers = scala.collection.mutable.ListBuffer.empty[Expression]
+    cs.foreach { c =>
+      asEq(c) match {
+        case Some(pair) =>
+          if (eq.isDefined) return None // two equalities: not the shape
+          eq = Some(pair); realAttrIds += pair._1.exprId
+        case None =>
+          val (los, his, aid) = timeCol
+            .map(timeBounds(c, _)).getOrElse((Seq.empty, Seq.empty, None))
+          if (los.nonEmpty || his.nonEmpty) {
+            lowers ++= los; uppers ++= his; aid.foreach(realAttrIds += _)
+          } else leftovers += c
+      }
     }
+    val tolerated = leftovers.forall {
+      case IsNotNull(a: AttributeReference) => realAttrIds(a.exprId)
+      case _ => false
+    }
+    if (!tolerated) return None
+    val window =
+      if (lowers.isEmpty && uppers.isEmpty) None
+      else {
+        val floor = (FloorDef :: lowers).max
+        val ceil = (CeilDef :: uppers).min
+        if (floor > ceil) return None // unsatisfiable: exact plan answers
+        Some((floor, ceil))          // empty via its own pushed predicate
+      }
+    Some((eq, window))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -198,12 +320,14 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // whole optimization pass (and not leak a half-built probe)
         val rewritten = try { for {
           r <- KnnIndex.lookup(relationPaths(rel))
-          // a WHERE must be the one-equality shape on a sealed attribute
-          // the registration declared; otherwise stay on the exact path
-          fspec <- condOpt match {
-            case None => Some(None)
-            case Some(c) => eqFilter(c, r.filterColumns).map(Some(_))
+          // a WHERE must decompose into the declared shapes — one
+          // equality on a sealed attribute and/or a range on the sealed
+          // time column; otherwise stay on the exact path
+          specs <- condOpt match {
+            case None => Some((None, None))
+            case Some(c) => decompose(c, r.filterColumns, r.timeColumn)
           }
+          (fspec, window) = specs
           distAlias <- projList.collectFirst {
             case al @ Alias(d, _) if al.exprId == sortRef.exprId => (al, d)
           }
@@ -226,10 +350,12 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           }
         } yield {
+          val (floorTs, ceilTs) = window.getOrElse((FloorDef, CeilDef))
           val probe = fspec match {
             case None =>
               graft.store.ColdTier.searchIndexedFast(spark,
-                r.coldDir, singleQuery(qv), k, metric, efSearch = r.efSearch,
+                r.coldDir, singleQuery(qv, floorTs, ceilTs), k, metric,
+                efSearch = r.efSearch,
                 probeSegments = r.probeSegments,
                 shortlist = math.max(r.shortlist, k))
                 .select(col("id"), col("dist"))
@@ -242,7 +368,7 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               // probe's zero IO — still no corpus scan.
               val fv = org.apache.spark.sql.catalyst.CatalystTypeConverters
                 .convertToScala(litE.eval(), litE.dataType)
-              val qDf = singleQuery(qv).withColumn("qfilter",
+              val qDf = singleQuery(qv, floorTs, ceilTs).withColumn("qfilter",
                 org.apache.spark.sql.functions.lit(fv))
               graft.store.ColdTier.searchIndexedFiltered(spark, r.coldDir,
                 qDf, k, fattr.name, metric,
@@ -287,18 +413,19 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The rewrite's probe row. A registered ORDER BY carries no time
-   * predicate, so the freshness window must cover every eventTime the
-   * corpus may hold: qtime = MaxValue/2 with ttl = MaxValue spans
-   * (-2^62, 2^62] — negative eventTimes are in-window (the old
-   * MaxValue/2 ttl silently excluded them from a rewritten top-k). The
-   * FULL Long range is unreachable with a (qtime, ttl) window without
-   * overflowing `qtime - ttl`; eventTimes beyond ±2^62 (4.6e18 — three
-   * orders past nanosecond epoch stamps) are out of contract for a
-   * registered corpus. */
-  private def singleQuery(qv: Array[Float]) = {
+  /** The rewrite's probe row over an inclusive [floorTs, ceilTs]
+   * freshness window. Without a matched time predicate the window is the
+   * full contract span [-2^62, 2^62-1] — negative eventTimes are
+   * in-window (an earlier MaxValue/2 ttl silently excluded them from a
+   * rewritten top-k). The FULL Long range is unreachable with a (qtime,
+   * ttl) window without overflowing `qtime - ttl`; eventTimes beyond
+   * ±2^62 (4.6e18 — three orders past nanosecond epoch stamps) are out
+   * of contract for a registered corpus, and user bounds are clamped to
+   * it ([[decompose]]), which also keeps `ceil - floor <= Long.MaxValue`
+   * overflow-free. */
+  private def singleQuery(qv: Array[Float], floorTs: Long, ceilTs: Long) = {
     import spark.implicits._
-    Seq((0L, qv, Long.MaxValue / 2, Long.MaxValue))
+    Seq((0L, qv, ceilTs, ceilTs - floorTs))
       .toDF("qid", "qv", "qtime", "ttl")
   }
 }
