@@ -54,6 +54,36 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Fixed-workload calibration point: the exact bounded-heap bf kernel
+   * over a canned 100k × 64-dim seeded corpus (sf-independent), 129
+   * queries, min-of-2 after an untimed warmup. The work is IDENTICAL
+   * every round and in every JVM, so round-over-round drift on this key
+   * is ENVIRONMENT (sandbox load, page cache, thermals), never code —
+   * the separator the r10 verdict asked for after the whole 10x family
+   * drifted ~10-23% with no code on its paths. Emitted by the main
+   * bench JVM as `calib_bf_100k_sec` and by the [[Bench10x]] child as
+   * `calib_bf_100k_10x_sec` (the family that drifted lives there). */
+  def calibrationBf(spark: SparkSession, parts: Int): Double = {
+    import spark.implicits._
+    val dim = 64
+    val corpus = spark.range(0, 100000L, 1, parts)
+      .as[Long].map { id =>
+        val r = new java.util.Random(id * 0x9E3779B97F4A7C15L + 77L)
+        (id, Array.fill(dim)(r.nextGaussian().toFloat), 0L)
+      }.toDF("id", "vec", "eventTime").cache()
+    corpus.count()
+    val qs = corpus.where(col("id") % 781 === 0)
+      .select(col("id").as("qid"), col("vec").as("qv"),
+        lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      .cache()
+    qs.count()
+    def run() = graft.ops.Ann.bruteForce(corpus, qs, 10, Metric.L2).count()
+    run() // codegen/JIT warmup, untimed
+    val secs = (1 to 2).map { _ => System.gc(); time(run())._2 }
+    corpus.unpersist(); qs.unpersist()
+    secs.min
+  }
+
   /** One streaming latency/throughput measurement at a given routed
    * fan-out: route -> keyed HNSW store -> merge over a bounded event
    * stream fed in 2000-row chunks, query rate bound to insert progress
@@ -120,7 +150,10 @@ object Bench {
     // a feed smaller than two chunks would leave ZERO timed reps and
     // crash reps.maxBy — clamp the trigger size so warmup + at least one
     // timed chunk always exist (smoke runs at toy sf hit this with the
-    // 8000-row production-trigger points over a 6000-row corpus)
+    // 8000-row production-trigger points over a 6000-row corpus), and if
+    // the feed STILL fits one chunk (< ~1000 rows), re-feed the warmup
+    // chunk as the timed rep (same ids upsert into the keyed store —
+    // a degraded-but-defined toy point instead of an empty maxBy crash)
     val effChunk = math.max(500, math.min(chunkRows, rows.length / 2))
     val chunks = rows.grouped(effChunk).toArray
     feedChunk(chunks.head) // warmup (codegen + state-store init), untimed
@@ -128,8 +161,9 @@ object Bench {
     // single-shot streaming numbers have mis-recorded under ambient
     // pressure; the best rep is the least-contended estimate and the raw
     // per-rep list makes a noisy run diagnosable in the artifact
-    val repRanges = chunks.tail.grouped(
-      math.max(1, math.ceil(chunks.tail.length.toDouble / nReps).toInt)).toArray
+    val timed = if (chunks.length >= 2) chunks.tail else chunks
+    val repRanges = timed.grouped(
+      math.max(1, math.ceil(timed.length.toDouble / nReps).toInt)).toArray
     val reps = repRanges.map { rcs =>
       latencies.synchronized(latencies.clear())
       val (_, repSec) = time { rcs.foreach(feedChunk) }
@@ -194,12 +228,14 @@ object Bench {
       input.addData(inserts.toIndexedSeq ++ qs: _*)
       sq.processAllAvailable()
     }
-    // same small-feed clamp as streamBench: never zero timed reps
+    // same small-feed clamp + warmup-reuse fallback as streamBench:
+    // never zero timed reps
     val effChunk = math.max(500, math.min(chunkRows, rows.length / 2))
     val chunks = rows.grouped(effChunk).toArray
     feedChunk(chunks.head) // warmup, untimed
-    val repRanges = chunks.tail.grouped(
-      math.max(1, math.ceil(chunks.tail.length.toDouble / nReps).toInt))
+    val timed = if (chunks.length >= 2) chunks.tail else chunks
+    val repRanges = timed.grouped(
+      math.max(1, math.ceil(timed.length.toDouble / nReps).toInt))
       .toArray
     val reps = repRanges.map { rcs =>
       latencies.synchronized(latencies.clear())
@@ -428,6 +464,10 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     spark.range(1000000L).select(sum("id")).collect() // JVM/codegen warmup
+
+    // environment calibration FIRST (cleanest point in the JVM's life):
+    // identical canned workload every round — see [[calibrationBf]]
+    val calibSec = calibrationBf(spark, cpus.toInt)
 
     // warmup + repeated timed runs (min reported): a single cold pass per
     // query made round-over-round deltas unattributable — a 5x swing on a
@@ -954,7 +994,7 @@ object Bench {
         s"""{"parts":${p.parts},"p50_ms":${"%.1f".format(p.pct(0.5))},"p99_ms":${"%.1f".format(p.pct(0.99))},"insert_per_sec":${"%.1f".format(p.insertPerSec)},"reps":${
           p.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"queries":${p.nQueries}}""")
         .mkString(",")}]}"""
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"partition_balance":${"%.3f".format(balance)}"""
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =

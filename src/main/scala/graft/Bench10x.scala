@@ -36,6 +36,10 @@ object Bench10x {
   def run(spark: SparkSession, sfDir: String, cpus: Int, reps: Int): String = {
     import graft.ops.Ann
     import graft.partitioners.{KMeansPartitioner, SaltedPartitioner}
+    // environment calibration in THIS jvm before any timed section —
+    // the 10x family's round-over-round drift separates into environment
+    // vs code against this canned constant-work point (Bench.calibrationBf)
+    val calibSec = Bench.calibrationBf(spark, cpus)
     val mult = 10
     val vecs1 = Bench.derivedVectors(spark, sfDir).repartition(cpus)
     // the fit sample and cells are identical to the 1x bench section's by
@@ -193,7 +197,8 @@ object Bench10x {
     val recall = if (rc.nonEmpty) rc.sum / rc.length else 0.0
     def arr(ts: Seq[Double]) =
       ts.map(t => "%.2f".format(t)).mkString("[", ",", "]")
-    s""""ann_recall_at_10_10x":${"%.4f".format(recall)},""" +
+    s""""calib_bf_100k_10x_sec":${"%.2f".format(calibSec)},""" +
+      s""""ann_recall_at_10_10x":${"%.4f".format(recall)},""" +
       s""""ann_vectors_per_sec_10x":${"%.1f".format((nVec10 + nQ10) / annTimes.min)},""" +
       s""""n_vectors_10x":$nVec10,""" +
       s""""bf_10x_sec":${"%.2f".format(bfTimes.min)},""" +

@@ -37,6 +37,9 @@ import graft.functions.{Distances, TopKAggregator}
  */
 object ColdTier {
 
+  private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger("graft.store.ColdTier")
+
   /** `temperature` is an EWMA of the segment's result-hit counts
    * (reference V6 access/hit/age statistics, plugin/vectorbackend/util/
    * metrics.h + db/version_set.cc:2508-2561), maintained off the query
@@ -107,35 +110,64 @@ object ColdTier {
   private def attrStatsPath(dir: String, column: String) =
     s"$dir/attr-stats/$column"
 
+  /** Commit an attr-stats frame CRASH-ATOMICALLY: write to a dotted tmp
+   * dir, then swap (delete old, rename tmp into place) — the same
+   * tmp+rename discipline every other catalog artifact uses. A crash
+   * mid-write leaves only an orphaned `.tmp-*` dir (ignored by
+   * [[attrStatsColumns]] and unreadable as a sidecar path, swept on the
+   * next seal); a crash between delete and rename leaves NO sidecar,
+   * which the read side degrades to no-pruning — a half-written stats
+   * dir at the live path is impossible by construction. */
+  private def commitAttrStats(spark: SparkSession, dir: String,
+      column: String, stats: DataFrame): Unit = {
+    val finalPath = new Path(attrStatsPath(dir, column))
+    val fs = finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep prior orphans for this column (a crashed earlier attempt)
+    if (fs.exists(finalPath.getParent))
+      fs.listStatus(finalPath.getParent)
+        .filter(_.getPath.getName.startsWith(s".tmp-$column-"))
+        .foreach(s => fs.delete(s.getPath, true))
+    val tmp = new Path(finalPath.getParent,
+      s".tmp-$column-${java.util.UUID.randomUUID().toString.take(8)}")
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(finalPath)) fs.delete(finalPath, true)
+    if (!fs.rename(tmp, finalPath)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"commitAttrStats: rename $tmp -> $finalPath failed")
+    }
+  }
+
   /** Per-segment min/max sidecar for an ATTRIBUTE column — the filtered
    * search's partition-pruning signal. One grouped aggregate over the
-   * cataloged segments, overwritten in place (re-run after compaction /
-   * recluster to refresh; the read side treats a missing stats row as
-   * "never prune", so stale or absent stats only cost performance, never
-   * correctness). With a label-ALIGNED seal (one segment per label — a
-   * recluster key choice), a filtered search then plans probes only into
-   * the segments whose [min,max] admits the query's qfilter — at a
-   * 100-TB tier this is the difference between scanning every fresh
-   * segment and touching 1/|labels| of them, with zero IO for the rest. */
+   * cataloged segments, committed via tmp+rename (re-run after
+   * compaction / recluster to refresh; the read side treats a missing
+   * stats row as "never prune", so stale or absent stats only cost
+   * performance, never correctness). With a label-ALIGNED seal (one
+   * segment per label — a recluster key choice), a filtered search then
+   * plans probes only into the segments whose [min,max] admits the
+   * query's qfilter — at a 100-TB tier this is the difference between
+   * scanning every fresh segment and touching 1/|labels| of them, with
+   * zero IO for the rest. */
   def sealAttrStats(spark: SparkSession, dir: String,
       column: String): Unit = {
     val segs = catalog(spark, dir)
     if (segs.isEmpty) return
-    spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
-      .groupBy("segmentId")
-      .agg(min(col(column)).as("amin"), max(col(column)).as("amax"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(attrStatsPath(dir, column))
+    commitAttrStats(spark, dir, column,
+      spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
+        .groupBy("segmentId")
+        .agg(min(col(column)).as("amin"), max(col(column)).as("amax")))
   }
 
-  /** Columns with a sealed attr-stats sidecar. */
+  /** Columns with a sealed attr-stats sidecar (dotted dirs are in-flight
+   * tmp commits or orphans of a crashed one — never sidecars). */
   private def attrStatsColumns(spark: SparkSession,
       dir: String): Seq[String] = {
     val p = new Path(s"$dir/attr-stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).toSeq
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).toSeq
   }
 
   /** Re-seal every attr-stats sidecar against the CURRENT catalog —
@@ -147,11 +179,23 @@ object ColdTier {
    * files never change in place), so only the newly written segments
    * are re-aggregated — a compaction that merged two flush segments
    * must not pay a whole-tier scan per sidecar column. A column that
-   * can no longer be computed (e.g. dropped by a schema change) has its
-   * sidecar deleted rather than left stale. */
+   * can no longer be computed (e.g. dropped by a schema change —
+   * surfacing as an AnalysisException) has its sidecar deleted rather
+   * than left stale, with a logged warning; a TRANSIENT failure (IO,
+   * task loss) instead retries the full [[sealAttrStats]] once and only
+   * deletes — again logged — if that also fails, so one blip cannot
+   * silently and permanently disable pruning for the column. */
   private def refreshAttrStats(spark: SparkSession, dir: String,
       rewrittenIds: Option[Set[Long]] = None): Unit =
     attrStatsColumns(spark, dir).foreach { c =>
+      def dropSidecar(cause: Throwable, why: String): Unit = {
+        logger.warn(s"refreshAttrStats($dir, $c): $why — deleting the " +
+          s"sidecar; attr-range pruning on '$c' is disabled until " +
+          s"sealAttrStats is re-run", cause)
+        val sp = new Path(attrStatsPath(dir, c))
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(sp, true)
+      }
       try {
         rewrittenIds match {
           case None => sealAttrStats(spark, dir, c)
@@ -162,7 +206,7 @@ object ColdTier {
             val p = attrStatsPath(dir, c)
             val old = spark.read.parquet(p)
             // one row per surviving segment: catalog-bounded collect
-            // (materialized driver-side so the overwrite below never
+            // (materialized driver-side so the commit below never
             // reads from the path it is replacing)
             val keptRows = old
               .where(col("segmentId").isin(keepIds: _*)).collect()
@@ -175,13 +219,18 @@ object ColdTier {
                 spark.read.parquet(newSegs.map(_.path).toIndexedSeq: _*)
                   .groupBy("segmentId")
                   .agg(min(col(c)).as("amin"), max(col(c)).as("amax")))
-            refreshed.coalesce(1).write.mode("overwrite").parquet(p)
+            commitAttrStats(spark, dir, c, refreshed)
         }
       } catch {
-        case scala.util.control.NonFatal(_) =>
-          val sp = new Path(attrStatsPath(dir, c))
-          sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(sp, true)
+        case ae: org.apache.spark.sql.AnalysisException =>
+          dropSidecar(ae, "column no longer computable (analysis error)")
+        case scala.util.control.NonFatal(e1) =>
+          try sealAttrStats(spark, dir, c)
+          catch {
+            case scala.util.control.NonFatal(e2) =>
+              e2.addSuppressed(e1)
+              dropSidecar(e2, "refresh and full re-seal both failed")
+          }
       }
     }
 
@@ -238,13 +287,13 @@ object ColdTier {
   private val attrStatsCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), AttrStats]
 
-  /** Read the sidecar, or None when absent OR unreadable: a crash
-   * mid-overwrite (sealAttrStats/refresh are plain overwrites, not
-   * tmp+rename) or a concurrent refresh can leave/expose a dir with no
-   * committed parquet — the advisory contract ("stats only cost
-   * performance, never correctness") demands that reads degrade to
-   * no-pruning rather than fail the search; re-running sealAttrStats
-   * restores the sidecar. */
+  /** Read the sidecar, or None when absent OR unreadable: seals are
+   * tmp+rename crash-atomic ([[commitAttrStats]]), so the live path is
+   * never half-written, but a read can still race the delete→rename
+   * window of a concurrent refresh and see no dir — the advisory
+   * contract ("stats only cost performance, never correctness") demands
+   * that reads degrade to no-pruning rather than fail the search;
+   * re-running sealAttrStats restores the sidecar. */
   private def loadAttrStats(spark: SparkSession, dir: String,
       column: String): Option[AttrStats] = try {
     val p = new Path(attrStatsPath(dir, column))
@@ -285,6 +334,55 @@ object ColdTier {
     case scala.util.control.NonFatal(_) => None
   }
 
+  /** The ONE comparison rule for `attribute = qfilter`, shared by every
+   * filtered surface (the scan kernel, the unindexed probe join, the
+   * re-rank join, the streaming hot path) so no two of them can ever
+   * disagree on the same inputs:
+   *  - same type family (tightest common type exists): compare at that
+   *    type — an int attribute vs a double qfilter compares as double,
+   *    never as the strings "1" vs "1.0";
+   *  - CROSS-family string-vs-numeric: compare as DOUBLE via
+   *    `try_cast` — numeric-rendering strings ('1.0' = 1) match, a
+   *    non-numeric string goes null and matches nothing. Implicit `===`
+   *    coercion would be WRONG here twice over: under ANSI (Spark 4's
+   *    default) it casts the string side to the numeric type and
+   *    THROWS on '1.0'-style renderings, and under legacy it promotes
+   *    to double — either way a per-surface choice, which is exactly
+   *    how the kernel and the join formulation drifted apart;
+   *  - anything else: compare as strings.
+   * Null on either side matches nothing (null-rejecting equality). */
+  private[store] def filterCastType(at: org.apache.spark.sql.types.DataType,
+      qt: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.types.DataType, Boolean) = {
+    import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
+    org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findTightestCommonType(at, qt) match {
+      case Some(t) => (t, false)
+      case None => (at, qt) match {
+        case (_: NumericType, StringType) | (StringType, _: NumericType) =>
+          (DoubleType, true)
+        case _ => (StringType, false)
+      }
+    }
+  }
+
+  /** One side of the [[filterCastType]] comparison, as a column. */
+  private[store] def filterKey(c: org.apache.spark.sql.Column,
+      at: org.apache.spark.sql.types.DataType,
+      qt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    val (t, tryCast) = filterCastType(at, qt)
+    if (tryCast) c.try_cast(t) else c.cast(t)
+  }
+
+  /** The full equality predicate for join-formulated filtered surfaces. */
+  private[store] def filterEquality(attr: org.apache.spark.sql.Column,
+      qf: org.apache.spark.sql.Column,
+      at: org.apache.spark.sql.types.DataType,
+      qt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column =
+    filterKey(attr, at, qt) === filterKey(qf, at, qt)
+
   /** The shared pruning preamble of [[search]] and [[probeCandidates]]:
    * stats (only when the qfilter's type FAMILY matches the sealed
    * attribute's — numeric-vs-numeric compares as double exactly like
@@ -311,6 +409,38 @@ object ColdTier {
       if (stats.exists(s => !s.numeric)) col("qfilter").cast("string")
       else lit(null).cast("string")
     (stats, qfd.as("qfd"), qfs.as("qfs"))
+  }
+
+  /** Driver-side MULTI-VALUE segment admission (IN-list semantics) from
+   * the [[sealAttrStats]] sidecar: the segment ids whose [min,max]
+   * admits AT LEAST ONE of the literal values — per value exactly the
+   * conservative [[AttrStats.mayMatch]] the per-query path applies
+   * (missing stats row / NaN / cross-family never prune). None = no
+   * sidecar or cross-family values = never prune. Used by plan-time
+   * rewrites whose filter values are literals (one admission set per
+   * PLAN, not per query). */
+  private[graft] def admissibleIds(spark: SparkSession, dir: String,
+      column: String, values: Seq[Any],
+      vt: org.apache.spark.sql.types.DataType): Option[Set[Long]] = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    loadAttrStats(spark, dir, column).flatMap { st =>
+      val vNumeric = vt.isInstanceOf[NumericType]
+      val vString = vt == StringType
+      if (st.numeric != vNumeric || !(vNumeric || vString)) None
+      else Some(catalog(spark, dir).map(_.segmentId).filter { sid =>
+        values.exists { v =>
+          if (st.numeric) st.mayMatch(sid, v match {
+            case n: java.lang.Number => n.doubleValue()
+            case _ => Double.NaN // unknown rendering: never prune
+          }, null)
+          else st.mayMatch(sid, Double.NaN, v match {
+            case s: String =>
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case _ => null // unknown rendering: never prune
+          })
+        }
+      }.toSet)
+    }
   }
 
   private def deleteLogPath(dir: String) = s"$dir/deletes-log"
@@ -1384,10 +1514,67 @@ object ColdTier {
    *        instead of O(S); routing becomes approximate, window
    *        semantics unchanged). Only meaningful with a probeSegments
    *        cap. */
+  /** [[search]]'s per-query wave-planning kernel, at MODULE level for
+   * the same static-lambda reason as [[routeToShards]]. */
+  private def planWaves(qid: Long, qv: Array[Float], qtime: Long,
+      ttl: Long, qfd: Double, qfB: Array[Byte],
+      cat: Array[SegmentStats], st: Option[AttrStats],
+      firstWaveFraction: Double, prune: Boolean)
+      : Iterator[(Long, Long, Int, Double)] = {
+    val fresh = cat.filter(s =>
+      s.maxTs >= qtime - ttl && s.minTs <= qtime &&
+        st.forall(_.mayMatch(s.segmentId, qfd, qfB)))
+    // hottest-first: lower bound, then temperature (V6) for the
+    // frequent lb=0 ties when the query sits inside several radii
+    val lbs = fresh.map { s =>
+      val lb = math.max(0.0,
+        math.sqrt(Distances.l2(qv, s.centroid)) - s.radius)
+      (s.segmentId, lb, s.temperature)
+    }.sortBy { case (sid, lb, temp) => (lb, -temp, sid) }
+      .map { case (sid, lb, _) => (sid, lb) }
+    val w1 = math.max(1, math.ceil(lbs.length * firstWaveFraction).toInt)
+    lbs.iterator.zipWithIndex.map { case ((sid, lb), i) =>
+      (qid, sid, if (prune && i >= w1) 2 else 1, lb)
+    }
+  }
+
+  /** [[probeCandidates]]' per-query routing kernel, at MODULE level so
+   * the flatMap lambdas calling it stay static (a nested def lifts to
+   * an instance method on the module, and the calling lambda would then
+   * capture — and fail to serialize — the non-serializable ColdTier$). */
+  private def routeToShards(qid: Long, qv: Array[Float], qtime: Long,
+      ttl: Long, qfd: Double, qfB: Array[Byte],
+      metas: Array[(Array[Float], Long, Long, Long)],
+      st: Option[AttrStats], idx: Array[(Int, Int, String)], cap: Int,
+      router: Option[CentroidRouter])
+      : Seq[(Int, Long, Array[Float], Long, Long)] = {
+    val inWin = metas.indices.filter { si =>
+      metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime &&
+        st.forall(_.mayMatch(metas(si)._4, qfd, qfB))
+    }
+    def linear: Set[Int] = linearRoute(qv, inWin, metas(_)._1, cap)
+    val chosen: Int => Boolean =
+      if (cap >= inWin.size) inWin.toSet
+      else router match {
+        case Some(r) =>
+          val inWinSet = inWin.toSet
+          r.route(qv, cap, inWinSet, inWin.size).getOrElse(linear)
+        case None => linear
+      }
+    idx.collect {
+      case (i, si, _) if chosen(si) => (i, qid, qv, qtime, ttl)
+    }.toSeq
+  }
+
   def probeCandidates(spark: SparkSession, dir: String, queries: DataFrame,
       shortlist: Int, metric: Metric = Metric.L2,
       efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
-      routeEf: Int = 0, filterColumn: Option[String] = None): DataFrame = {
+      routeEf: Int = 0, filterColumn: Option[String] = None,
+      // plan-time literal admission (the [[admissibleIds]] set of an
+      // IN-list / multi-column rewrite): routing and the unindexed scan
+      // both drop segments outside it — lossless by the sidecar's
+      // conservative contract. None = no restriction.
+      admissible: Option[Set[Long]] = None): DataFrame = {
     import spark.implicits._
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
@@ -1395,7 +1582,8 @@ object ColdTier {
     val segs = catalog(spark, dir)
     val fresh =
       if (w.isNullAt(0)) Array.empty[SegmentStats]
-      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1)
+        && admissible.forall(_.contains(s.segmentId)))
     val empty = spark.emptyDataset[(Long, Long)].toDF("qid", "id")
     if (fresh.isEmpty) return empty
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -1407,13 +1595,14 @@ object ColdTier {
     // Routing then fans out ONLY to admissible segments — on a
     // label-aligned tier this both skips IO and makes a capped probe's
     // shortlist label-dense (the cap picks nearest centroids among
-    // segments that can actually match).
+    // segments that can actually match). An UNFILTERED probe plans the
+    // bare (qid, qv, qtime, ttl) tuple — no stats load, no qfd/qfs
+    // columns — so the serving path's plan is byte-identical to the
+    // pre-pruning shape (the r10→r9 A/B the fast-path attribution
+    // demanded).
     val (attrStats, qfdCol, qfsCol) =
       attrPruning(spark, dir, filterColumn, q)
     val bAttr = attrStats.map(spark.sparkContext.broadcast(_))
-    val qPlan = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
-        qfdCol, qfsCol)
-      .as[(Long, Array[Float], Long, Long, Double, String)]
     val probed =
       if (indexed.isEmpty) empty
       else {
@@ -1435,30 +1624,26 @@ object ColdTier {
             Some(spark.sparkContext.broadcast(
               routerFor(dir, indexed, routeEf)))
           else None
-        qPlan
-          .flatMap { case (qid, qv, qtime, ttl, qfd, qfs) =>
-            val metas = bSegMeta.value
-            val st = bAttr.map(_.value)
-            val qfB = if (qfs == null) null
-              else qfs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val inWin = metas.indices.filter { si =>
-              metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime &&
-                st.forall(_.mayMatch(metas(si)._4, qfd, qfB))
-            }
-            def linear: Set[Int] = linearRoute(qv, inWin, metas(_)._1, cap)
-            val chosen: Int => Boolean =
-              if (cap >= inWin.size) inWin.toSet
-              else bRouter match {
-                case Some(r) =>
-                  val inWinSet = inWin.toSet
-                  r.value.route(qv, cap, inWinSet, inWin.size)
-                    .getOrElse(linear)
-                case None => linear
+        val routed =
+          if (filterColumn.isEmpty)
+            q.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+              .as[(Long, Array[Float], Long, Long)]
+              .flatMap { case (qid, qv, qtime, ttl) =>
+                routeToShards(qid, qv, qtime, ttl, Double.NaN, null,
+                  bSegMeta.value, None, bIdx.value, cap,
+                  bRouter.map(_.value))
               }
-            bIdx.value.collect {
-              case (i, si, _) if chosen(si) => (i, qid, qv, qtime, ttl)
+          else q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
+              qfdCol, qfsCol)
+            .as[(Long, Array[Float], Long, Long, Double, String)]
+            .flatMap { case (qid, qv, qtime, ttl, qfd, qfs) =>
+              val qfB = if (qfs == null) null
+                else qfs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              routeToShards(qid, qv, qtime, ttl, qfd, qfB,
+                bSegMeta.value, bAttr.map(_.value), bIdx.value, cap,
+                bRouter.map(_.value))
             }
-          }
+        routed
           .groupByKey(_._1)
           .flatMapGroups { (i, it) =>
             val path = bIdx.value(i)._3
@@ -1483,7 +1668,8 @@ object ColdTier {
         data.join(broadcast(probeQ),
             col("eventTime") >= col("floor_ts") &&
             col("eventTime") <= col("ceil_ts") &&
-            filterColumn.map(f => data(f) === col("qfilter"))
+            filterColumn.map(f => filterEquality(data(f), col("qfilter"),
+                data.schema(f).dataType, q.schema("qfilter").dataType))
               .getOrElse(lit(true)))
           .select(col("qid"), col("id"),
             Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
@@ -1640,6 +1826,40 @@ object ColdTier {
       queries, k, metric, filterColumn = Some(filterColumn))
   }
 
+  /** LITERAL-filtered sidecar search for plan-time rewrites — the
+   * IN-list and multi-column-conjunction shapes (`WHERE label IN (...)
+   * AND region = 'x' ORDER BY dist LIMIT k`) where every filter value
+   * is known at plan time. Same composition as
+   * [[searchIndexedFiltered]] (over-fetched filter-oblivious graph
+   * shortlist → candidate-bounded hydration under the predicate), but:
+   *  - segment admission is MULTI-VALUE ([[admissibleIds]]): with a
+   *    [[sealAttrStats]] sidecar, a segment survives when its [min,max]
+   *    admits at least one IN value, and per-column sets INTERSECT
+   *    (conjunction) — one admission set per plan, zero per-query cost;
+   *  - hydration applies the full literal predicate (any-of per column,
+   *    AND across columns) through [[filterEquality]].
+   * `filters`: one entry per column — (column, values, value type). */
+  def searchIndexedLiteralFiltered(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int,
+      filters: Seq[(String, Seq[Any], org.apache.spark.sql.types.DataType)],
+      metric: Metric = Metric.L2, shortlist: Int = 50,
+      efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
+      overfetch: Int = 4, routeEf: Int = 0): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    require(filters.nonEmpty && filters.forall(_._2.nonEmpty),
+      "searchIndexedLiteralFiltered: each filter needs >= 1 value")
+    require(filters.map(_._1).distinct.length == filters.length,
+      "searchIndexedLiteralFiltered: one entry per column")
+    val admissible = filters
+      .flatMap { case (f, vs, vt) => admissibleIds(spark, dir, f, vs, vt) }
+      .reduceOption(_ intersect _)
+    rerankExact(spark, dir,
+      probeCandidates(spark, dir, queries,
+        shortlist * math.max(1, overfetch), metric, efSearch,
+        probeSegments, routeEf, admissible = admissible),
+      queries, k, metric, literalFilters = filters)
+  }
+
   /** Exact re-rank of a (qid, id) candidate set against the raw segments:
    * vector IO only for candidate ids, per-query freshness re-applied,
    * oracle-kernel distances — shared by [[searchIndexed]] and the gated
@@ -1650,10 +1870,19 @@ object ColdTier {
    *        only candidate rows whose sealed `filterColumn` attribute
    *        equals the query's qfilter survive the re-rank. Hydration
    *        stays candidate-bounded — the attribute is read only for
-   *        shortlisted ids, riding the same broadcast candidate join. */
+   *        shortlisted ids, riding the same broadcast candidate join.
+   * @param literalFilters plan-time literal predicate (the SQL rewrite's
+   *        IN-list / multi-column WHERE shapes): each `(column, values,
+   *        valueType)` keeps a row only when the sealed attribute equals
+   *        AT LEAST ONE of the values (any-of), and entries conjoin
+   *        (AND across columns). Equality goes through [[filterEquality]]
+   *        — the same comparison rule as every other filtered surface.
+   *        Orthogonal to `filterColumn` (per-QUERY filter values). */
   def rerankExact(spark: SparkSession, dir: String, candidates: DataFrame,
       queries: DataFrame, k: Int, metric: Metric = Metric.L2,
-      filterColumn: Option[String] = None): DataFrame = {
+      filterColumn: Option[String] = None,
+      literalFilters: Seq[(String, Seq[Any],
+        org.apache.spark.sql.types.DataType)] = Nil): DataFrame = {
     import spark.implicits._
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
@@ -1669,8 +1898,13 @@ object ColdTier {
     // id (graphs are immutable after seal) — it dies at the re-rank
     val raw = applyTombstones(spark, dir,
       spark.read.parquet(fresh.map(_.path).toIndexedSeq: _*))
-      .select(Seq("id", "vec", "eventTime").map(col) ++
-        filterColumn.map(col): _*)
+      .select((Seq("id", "vec", "eventTime") ++ filterColumn ++
+        literalFilters.map(_._1)).distinct.map(col): _*)
+    val literalPred = literalFilters.map { case (f, vs, vt) =>
+      vs.map(v => filterEquality(col(f), lit(v).cast(vt),
+          raw.schema(f).dataType, vt))
+        .reduceLeft(_ || _)
+    }.foldLeft(lit(true))(_ && _)
     val probeQ = q.select(Seq(col("qid"), col("qv"),
       (col("qtime") - col("ttl")).as("floor_ts"),
       col("qtime").as("ceil_ts")) ++
@@ -1681,8 +1915,9 @@ object ColdTier {
       .join(broadcast(probeQ), "qid")
       .where(col("eventTime") >= col("floor_ts") &&
         col("eventTime") <= col("ceil_ts") &&
-        filterColumn.map(f => col(f) === col("qfilter"))
-          .getOrElse(lit(true)))
+        filterColumn.map(f => filterEquality(col(f), col("qfilter"),
+            raw.schema(f).dataType, q.schema("qfilter").dataType))
+          .getOrElse(lit(true)) && literalPred)
       .select(col("qid"), col("id"),
         Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
       .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
@@ -1929,34 +2164,34 @@ object ColdTier {
 
     // distributed probe planning over the broadcast catalog: one row per
     // (query, fresh + attr-admissible segment), hottest-first wave
-    // assignment. qfd/qfs carry the qfilter for the bounds check (NaN /
-    // null when absent — matching the null-rejecting equality).
-    val probes = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
-        qfdCol, qfsCol)
-      .as[(Long, Array[Float], Long, Long, Double, String)]
-      .mapPartitions { it =>
-        val cat = bSegs.value
-        val st = bAttr.map(_.value)
-        it.flatMap { case (qid, qv, qtime, ttl, qfd, qfs) =>
-          val qfB = if (qfs == null) null
-            else qfs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val fresh = cat.filter(s =>
-            s.maxTs >= qtime - ttl && s.minTs <= qtime &&
-              st.forall(_.mayMatch(s.segmentId, qfd, qfB)))
-          // hottest-first: lower bound, then temperature (V6) for the
-          // frequent lb=0 ties when the query sits inside several radii
-          val lbs = fresh.map { s =>
-            val lb = math.max(0.0,
-              math.sqrt(Distances.l2(qv, s.centroid)) - s.radius)
-            (s.segmentId, lb, s.temperature)
-          }.sortBy { case (sid, lb, temp) => (lb, -temp, sid) }
-            .map { case (sid, lb, _) => (sid, lb) }
-          val w1 = math.max(1, math.ceil(lbs.length * firstWaveFraction).toInt)
-          lbs.iterator.zipWithIndex.map { case ((sid, lb), i) =>
-            (qid, sid, if (prune && i >= w1) 2 else 1, lb)
+    // assignment. qfd/qfs carry the qfilter for the bounds check; an
+    // unfiltered search plans the bare 4-tuple (no stats load, no extra
+    // columns — identical to the pre-pruning plan shape).
+    val fwf = firstWaveFraction
+    val planned =
+      if (filterColumn.isEmpty)
+        q.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+          .as[(Long, Array[Float], Long, Long)]
+          .mapPartitions { it =>
+            val cat = bSegs.value
+            it.flatMap { case (qid, qv, qtime, ttl) =>
+              planWaves(qid, qv, qtime, ttl, Double.NaN, null, cat, None,
+                fwf, prune)
+            }
+          }
+      else q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
+          qfdCol, qfsCol)
+        .as[(Long, Array[Float], Long, Long, Double, String)]
+        .mapPartitions { it =>
+          val cat = bSegs.value
+          val st = bAttr.map(_.value)
+          it.flatMap { case (qid, qv, qtime, ttl, qfd, qfs) =>
+            val qfB = if (qfs == null) null
+              else qfs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            planWaves(qid, qv, qtime, ttl, qfd, qfB, cat, st, fwf, prune)
           }
         }
-      }.toDF("qid", "segmentId", "wave", "lower_bound")
+    val probes = planned.toDF("qid", "segmentId", "wave", "lower_bound")
       .persist()
 
     // one Parquet scan over every segment this wave touches, joined to the
@@ -1994,27 +2229,26 @@ object ColdTier {
         // branch per (row, query) next to the freshness bounds — the
         // join formulation this replaces materialized every joined row
         // before filtering, paying the 19x the unfiltered path escaped.
-        // Both sides are first cast to their TIGHTEST COMMON TYPE (the
-        // coercion the SQL `attr === qfilter` equality the join
-        // evaluated would apply — an int attribute vs a double qfilter
-        // compares as double, not as the strings "1" vs "1.0"), then to
-        // string for the in-kernel comparison; null attr or null qfilter
-        // matches nothing, exactly like SQL's null-rejecting equality.
-        // The attribute column is read from the scan only when a filter
-        // is requested.
+        // Both sides are first cast through [[filterKey]] — the ONE
+        // comparison rule every filtered surface shares (tightest
+        // common type within a family; try_cast-to-double for
+        // cross-family string-vs-numeric, where implicit coercion
+        // would either throw under ANSI or silently pick per-surface
+        // semantics) — then to string for the in-kernel comparison;
+        // null attr or null qfilter matches nothing, exactly like
+        // SQL's null-rejecting equality. The attribute column is read
+        // from the scan only when a filter is requested.
         val filtered = filterColumn.isDefined
-        val filterCast = filterColumn.map { f =>
-          org.apache.spark.sql.catalyst.analysis.TypeCoercion
-            .findTightestCommonType(data.schema(f).dataType,
-              q.schema("qfilter").dataType)
-            .getOrElse(org.apache.spark.sql.types.StringType)
+        val filterTypes = filterColumn.map { f =>
+          (data.schema(f).dataType, q.schema("qfilter").dataType)
         }
         val probeArr = waveProbes.join(q, "qid")
           .select(col("segmentId"), col("qid"), col("qv"),
             (col("qtime") - col("ttl")).as("floor_ts"),
             col("qtime").as("ceil_ts"),
-            filterCast.map(t => col("qfilter").cast(t).cast("string"))
-              .getOrElse(lit(null).cast("string")).as("qf"))
+            filterTypes.map { case (at, qt) =>
+              filterKey(col("qfilter"), at, qt).cast("string")
+            }.getOrElse(lit(null).cast("string")).as("qf"))
           .as[(Long, Long, Array[Float], Long, Long, String)]
           .collect() // qid-keyed probe rows: the query-broadcast contract
         val bySeg: Map[Long, Array[(Long, Array[Float], Long, Long, String)]] =
@@ -2027,8 +2261,10 @@ object ColdTier {
         val kk = k
         data.select(col("segmentId"), col("id"), col("vec"),
             col("eventTime"),
-            filterColumn.map(f => col(f).cast(filterCast.get).cast("string"))
-              .getOrElse(lit(null).cast("string")).as("attr"))
+            filterColumn.map { f =>
+              val (at, qt) = filterTypes.get
+              filterKey(col(f), at, qt).cast("string")
+            }.getOrElse(lit(null).cast("string")).as("attr"))
           .as[(Long, Long, Array[Float], Long, String)]
           .mapPartitions { rows =>
             val perSeg = bProbes.value

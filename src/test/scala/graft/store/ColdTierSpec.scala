@@ -1313,4 +1313,126 @@ class ColdTierSpec extends AnyFunSuite {
       assert(recall >= 0.9, s"query $qi recall $recall")
     }
   }
+
+  test("cross-family filter semantics: string labels with non-integral " +
+      "renderings vs a numeric qfilter compare as try_cast-to-DOUBLE on " +
+      "EVERY filtered surface (kernel and join formulation agree)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-xfam").toString
+    val dim = 8
+    val rnd = new java.util.Random(37L)
+    val nLabels = 3
+    // labels sealed as the STRINGS "0.0"/"1.0"/"2.0": under the shared
+    // filterEquality rule a LONG qfilter 1 equals the string '1.0'
+    // (both try_cast to double). A textual kernel compare ("1" vs
+    // "1.0") would drop every row, and the old implicit === would
+    // THROW under ANSI (cast '1.0' to BIGINT) — the per-surface
+    // divergence the advisory flagged
+    val all = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        s"${i % nLabels}.0")
+    }
+    ColdTier.sealMany(all.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", (col("id") % nLabels).cast("long")), dir)
+    val nQ = 6
+    val queries = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = all(qi * 31)
+      (qi.toLong, qv, 100000L, 1000000L, (qi % nLabels).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val got = ColdTier.search(spark, dir, queries, 5, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    // truth = the SQL semantics: cast('1.0' as double) = cast(1 as double)
+    (0 until nQ).foreach { qi =>
+      val truth = all.filter(_._4.toDouble == (qi % nLabels).toDouble)
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qi * 31)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+      assert(got.getOrElse(qi.toLong, Seq.empty) == truth,
+        s"query $qi cross-family kernel result != SQL-coerced truth")
+    }
+    // and the join-formulated filtered re-rank agrees on the same inputs
+    // (the two surfaces must never disagree on cross-typed labels)
+    ColdTier.sealIndexes(spark, dir, 0L until nLabels.toLong, Metric.L2,
+      m = 8, efConstruction = 64)
+    val gotIdx = ColdTier.searchIndexedFiltered(spark, dir, queries, 5,
+        "label", Metric.L2, shortlist = 64, efSearch = 96)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(gotIdx == got,
+      "kernel scan and join-formulated re-rank disagree on cross-typed labels")
+  }
+
+  test("attr-stats commits are crash-atomic: tmp+rename, orphan sweep, " +
+      "and a half-written live path is impossible by construction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-atomic").toString
+    val dim = 8
+    val rnd = new java.util.Random(41L)
+    val nLabels = 4
+    val all = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % nLabels).toLong)
+    }
+    ColdTier.sealMany(all.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", col("label")), dir)
+    ColdTier.sealAttrStats(spark, dir, "label")
+
+    val statsRoot = new java.io.File(s"$dir/attr-stats")
+    // the live path is a COMPLETE parquet commit (committer's _SUCCESS),
+    // and no tmp residue survives a successful seal
+    assert(new java.io.File(statsRoot, "label/_SUCCESS").exists(),
+      "live sidecar must be a completed parquet commit")
+    assert(!statsRoot.list().exists(_.startsWith(".tmp-")),
+      "no tmp dirs may survive a successful seal")
+
+    // simulate a crashed earlier commit: an orphaned tmp dir with junk.
+    // It must be invisible to planning (pruning still collapses to one
+    // probe per query) and swept by the next seal of the same column.
+    val orphan = new java.io.File(statsRoot, ".tmp-label-deadbeef")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(orphan.toPath.resolve("garbage"),
+      Array[Byte](1, 2, 3))
+    val nQ = 8
+    val queries = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = all(qi * 17)
+      (qi.toLong, qv, 100000L, 1000000L, (qi % nLabels).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    ColdTier.search(spark, dir, queries, 5, Metric.L2,
+      firstWaveFraction = 1.0, terminationFactor = 1.0,
+      filterColumn = Some("label"), searchStats = Some(stats)).count()
+    assert(stats("wave1_probes") + stats("wave2_planned") == nQ.toLong,
+      "an orphaned tmp dir must not affect pruning")
+    ColdTier.sealAttrStats(spark, dir, "label")
+    assert(!orphan.exists(), "re-seal must sweep the orphaned tmp dir")
+
+    // a crash in the delete→rename window leaves NO sidecar (never a
+    // half-written one): with the live path removed, the search runs
+    // unpruned but stays exact — the advisory degradation contract
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(statsRoot, "label"))
+    val stats2 = scala.collection.mutable.Map.empty[String, Long]
+    val got = ColdTier.search(spark, dir, queries, 5, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"), searchStats = Some(stats2))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(stats2("wave1_probes") + stats2("wave2_planned") ==
+      (nQ * nLabels).toLong, "missing sidecar must plan every segment")
+    (0 until nQ).foreach { qi =>
+      val truth = all.filter(_._4 == qi % nLabels)
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qi * 17)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+      assert(got(qi.toLong) == truth,
+        s"query $qi unpruned result != per-label truth")
+    }
+  }
 }
