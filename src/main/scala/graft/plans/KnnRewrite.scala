@@ -240,41 +240,55 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Decompose a matched WHERE into at most one `attr = foldable`
-   * equality on a REGISTERED filter column plus any number of range
-   * conjuncts on the REGISTERED time column, folded into one inclusive
-   * freshness window clamped to the ±2^62 contract. Optimizer-inferred
-   * `isnotnull(attr)` conjuncts are tolerated only NEXT TO a real
-   * extracted conjunct on the same attribute (an equality or range
-   * already implies non-null, so dropping the isnotnull preserves
-   * semantics; a BARE isnotnull does not — it would make the probe
-   * return null-attribute rows the query excludes). Any other conjunct
-   * — or an unsatisfiable window (floor > ceil) — bails the rewrite:
-   * the query keeps its exact plan rather than silently dropping or
-   * widening a predicate. */
+  /** Decompose a matched WHERE into filter specs on REGISTERED filter
+   * columns — each spec an `attr = foldable` equality or an
+   * `attr IN (foldables)` list (In and its optimizer InSet form), at
+   * most one spec per column, specs conjoining across DISTINCT columns
+   * (`WHERE label IN (1, 3) AND region = 'eu'`) — plus any number of
+   * range conjuncts on the REGISTERED time column, folded into one
+   * inclusive freshness window clamped to the ±2^62 contract.
+   * Optimizer-inferred `isnotnull(attr)` conjuncts are tolerated only
+   * NEXT TO a real extracted conjunct on the same attribute (an
+   * equality, IN, or range already implies non-null, so dropping the
+   * isnotnull preserves semantics; a BARE isnotnull does not — it would
+   * make the probe return null-attribute rows the query excludes). Any
+   * other conjunct — the same column twice, or an unsatisfiable window
+   * (floor > ceil) — bails the rewrite: the query keeps its exact plan
+   * rather than silently dropping or widening a predicate. */
   private def decompose(cond: Expression, allowed: Set[String],
       timeCol: Option[String])
-      : Option[(Option[(AttributeReference, Expression)],
+      : Option[(Seq[(AttributeReference, Seq[Expression])],
                 Option[(Long, Long)])] = {
     val cs = conjuncts(cond)
-    def asEq(e: Expression): Option[(AttributeReference, Expression)] =
-      e match {
-        case EqualTo(a: AttributeReference, l)
-            if l.foldable && allowed(a.name) => Some((a, l))
-        case EqualTo(l, a: AttributeReference)
-            if l.foldable && allowed(a.name) => Some((a, l))
-        case _ => None
-      }
-    var eq: Option[(AttributeReference, Expression)] = None
+    def asFilter(e: Expression)
+        : Option[(AttributeReference, Seq[Expression])] = e match {
+      case EqualTo(a: AttributeReference, l)
+          if l.foldable && allowed(a.name) => Some((a, Seq(l)))
+      case EqualTo(l, a: AttributeReference)
+          if l.foldable && allowed(a.name) => Some((a, Seq(l)))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.foldable) && allowed(a.name) =>
+        Some((a, vs))
+      case InSet(a: AttributeReference, vs)
+          if vs.nonEmpty && allowed(a.name) =>
+        // InSet holds Catalyst-internal values of the child's type
+        Some((a, vs.toSeq.map(v => Literal(v, a.dataType))))
+      case _ => None
+    }
+    val specs =
+      scala.collection.mutable.ListBuffer
+        .empty[(AttributeReference, Seq[Expression])]
     var lowers = List.empty[Long]
     var uppers = List.empty[Long]
     val realAttrIds = scala.collection.mutable.Set.empty[ExprId]
     val leftovers = scala.collection.mutable.ListBuffer.empty[Expression]
     cs.foreach { c =>
-      asEq(c) match {
-        case Some(pair) =>
-          if (eq.isDefined) return None // two equalities: not the shape
-          eq = Some(pair); realAttrIds += pair._1.exprId
+      asFilter(c) match {
+        case Some(spec) =>
+          // the same column twice (label = 1 AND label IN (2, 3)):
+          // intersection semantics are legal but rare — exact path
+          if (specs.exists(_._1.exprId == spec._1.exprId)) return None
+          specs += spec; realAttrIds += spec._1.exprId
         case None =>
           val (los, his, aid) = timeCol
             .map(timeBounds(c, _)).getOrElse((Seq.empty, Seq.empty, None))
@@ -288,6 +302,11 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!tolerated) return None
+    // the hydration predicate casts every value to the spec's one
+    // declared type — a post-analysis In has coerced children, so a
+    // mixed-type list here is out of contract: exact path
+    if (!specs.forall(s => s._2.map(_.dataType).distinct.length == 1))
+      return None
     val window =
       if (lowers.isEmpty && uppers.isEmpty) None
       else {
@@ -296,7 +315,7 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (floor > ceil) return None // unsatisfiable: exact plan answers
         Some((floor, ceil))          // empty via its own pushed predicate
       }
-    Some((eq, window))
+    Some((specs.toSeq, window))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -324,10 +343,10 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // equality on a sealed attribute and/or a range on the sealed
           // time column; otherwise stay on the exact path
           specs <- condOpt match {
-            case None => Some((None, None))
+            case None => Some((Seq.empty, None))
             case Some(c) => decompose(c, r.filterColumns, r.timeColumn)
           }
-          (fspec, window) = specs
+          (fspecs, window) = specs
           distAlias <- projList.collectFirst {
             case al @ Alias(d, _) if al.exprId == sortRef.exprId => (al, d)
           }
@@ -351,21 +370,22 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         } yield {
           val (floorTs, ceilTs) = window.getOrElse((FloorDef, CeilDef))
-          val probe = fspec match {
-            case None =>
+          val probe = fspecs match {
+            case Seq() =>
               graft.store.ColdTier.searchIndexedFast(spark,
                 r.coldDir, singleQuery(qv, floorTs, ceilTs), k, metric,
                 efSearch = r.efSearch,
                 probeSegments = r.probeSegments,
                 shortlist = math.max(r.shortlist, k))
                 .select(col("id"), col("dist"))
-            case Some((fattr, litE)) =>
-              // filtered probe: the graph shortlist is filter-oblivious,
-              // so it is over-fetched by filterOverfetch, then ONLY the
-              // shortlisted ids are hydrated (the attribute rides the
-              // candidate-bounded re-rank join) and re-ranked under the
-              // equality. Candidate-bounded IO instead of the bare
-              // probe's zero IO — still no corpus scan.
+            case Seq((fattr, Seq(litE))) =>
+              // single-equality filtered probe: the graph shortlist is
+              // filter-oblivious, so it is over-fetched by
+              // filterOverfetch, then ONLY the shortlisted ids are
+              // hydrated (the attribute rides the candidate-bounded
+              // re-rank join) and re-ranked under the equality.
+              // Candidate-bounded IO instead of the bare probe's zero
+              // IO — still no corpus scan.
               val fv = org.apache.spark.sql.catalyst.CatalystTypeConverters
                 .convertToScala(litE.eval(), litE.dataType)
               val qDf = singleQuery(qv, floorTs, ceilTs).withColumn("qfilter",
@@ -373,6 +393,26 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               graft.store.ColdTier.searchIndexedFiltered(spark, r.coldDir,
                 qDf, k, fattr.name, metric,
                 shortlist = math.max(r.shortlist, k),
+                efSearch = r.efSearch, probeSegments = r.probeSegments,
+                overfetch = r.filterOverfetch)
+                .select(col("id"), col("dist"))
+            case many =>
+              // IN-list / multi-column conjunction: same over-fetch +
+              // candidate-bounded hydration, with the values known at
+              // plan time — segment admission is multi-value (attr-stats
+              // mayMatch over the whole IN list, per-column sets
+              // intersected) and the hydration predicate is the full
+              // literal conjunction. Still no corpus scan.
+              val filters = many.map { case (attr, lits) =>
+                (attr.name,
+                  lits.map(l => org.apache.spark.sql.catalyst
+                    .CatalystTypeConverters.convertToScala(
+                      l.eval(), l.dataType)),
+                  lits.head.dataType)
+              }
+              graft.store.ColdTier.searchIndexedLiteralFiltered(spark,
+                r.coldDir, singleQuery(qv, floorTs, ceilTs), k, filters,
+                metric, shortlist = math.max(r.shortlist, k),
                 efSearch = r.efSearch, probeSegments = r.probeSegments,
                 overfetch = r.filterOverfetch)
                 .select(col("id"), col("dist"))

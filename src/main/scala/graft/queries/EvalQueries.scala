@@ -119,6 +119,14 @@ object EvalQueries {
    * so the filter-oblivious shortlist (overfetched 4x) keeps headroom
    * over the matching-label candidate mass. */
   private val SqlRewriteFilteredK = 200
+  /** Top-n of the IN-list SQL-rewrite entry — two of ten labels match
+   * (~20% of candidates), so the bound keeps the same headroom margin
+   * the single-label entry keeps at 200. */
+  private val SqlRewriteInK = 60
+  /** The IN-list entry's static label set (embeddings.label is uniform
+   * over 0..9 at every sf, TESTDATA.md) — static so the DuckDB twin can
+   * embed the same literals. */
+  private val SqlRewriteInLabels = Seq(0, 1)
   /** Snapshot-pinned tier dirs per sf dir: (tier dir, snapshot version). */
   private val snapshotDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
@@ -719,6 +727,65 @@ object EvalQueries {
         SqlRewriteFilteredK, graft.Metric.L2, filterColumn = Some("label"))
     },
 
+    "knn_sql_rewrite_in" -> { (s, dir) =>
+      // the IN-LIST SQL-rewrite surface (`WHERE label IN (0, 1) ORDER BY
+      // dist LIMIT k` — the next most common production shape after
+      // single equality): the optimizer decomposes the IN into a
+      // multi-value filter spec, the probe admits segments whose
+      // attr-stats [min,max] covers ANY of the values, and the graph
+      // shortlist (over-fetched 4x) hydrates candidate-bounded under
+      // the full IN predicate — the corpus is never scanned (the entry
+      // THROWS if a corpus scan survives). Chosen ids land as oracle
+      // aux and replay through the literal-filtered exact re-rank; the
+      // twin applies the same static IN list (the WHERE guards against
+      // aux drift).
+      val tmp = routedFilteredTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = 2, shortlist = SqlRewriteK,
+          filterColumns = Set("label"), filterOverfetch = 4)
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_in")
+        val df = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus_in
+             |WHERE label IN (${SqlRewriteInLabels.mkString(", ")})
+             |ORDER BY dist LIMIT $SqlRewriteInK""".stripMargin)
+        val corpusScans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                l.relation
+                  .asInstanceOf[
+                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.exists(_.toString
+                    .contains("embeddings.parquet")) => l
+        }
+        require(corpusScans.isEmpty, "knn_sql_rewrite_in: the IN-list " +
+          "ORDER BY plan still scans the corpus — the index rewrite " +
+          "did not fire")
+        OracleAux.write(
+          df.select(lit(0L).as("qid"), col("vec_id").as("id")),
+          dir, "sql_rewrite_in_ids")
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val queries = e.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "sql_rewrite_in_ids"), queries,
+        SqlRewriteInK, graft.Metric.L2,
+        literalFilters = Seq(("label", SqlRewriteInLabels,
+          org.apache.spark.sql.types.IntegerType)))
+    },
+
     "knn_tiered" -> { (s, dir) =>
       // ONE query answered across BOTH tiers — the reference's
       // hierarchical search (db/version_set.cc:2563-2655 probes the
@@ -1046,6 +1113,23 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteFilteredK"""
+        .stripMargin,
+
+    // IN-list SQL-rewrite replay: the rewrite-served top-n's ids
+    // re-ranked exactly under the SAME static IN list (the WHERE guards
+    // against aux drift) — the filtered-rewrite recipe with literal
+    // values embedded in both engines
+    "knn_sql_rewrite_in" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_in_ids")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label IN (${SqlRewriteInLabels.mkString(", ")})),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteInK"""
         .stripMargin,
 
     // routed-probe replay: same re-rank recipe over the routed shortlist

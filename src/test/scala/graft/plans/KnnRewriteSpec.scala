@@ -236,6 +236,109 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  /** two-attribute corpus (int label + string region) + cell-sealed
+   * indexed tier carrying both, with an attr-stats sidecar on label so
+   * the IN-list probe exercises multi-value admission. */
+  private def inFixture()
+      : (String, String, Seq[(Long, Array[Float], Long, Int, String)]) = {
+    import spark.implicits._
+    val rows = clustered(800).map { case (id, v, _) =>
+      (id, v, 100L + id, (id % 3).toInt, if (id % 2 == 0) "eu" else "us")
+    }
+    val corpusPath = Files.createTempDirectory("knnrw-incorpus").toString
+    rows.toDF("id", "vec", "eventTime", "label", "region")
+      .write.mode("overwrite").parquet(corpusPath)
+    val coldDir = Files.createTempDirectory("knnrw-intier").toString
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label", "region")
+      .withColumn("segmentId", (col("id") % 4).cast("long")), coldDir)
+    ColdTier.sealIndexes(spark, coldDir, 0L until 4L, Metric.L2, m = 8,
+      efConstruction = 64)
+    ColdTier.sealAttrStats(spark, coldDir, "label")
+    (corpusPath, coldDir, rows)
+  }
+
+  test("WHERE label IN (...) and two-column conjunctions are served from " +
+      "the index; an IN on an unregistered column stays exact") {
+    val (corpusPath, coldDir, rows) = inFixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64,
+        filterColumns = Set("label", "region"), filterOverfetch = 8)
+      val q = rows(42)._2
+      val corpus = spark.read.parquet(corpusPath)
+
+      // IN-list (DataFrame isin surface)
+      val dfIn = corpus.where(col("label").isin(0, 2))
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      val pIn = scanPaths(dfIn)
+      assert(!pIn.exists(_.contains(corpusPath)),
+        s"corpus scan survived the IN rewrite: $pIn")
+      assert(pIn.forall(_.contains(coldDir)),
+        s"only tier hydration scans expected, found: $pIn")
+      val gotIn = dfIn.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(gotIn.length == 10)
+      assert(gotIn.forall { case (id, _) => id % 3 == 0 || id % 3 == 2 },
+        s"IN filter violated: ${gotIn.toList}")
+      assert(gotIn.map(_._2).sliding(2).forall(w => w(0) <= w(1)))
+      val truthIn = rows.filter(r => r._4 == 0 || r._4 == 2)
+        .map { case (id, v, _, _, _) => (id, Distances.l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val recallIn =
+        gotIn.map(_._1).count(truthIn.contains).toDouble / truthIn.size
+      assert(recallIn >= 0.9, s"IN rewrite recall: $recallIn")
+
+      // SQL IN surface agrees with the DataFrame surface
+      corpus.createOrReplaceTempView("knn_incorpus")
+      val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      val sqlDf = spark.sql(
+        s"""SELECT id, l2_distance(vec, $arr) AS dist
+           |FROM knn_incorpus WHERE label IN (0, 2)
+           |ORDER BY dist LIMIT 10""".stripMargin)
+      assert(!scanPaths(sqlDf).exists(_.contains(corpusPath)),
+        "SQL IN query must be served from the tier")
+      assert(sqlDf.collect().map(_.getLong(0)).toSeq ==
+        gotIn.map(_._1).toSeq, "SQL and DataFrame IN surfaces must agree")
+
+      // two-column conjunction (equality AND equality across columns,
+      // int + string value families)
+      val dfAnd = corpus.where(col("label") === 1 && col("region") === "eu")
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      val pAnd = scanPaths(dfAnd)
+      assert(!pAnd.exists(_.contains(corpusPath)),
+        s"corpus scan survived the conjunction rewrite: $pAnd")
+      val gotAnd = dfAnd.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(gotAnd.nonEmpty)
+      assert(gotAnd.forall { case (id, _) => id % 3 == 1 && id % 2 == 0 },
+        s"conjunction filter violated: ${gotAnd.toList}")
+      val truthAnd = rows.filter(r => r._4 == 1 && r._5 == "eu")
+        .map { case (id, v, _, _, _) => (id, Distances.l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val recallAnd =
+        gotAnd.map(_._1).count(truthAnd.contains).toDouble / truthAnd.size
+      assert(recallAnd >= 0.9, s"conjunction rewrite recall: $recallAnd")
+
+      // IN-list AND equality composed
+      val dfBoth = corpus.where(
+          col("label").isin(0, 1) && col("region") === "us")
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(!scanPaths(dfBoth).exists(_.contains(corpusPath)),
+        "IN + equality conjunction must rewrite")
+      assert(dfBoth.collect().map(_.getLong(0)).forall(id =>
+        (id % 3 == 0 || id % 3 == 1) && id % 2 == 1),
+        "composed filter violated")
+
+      // negative: an IN on an UNREGISTERED column stays on the exact plan
+      val unreg = corpus.where(col("eventTime").isin(100L, 101L))
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(scanPaths(unreg).exists(_.contains(corpusPath)),
+        "IN on an unregistered column must not rewrite")
+    } finally KnnIndex.clear()
+  }
+
   test("stale registration: a deleted tier degrades to the exact scan at plan time instead of failing the query") {
     val (corpusPath, coldDir, rows) = fixture()
     try {

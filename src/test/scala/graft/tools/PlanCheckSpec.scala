@@ -195,6 +195,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // over the aux ids — same broadcast shape; the no-corpus-scan
     // property of the rewritten plan is asserted inside the entry
     ("knn_sql_rewrite_filtered", true, true, false),
+    // IN-list rewrite entry OUTPUT = the literal-filtered exact re-rank
+    // over the aux ids — same broadcast shape + no-corpus-scan assertion
+    ("knn_sql_rewrite_in", true, true, false),
     // catalog observability view: a bare stats-parquet scan
     ("coldtier_stats", false, true, false),
     ("part_gray", false, true, false))
