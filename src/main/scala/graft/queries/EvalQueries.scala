@@ -113,6 +113,10 @@ object EvalQueries {
 
   /** Time-accreted-then-reclustered tier dirs per sf dir. */
   private val reclusteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Hot/cold tiered layout sealed WITH the label attribute per sf dir:
+   * (tier dir, hot/cold ts cut) — the cross-tier FILTERED layout. */
+  private val tieredFilteredDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
   /** Top-n of the SQL-rewrite entry (one literal query; the LIMIT). */
   private val SqlRewriteK = 500
   /** Top-n of the FILTERED SQL-rewrite entry — smaller than SqlRewriteK
@@ -847,6 +851,66 @@ object EvalQueries {
         queries, VectorQueries.K, graft.Metric.L2)
     },
 
+    "knn_tiered_filtered" -> { (s, dir) =>
+      // the FILTERED cross-tier composition — the hierarchical search of
+      // knn_tiered under a per-query label equality, the batch twin of
+      // the streaming filtered surface (VectorStreamJob's attr channel):
+      // the cold tier is probed through filter-oblivious sidecars with
+      // an 8x over-fetched shortlist (the filtered-ANN over-fetch
+      // contract), the hot quarter answers through the EXACT filtered
+      // scan kernel (window clipped to [cut, inf) keeps cold segments
+      // out by freshness pruning — the same disjoint-window split the
+      // streaming job serves), both shortlists land as aux, and ONE
+      // label-filtered exact re-rank over the union answers the query —
+      // so the DuckDB twin replays the whole filtered cross-tier merge
+      // bit-exactly.
+      val e = Tables(s, dir, "embeddings")
+      val (tmp, cut) = tieredFilteredDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold-tierflt")
+          .toString
+        val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
+        val c = maxId / 4 * 3
+        (0 until 2).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") < c && col("vec_id") % 2 === i)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime"), col("label")), t, i.toLong)
+        }
+        graft.store.ColdTier.sealIndexes(s, t, 0L until 2L,
+          graft.Metric.L2, m = 16, efConstruction = 128)
+        graft.store.ColdTier.seal(
+          e.where(col("vec_id") >= c)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("vec_id").as("eventTime"), col("label")), t, 2L)
+        (t, c)
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      val coldQ = queries
+        .withColumn("qtime", lit(cut - 1)).withColumn("ttl", lit(cut - 1))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, coldQ,
+          shortlist = PqQueries.Shortlist * 8, graft.Metric.L2,
+          efSearch = 100, filterColumn = Some("label")),
+        dir, "tiered_flt_cold_shortlist")
+      // hot half: the exact filtered kernel over the hot segment only
+      val hotQ = queries
+        .withColumn("ttl", lit(Long.MaxValue / 2 - cut))
+      OracleAux.write(
+        graft.store.ColdTier.search(s, tmp, hotQ, PqQueries.Shortlist,
+            graft.Metric.L2, firstWaveFraction = 1.0,
+            terminationFactor = 1.0, filterColumn = Some("label"))
+          .select(col("qid"), col("id")),
+        dir, "tiered_flt_hot_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "tiered_flt_cold_shortlist")
+          .unionByName(OracleAux.read(s, dir, "tiered_flt_hot_shortlist")),
+        queries, VectorQueries.K, graft.Metric.L2,
+        filterColumn = Some("label"))
+    },
+
     "multimodal_decode" -> { (s, dir) =>
       val media = Tables(s, dir, "documents")
         .select(col("doc_id").as("id"), lit("image").as("media_type"),
@@ -1156,6 +1220,23 @@ object EvalQueries {
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // filtered cross-tier merge replay: both tiers' shortlists union
+    // into one candidate set, re-ranked exactly under the query's own
+    // label (the WHERE guards against aux drift)
+    "knn_tiered_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("tiered_flt_cold_shortlist")}
+         |  UNION SELECT qid, id FROM ${OracleAux.ref("tiered_flt_hot_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label = q.label),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""

@@ -41,19 +41,32 @@ object VectorStreamJob {
   /** Unified stream element (insert / delete / query / state dump — the
    * reference's PartitionedElement.DataType {INSERT_OR_DELETE, QUERY,
    * DUMP}, data/PartitionedElement.java:19-26; DUMP is its experiment
-   * plumbing for dumping backend state). */
+   * plumbing for dumping backend state).
+   *
+   * `attr` is the streaming FILTERED-kNN channel (beyond-reference — the
+   * reference has no filtered surface): on an insert it is the row's
+   * attribute value, on a query it is the qfilter — only rows whose
+   * stored attr EQUALS the query's attr are candidates (null = the
+   * unfiltered classic surface; a null-attr row never matches a filtered
+   * query, the null-rejecting equality every other filtered surface
+   * applies). Values are caller-rendered STRINGS compared exactly; a
+   * typed deployment renders both sides through one canonical function
+   * (the cold tier's [[graft.store.ColdTier]] filterKey contract) so the
+   * hot and cold tiers can never disagree on a row. */
   final case class StreamEvent(
       kind: String, // "i" | "d" | "q" | "s" (state dump)
       id: Long,
       vec: Array[Float],
       eventTime: Long,
       ttl: Long,
-      k: Int)
+      k: Int,
+      attr: String = null)
 
   final case class Routed(pid: Int, numPartitionsSent: Int, ev: StreamEvent,
       ingestMillis: Long)
 
-  final case class StoredVec(id: Long, ts: Long, vec: Array[Float])
+  final case class StoredVec(id: Long, ts: Long, vec: Array[Float],
+      attr: String = null)
   /** Versioned tombstone: a delete at `ts` supersedes any insert of the
    * same id with an event time <= ts that arrives in a later batch. */
   final case class Tomb(id: Long, ts: Long)
@@ -65,9 +78,11 @@ object VectorStreamJob {
       queryId: Long, pid: Int, numPartitionsSent: Int,
       ids: Array[Long], dists: Array[Double], queryEventTime: Long,
       ingestMillis: Long,
-      // only flush partials (numPartitionsSent == FlushSent) carry vectors;
-      // query/dump partials leave it null so the common case stays narrow
-      vecs: Array[Array[Float]] = null)
+      // only flush partials (numPartitionsSent == FlushSent) carry vectors
+      // (+ per-row attrs, null elements when rows had none); query/dump
+      // partials leave both null so the common case stays narrow
+      vecs: Array[Array[Float]] = null,
+      attrs: Array[String] = null)
 
   /** numPartitionsSent marker for hot->cold flush partials. Disjoint from
    * query fan-outs (always > 0) and DUMP markers (-fanout, bounded by the
@@ -141,7 +156,7 @@ object VectorStreamJob {
    * `store`, and assemble the retained state. Returns partials. */
   private def replayBatch(
       pid: Int, events: Iterator[Routed], prev: PartitionState,
-      store: graft.store.VectorStore, maxTtl: Long,
+      store: graft.store.VectorStore, maxTtl: Long, metric: Metric,
       onInsert: () => Unit,
       dropLateQueries: Boolean,
       flushEvicted: Boolean = false): (Array[PartialResult], PartitionState, Array[StoredVec]) = {
@@ -179,7 +194,7 @@ object VectorStreamJob {
           val cur = live.get(ev.id)
           if ((tomb == null || tomb.longValue() < ev.eventTime) &&
               (cur == null || cur.ts <= ev.eventTime)) {
-            live.put(ev.id, StoredVec(ev.id, ev.eventTime, ev.vec))
+            live.put(ev.id, StoredVec(ev.id, ev.eventTime, ev.vec, ev.attr))
             dead.remove(ev.id)
             store.put(ev.id, ev.eventTime, ev.vec)
             onInsert()
@@ -236,7 +251,31 @@ object VectorStreamJob {
             // maxTtl is the global upper bound on freshness windows
             // (reference params maxTTL) — clamping makes eviction safe
             val ttl = math.min(ev.ttl, maxTtl)
-            val res = store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
+            val res =
+              if (ev.attr == null)
+                store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
+              else {
+                // FILTERED query: exact bounded-heap scan over the
+                // partition's live set (authoritative for both store
+                // variants) under the attr equality — exact by
+                // construction, like the cold tier's filtered kernel,
+                // and identical tie-break order ((dist, id) ascending).
+                // The hot tier is TTL-bounded, so the linear scan is a
+                // bounded cost per query; a graph-accelerated filtered
+                // walk trades that for recall and is deliberately not
+                // this surface's contract.
+                val distFn = graft.functions.Distances.forMetric(metric)
+                val topk = new graft.functions.BoundedTopK(ev.k)
+                val itv = live.values().iterator()
+                while (itv.hasNext) {
+                  val v = itv.next()
+                  if (v.ts >= ev.eventTime - ttl && v.ts <= ev.eventTime &&
+                      v.attr != null && v.attr == ev.attr)
+                    topk.offer(distFn(ev.vec, v.vec), v.id)
+                }
+                val (fids, fds) = topk.drainSorted()
+                Array.tabulate(fids.length)(i => (fids(i), fds(i)))
+              }
             out += PartialResult(ev.id, pid, r.numPartitionsSent,
               res.map(_._1), res.map(_._2), ev.eventTime, r.ingestMillis)
           }
@@ -266,7 +305,8 @@ object VectorStreamJob {
     if (flushEvicted && evicted.nonEmpty)
       out += PartialResult(-1L, pid, FlushSent, evicted.map(_.id).toArray,
         evicted.map(_.ts.toDouble).toArray, maxTs,
-        System.currentTimeMillis(), evicted.map(_.vec).toArray)
+        System.currentTimeMillis(), evicted.map(_.vec).toArray,
+        evicted.map(_.attr).toArray)
     val tombs = new scala.collection.mutable.ArrayBuffer[Tomb]()
     val dit = dead.entrySet().iterator()
     while (dit.hasNext) {
@@ -310,7 +350,7 @@ object VectorStreamJob {
           s
         }
         val (out, next0, evicted) = replayBatch(pid, events, prev, store,
-          maxTtl, () => inserted += 1, dropLateQueries, flushEvicted)
+          maxTtl, metric, () => inserted += 1, dropLateQueries, flushEvicted)
         // evicted entries leave the graph too, so compaction sees them
         evicted.foreach(v => store.delete(v.id))
         // compaction: rebuild when most graph nodes are dead versions
@@ -345,7 +385,7 @@ object VectorStreamJob {
         val store = new ExactStore(metric, math.max(16, prev.vecs.length))
         prev.vecs.foreach(v => store.put(v.id, v.ts, v.vec))
         val (out, next, _) = replayBatch(pid, events, prev, store, maxTtl,
-          () => (), dropLateQueries, flushEvicted)
+          metric, () => (), dropLateQueries, flushEvicted)
         state.update(next)
         out.iterator
       })
@@ -428,13 +468,21 @@ object VectorStreamJob {
         col("e.ts").cast("long").as("ts"))
 
   /** Decode hot->cold flush partials out of a partial batch: one row per
-   * TTL-evicted (id, eventTime, vec) — shaped for [[graft.store.ColdTier.seal]]. */
+   * TTL-evicted (id, eventTime, vec, attr) — shaped for
+   * [[graft.store.ColdTier.seal]]. The `attr` column carries each row's
+   * streaming filter attribute into the cold segment (null when the job
+   * ran unfiltered — `coalesce` guards partials from older jobs whose
+   * attrs array is null), so a composed tier stays filterable after the
+   * flush: `ColdTier.search(filterColumn = Some("attr"))` serves the
+   * cold half of the same queries the hot tier filtered. */
   def evictedRows(batch: DataFrame): DataFrame =
     batch.where(col("numPartitionsSent") === FlushSent)
       .select(explode(arrays_zip(col("ids").as("id"), col("dists").as("ts"),
-        col("vecs").as("vec"))).as("e"))
+        col("vecs").as("vec"),
+        coalesce(col("attrs"), array_repeat(lit(null).cast("string"),
+          size(col("ids")))).as("attr"))).as("e"))
       .select(col("e.id").as("id"), col("e.vec").as("vec"),
-        col("e.ts").cast("long").as("eventTime"))
+        col("e.ts").cast("long").as("eventTime"), col("e.attr").as("attr"))
 
   /** Decode delete-tombstone partials: (id, ts) per delete event. */
   def deleteLogRows(batch: DataFrame): DataFrame =
@@ -605,7 +653,7 @@ object VectorStreamJob {
   final case class TsPartial(queryId: Long, pid: Int, numPartitionsSent: Int,
       ids: Array[Long], dists: Array[Double], queryEventTime: Long,
       ingestMillis: Long, eventTs: java.sql.Timestamp,
-      vecs: Array[Array[Float]] = null)
+      vecs: Array[Array[Float]] = null, attrs: Array[String] = null)
 
   /** One output row of the tapped cross-batch merge: EITHER a completed
    * search result (`res` set, `pass` null) OR a lifecycle partial passed
@@ -692,7 +740,7 @@ object VectorStreamJob {
           // lifecycle pass-through: no state, no timeout, emit as-is
           it.map(p => MergedRow(null, PartialResult(p.queryId, p.pid,
             p.numPartitionsSent, p.ids, p.dists, p.queryEventTime,
-            p.ingestMillis, p.vecs)))
+            p.ingestMillis, p.vecs, p.attrs)))
         } else {
           val prev = state.getOption
           val pidSet = new java.util.HashSet[Int]()

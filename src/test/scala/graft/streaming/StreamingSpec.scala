@@ -620,6 +620,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotFast == coldTruth, s"fast path $gotFast != exact $coldTruth")
   }
 
+  test("streaming filtered kNN: hot filtered queries are exact, attrs " +
+      "flush to cold, and a filtered query over hot + cold bit-matches " +
+      "the batch filtered twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-fltstream")
+      .toString
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold)) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) })
+    }
+    def attrOf(i: Int): String = (i % 3).toString
+    // epoch 0: ids 0..29 with attrs; one FILTERED and one UNFILTERED
+    // query in the same batch — the filtered one must see only attr "1"
+    // rows, the unfiltered one everything (null attr = classic surface)
+    input.addData((0 until 30).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0, attrOf(i))) ++
+      Seq(StreamEvent("q", 5000L, vec(7), 50L, 1000000L, 5, "1"),
+        StreamEvent("q", 5001L, vec(7), 50L, 1000000L, 5)): _*)
+    q.processAllAvailable()
+    val fltTruth0 = (0 until 30).filter(_ % 3 == 1)
+      .map(i => (i.toLong, Distances.l2(vec(7), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val allTruth0 = (0 until 30)
+      .map(i => (i.toLong, Distances.l2(vec(7), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val gotFlt0 = results.synchronized {
+      results.filter(_._1 == 5000L).sortBy(_._2).map(_._3).toList }
+    val gotAll0 = results.synchronized {
+      results.filter(_._1 == 5001L).sortBy(_._2).map(_._3).toList }
+    assert(gotFlt0 == fltTruth0,
+      s"hot filtered query: $gotFlt0 != $fltTruth0")
+    assert(gotAll0 == allTruth0,
+      s"unfiltered query alongside: $gotAll0 != $allTruth0")
+
+    // epoch 1 at ts 5000..: the eviction floor retires epoch 0 to cold
+    // WITH its attrs; a filtered hot query answers over epoch 1 only
+    input.addData((0 until 30).map(i =>
+      StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0,
+        attrOf(i))) :+
+      StreamEvent("q", 5002L, vec(107), 5100L, 1000000L, 5, "1"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val fltTruthHot = (0 until 30).filter(_ % 3 == 1)
+      .map(i => (100L + i, Distances.l2(vec(107), vec(100 + i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val gotFltHot = results.synchronized {
+      results.filter(_._1 == 5002L).sortBy(_._2).map(_._3).toList }
+    assert(gotFltHot == fltTruthHot,
+      s"epoch-1 hot filtered query: $gotFltHot != $fltTruthHot")
+
+    // the flushed cold tier carries the attr column: a filtered COLD
+    // search over the retired epoch matches the batch twin exactly
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.map(_.count).sum == 30L, s"epoch 0 must be cold: ${cat.toList}")
+    val coldQ = Seq((9L, vec(107), 5100L, 1000000L, "1"))
+      .toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val gotCold = graft.store.ColdTier.search(spark, cold, coldQ, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("attr"))
+      .collect().sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toList
+    val coldTruth = (0 until 30).filter(_ % 3 == 1)
+      .map(i => (i.toLong, Distances.l2(vec(107), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).toList
+    assert(gotCold.map(_._1) == coldTruth.map(_._1),
+      s"cold filtered search: $gotCold != $coldTruth")
+
+    // the COMPOSED answer — hot partial + cold partial merged — equals
+    // the batch filtered twin over ALL rows (the hierarchical filtered
+    // search a deployment runs: each tier serves its own time range)
+    val hotPart = results.synchronized {
+      results.filter(_._1 == 5002L).sortBy(_._2)
+        .map(r => (r._3, r._4)).toArray }
+    val merged = VectorStreamJob.mergeSorted(
+      hotPart.map(_._1), hotPart.map(_._2),
+      gotCold.map(_._1).toArray, gotCold.map(_._2).toArray, 5)
+    val fullTruth = ((0 until 30).filter(_ % 3 == 1).map(i =>
+        (i.toLong, Distances.l2(vec(107), vec(i)))) ++
+      (0 until 30).filter(_ % 3 == 1).map(i =>
+        (100L + i, Distances.l2(vec(107), vec(100 + i)))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    assert(merged._1.toList == fullTruth,
+      s"hot+cold filtered merge: ${merged._1.toList} != $fullTruth")
+  }
+
   test("flushBatch replay is idempotent and converges: a re-executed micro-batch neither duplicates rows nor loses the sidecar") {
     import spark.implicits._
     val cold = java.nio.file.Files.createTempDirectory("graft-replay").toString

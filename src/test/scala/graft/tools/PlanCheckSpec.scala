@@ -92,6 +92,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // EmptyRelation (nothing to audit), hence the sf0.01 override below
     ("pipeline_curate", true, true, false),
     ("knn_tiered", true, true, false),
+    // filtered cross-tier twin: label-filtered exact re-rank over the
+    // union aux — same broadcast candidate + query joins
+    ("knn_tiered_filtered", true, true, false),
     ("knn_coldtier_routed", true, true, false),
     ("knn_coldtier_reclustered", false, true, false), // kernel scan, see knn_coldtier
     // round-8 extension: every remaining oracle entry is audited, so no
