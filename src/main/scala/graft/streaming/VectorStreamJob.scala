@@ -828,7 +828,24 @@ object VectorStreamJob {
       // compacted segments of the same tier never silently diverge in
       // build params
       hnswM: Int = 16,
-      hnswEfConstruction: Int = 64)(sink: DataFrame => Unit)
+      hnswEfConstruction: Int = 64,
+      // AUTO-maintenance for routing quality: > 0 = the number of
+      // k-means cells, and the lifecycle schedules
+      // [[graft.store.ColdTier.recluster]] itself once the ROUTING
+      // SIGNAL has decayed — when the fraction of catalog segments
+      // accreted since the last recluster (flush/compaction outputs,
+      // whose time-ordered layout gives centroid routing nothing to
+      // route on) exceeds `reclusterAccretedFraction` and the catalog
+      // holds at least `reclusterMinSegments` segments. Keeps the
+      // routed-probe cost per query corpus-independent without an
+      // operator ever calling recluster by hand; search equivalence is
+      // recluster's own atomic-swap contract. The known-cell-aligned
+      // set is driver-session state: a restarted job treats the whole
+      // catalog as accreted and re-clusters once — converging, never
+      // wrong. 0 = off (manual recluster, the pre-existing behavior).
+      autoReclusterCells: Int = 0,
+      reclusterAccretedFraction: Double = 0.5,
+      reclusterMinSegments: Int = 8)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = events.sparkSession
     val routed = route(events, model)
@@ -839,19 +856,43 @@ object VectorStreamJob {
     // The caller passes `hasFlush` from its single lifecycle-count job so
     // a trigger without evictions costs zero extra Spark jobs here (the
     // per-trigger fixed job count is the composed-mode throughput tax).
-    def doFlush(pass: DataFrame, bid: Long, hasFlush: Boolean): Unit =
+    // returns whether a cold segment may have been sealed this trigger —
+    // the only moments the catalog grows, so the only moments the
+    // auto-recluster trigger needs to look at it
+    def doFlush(pass: DataFrame, bid: Long, hasFlush: Boolean): Boolean =
       if (flushEveryBatches <= 1) {
         if (hasFlush) {
           flushBatch(pass, coldDir.get, bid, metric, indexAtFlush,
             m = hnswM, efConstruction = hnswEfConstruction)
-          ()
         }
+        hasFlush
       } else {
         if (hasFlush) stageFlush(pass, coldDir.get, bid)
         if (bid > 0 && bid % flushEveryBatches == 0) {
           sealStaged(spark, coldDir.get, bid, metric, indexAtFlush,
             m = hnswM, efConstruction = hnswEfConstruction)
-          ()
+          true
+        } else false
+      }
+    // Segment ids known cell-aligned (outputs of the last auto
+    // recluster). Driver-session state by design: a restarted job sees
+    // an empty set, counts the whole catalog as accreted, and
+    // re-clusters once — converging, never wrong (recluster is
+    // search-equivalence-preserving by its atomic-swap contract).
+    val cellAligned = scala.collection.mutable.Set.empty[Long]
+    def maybeRecluster(catalogGrew: Boolean): Unit =
+      if (autoReclusterCells > 0 && catalogGrew) {
+        val segs = graft.store.ColdTier.catalog(spark, coldDir.get)
+        if (segs.length >= reclusterMinSegments) {
+          val accreted = segs.count(s => !cellAligned.contains(s.segmentId))
+          if (accreted.toDouble / segs.length > reclusterAccretedFraction) {
+            val out = graft.store.ColdTier.recluster(spark, coldDir.get,
+              autoReclusterCells, metric, m = hnswM,
+              efConstruction = hnswEfConstruction,
+              buildIndexes = indexAtFlush)
+            cellAligned.clear()
+            cellAligned ++= out.iterator.map(_.segmentId)
+          }
         }
       }
     // one tiny aggregate over the (persisted) batch decides every
@@ -887,16 +928,19 @@ object VectorStreamJob {
               sink(df.where(col("res").isNotNull).select("res.*"))
               val pass = df.where(col("pass").isNotNull).select("pass.*")
               val (hasFlush, hasDel) = lifecycleCounts(pass)
-              doFlush(pass, bid, hasFlush)
+              val didSeal = doFlush(pass, bid, hasFlush)
               if (hasDel)
                 graft.store.ColdTier.sealDeletes(deleteLogRows(pass),
                   coldDir.get, bid)
-              if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0) {
+              val compacted =
+                compactEvery > 0 && bid > 0 && bid % compactEvery == 0
+              if (compacted) {
                 graft.store.ColdTier.compact(spark, coldDir.get,
                   targetRows = compactTargetRows, metric = metric,
                   m = hnswM, efConstruction = hnswEfConstruction)
                 ()
               }
+              maybeRecluster(didSeal || compacted)
             } finally df.unpersist()
           }
       } else if (crossBatchMerge) {
@@ -919,16 +963,19 @@ object VectorStreamJob {
             try {
               sink(mergePartials(df, k))
               val (hasFlush, hasDel) = lifecycleCounts(df)
-              doFlush(df, bid, hasFlush)
+              val didSeal = doFlush(df, bid, hasFlush)
               if (hasDel)
                 graft.store.ColdTier.sealDeletes(deleteLogRows(df),
                   coldDir.get, bid)
-              if (compactEvery > 0 && bid > 0 && bid % compactEvery == 0) {
+              val compacted =
+                compactEvery > 0 && bid > 0 && bid % compactEvery == 0
+              if (compacted) {
                 graft.store.ColdTier.compact(spark, coldDir.get,
                   targetRows = compactTargetRows, metric = metric,
                   m = hnswM, efConstruction = hnswEfConstruction)
                 ()
               }
+              maybeRecluster(didSeal || compacted)
             } finally df.unpersist()
           }
         }

@@ -1026,4 +1026,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == truth, s"replicated cold search $got != exact $truth")
     assert(got.distinct == got, "no duplicate ids in the merged top-k")
   }
+
+  test("auto-recluster: sustained ingest trips the routing-quality trigger once accreted segments dominate, search stays exact, then the trigger stays quiet") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-autorecl").toString
+    val input = MemoryStream[StreamEvent]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold), indexAtFlush = true,
+      autoReclusterCells = 3, reclusterAccretedFraction = 0.5,
+      reclusterMinSegments = 4) { _ => () }
+    def epoch(e: Int): Unit = {
+      input.addData((0 until 10).map(i =>
+        StreamEvent("i", e * 100L + i, vec(e * 100 + i),
+          e * 5000L + i, 0L, 0)): _*)
+      q.processAllAvailable()
+    }
+    // each epoch's arrival TTL-retires the previous one -> one flush
+    // segment per trigger; the 4th accreted seal crosses
+    // reclusterMinSegments with accreted fraction 1.0 > 0.5 -> the
+    // lifecycle re-clusters itself into <= 3 cell-aligned segments
+    (0 to 4).foreach(epoch)
+    val afterTrip = graft.store.ColdTier.catalog(spark, cold)
+    assert(afterTrip.nonEmpty &&
+      afterTrip.forall(_.segmentId >= graft.store.ColdTier.CompactionIdBase),
+      s"expected a reclustered (reserved-id) catalog, got ids " +
+        s"${afterTrip.map(_.segmentId).toList}")
+    assert(afterTrip.length <= 3,
+      s"recluster should leave <= numCells segments: ${afterTrip.length}")
+    val alignedIds = afterTrip.map(_.segmentId).toSet
+
+    // two more seals accrete on top of the aligned cells: fractions 1/(c+1)
+    // and 2/(c+2) stay under 0.5, so the trigger must NOT re-fire (the
+    // aligned segments survive verbatim)
+    epoch(5); epoch(6)
+    val after = graft.store.ColdTier.catalog(spark, cold)
+    assert(alignedIds.subsetOf(after.map(_.segmentId).toSet),
+      s"trigger re-fired while aligned cells still dominate: " +
+        s"${after.map(_.segmentId).toList} vs aligned $alignedIds")
+    assert(after.length > afterTrip.length, "post-recluster flushes accrete")
+
+    q.stop()
+    // search equivalence across the reclustered + re-accreted tier: the
+    // flushed window (epochs 0..5; epoch 6 is still hot) answers bit-equal
+    // to local exact truth
+    val flushedIds = (0 to 5).flatMap(e => (0 until 10).map(e * 100 + _))
+    val queries = Seq((1L, vec(3), 30000L, 30000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    val got = graft.store.ColdTier.search(spark, cold, queries, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    val truth = flushedIds
+      .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    assert(got == truth, s"post-recluster cold search $got != exact $truth")
+  }
 }
