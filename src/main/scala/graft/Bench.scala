@@ -390,7 +390,12 @@ object Bench {
          |  32-way fan-out floor (every trigger commits 32 state partitions
          |  on 32 oversubscribed local cores), not queue contention; the
          |  reference's 160-way envelope spreads that fan-out across a
-         |  multi-node cluster. Composed mode —
+         |  multi-node cluster. This is precisely what the bounded-fan-out
+         |  partitioners (LSH/SFC/k-means `queryPartitions` probing a few
+         |  partitions instead of all) exist for: at wide deployments the
+         |  per-query fan-out width — not query rate — is the latency
+         |  budget, so capping probes/query is what keeps p50 flat as
+         |  partitions scale. Composed mode —
          |  cross-batch merge AND TTL flush to cold segments in ONE job,
          |  the reference's full operating topology — sustains
          |  **${v("stream_composed_insert_per_sec")} inserts/s** at p50

@@ -159,6 +159,34 @@ object ColdTier {
         .agg(min(col(column)).as("amin"), max(col(column)).as("amax")))
   }
 
+  /** Incrementally extend every EXISTING attr-stats sidecar with the
+   * stats rows of newly sealed segments — the streaming lifecycle's
+   * maintenance hook ([[graft.streaming.VectorStreamJob]] calls it
+   * after `flushBatch`/`sealStaged` commit a segment): without it, a
+   * tier whose operator sealed attr-stats once would silently stop
+   * pruning every segment flushed AFTER the seal (correct — missing
+   * rows never prune — but the pruning benefit decays to zero under
+   * sustained ingest). Surviving segments' rows are kept verbatim
+   * (immutable by construction); only the new segments are aggregated,
+   * so the per-flush cost is one small scan of the new segment's
+   * attribute column per sidecar, never a tier scan. No-op (one FS
+   * listing) when the tier has no sidecar. Idempotent — re-aggregating
+   * a segment yields the same [min,max] row, so crash-replay
+   * convergence is free. */
+  def refreshAttrStatsFor(spark: SparkSession, dir: String,
+      newIds: Set[Long]): Unit =
+    refreshAttrStats(spark, dir, Some(newIds))
+
+  /** Whether every existing sidecar already carries a row for `id` —
+   * the replay-path guard that keeps idempotent re-execution from
+   * paying a sidecar commit per replayed trigger. Vacuously true with
+   * no sidecars. */
+  private[graft] def attrStatsCover(spark: SparkSession, dir: String,
+      id: Long): Boolean =
+    attrStatsColumns(spark, dir).forall(c =>
+      loadAttrStats(spark, dir, c).exists(st =>
+        if (st.numeric) st.num.contains(id) else st.str.contains(id)))
+
   /** Columns with a sealed attr-stats sidecar (dotted dirs are in-flight
    * tmp commits or orphans of a crashed one — never sidecars). */
   private def attrStatsColumns(spark: SparkSession,
@@ -215,10 +243,19 @@ object ColdTier {
               old.schema)
             val refreshed =
               if (newSegs.isEmpty) keptDf
-              else keptDf.unionByName(
+              else try keptDf.unionByName(
                 spark.read.parquet(newSegs.map(_.path).toIndexedSeq: _*)
                   .groupBy("segmentId")
                   .agg(min(col(c)).as("amin"), max(col(c)).as("amax")))
+              catch {
+                // only the NEW segments lack the column (e.g. an
+                // attr-less streaming job flushing into a labeled
+                // tier): keep the surviving rows — the new segments
+                // simply never prune — instead of letting the outer
+                // analysis-error handler delete the whole sidecar and
+                // disable pruning for segments that still have it
+                case _: org.apache.spark.sql.AnalysisException => keptDf
+              }
             commitAttrStats(spark, dir, c, refreshed)
         }
       } catch {
@@ -273,6 +310,24 @@ object ColdTier {
           if (qfB == null) true
           else if (lo == null) false
           else utf8Compare(qfB, lo) >= 0 && utf8Compare(qfB, hi) <= 0
+        case None => true
+      }
+
+    /** RANGE admission (`attribute BETWEEN qlo AND qhi`, numeric only):
+     * interval overlap against the sealed [min,max] — conservative
+     * like [[mayMatch]] (no stats row / NaN anywhere never prunes; an
+     * all-null attribute is the empty interval (+inf,-inf), which
+     * overlaps no finite range, so it prunes — a null attribute can
+     * never satisfy a range predicate). Closed-interval overlap also
+     * soundly over-admits half-open query bounds, so callers with
+     * strict (`<`/`>`) bounds may pass the closed hull. String-typed
+     * sidecars never prune here (range mode is numeric-only). */
+    def mayOverlap(segId: Long, qlo: Double, qhi: Double): Boolean =
+      if (!numeric) true
+      else num.get(segId) match {
+        case Some((lo, hi)) =>
+          if (qlo.isNaN || qhi.isNaN || lo.isNaN || hi.isNaN) true
+          else qhi >= lo && qlo <= hi
         case None => true
       }
   }
@@ -1520,10 +1575,32 @@ object ColdTier {
       ttl: Long, qfd: Double, qfB: Array[Byte],
       cat: Array[SegmentStats], st: Option[AttrStats],
       firstWaveFraction: Double, prune: Boolean)
-      : Iterator[(Long, Long, Int, Double)] = {
-    val fresh = cat.filter(s =>
+      : Iterator[(Long, Long, Int, Double)] =
+    planWavesAdmitted(qid, qv, cat, s =>
       s.maxTs >= qtime - ttl && s.minTs <= qtime &&
-        st.forall(_.mayMatch(s.segmentId, qfd, qfB)))
+        st.forall(_.mayMatch(s.segmentId, qfd, qfB)),
+      firstWaveFraction, prune)
+
+  /** RANGE-filtered wave planning: freshness + [[AttrStats.mayOverlap]]
+   * interval admission instead of the equality [[AttrStats.mayMatch]]. */
+  private def planWavesRange(qid: Long, qv: Array[Float], qtime: Long,
+      ttl: Long, qlo: Double, qhi: Double,
+      cat: Array[SegmentStats], st: Option[AttrStats],
+      firstWaveFraction: Double, prune: Boolean)
+      : Iterator[(Long, Long, Int, Double)] =
+    planWavesAdmitted(qid, qv, cat, s =>
+      s.maxTs >= qtime - ttl && s.minTs <= qtime &&
+        st.forall(_.mayOverlap(s.segmentId, qlo, qhi)),
+      firstWaveFraction, prune)
+
+  /** Shared hottest-first wave assignment over the admitted segments
+   * (runs on executors inside the planning mapPartitions; the admit
+   * closure is built and consumed there, never serialized). */
+  private def planWavesAdmitted(qid: Long, qv: Array[Float],
+      cat: Array[SegmentStats], admit: SegmentStats => Boolean,
+      firstWaveFraction: Double, prune: Boolean)
+      : Iterator[(Long, Long, Int, Double)] = {
+    val fresh = cat.filter(admit)
     // hottest-first: lower bound, then temperature (V6) for the
     // frequent lb=0 ties when the query sits inside several radii
     val lbs = fresh.map { s =>
@@ -2134,6 +2211,19 @@ object ColdTier {
       ewmaThreshold: Option[Double] = None,
       snapshot: Option[Long] = None,
       filterColumn: Option[String] = None,
+      // RANGE-filtered search (`attribute BETWEEN qlo AND qhi`, numeric
+      // only — the price-band / score-band / recency-band production
+      // shape): queries carry `qflo`/`qfhi` columns instead of
+      // `qfilter`, both cast to double, and only rows with
+      // qflo <= attribute <= qhi are candidates (closed interval, SQL
+      // BETWEEN; a null/NaN bound matches nothing, like SQL's
+      // null-rejecting BETWEEN). The bounds ride the broadcast probe
+      // tuple into the same bounded-heap kernel — two compares per
+      // (row, query) instead of one equality — and when a sealAttrStats
+      // sidecar exists, probe planning drops segments whose [min,max]
+      // cannot OVERLAP the query's interval (lossless; conservative
+      // exactly like the equality admission).
+      filterRange: Boolean = false,
       // when set, filled with probe-plan instrumentation (catalog-bounded
       // counts, two extra tiny actions): wave1_probes, wave2_planned,
       // wave2_scanned — the early-termination evidence (segments skipped
@@ -2151,15 +2241,21 @@ object ColdTier {
     val prune = metric == Metric.L2
 
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
-      filterColumn.map(_ => col("qfilter")): _*)
+      (if (filterRange) Seq(col("qflo"), col("qfhi"))
+       else filterColumn.toSeq.map(_ => col("qfilter"))): _*)
 
     // attribute-range pruning (only for filtered searches, only when the
     // [[sealAttrStats]] sidecar exists): segments whose [min,max] cannot
-    // admit the query's qfilter are dropped at PLAN time — zero IO, the
+    // admit the query's qfilter (equality) or overlap its [qflo,qfhi]
+    // interval (range) are dropped at PLAN time — zero IO, the
     // partition-pruning payoff of a label-aligned seal. Lossless: a
-    // pruned segment provably holds no equality-matching row.
+    // pruned segment provably holds no matching row.
     val (attrStats, qfdCol, qfsCol) =
-      attrPruning(spark, dir, filterColumn, q)
+      if (filterRange)
+        (filterColumn.flatMap(f =>
+          loadAttrStats(spark, dir, f).filter(_.numeric)),
+          lit(Double.NaN).as("qfd"), lit(null).cast("string").as("qfs"))
+      else attrPruning(spark, dir, filterColumn, q)
     val bAttr = attrStats.map(spark.sparkContext.broadcast(_))
 
     // distributed probe planning over the broadcast catalog: one row per
@@ -2177,6 +2273,19 @@ object ColdTier {
             it.flatMap { case (qid, qv, qtime, ttl) =>
               planWaves(qid, qv, qtime, ttl, Double.NaN, null, cat, None,
                 fwf, prune)
+            }
+          }
+      else if (filterRange)
+        q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
+            coalesce(col("qflo").cast("double"), lit(Double.NaN)).as("qlo"),
+            coalesce(col("qfhi").cast("double"), lit(Double.NaN)).as("qhi"))
+          .as[(Long, Array[Float], Long, Long, Double, Double)]
+          .mapPartitions { it =>
+            val cat = bSegs.value
+            val st = bAttr.map(_.value)
+            it.flatMap { case (qid, qv, qtime, ttl, qlo, qhi) =>
+              planWavesRange(qid, qv, qtime, ttl, qlo, qhi, cat, st, fwf,
+                prune)
             }
           }
       else q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
@@ -2239,21 +2348,31 @@ object ColdTier {
         // SQL's null-rejecting equality. The attribute column is read
         // from the scan only when a filter is requested.
         val filtered = filterColumn.isDefined
-        val filterTypes = filterColumn.map { f =>
-          (data.schema(f).dataType, q.schema("qfilter").dataType)
-        }
+        val rangeMode = filterRange
+        val filterTypes =
+          if (rangeMode) None
+          else filterColumn.map { f =>
+            (data.schema(f).dataType, q.schema("qfilter").dataType)
+          }
         val probeArr = waveProbes.join(q, "qid")
           .select(col("segmentId"), col("qid"), col("qv"),
             (col("qtime") - col("ttl")).as("floor_ts"),
             col("qtime").as("ceil_ts"),
             filterTypes.map { case (at, qt) =>
               filterKey(col("qfilter"), at, qt).cast("string")
-            }.getOrElse(lit(null).cast("string")).as("qf"))
-          .as[(Long, Long, Array[Float], Long, Long, String)]
+            }.getOrElse(lit(null).cast("string")).as("qf"),
+            (if (rangeMode)
+              coalesce(col("qflo").cast("double"), lit(Double.NaN))
+            else lit(Double.NaN)).as("qlo"),
+            (if (rangeMode)
+              coalesce(col("qfhi").cast("double"), lit(Double.NaN))
+            else lit(Double.NaN)).as("qhi"))
+          .as[(Long, Long, Array[Float], Long, Long, String, Double, Double)]
           .collect() // qid-keyed probe rows: the query-broadcast contract
-        val bySeg: Map[Long, Array[(Long, Array[Float], Long, Long, String)]] =
+        val bySeg: Map[Long,
+            Array[(Long, Array[Float], Long, Long, String, Double, Double)]] =
           probeArr.groupBy(_._1).map { case (sid, a) =>
-            (sid, a.map(p => (p._2, p._3, p._4, p._5, p._6)))
+            (sid, a.map(p => (p._2, p._3, p._4, p._5, p._6, p._7, p._8)))
           }
         val bProbes = spark.sparkContext.broadcast(bySeg)
         val distFn = Distances.forMetric(metric)
@@ -2261,11 +2380,14 @@ object ColdTier {
         val kk = k
         data.select(col("segmentId"), col("id"), col("vec"),
             col("eventTime"),
-            filterColumn.map { f =>
-              val (at, qt) = filterTypes.get
-              filterKey(col(f), at, qt).cast("string")
-            }.getOrElse(lit(null).cast("string")).as("attr"))
-          .as[(Long, Long, Array[Float], Long, String)]
+            filterTypes.map { case (at, qt) =>
+              filterKey(col(filterColumn.get), at, qt).cast("string")
+            }.getOrElse(lit(null).cast("string")).as("attr"),
+            (if (rangeMode)
+              coalesce(col(filterColumn.get).cast("double"),
+                lit(Double.NaN))
+            else lit(Double.NaN)).as("attrd"))
+          .as[(Long, Long, Array[Float], Long, String, Double)]
           .mapPartitions { rows =>
             val perSeg = bProbes.value
             // a partition is usually one segment's rows, but Spark
@@ -2275,9 +2397,10 @@ object ColdTier {
             val heapsBySeg = scala.collection.mutable.LongMap
               .empty[Array[graft.functions.BoundedTopK]]
             var curSid = Long.MinValue
-            var curQs: Array[(Long, Array[Float], Long, Long, String)] = null
+            var curQs: Array[(Long, Array[Float], Long, Long, String,
+              Double, Double)] = null
             var curHeaps: Array[graft.functions.BoundedTopK] = null
-            rows.foreach { case (sid, id, v, ts, attr) =>
+            rows.foreach { case (sid, id, v, ts, attr, ad) =>
               if (sid != curSid) {
                 curSid = sid
                 curQs = perSeg.getOrElse(sid, null)
@@ -2291,9 +2414,14 @@ object ColdTier {
                 var qi = 0
                 while (qi < curQs.length) {
                   val qrow = curQs(qi)
+                  // range mode: NaN-safe double compares (a null/NaN
+                  // attribute or bound fails both inequalities — SQL's
+                  // null-rejecting BETWEEN for free)
                   if (ts >= qrow._3 && ts <= qrow._4 &&
-                      (!filtered || (attr != null && qrow._5 != null &&
-                        attr == qrow._5))) {
+                      (!filtered ||
+                        (if (rangeMode) ad >= qrow._6 && ad <= qrow._7
+                         else attr != null && qrow._5 != null &&
+                           attr == qrow._5))) {
                     val h = curHeaps(qi)
                     if (l2Abandon) {
                       val bd = h.bound

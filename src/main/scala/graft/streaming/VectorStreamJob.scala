@@ -509,12 +509,16 @@ object VectorStreamJob {
     val spark = batch.sparkSession
     if (graft.store.ColdTier.catalogContains(spark, coldDir, batchId)) {
       // committed — but a crash after the catalog append and before the
-      // sidecar seal leaves an indexed tier with one scan-only segment;
-      // finish the sidecar here so re-execution converges
+      // sidecar seals leaves an indexed tier with one scan-only segment
+      // (or one stats-less segment); finish the sidecars here so
+      // re-execution converges
       if (indexAtFlush &&
           !graft.store.ColdTier.indexSealed(spark, coldDir, batchId))
         graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId),
           metric, m, efConstruction)
+      if (!graft.store.ColdTier.attrStatsCover(spark, coldDir, batchId))
+        graft.store.ColdTier.refreshAttrStatsFor(spark, coldDir,
+          Set(batchId))
       return false
     }
     val rows = evictedRows(batch)
@@ -523,6 +527,9 @@ object VectorStreamJob {
     if (indexAtFlush)
       graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId), metric,
         m, efConstruction)
+    // keep any attr-stats sidecar covering the tier as it grows (one
+    // FS listing when there is none)
+    graft.store.ColdTier.refreshAttrStatsFor(spark, coldDir, Set(batchId))
     true
   }
 
@@ -613,6 +620,9 @@ object VectorStreamJob {
           !graft.store.ColdTier.indexSealed(spark, coldDir, batchId))
         graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId),
           metric, m, efConstruction)
+      if (!graft.store.ColdTier.attrStatsCover(spark, coldDir, batchId))
+        graft.store.ColdTier.refreshAttrStatsFor(spark, coldDir,
+          Set(batchId))
       all.foreach { case (_, sp) => fs.delete(sp, true) }
       return false
     }
@@ -627,6 +637,7 @@ object VectorStreamJob {
     if (indexAtFlush)
       graft.store.ColdTier.sealIndexes(spark, coldDir, Seq(batchId), metric,
         m, efConstruction)
+    graft.store.ColdTier.refreshAttrStatsFor(spark, coldDir, Set(batchId))
     markStagedConsumed(spark, coldDir, staged.map(_._1))
     staged.foreach { case (_, sp) => fs.delete(sp, true) }
     true

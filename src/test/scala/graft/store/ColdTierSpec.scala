@@ -1435,4 +1435,34 @@ class ColdTierSpec extends AnyFunSuite {
         s"query $qi unpruned result != per-label truth")
     }
   }
+
+  test("refreshAttrStatsFor extends the sidecar incrementally; a new segment lacking the column keeps the old rows instead of killing the sidecar") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attrinc").toString
+    def labeled(n: Int, seed: Long, tsBase: Long, label: String) =
+      mkVecs(n, 8, seed, tsBase).withColumn("label", lit(label))
+    ColdTier.seal(labeled(50, 1L, 0L, "a"), dir, 1L)
+    ColdTier.sealAttrStats(spark, dir, "label")
+    def statRows() = spark.read.parquet(s"$dir/attr-stats/label")
+      .select("segmentId").collect().map(_.getLong(0)).toSet
+
+    // incremental: the new labeled segment gains a row, segment 1's
+    // row survives verbatim
+    ColdTier.seal(labeled(50, 2L, 1000L, "b"), dir, 2L)
+    ColdTier.refreshAttrStatsFor(spark, dir, Set(2L))
+    assert(statRows() == Set(1L, 2L), s"sidecar rows: ${statRows()}")
+
+    // a column-less new segment must NOT take the sidecar down: rows
+    // for 1 and 2 survive, 3 simply never prunes
+    ColdTier.seal(mkVecs(50, 8, 3L, 2000L), dir, 3L)
+    ColdTier.refreshAttrStatsFor(spark, dir, Set(3L))
+    assert(statRows() == Set(1L, 2L),
+      s"column-less segment corrupted the sidecar: ${statRows()}")
+
+    // idempotent: re-refreshing an already-covered id changes nothing
+    ColdTier.refreshAttrStatsFor(spark, dir, Set(2L))
+    assert(statRows() == Set(1L, 2L))
+    assert(ColdTier.attrStatsCover(spark, dir, 2L))
+    assert(!ColdTier.attrStatsCover(spark, dir, 3L))
+  }
 }

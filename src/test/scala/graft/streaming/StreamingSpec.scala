@@ -1081,4 +1081,47 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
     assert(got == truth, s"post-recluster cold search $got != exact $truth")
   }
+
+  test("attr-stats sidecar tracks streaming flushes: every later-flushed segment gains a stats row, and pruned filtered search over the grown tier stays exact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-attrtrack")
+      .toString
+    val input = MemoryStream[StreamEvent]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold)) { _ => () }
+    def attrOf(i: Int): String = (i % 2).toString
+    def epoch(e: Int): Unit = {
+      input.addData((0 until 20).map(i =>
+        StreamEvent("i", e * 100L + i, vec(e * 100 + i), e * 5000L + i,
+          0L, 0, attrOf(i))): _*)
+      q.processAllAvailable()
+    }
+    epoch(0); epoch(1) // batch 1 flushes epoch 0 -> first cold segment
+    // the operator seals the sidecar ONCE, covering the tier as of now
+    graft.store.ColdTier.sealAttrStats(spark, cold, "attr")
+    // sustained ingest keeps flushing; without the flush-side refresh
+    // these segments would be stats-less forever (no pruning)
+    epoch(2); epoch(3)
+    q.stop()
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.length >= 3, s"expected >= 3 flushed segments: ${cat.toList}")
+    val statIds = spark.read.parquet(s"$cold/attr-stats/attr")
+      .select("segmentId").collect().map(_.getLong(0)).toSet
+    assert(statIds == cat.map(_.segmentId).toSet,
+      s"sidecar rows $statIds diverge from catalog " +
+        s"${cat.map(_.segmentId).toSet}")
+    // filtered search (stats engaged) over the grown tier stays exact
+    val flushed = (0 to 2).flatMap(e => (0 until 20).map(e * 100 + _))
+    val queries = Seq((1L, vec(3), 20000L, 20000L, "1"))
+      .toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val got = graft.store.ColdTier.search(spark, cold, queries, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("attr"))
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    val truth = flushed.filter(_ % 2 == 1)
+      .map(i => (i.toLong, Distances.l2(vec(3), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    assert(got == truth, s"filtered search over grown tier: $got != $truth")
+  }
 }
