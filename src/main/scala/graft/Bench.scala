@@ -860,6 +860,15 @@ object Bench {
         val scanFilt = minOf2(ColdTier.search(spark, cdir, cqF, 10,
           Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
           filterColumn = Some("label")).count())
+        // RANGE band through the same kernel (two double compares per
+        // (row, query) instead of one equality — must sit at the same
+        // parity, 3-of-8-labels band)
+        val cqR = cq
+          .withColumn("qflo", pmod(col("qid"), lit(6)).cast("long"))
+          .withColumn("qfhi", (pmod(col("qid"), lit(6)) + 2).cast("long"))
+        val scanRange = minOf2(ColdTier.search(spark, cdir, cqR, 10,
+          Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
+          filterColumn = Some("label"), filterRange = true).count())
         // label-ALIGNED tier + attr-stats sidecar: probe planning prunes
         // to 1/8 of the segments — the partition-pruning payoff measured
         val cdirA = java.nio.file.Files
@@ -869,6 +878,10 @@ object Bench {
         val scanFiltPruned = minOf2(ColdTier.search(spark, cdirA, cqF, 10,
           Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
           filterColumn = Some("label")).count())
+        // interval pruning drops 5 of the 8 aligned segments per query
+        val scanRangePruned = minOf2(ColdTier.search(spark, cdirA, cqR, 10,
+          Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
+          filterColumn = Some("label"), filterRange = true).count())
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(cdirA))
         val (_, compactSec) = time(ColdTier.compact(spark, cdir,
@@ -911,7 +924,7 @@ object Bench {
           10, Metric.L2, efSearch = 64, probeSegments = 2,
           shortlist = 64).count())
         delRows.unpersist(); crows.unpersist(); cq.unpersist()
-        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_filtered_sec":${"%.2f".format(scanFilt)},"coldtier_scan_filtered_pruned_sec":${"%.2f".format(scanFiltPruned)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_accreted_cold_sec":${"%.2f".format(probe12Cold)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_probe_compacted_cold_sec":${"%.2f".format(probe2Cold)},"coldtier_compact_sec":${"%.2f".format(compactSec)},"coldtier_tombstones":$nDel,"coldtier_probe_deletes_accreted_sec":${"%.2f".format(probeDelAcc)},"coldtier_probe_deletes_consolidated_sec":${"%.2f".format(probeDelCons)},"coldtier_compact_deletes_sec":${"%.2f".format(compactDelSec)},"coldtier_recluster_sec":${"%.2f".format(reclusterSec)},"coldtier_probe_routed_fast_sec":${"%.2f".format(probeRouted)}"""
+        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_filtered_sec":${"%.2f".format(scanFilt)},"coldtier_scan_filtered_pruned_sec":${"%.2f".format(scanFiltPruned)},"coldtier_scan_range_sec":${"%.2f".format(scanRange)},"coldtier_scan_range_pruned_sec":${"%.2f".format(scanRangePruned)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_accreted_cold_sec":${"%.2f".format(probe12Cold)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_probe_compacted_cold_sec":${"%.2f".format(probe2Cold)},"coldtier_compact_sec":${"%.2f".format(compactSec)},"coldtier_tombstones":$nDel,"coldtier_probe_deletes_accreted_sec":${"%.2f".format(probeDelAcc)},"coldtier_probe_deletes_consolidated_sec":${"%.2f".format(probeDelCons)},"coldtier_compact_deletes_sec":${"%.2f".format(compactDelSec)},"coldtier_recluster_sec":${"%.2f".format(reclusterSec)},"coldtier_probe_routed_fast_sec":${"%.2f".format(probeRouted)}"""
       }
 
     // --- coarse-quantizer routing at CATALOG scale: a 100-TB tier at

@@ -48,7 +48,9 @@ import graft.functions.{CosineDistance, IpDistance, L2Distance}
 object KnnIndex {
   /** @param filterColumns attribute columns sealed into the tier's
    *        segments (ColdTier attribute payload) that a matched
-   *        `WHERE <col> = <literal>` may be served against. A filtered
+   *        `WHERE <col> = <literal>`, `<col> IN (<literals>)`, or — on
+   *        numeric columns — a range band (`<col> >= a AND <col> < b`,
+   *        BETWEEN) may be served against. A filtered
    *        probe hydrates only the graph shortlist (candidate-bounded
    *        IO, not zero-IO like the bare probe) and over-fetches the
    *        shortlist by `filterOverfetch` since the graph walk is
@@ -240,11 +242,48 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** A range conjunct on a REGISTERED (numeric) filter column:
+   * `(attr, op, foldable numeric literal)` with the attribute
+   * normalized to the LEFT (`5 < score` extracts as `score > 5`).
+   * Strict and inclusive bounds both extract — hydration re-applies
+   * the exact operator; segment admission only needs the closed hull.
+   * A coerced attribute (`Cast(score) >= 2.5`) does NOT extract — the
+   * conjunct lands in leftovers and the rewrite bails to the exact
+   * plan rather than guessing cast semantics. */
+  private def attrRangeBound(e: Expression, allowed: Set[String])
+      : Option[(AttributeReference, String, Expression)] = {
+    def attrOf(x: Expression): Option[AttributeReference] = x match {
+      case ar: AttributeReference if allowed(ar.name) &&
+          ar.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        Some(ar)
+      case _ => None
+    }
+    def numLit(l: Expression): Boolean = l.foldable &&
+      l.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+      l.eval() != null
+    def mk(a: Expression, op: String, l: Expression) =
+      attrOf(a).filter(_ => numLit(l)).map((_, op, l))
+    e match {
+      case GreaterThanOrEqual(a, l) if attrOf(a).isDefined => mk(a, ">=", l)
+      case GreaterThan(a, l) if attrOf(a).isDefined => mk(a, ">", l)
+      case LessThanOrEqual(a, l) if attrOf(a).isDefined => mk(a, "<=", l)
+      case LessThan(a, l) if attrOf(a).isDefined => mk(a, "<", l)
+      case GreaterThanOrEqual(l, a) if attrOf(a).isDefined => mk(a, "<=", l)
+      case GreaterThan(l, a) if attrOf(a).isDefined => mk(a, "<", l)
+      case LessThanOrEqual(l, a) if attrOf(a).isDefined => mk(a, ">=", l)
+      case LessThan(l, a) if attrOf(a).isDefined => mk(a, ">", l)
+      case _ => None
+    }
+  }
+
   /** Decompose a matched WHERE into filter specs on REGISTERED filter
    * columns — each spec an `attr = foldable` equality or an
    * `attr IN (foldables)` list (In and its optimizer InSet form), at
    * most one spec per column, specs conjoining across DISTINCT columns
-   * (`WHERE label IN (1, 3) AND region = 'eu'`) — plus any number of
+   * (`WHERE label IN (1, 3) AND region = 'eu'`) — plus RANGE conjuncts
+   * on registered NUMERIC filter columns (`score >= a AND score < b`,
+   * BETWEEN — any number per column, they conjoin into one band) —
+   * plus any number of
    * range conjuncts on the REGISTERED time column, folded into one
    * inclusive freshness window clamped to the ±2^62 contract.
    * Optimizer-inferred `isnotnull(attr)` conjuncts are tolerated only
@@ -252,12 +291,14 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
    * equality, IN, or range already implies non-null, so dropping the
    * isnotnull preserves semantics; a BARE isnotnull does not — it would
    * make the probe return null-attribute rows the query excludes). Any
-   * other conjunct — the same column twice, or an unsatisfiable window
+   * other conjunct — the same column under BOTH an equality/IN and a
+   * range, or an unsatisfiable window
    * (floor > ceil) — bails the rewrite: the query keeps its exact plan
    * rather than silently dropping or widening a predicate. */
   private def decompose(cond: Expression, allowed: Set[String],
       timeCol: Option[String])
       : Option[(Seq[(AttributeReference, Seq[Expression])],
+                Seq[(AttributeReference, String, Expression)],
                 Option[(Long, Long)])] = {
     val cs = conjuncts(cond)
     def asFilter(e: Expression)
@@ -278,6 +319,8 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val specs =
       scala.collection.mutable.ListBuffer
         .empty[(AttributeReference, Seq[Expression])]
+    val rangeSpecs = scala.collection.mutable.ListBuffer
+      .empty[(AttributeReference, String, Expression)]
     var lowers = List.empty[Long]
     var uppers = List.empty[Long]
     val realAttrIds = scala.collection.mutable.Set.empty[ExprId]
@@ -294,9 +337,19 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             .map(timeBounds(c, _)).getOrElse((Seq.empty, Seq.empty, None))
           if (los.nonEmpty || his.nonEmpty) {
             lowers ++= los; uppers ++= his; aid.foreach(realAttrIds += _)
-          } else leftovers += c
+          } else attrRangeBound(c, allowed) match {
+            case Some(rb) =>
+              rangeSpecs += rb; realAttrIds += rb._1.exprId
+            case None => leftovers += c
+          }
       }
     }
+    // a column under BOTH an equality/IN and a range (`label = 1 AND
+    // label < 5`): intersection semantics are legal but rare — exact
+    // path (multiple RANGE bounds on one column are the BETWEEN
+    // decomposition and conjoin fine)
+    if (rangeSpecs.exists(r => specs.exists(_._1.exprId == r._1.exprId)))
+      return None
     val tolerated = leftovers.forall {
       case IsNotNull(a: AttributeReference) => realAttrIds(a.exprId)
       case _ => false
@@ -315,7 +368,7 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (floor > ceil) return None // unsatisfiable: exact plan answers
         Some((floor, ceil))          // empty via its own pushed predicate
       }
-    Some((specs.toSeq, window))
+    Some((specs.toSeq, rangeSpecs.toSeq, window))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -343,10 +396,10 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // equality on a sealed attribute and/or a range on the sealed
           // time column; otherwise stay on the exact path
           specs <- condOpt match {
-            case None => Some((Seq.empty, None))
+            case None => Some((Seq.empty, Seq.empty, None))
             case Some(c) => decompose(c, r.filterColumns, r.timeColumn)
           }
-          (fspecs, window) = specs
+          (fspecs, rspecs, window) = specs
           distAlias <- projList.collectFirst {
             case al @ Alias(d, _) if al.exprId == sortRef.exprId => (al, d)
           }
@@ -370,15 +423,15 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         } yield {
           val (floorTs, ceilTs) = window.getOrElse((FloorDef, CeilDef))
-          val probe = fspecs match {
-            case Seq() =>
+          val probe = (fspecs, rspecs) match {
+            case (Seq(), Seq()) =>
               graft.store.ColdTier.searchIndexedFast(spark,
                 r.coldDir, singleQuery(qv, floorTs, ceilTs), k, metric,
                 efSearch = r.efSearch,
                 probeSegments = r.probeSegments,
                 shortlist = math.max(r.shortlist, k))
                 .select(col("id"), col("dist"))
-            case Seq((fattr, Seq(litE))) =>
+            case (Seq((fattr, Seq(litE))), Seq()) =>
               // single-equality filtered probe: the graph shortlist is
               // filter-oblivious, so it is over-fetched by
               // filterOverfetch, then ONLY the shortlisted ids are
@@ -396,13 +449,14 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 efSearch = r.efSearch, probeSegments = r.probeSegments,
                 overfetch = r.filterOverfetch)
                 .select(col("id"), col("dist"))
-            case many =>
-              // IN-list / multi-column conjunction: same over-fetch +
-              // candidate-bounded hydration, with the values known at
-              // plan time — segment admission is multi-value (attr-stats
-              // mayMatch over the whole IN list, per-column sets
-              // intersected) and the hydration predicate is the full
-              // literal conjunction. Still no corpus scan.
+            case (many, rs) =>
+              // IN-list / multi-column conjunction / numeric RANGE
+              // bands: same over-fetch + candidate-bounded hydration,
+              // with the values known at plan time — segment admission
+              // is multi-value (attr-stats mayMatch over the whole IN
+              // list, interval overlap per range column, per-column
+              // sets intersected) and the hydration predicate is the
+              // full literal conjunction. Still no corpus scan.
               val filters = many.map { case (attr, lits) =>
                 (attr.name,
                   lits.map(l => org.apache.spark.sql.catalyst
@@ -410,11 +464,16 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                       l.eval(), l.dataType)),
                   lits.head.dataType)
               }
+              val ranges = rs.map { case (attr, op, l) =>
+                graft.store.ColdTier.RangeBound(attr.name, op,
+                  org.apache.spark.sql.catalyst.CatalystTypeConverters
+                    .convertToScala(l.eval(), l.dataType), l.dataType)
+              }
               graft.store.ColdTier.searchIndexedLiteralFiltered(spark,
                 r.coldDir, singleQuery(qv, floorTs, ceilTs), k, filters,
                 metric, shortlist = math.max(r.shortlist, k),
                 efSearch = r.efSearch, probeSegments = r.probeSegments,
-                overfetch = r.filterOverfetch)
+                overfetch = r.filterOverfetch, ranges = ranges)
                 .select(col("id"), col("dist"))
           }
           // splice the OPTIMIZED probe plan: this rule runs after the

@@ -117,6 +117,33 @@ object EvalQueries {
    * (tier dir, hot/cold ts cut) — the cross-tier FILTERED layout. */
   private val tieredFilteredDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  /** Hot/cold tiered layout WITH the label attribute, per sf dir:
+   * newest quarter in one unindexed hot segment, older three quarters
+   * in two indexed cold segments. Shared by the filtered and range
+   * cross-tier entries so their layouts can never diverge. Returns
+   * (tier dir, hot/cold eventTime cut). */
+  private def tieredFilteredTier(s: SparkSession, dir: String,
+      e: org.apache.spark.sql.DataFrame): (String, Long) =
+    tieredFilteredDirs.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft-cold-tierflt")
+        .toString
+      val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
+      val c = maxId / 4 * 3
+      (0 until 2).foreach { i =>
+        graft.store.ColdTier.seal(
+          e.where(col("vec_id") < c && col("vec_id") % 2 === i)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("vec_id").as("eventTime"), col("label")), t, i.toLong)
+      }
+      graft.store.ColdTier.sealIndexes(s, t, 0L until 2L,
+        graft.Metric.L2, m = 16, efConstruction = 128)
+      graft.store.ColdTier.seal(
+        e.where(col("vec_id") >= c)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("vec_id").as("eventTime"), col("label")), t, 2L)
+      (t, c)
+    })
   /** Top-n of the SQL-rewrite entry (one literal query; the LIMIT). */
   private val SqlRewriteK = 500
   /** Top-n of the FILTERED SQL-rewrite entry — smaller than SqlRewriteK
@@ -131,6 +158,17 @@ object EvalQueries {
    * over 0..9 at every sf, TESTDATA.md) — static so the DuckDB twin can
    * embed the same literals. */
   private val SqlRewriteInLabels = Seq(0, 1)
+  /** The range entry's static band `label >= Lo AND label < Hi` — 4 of
+   * 10 labels match (~40% of candidates); top-n sized to the same
+   * headroom margin as the IN entry (shortlist 500 over-fetched 4x). */
+  private val SqlRewriteRangeLo = 2
+  private val SqlRewriteRangeHi = 6
+  private val SqlRewriteRangeK = 100
+  /** The cross-tier range entry's static inclusive band (4 of 10
+   * labels) — static so the band can ride rerankExact's literalRanges
+   * and the DuckDB twin can embed the same BETWEEN. */
+  private val TieredRangeLo = 2
+  private val TieredRangeHi = 5
   /** Snapshot-pinned tier dirs per sf dir: (tier dir, snapshot version). */
   private val snapshotDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
@@ -305,6 +343,56 @@ object EvalQueries {
       require(planned == nq, s"knn_coldtier_filtered_pruned: expected " +
         s"$nq probes (one admissible segment per query), planned $planned " +
         "— attr-stats pruning did not engage")
+      out
+    },
+
+    "knn_coldtier_range" -> { (s, dir) =>
+      // RANGE-filtered cold-tier search (`attribute BETWEEN qlo AND
+      // qhi` — the price-band / score-band / recency-band production
+      // shape): each query carries its own numeric band over the label
+      // column and only in-band rows are candidates. The bounds ride
+      // the broadcast probe tuple into the same bounded-heap kernel as
+      // the equality filter (two NaN-safe double compares per (row,
+      // query)), wave pruning stays lossless, so this must equal
+      // per-band exact kNN bit-for-bit.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = filteredTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          least(col("label"), lit(6)).as("qflo"),
+          (least(col("label"), lit(6)) + 2).as("qfhi"))
+      graft.store.ColdTier.search(s, tmp, queries, VectorQueries.K,
+        graft.Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0,
+        filterColumn = Some("label"), filterRange = true)
+    },
+
+    "knn_coldtier_range_pruned" -> { (s, dir) =>
+      // the PARTITION-PRUNING flavor of range-filtered search: on the
+      // label-ALIGNED tier (one segment per label + sealAttrStats
+      // sidecar), probe planning drops every segment whose label
+      // [min,max] cannot OVERLAP the query's [qflo,qfhi] — each band
+      // spans exactly 3 of the 10 label segments, so the entry THROWS
+      // unless the plan collapsed to exactly 3 probes per query, and
+      // the result must STILL be per-band exact kNN bit-for-bit
+      // (interval pruning is lossless).
+      val e = Tables(s, dir, "embeddings")
+      val tmp = alignedFilteredTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          least(col("label"), lit(6)).as("qflo"),
+          (least(col("label"), lit(6)) + 2).as("qfhi"))
+      val stats = scala.collection.mutable.Map.empty[String, Long]
+      val out = graft.store.ColdTier.search(s, tmp, queries,
+        VectorQueries.K, graft.Metric.L2, firstWaveFraction = 0.34,
+        terminationFactor = 1.0, filterColumn = Some("label"),
+        filterRange = true, searchStats = Some(stats))
+      val nq = queries.count()
+      val planned = stats("wave1_probes") + stats("wave2_planned")
+      require(planned == 3 * nq, s"knn_coldtier_range_pruned: expected " +
+        s"${3 * nq} probes (3 admissible segments per query), planned " +
+        s"$planned — attr-range interval pruning did not engage")
       out
     },
 
@@ -790,6 +878,69 @@ object EvalQueries {
           org.apache.spark.sql.types.IntegerType)))
     },
 
+    "knn_sql_rewrite_range" -> { (s, dir) =>
+      // the RANGE SQL-rewrite surface (`WHERE label >= 2 AND label < 6
+      // ORDER BY dist LIMIT k` — the price-band / score-band shape,
+      // with one strict bound so exclusive-edge hydration is
+      // exercised): the optimizer decomposes the band into range
+      // specs, segment admission is the conservative closed hull over
+      // the attr-stats sidecar (no sidecar here — never prunes, still
+      // correct), and the over-fetched graph shortlist hydrates
+      // candidate-bounded under the EXACT band predicate — the corpus
+      // is never scanned (the entry THROWS if a corpus scan survives).
+      // Chosen ids land as oracle aux and replay through the
+      // range-filtered exact re-rank; the twin applies the same static
+      // band (the WHERE guards against aux drift).
+      val tmp = routedFilteredTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = 2, shortlist = SqlRewriteK,
+          filterColumns = Set("label"), filterOverfetch = 4)
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_range")
+        val df = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus_range
+             |WHERE label >= $SqlRewriteRangeLo AND label < $SqlRewriteRangeHi
+             |ORDER BY dist LIMIT $SqlRewriteRangeK""".stripMargin)
+        val corpusScans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                l.relation
+                  .asInstanceOf[
+                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.exists(_.toString
+                    .contains("embeddings.parquet")) => l
+        }
+        require(corpusScans.isEmpty, "knn_sql_rewrite_range: the range " +
+          "ORDER BY plan still scans the corpus — the index rewrite " +
+          "did not fire")
+        OracleAux.write(
+          df.select(lit(0L).as("qid"), col("vec_id").as("id")),
+          dir, "sql_rewrite_range_ids")
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val queries = e.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "sql_rewrite_range_ids"), queries,
+        SqlRewriteRangeK, graft.Metric.L2,
+        literalRanges = Seq(
+          graft.store.ColdTier.RangeBound("label", ">=", SqlRewriteRangeLo,
+            org.apache.spark.sql.types.IntegerType),
+          graft.store.ColdTier.RangeBound("label", "<", SqlRewriteRangeHi,
+            org.apache.spark.sql.types.IntegerType)))
+    },
+
     "knn_tiered" -> { (s, dir) =>
       // ONE query answered across BOTH tiers — the reference's
       // hierarchical search (db/version_set.cc:2563-2655 probes the
@@ -865,25 +1016,7 @@ object EvalQueries {
       // so the DuckDB twin replays the whole filtered cross-tier merge
       // bit-exactly.
       val e = Tables(s, dir, "embeddings")
-      val (tmp, cut) = tieredFilteredDirs.getOrElseUpdate(dir, {
-        val t = java.nio.file.Files.createTempDirectory("graft-cold-tierflt")
-          .toString
-        val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
-        val c = maxId / 4 * 3
-        (0 until 2).foreach { i =>
-          graft.store.ColdTier.seal(
-            e.where(col("vec_id") < c && col("vec_id") % 2 === i)
-              .select(col("vec_id").as("id"), col("embedding").as("vec"),
-                col("vec_id").as("eventTime"), col("label")), t, i.toLong)
-        }
-        graft.store.ColdTier.sealIndexes(s, t, 0L until 2L,
-          graft.Metric.L2, m = 16, efConstruction = 128)
-        graft.store.ColdTier.seal(
-          e.where(col("vec_id") >= c)
-            .select(col("vec_id").as("id"), col("embedding").as("vec"),
-              col("vec_id").as("eventTime"), col("label")), t, 2L)
-        (t, c)
-      })
+      val (tmp, cut) = tieredFilteredTier(s, dir, e)
       val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
@@ -909,6 +1042,51 @@ object EvalQueries {
           .unionByName(OracleAux.read(s, dir, "tiered_flt_hot_shortlist")),
         queries, VectorQueries.K, graft.Metric.L2,
         filterColumn = Some("label"))
+    },
+
+    "knn_tiered_range" -> { (s, dir) =>
+      // the RANGE cross-tier composition — knn_tiered_filtered's
+      // hierarchical search under a static numeric band (`label BETWEEN
+      // 2 AND 5`, the streaming attrHi channel's batch twin): the cold
+      // tier is probed through filter-oblivious sidecars with the same
+      // 8x over-fetched shortlist, the hot quarter answers through the
+      // exact RANGE kernel (filterRange = true, window clipped to the
+      // hot range), both shortlists land as aux, and ONE range-filtered
+      // exact re-rank (literalRanges) over the union answers the query
+      // — the DuckDB twin replays the whole banded cross-tier merge
+      // bit-exactly.
+      val e = Tables(s, dir, "embeddings")
+      val (tmp, cut) = tieredFilteredTier(s, dir, e)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      val coldQ = queries
+        .withColumn("qtime", lit(cut - 1)).withColumn("ttl", lit(cut - 1))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, coldQ,
+          shortlist = PqQueries.Shortlist * 8, graft.Metric.L2,
+          efSearch = 100),
+        dir, "tiered_rng_cold_shortlist")
+      val hotQ = queries
+        .withColumn("ttl", lit(Long.MaxValue / 2 - cut))
+        .withColumn("qflo", lit(TieredRangeLo))
+        .withColumn("qfhi", lit(TieredRangeHi))
+      OracleAux.write(
+        graft.store.ColdTier.search(s, tmp, hotQ, PqQueries.Shortlist,
+            graft.Metric.L2, firstWaveFraction = 1.0,
+            terminationFactor = 1.0, filterColumn = Some("label"),
+            filterRange = true)
+          .select(col("qid"), col("id")),
+        dir, "tiered_rng_hot_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "tiered_rng_cold_shortlist")
+          .unionByName(OracleAux.read(s, dir, "tiered_rng_hot_shortlist")),
+        queries, VectorQueries.K, graft.Metric.L2,
+        literalRanges = Seq(
+          graft.store.ColdTier.RangeBound("label", ">=", TieredRangeLo,
+            org.apache.spark.sql.types.IntegerType),
+          graft.store.ColdTier.RangeBound("label", "<=", TieredRangeHi,
+            org.apache.spark.sql.types.IntegerType)))
     },
 
     "multimodal_decode" -> { (s, dir) =>
@@ -958,6 +1136,21 @@ object EvalQueries {
        |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
        |    for x in list_zip(q.qv, b.embedding)]) AS dist
        |  FROM q, embeddings b WHERE b.label = q.label),
+       |r AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+       |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin
+
+  /** Per-band exact kNN (`label BETWEEN qflo AND qfhi`, each query's
+   * band derived from its own label) — the shared DuckDB twin of the
+   * RANGE-filtered cold-tier surfaces. */
+  private val rangeKnnOracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+       |  LEAST(label, 6) AS qflo, LEAST(label, 6) + 2 AS qfhi
+       |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+       |d AS (SELECT q.qid, b.vec_id AS id,
+       |  list_sum([ (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))
+       |    for x in list_zip(q.qv, b.embedding)]) AS dist
+       |  FROM q, embeddings b WHERE b.label BETWEEN q.qflo AND q.qfhi),
        |r AS (SELECT qid, id, dist,
        |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
        |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}""".stripMargin
@@ -1020,6 +1213,8 @@ object EvalQueries {
     // per-label exact kNN: the filtered cold-tier search restricts the
     // candidate set to label-matching rows before the same top-k
     "knn_coldtier_filtered" -> filteredKnnOracle,
+    "knn_coldtier_range" -> rangeKnnOracle,
+    "knn_coldtier_range_pruned" -> rangeKnnOracle,
     // the label-aligned + attr-stats layout answers the SAME per-label
     // exact kNN — pruning changes which segments are touched, never the
     // result (an independent storage layout through an identical twin)
@@ -1196,6 +1391,19 @@ object EvalQueries {
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteInK"""
         .stripMargin,
 
+    "knn_sql_rewrite_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_range_ids")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label >= $SqlRewriteRangeLo AND b.label < $SqlRewriteRangeHi),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteRangeK"""
+        .stripMargin,
+
     // routed-probe replay: same re-rank recipe over the routed shortlist
     "knn_coldtier_routed" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -1237,6 +1445,23 @@ object EvalQueries {
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
          |  WHERE b.label = q.label),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // banded cross-tier merge replay: both tiers' shortlists union into
+    // one candidate set, re-ranked exactly under the static band (the
+    // WHERE guards against aux drift)
+    "knn_tiered_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("tiered_rng_cold_shortlist")}
+         |  UNION SELECT qid, id FROM ${OracleAux.ref("tiered_rng_hot_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label BETWEEN $TieredRangeLo AND $TieredRangeHi),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""

@@ -498,6 +498,56 @@ object ColdTier {
     }
   }
 
+  /** One plan-time literal RANGE conjunct on a sealed attribute column
+   * (the SQL rewrite's `score >= a` / `score < b` / BETWEEN shapes):
+   * `op` is one of ">=", ">", "<=", "<" with the attribute on the LEFT.
+   * Hydration re-applies the conjunct exactly (Spark Column comparison,
+   * same coercion as the exact plan the rewrite replaced); segment
+   * admission uses only the conservative closed hull. */
+  final case class RangeBound(column: String, op: String, value: Any,
+      vt: org.apache.spark.sql.types.DataType) {
+    require(Set(">=", ">", "<=", "<")(op), s"RangeBound op $op")
+    def isLower: Boolean = op == ">=" || op == ">"
+    /** The bound as a double for the closed-hull admission (NaN =
+     * non-numeric rendering: never prunes). */
+    def asDouble: Double = value match {
+      case n: java.lang.Number => n.doubleValue()
+      case _ => Double.NaN
+    }
+    /** The exact hydration predicate over the sealed attribute. */
+    def predicate(attr: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val l = lit(value).cast(vt)
+      op match {
+        case ">=" => attr >= l
+        case ">" => attr > l
+        case "<=" => attr <= l
+        case "<" => attr < l
+      }
+    }
+  }
+
+  /** Segment ids whose attr-stats [min,max] may OVERLAP the closed hull
+   * of the given range bounds on `column` — the interval analog of
+   * [[admissibleIds]]. Strict bounds are admitted as closed (superset —
+   * sound; hydration restores exactness). None = no sidecar or a
+   * non-numeric sidecar (range admission is numeric-only) = never
+   * prune. */
+  private[graft] def admissibleIdsRange(spark: SparkSession, dir: String,
+      column: String, bounds: Seq[RangeBound]): Option[Set[Long]] =
+    loadAttrStats(spark, dir, column).filter(_.numeric).map { st =>
+      val lows = bounds.filter(_.isLower).map(_.asDouble)
+      val highs = bounds.filterNot(_.isLower).map(_.asDouble)
+      // NaN poisons max/min into NaN, which mayOverlap treats as
+      // never-prune — exactly the conservative contract
+      val lo = if (lows.isEmpty) Double.NegativeInfinity
+        else if (lows.exists(_.isNaN)) Double.NaN else lows.max
+      val hi = if (highs.isEmpty) Double.PositiveInfinity
+        else if (highs.exists(_.isNaN)) Double.NaN else highs.min
+      catalog(spark, dir).map(_.segmentId)
+        .filter(st.mayOverlap(_, lo, hi)).toSet
+    }
+
   private def deleteLogPath(dir: String) = s"$dir/deletes-log"
 
   /** Append a batch of delete tombstones `(id, ts)` to the tier's delete
@@ -1921,20 +1971,30 @@ object ColdTier {
       filters: Seq[(String, Seq[Any], org.apache.spark.sql.types.DataType)],
       metric: Metric = Metric.L2, shortlist: Int = 50,
       efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
-      overfetch: Int = 4, routeEf: Int = 0): DataFrame = {
+      overfetch: Int = 4, routeEf: Int = 0,
+      // plan-time literal RANGE conjuncts (`score >= a AND score < b`,
+      // BETWEEN): admission via the closed hull per column
+      // ([[admissibleIdsRange]]), hydration re-applies each conjunct
+      // exactly. Conjoins with `filters` (AND).
+      ranges: Seq[RangeBound] = Nil): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
-    require(filters.nonEmpty && filters.forall(_._2.nonEmpty),
+    require(filters.nonEmpty || ranges.nonEmpty,
+      "searchIndexedLiteralFiltered: no filters given")
+    require(filters.forall(_._2.nonEmpty),
       "searchIndexedLiteralFiltered: each filter needs >= 1 value")
     require(filters.map(_._1).distinct.length == filters.length,
       "searchIndexedLiteralFiltered: one entry per column")
-    val admissible = filters
-      .flatMap { case (f, vs, vt) => admissibleIds(spark, dir, f, vs, vt) }
+    val admissible = (filters
+      .flatMap { case (f, vs, vt) => admissibleIds(spark, dir, f, vs, vt) } ++
+      ranges.groupBy(_.column).flatMap { case (f, bs) =>
+        admissibleIdsRange(spark, dir, f, bs)
+      })
       .reduceOption(_ intersect _)
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries,
         shortlist * math.max(1, overfetch), metric, efSearch,
         probeSegments, routeEf, admissible = admissible),
-      queries, k, metric, literalFilters = filters)
+      queries, k, metric, literalFilters = filters, literalRanges = ranges)
   }
 
   /** Exact re-rank of a (qid, id) candidate set against the raw segments:
@@ -1959,7 +2019,11 @@ object ColdTier {
       queries: DataFrame, k: Int, metric: Metric = Metric.L2,
       filterColumn: Option[String] = None,
       literalFilters: Seq[(String, Seq[Any],
-        org.apache.spark.sql.types.DataType)] = Nil): DataFrame = {
+        org.apache.spark.sql.types.DataType)] = Nil,
+      // plan-time literal RANGE conjuncts — each re-applied exactly as
+      // a Spark Column comparison (the same coercion the exact plan the
+      // rewrite replaced would apply); conjoins with everything else
+      literalRanges: Seq[RangeBound] = Nil): DataFrame = {
     import spark.implicits._
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
@@ -1976,12 +2040,14 @@ object ColdTier {
     val raw = applyTombstones(spark, dir,
       spark.read.parquet(fresh.map(_.path).toIndexedSeq: _*))
       .select((Seq("id", "vec", "eventTime") ++ filterColumn ++
-        literalFilters.map(_._1)).distinct.map(col): _*)
-    val literalPred = literalFilters.map { case (f, vs, vt) =>
+        literalFilters.map(_._1) ++ literalRanges.map(_.column))
+        .distinct.map(col): _*)
+    val literalPred = (literalFilters.map { case (f, vs, vt) =>
       vs.map(v => filterEquality(col(f), lit(v).cast(vt),
           raw.schema(f).dataType, vt))
         .reduceLeft(_ || _)
-    }.foldLeft(lit(true))(_ && _)
+    } ++ literalRanges.map(rb => rb.predicate(col(rb.column))))
+      .foldLeft(lit(true))(_ && _)
     val probeQ = q.select(Seq(col("qid"), col("qv"),
       (col("qtime") - col("ttl")).as("floor_ts"),
       col("qtime").as("ceil_ts")) ++
@@ -2277,8 +2343,10 @@ object ColdTier {
           }
       else if (filterRange)
         q.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
-            coalesce(col("qflo").cast("double"), lit(Double.NaN)).as("qlo"),
-            coalesce(col("qfhi").cast("double"), lit(Double.NaN)).as("qhi"))
+            coalesce(col("qflo").try_cast("double"), lit(Double.NaN))
+              .as("qlo"),
+            coalesce(col("qfhi").try_cast("double"), lit(Double.NaN))
+              .as("qhi"))
           .as[(Long, Array[Float], Long, Long, Double, Double)]
           .mapPartitions { it =>
             val cat = bSegs.value
@@ -2362,10 +2430,10 @@ object ColdTier {
               filterKey(col("qfilter"), at, qt).cast("string")
             }.getOrElse(lit(null).cast("string")).as("qf"),
             (if (rangeMode)
-              coalesce(col("qflo").cast("double"), lit(Double.NaN))
+              coalesce(col("qflo").try_cast("double"), lit(Double.NaN))
             else lit(Double.NaN)).as("qlo"),
             (if (rangeMode)
-              coalesce(col("qfhi").cast("double"), lit(Double.NaN))
+              coalesce(col("qfhi").try_cast("double"), lit(Double.NaN))
             else lit(Double.NaN)).as("qhi"))
           .as[(Long, Long, Array[Float], Long, Long, String, Double, Double)]
           .collect() // qid-keyed probe rows: the query-broadcast contract
@@ -2383,8 +2451,10 @@ object ColdTier {
             filterTypes.map { case (at, qt) =>
               filterKey(col(filterColumn.get), at, qt).cast("string")
             }.getOrElse(lit(null).cast("string")).as("attr"),
+            // try_cast: a non-numeric string attr goes null -> NaN ->
+            // matches nothing (ANSI cast would THROW on it)
             (if (rangeMode)
-              coalesce(col(filterColumn.get).cast("double"),
+              coalesce(col(filterColumn.get).try_cast("double"),
                 lit(Double.NaN))
             else lit(Double.NaN)).as("attrd"))
           .as[(Long, Long, Array[Float], Long, String, Double)]

@@ -60,7 +60,14 @@ object VectorStreamJob {
       eventTime: Long,
       ttl: Long,
       k: Int,
-      attr: String = null)
+      attr: String = null,
+      // RANGE query channel (numeric bands, the cold tier's
+      // `filterRange` semantics on the hot path): a QUERY with BOTH
+      // attr and attrHi non-null asks for rows whose stored attr,
+      // read as a double, falls in [attr, attrHi] (closed interval; a
+      // non-numeric rendering or null bound matches nothing — SQL's
+      // null-rejecting BETWEEN). Ignored on inserts/deletes/dumps.
+      attrHi: String = null)
 
   final case class Routed(pid: Int, numPartitionsSent: Int, ev: StreamEvent,
       ingestMillis: Long)
@@ -154,6 +161,14 @@ object VectorStreamJob {
   /** Shared per-batch bookkeeping for both store variants: restore the
    * live map + tombstones, replay the batch in event-time order against
    * `store`, and assemble the retained state. Returns partials. */
+  /** A stored attr as a double for range queries: null or a
+   * non-numeric rendering goes NaN (fails every compare — the hot
+   * analog of the cold kernel's `try_cast("double")` → NaN). */
+  private def attrDouble(s: String): Double =
+    if (s == null) Double.NaN
+    else try java.lang.Double.parseDouble(s.trim)
+    catch { case _: NumberFormatException => Double.NaN }
+
   private def replayBatch(
       pid: Int, events: Iterator[Routed], prev: PartitionState,
       store: graft.store.VectorStore, maxTtl: Long, metric: Metric,
@@ -252,12 +267,16 @@ object VectorStreamJob {
             // (reference params maxTTL) — clamping makes eviction safe
             val ttl = math.min(ev.ttl, maxTtl)
             val res =
-              if (ev.attr == null)
+              if (ev.attr == null && ev.attrHi == null)
                 store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
               else {
                 // FILTERED query: exact bounded-heap scan over the
                 // partition's live set (authoritative for both store
-                // variants) under the attr equality — exact by
+                // variants) under the attr equality — or, when attrHi
+                // is set, the numeric [attr, attrHi] band (the cold
+                // tier's filterRange semantics: stored attrs read as
+                // doubles, NaN-safe compares, null/non-numeric matches
+                // nothing) — exact by
                 // construction, like the cold tier's filtered kernel,
                 // and identical tie-break order ((dist, id) ascending).
                 // The hot tier is TTL-bounded, so the linear scan is a
@@ -266,11 +285,19 @@ object VectorStreamJob {
                 // this surface's contract.
                 val distFn = graft.functions.Distances.forMetric(metric)
                 val topk = new graft.functions.BoundedTopK(ev.k)
+                val range = ev.attrHi != null
+                val qlo = if (range) attrDouble(ev.attr) else Double.NaN
+                val qhi = if (range) attrDouble(ev.attrHi) else Double.NaN
                 val itv = live.values().iterator()
                 while (itv.hasNext) {
                   val v = itv.next()
+                  val matches =
+                    if (range) {
+                      val ad = attrDouble(v.attr)
+                      ad >= qlo && ad <= qhi
+                    } else v.attr != null && v.attr == ev.attr
                   if (v.ts >= ev.eventTime - ttl && v.ts <= ev.eventTime &&
-                      v.attr != null && v.attr == ev.attr)
+                      matches)
                     topk.offer(distFn(ev.vec, v.vec), v.id)
                 }
                 val (fids, fds) = topk.drainSorted()

@@ -339,6 +339,85 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  test("WHERE <numeric col> range bands (BETWEEN, strict bounds, composed " +
+      "with equality) are served from the index; non-numeric or " +
+      "unregistered ranges stay exact") {
+    val (corpusPath, coldDir, rows) = inFixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64,
+        filterColumns = Set("label", "region"), filterOverfetch = 8)
+      val q = rows(42)._2
+      val corpus = spark.read.parquet(corpusPath)
+
+      // inclusive band (the BETWEEN decomposition: two conjuncts on the
+      // same column fold into one band instead of bailing)
+      val dfBand = corpus.where(col("label") >= 1 && col("label") <= 2)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      val pBand = scanPaths(dfBand)
+      assert(!pBand.exists(_.contains(corpusPath)),
+        s"corpus scan survived the range rewrite: $pBand")
+      assert(pBand.forall(_.contains(coldDir)),
+        s"only tier hydration scans expected, found: $pBand")
+      val gotBand = dfBand.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(gotBand.length == 10)
+      assert(gotBand.forall { case (id, _) => id % 3 == 1 || id % 3 == 2 },
+        s"range filter violated: ${gotBand.toList}")
+      assert(gotBand.map(_._2).sliding(2).forall(w => w(0) <= w(1)))
+      val truthBand = rows.filter(r => r._4 >= 1 && r._4 <= 2)
+        .map { case (id, v, _, _, _) => (id, Distances.l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val recallBand =
+        gotBand.map(_._1).count(truthBand.contains).toDouble / truthBand.size
+      assert(recallBand >= 0.9, s"range rewrite recall: $recallBand")
+
+      // SQL BETWEEN surface agrees with the DataFrame surface
+      corpus.createOrReplaceTempView("knn_rangecorpus")
+      val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      val sqlDf = spark.sql(
+        s"""SELECT id, l2_distance(vec, $arr) AS dist
+           |FROM knn_rangecorpus WHERE label BETWEEN 1 AND 2
+           |ORDER BY dist LIMIT 10""".stripMargin)
+      assert(!scanPaths(sqlDf).exists(_.contains(corpusPath)),
+        "SQL BETWEEN query must be served from the tier")
+      assert(sqlDf.collect().map(_.getLong(0)).toSeq ==
+        gotBand.map(_._1).toSeq, "SQL and DataFrame range surfaces must agree")
+
+      // strict bounds hydrate exactly (label > 0 AND label < 2 == 1)
+      val dfStrict = corpus.where(col("label") > 0 && col("label") < 2)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(!scanPaths(dfStrict).exists(_.contains(corpusPath)),
+        "strict-bound range must rewrite")
+      assert(dfStrict.collect().map(_.getLong(0)).forall(_ % 3 == 1),
+        "strict bounds violated")
+
+      // range AND equality on another column compose
+      val dfBoth = corpus.where(col("label") >= 1 && col("region") === "eu")
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(!scanPaths(dfBoth).exists(_.contains(corpusPath)),
+        "range + equality conjunction must rewrite")
+      assert(dfBoth.collect().map(_.getLong(0)).forall(id =>
+        id % 3 >= 1 && id % 2 == 0), "composed range filter violated")
+
+      // negative: a range on an UNREGISTERED column stays exact
+      val unreg = corpus.where(col("eventTime") < 500L)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(scanPaths(unreg).exists(_.contains(corpusPath)),
+        "range on an unregistered column must not rewrite")
+
+      // negative: a range on a NON-NUMERIC registered column stays exact
+      val strRange = corpus.where(col("region") >= "eu")
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(scanPaths(strRange).exists(_.contains(corpusPath)),
+        "range on a string column must not rewrite")
+    } finally KnnIndex.clear()
+  }
+
   test("stale registration: a deleted tier degrades to the exact scan at plan time instead of failing the query") {
     val (corpusPath, coldDir, rows) = fixture()
     try {

@@ -1465,4 +1465,71 @@ class ColdTierSpec extends AnyFunSuite {
     assert(ColdTier.attrStatsCover(spark, dir, 2L))
     assert(!ColdTier.attrStatsCover(spark, dir, 3L))
   }
+
+  test("range-filtered search: per-query [qflo,qfhi] band equals banded brute force; interval pruning engages on an aligned tier; null bounds match nothing") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-rng").toString
+    val dim = 8
+    val rnd = new java.util.Random(23L)
+    val all = (0 until 900).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 10).toLong)
+    }
+    // time-sliced tier (no stats sidecar): pure kernel exactness
+    (0 until 3).foreach { s =>
+      ColdTier.seal(
+        all.filter(_._1 % 3 == s).toDF("id", "vec", "eventTime", "label"),
+        dir, s.toLong)
+    }
+    def brute(qv: Array[Float], lo: Long, hi: Long, k: Int): Seq[Long] =
+      all.filter(t => t._4 >= lo && t._4 <= hi)
+        .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+    val nQ = 20
+    val queries = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = all(qi * 37)
+      val lo = (qi % 7).toLong
+      (qi.toLong, qv, 100000L, 1000000L, lo, lo + 2)
+    }.toDF("qid", "qv", "qtime", "ttl", "qflo", "qfhi")
+    def run(d: String, st: Option[scala.collection.mutable.Map[String, Long]])
+        : Map[Long, Seq[Long]] =
+      ColdTier.search(spark, d, queries, 10, Metric.L2,
+          firstWaveFraction = 0.34, terminationFactor = 1.0,
+          filterColumn = Some("label"), filterRange = true,
+          searchStats = st)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+    val got = run(dir, None)
+    (0 until nQ).foreach { qi =>
+      val lo = (qi % 7).toLong
+      assert(got(qi.toLong) == brute(all(qi * 37)._2, lo, lo + 2, 10),
+        s"query $qi range result != banded brute force")
+    }
+
+    // a null bound matches nothing (SQL's null-rejecting BETWEEN)
+    val qNull = Seq((0L, all(5)._2, 100000L, 1000000L, Some(1L),
+        Option.empty[Long]))
+      .toDF("qid", "qv", "qtime", "ttl", "qflo", "qfhi")
+    assert(ColdTier.search(spark, dir, qNull, 10, Metric.L2,
+        filterColumn = Some("label"), filterRange = true)
+      .collect().isEmpty, "null qfhi must match nothing")
+
+    // label-ALIGNED tier + attr-stats sidecar: the same queries must
+    // return the same answers with the plan collapsed to exactly the
+    // 3 admissible segments per query (bands span 3 of the 10 labels)
+    val dir2 = Files.createTempDirectory("coldtier-rngprune").toString
+    ColdTier.sealMany(all.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", col("label")), dir2)
+    ColdTier.sealAttrStats(spark, dir2, "label")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got2 = run(dir2, Some(stats))
+    assert(got2 == got, "aligned-tier range results diverge from sliced")
+    val planned = stats("wave1_probes") + stats("wave2_planned")
+    assert(planned == 3L * nQ,
+      s"expected ${3 * nQ} pruned probes (3 admissible labels/query), " +
+        s"planned $planned")
+  }
 }

@@ -1082,6 +1082,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == truth, s"post-recluster cold search $got != exact $truth")
   }
 
+  test("streaming RANGE kNN: a hot [attr, attrHi] band query is exact " +
+      "(non-numeric attrs match nothing), and the flushed tier answers " +
+      "the same band through the cold range kernel") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-rngstream")
+      .toString
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Double)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold)) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))) })
+    }
+    // attrs 0..3 plus a NON-NUMERIC one — the band [0, 3] must admit
+    // the numeric renderings and reject "x" (NaN matches nothing)
+    def attrOf(i: Int): String = if (i % 5 == 4) "x" else (i % 5).toString
+    def inBand(i: Int): Boolean = i % 5 != 4
+    input.addData((0 until 30).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0, attrOf(i))) :+
+      StreamEvent("q", 7000L, vec(7), 50L, 1000000L, 5, "0", "3"): _*)
+    q.processAllAvailable()
+    val bandTruth0 = (0 until 30).filter(inBand)
+      .map(i => (i.toLong, Distances.l2(vec(7), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val gotBand0 = results.synchronized {
+      results.filter(_._1 == 7000L).sortBy(_._2).map(_._3).toList }
+    assert(gotBand0 == bandTruth0,
+      s"hot range query: $gotBand0 != $bandTruth0")
+
+    // advance: epoch 0 retires to cold WITH attrs; the same band over
+    // the flushed segment through the cold RANGE kernel (string attr
+    // column, try_cast semantics) matches the per-band batch truth
+    input.addData((0 until 30).map(i =>
+      StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0,
+        attrOf(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.map(_.count).sum == 30L,
+      s"epoch 0 must be cold: ${cat.toList}")
+    val coldQ = Seq((9L, vec(107), 5100L, 1000000L, "0", "3"))
+      .toDF("qid", "qv", "qtime", "ttl", "qflo", "qfhi")
+    val gotCold = graft.store.ColdTier.search(spark, cold, coldQ, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("attr"), filterRange = true)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    val coldTruth = (0 until 30).filter(inBand)
+      .map(i => (i.toLong, Distances.l2(vec(107), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    assert(gotCold == coldTruth,
+      s"cold range search over flushed attrs: $gotCold != $coldTruth")
+  }
+
   test("attr-stats sidecar tracks streaming flushes: every later-flushed segment gains a stats row, and pruned filtered search over the grown tier stays exact") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -95,6 +95,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // filtered cross-tier twin: label-filtered exact re-rank over the
     // union aux — same broadcast candidate + query joins
     ("knn_tiered_filtered", true, true, false),
+    // banded cross-tier merge OUTPUT = range-filtered exact re-rank over
+    // the unioned aux shortlists — same broadcast shape
+    ("knn_tiered_range", true, true, false),
     ("knn_coldtier_routed", true, true, false),
     ("knn_coldtier_reclustered", false, true, false), // kernel scan, see knn_coldtier
     // round-8 extension: every remaining oracle entry is audited, so no
@@ -152,6 +155,12 @@ class PlanCheckSpec extends AnyFunSuite {
     // label-aligned + attr-stats pruning: same kernel, fewer segments
     // planned (the entry itself asserts one probe per query)
     ("knn_coldtier_filtered_pruned", false, true, false),
+    // RANGE-filtered cold tier: the [qflo,qfhi] band rides the broadcast
+    // probe TUPLE into the same bounded-heap kernel — no broadcast join
+    ("knn_coldtier_range", false, true, false),
+    // aligned + interval pruning: same kernel, the entry itself asserts
+    // three admissible probes per query
+    ("knn_coldtier_range_pruned", false, true, false),
     // cluster frame broadcasts into the documents scan; no scan filter
     // (quality reads every document's text by design, like dedup_clusters)
     ("dedup_keep_best", true, false, false),
@@ -201,6 +210,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // IN-list rewrite entry OUTPUT = the literal-filtered exact re-rank
     // over the aux ids — same broadcast shape + no-corpus-scan assertion
     ("knn_sql_rewrite_in", true, true, false),
+    // range-band rewrite entry OUTPUT = the range-filtered exact re-rank
+    // over the aux ids — same broadcast shape + no-corpus-scan assertion
+    ("knn_sql_rewrite_range", true, true, false),
     // catalog observability view: a bare stats-parquet scan
     ("coldtier_stats", false, true, false),
     ("part_gray", false, true, false))
