@@ -98,6 +98,9 @@ object EvalQueries {
   /** Label-ALIGNED tier (one segment per label) + attr-stats sidecar per
    * sf dir — the partition-pruning layout for filtered search. */
   private val alignedFilteredDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Label-STRUCTURED (bimodal per segment) tier dirs for the histogram
+   * gap-pruning entry, per sf dir. */
+  private val histDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def alignedFilteredTier(s: SparkSession, dir: String): String =
     alignedFilteredDirs.getOrElseUpdate(dir, {
       val e = Tables(s, dir, "embeddings")
@@ -393,6 +396,48 @@ object EvalQueries {
       require(planned == 3 * nq, s"knn_coldtier_range_pruned: expected " +
         s"${3 * nq} probes (3 admissible segments per query), planned " +
         s"$planned — attr-range interval pruning did not engage")
+      out
+    },
+
+    "knn_coldtier_range_hist" -> { (s, dir) =>
+      // HISTOGRAM gap pruning — the admission signal for tiers whose
+      // layout does NOT align with the filter column: segments are
+      // sealed by label STRUCTURE (seg0 = labels {0,9}: wide range,
+      // hollow middle; seg1 = {3,4,5}; seg2 = {1,2,6,7,8}), so the
+      // bare [min,max] admits ALL THREE for the band [3,5] while the
+      // sealAttrStats per-segment histograms prove seg0/seg2 hold zero
+      // mass there. The entry THROWS unless the plan collapsed to ONE
+      // probe per query, and the result must STILL be per-band exact
+      // kNN bit-for-bit (gap pruning is lossless: a zero-mass bucket
+      // range provably holds no matching row).
+      val e = Tables(s, dir, "embeddings")
+      val tmp = histDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-cold-hist")
+          .toString
+        val seg = when(col("label") === 0 || col("label") === 9, 0L)
+          .when(col("label") >= 3 && col("label") <= 5, 1L)
+          .otherwise(2L)
+        graft.store.ColdTier.sealMany(
+          e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("vec_id").as("eventTime"), col("label"),
+            seg.as("segmentId")), t)
+        graft.store.ColdTier.sealAttrStats(s, t, "label")
+        t
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          lit(3).as("qflo"), lit(5).as("qfhi"))
+      val stats = scala.collection.mutable.Map.empty[String, Long]
+      val out = graft.store.ColdTier.search(s, tmp, queries,
+        VectorQueries.K, graft.Metric.L2, firstWaveFraction = 0.34,
+        terminationFactor = 1.0, filterColumn = Some("label"),
+        filterRange = true, searchStats = Some(stats))
+      val nq = queries.count()
+      val planned = stats("wave1_probes") + stats("wave2_planned")
+      require(planned == nq, s"knn_coldtier_range_hist: expected $nq " +
+        s"probes (histogram gap pruning to one segment per query), " +
+        s"planned $planned — min/max alone would plan ${3 * nq}")
       out
     },
 
@@ -1215,6 +1260,18 @@ object EvalQueries {
     "knn_coldtier_filtered" -> filteredKnnOracle,
     "knn_coldtier_range" -> rangeKnnOracle,
     "knn_coldtier_range_pruned" -> rangeKnnOracle,
+    // static band [3,5] over the label-STRUCTURED layout — same
+    // per-band exact-kNN recipe, fixed bounds
+    "knn_coldtier_range_hist" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b WHERE b.label BETWEEN 3 AND 5),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
     // the label-aligned + attr-stats layout answers the SAME per-label
     // exact kNN — pruning changes which segments are touched, never the
     // result (an independent storage layout through an identical twin)

@@ -153,10 +153,60 @@ object ColdTier {
       column: String): Unit = {
     val segs = catalog(spark, dir)
     if (segs.isEmpty) return
-    commitAttrStats(spark, dir, column,
-      spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
-        .groupBy("segmentId")
-        .agg(min(col(column)).as("amin"), max(col(column)).as("amax")))
+    commitAttrStats(spark, dir, column, attrStatsRows(
+      spark.read.parquet(segs.map(_.path).toIndexedSeq: _*), column))
+  }
+
+  /** Bucket count of the per-segment equi-width histograms sealed
+   * beside [min,max] for NUMERIC attribute columns. */
+  private[store] val HistBuckets = 32
+
+  /** The (segmentId, amin, amax, hcounts) stats rows for `column` over
+   * segment rows carrying their segmentId — the one aggregation both
+   * [[sealAttrStats]] and the incremental refresh share. For NUMERIC
+   * columns, `hcounts` is a dense [[HistBuckets]]-long equi-width
+   * bucket-count array over the segment's own [amin, amax] (null
+   * attrs are not counted; NaN bounds or a non-numeric column yield a
+   * null histogram — min/max admission only). The histogram buys
+   * GAP pruning beyond the interval test: a time-sliced segment whose
+   * attribute range is wide but bimodal (values {0, 9}) is dropped for
+   * a band [3, 5] the bare [min,max] would admit — at a 100-TB tier,
+   * that is the admission signal for tiers whose layout does NOT align
+   * with the filter column. Reader and writer share one bucket
+   * formula (floor((v - amin) / ((amax - amin) / B)) clamped to
+   * [0, B-1], all-in-one-bucket when amax <= amin), so a stored value
+   * and the same literal always land in the same bucket. */
+  private def attrStatsRows(df: DataFrame, column: String): DataFrame = {
+    val numeric = df.schema(column).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val mm = df.groupBy("segmentId")
+      .agg(min(col(column)).as("amin"), max(col(column)).as("amax"))
+    if (!numeric)
+      return mm.withColumn("hcounts", lit(null).cast("array<bigint>"))
+    val aminD = col("amin").cast("double")
+    val amaxD = col("amax").cast("double")
+    val vD = col("v").cast("double")
+    val width = (amaxD - aminD) / HistBuckets
+    val withB = df.select(col("segmentId"), col(column).as("v"))
+      .where(col("v").isNotNull && !isnan(col("v").cast("double")))
+      .join(broadcast(mm), "segmentId")
+      // NaN bounds (a NaN value dominated min/max) poison the bucket
+      // arithmetic: such segments keep a null histogram instead
+      .where(!isnan(aminD) && !isnan(amaxD))
+      .withColumn("bkt",
+        when(amaxD <= aminD, lit(0))
+          .otherwise(least(lit(HistBuckets - 1),
+            floor((vD - aminD) / width).cast("int"))))
+    val counts = withB.groupBy("segmentId", "bkt").count()
+      .groupBy("segmentId")
+      .agg(map_from_entries(
+        collect_list(struct(col("bkt"), col("count")))).as("m"))
+      .select(col("segmentId"),
+        transform(sequence(lit(0), lit(HistBuckets - 1)),
+          i => coalesce(try_element_at(col("m"), i), lit(0L)))
+          .as("hcounts"))
+    mm.join(counts, Seq("segmentId"), "left")
+      .select(col("segmentId"), col("amin"), col("amax"), col("hcounts"))
   }
 
   /** Incrementally extend every EXISTING attr-stats sidecar with the
@@ -243,10 +293,12 @@ object ColdTier {
               old.schema)
             val refreshed =
               if (newSegs.isEmpty) keptDf
-              else try keptDf.unionByName(
-                spark.read.parquet(newSegs.map(_.path).toIndexedSeq: _*)
-                  .groupBy("segmentId")
-                  .agg(min(col(c)).as("amin"), max(col(c)).as("amax")))
+              // allowMissingColumns: a pre-histogram sidecar's rows
+              // survive a refresh with null hcounts (min/max-only
+              // admission for them — conservative), and vice versa
+              else try keptDf.unionByName(attrStatsRows(
+                spark.read.parquet(newSegs.map(_.path).toIndexedSeq: _*),
+                c), allowMissingColumns = true)
               catch {
                 // only the NEW segments lack the column (e.g. an
                 // attr-less streaming job flushing into a labeled
@@ -254,7 +306,10 @@ object ColdTier {
                 // simply never prune — instead of letting the outer
                 // analysis-error handler delete the whole sidecar and
                 // disable pruning for segments that still have it
+                // (IllegalArgumentException is the missing-column
+                // rendering of attrStatsRows' schema() access)
                 case _: org.apache.spark.sql.AnalysisException => keptDf
+                case _: IllegalArgumentException => keptDf
               }
             commitAttrStats(spark, dir, c, refreshed)
         }
@@ -298,12 +353,39 @@ object ColdTier {
    * the order they were sealed in. */
   private final case class AttrStats(numeric: Boolean,
       num: Map[Long, (Double, Double)],
-      str: Map[Long, (Array[Byte], Array[Byte])]) extends Serializable {
+      str: Map[Long, (Array[Byte], Array[Byte])],
+      // optional per-segment equi-width histograms (numeric sidecars
+      // sealed since the histogram schema; null/missing = min/max only)
+      hist: Map[Long, Array[Long]] = null) extends Serializable {
+
+    /** GAP admission from the bucket counts: does any bucket that the
+     * CLAMPED query interval [vlo, vhi] ⊆ [lo, hi] touches hold mass?
+     * Absent/degenerate histograms admit (conservative); the bucket
+     * formula mirrors [[attrStatsRows]] exactly so a stored value and
+     * the same literal always land in the same bucket. */
+    private def histAdmits(segId: Long, vlo: Double, vhi: Double,
+        lo: Double, hi: Double): Boolean = {
+      if (hist == null) return true
+      val h = hist.getOrElse(segId, null)
+      if (h == null) return true
+      if (hi <= lo) return true // point segment: interval test decided
+      val width = (hi - lo) / HistBuckets
+      var i = math.min(HistBuckets - 1,
+        math.floor((math.max(vlo, lo) - lo) / width).toInt)
+      val iHi = math.min(HistBuckets - 1,
+        math.floor((math.min(vhi, hi) - lo) / width).toInt)
+      while (i <= iHi) {
+        if (h(i) > 0L) return true
+        i += 1
+      }
+      false
+    }
+
     def mayMatch(segId: Long, qfd: Double, qfB: Array[Byte]): Boolean =
       if (numeric) num.get(segId) match {
         case Some((lo, hi)) =>
           if (qfd.isNaN || lo.isNaN || hi.isNaN) true
-          else qfd >= lo && qfd <= hi
+          else qfd >= lo && qfd <= hi && histAdmits(segId, qfd, qfd, lo, hi)
         case None => true
       } else str.get(segId) match {
         case Some((lo, hi)) =>
@@ -327,8 +409,39 @@ object ColdTier {
       else num.get(segId) match {
         case Some((lo, hi)) =>
           if (qlo.isNaN || qhi.isNaN || lo.isNaN || hi.isNaN) true
-          else qhi >= lo && qlo <= hi
+          else qhi >= lo && qlo <= hi &&
+            histAdmits(segId, qlo, qhi, lo, hi)
         case None => true
+      }
+
+    /** UPPER bound on the segment's rows matching values in
+     * [qlo, qhi]: the bucket mass the clamped interval touches, or
+     * `segTotal` when there is no usable signal (missing stats/hist,
+     * NaN, string sidecar). Selectivity estimates built on this only
+     * ever RAISE a static overfetch floor, so an overestimate is the
+     * safe direction. */
+    def massIn(segId: Long, qlo: Double, qhi: Double,
+        segTotal: Long): Long =
+      if (!numeric) segTotal
+      else num.get(segId) match {
+        case Some((lo, hi)) =>
+          if (qlo.isNaN || qhi.isNaN || lo.isNaN || hi.isNaN) segTotal
+          else if (qhi < lo || qlo > hi) 0L
+          else {
+            val h = if (hist == null) null else hist.getOrElse(segId, null)
+            if (h == null || hi <= lo) segTotal
+            else {
+              val width = (hi - lo) / HistBuckets
+              var i = math.min(HistBuckets - 1,
+                math.floor((math.max(qlo, lo) - lo) / width).toInt)
+              val iHi = math.min(HistBuckets - 1,
+                math.floor((math.min(qhi, hi) - lo) / width).toInt)
+              var m = 0L
+              while (i <= iHi) { m += h(i); i += 1 }
+              math.min(m, segTotal)
+            }
+          }
+        case None => segTotal
       }
   }
 
@@ -360,13 +473,22 @@ object ColdTier {
     val numeric = df.schema("amin").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val loaded = if (numeric) {
-      // one row per segment: catalog-bounded collect
-      val m = df.select(col("segmentId"), col("amin").cast("double"),
-          col("amax").cast("double")).collect()
+      // one row per segment: catalog-bounded collect (hcounts is
+      // absent on pre-histogram sidecars — min/max admission only)
+      val hasH = df.columns.contains("hcounts")
+      val rows = df.select(Seq(col("segmentId"),
+          col("amin").cast("double"), col("amax").cast("double")) ++
+          (if (hasH) Seq(col("hcounts")) else Nil): _*).collect()
+      val m = rows
         .map(r => r.getLong(0) -> (if (r.isNullAt(1))
           (Double.PositiveInfinity, Double.NegativeInfinity)
         else (r.getDouble(1), r.getDouble(2)))).toMap
-      AttrStats(numeric = true, m, null)
+      val h = if (!hasH) null
+        else rows.flatMap { r =>
+          if (r.isNullAt(3)) None
+          else Some(r.getLong(0) -> r.getSeq[Long](3).toArray)
+        }.toMap
+      AttrStats(numeric = true, m, null, h)
     } else {
       // one row per segment: catalog-bounded collect
       val m = df.select(col("segmentId"), col("amin").cast("string"),
@@ -547,6 +669,52 @@ object ColdTier {
       catalog(spark, dir).map(_.segmentId)
         .filter(st.mayOverlap(_, lo, hi)).toSet
     }
+
+  /** Estimated fraction of the tier's rows matching ONE column's
+   * literal predicate — either the value set `eqValues` (point-bucket
+   * mass per value, clamped per segment) or, when `eqValues` is empty,
+   * the band [qlo, qhi] — from the attr-stats histograms over the
+   * catalog's row counts. UPPER-bound semantics throughout
+   * ([[AttrStats.massIn]]): segments without a usable signal count as
+   * fully matching, so the estimate can only understate how much a
+   * filter-oblivious shortlist must over-fetch — which is safe, because
+   * callers keep the registered static overfetch as a FLOOR. None when
+   * the column has no sidecar. */
+  private[graft] def estimateSelectivity(spark: SparkSession, dir: String,
+      column: String, eqValues: Seq[Double], qlo: Double, qhi: Double)
+      : Option[Double] =
+    loadAttrStats(spark, dir, column).filter(_.numeric).map { st =>
+      val cat = catalog(spark, dir)
+      val total = math.max(1L, cat.map(_.count).sum)
+      val mass = cat.map { s =>
+        if (eqValues.nonEmpty)
+          math.min(s.count,
+            eqValues.map(v => st.massIn(s.segmentId, v, v, s.count)).sum)
+        else st.massIn(s.segmentId, qlo, qhi, s.count)
+      }.sum
+      mass.toDouble / total
+    }
+
+  /** Ceiling on the histogram-driven overfetch raise — a 1-in-10⁴
+   * label would otherwise ask for a 10⁴× shortlist. */
+  private[graft] val MaxAdaptiveOverfetch = 64
+
+  /** The over-fetch factor a filter-oblivious shortlist needs so that
+   * ~`shortlist` candidates SURVIVE the literal predicate:
+   * max(static floor, ceil(1 / estimated selectivity)) capped at
+   * [[MaxAdaptiveOverfetch]]. With no estimate (no sidecar), the
+   * static registration value stands — the pre-histogram behavior. */
+  private[graft] def adaptiveOverfetch(static: Int,
+      selectivity: Option[Double]): Int = {
+    val floor = math.max(1, static)
+    selectivity match {
+      case Some(s) =>
+        val need = math.ceil(1.0 / math.max(s, 1e-9))
+        math.min(MaxAdaptiveOverfetch,
+          math.max(floor.toDouble, need)).toInt
+      case None => floor
+    }
+  }
 
   private def deleteLogPath(dir: String) = s"$dir/deletes-log"
 
@@ -1990,9 +2158,32 @@ object ColdTier {
         admissibleIdsRange(spark, dir, f, bs)
       })
       .reduceOption(_ intersect _)
+    // histogram-driven shortlist sizing: the graph walk is
+    // filter-oblivious, so ~shortlist SURVIVING candidates require a
+    // 1/selectivity over-fetch — estimated per column from the
+    // attr-stats histograms (independence across columns), with the
+    // registered static factor as the floor and MaxAdaptiveOverfetch
+    // as the cap. A 1% label no longer needs the operator to have
+    // guessed filterOverfetch = 100 at registration time.
+    val selectivity = (filters.map { case (f, vs, _) =>
+      estimateSelectivity(spark, dir, f,
+        vs.map {
+          case n: java.lang.Number => n.doubleValue()
+          case _ => Double.NaN
+        }, Double.NaN, Double.NaN)
+    } ++ ranges.groupBy(_.column).map { case (f, bs) =>
+      val lows = bs.filter(_.isLower).map(_.asDouble)
+      val highs = bs.filterNot(_.isLower).map(_.asDouble)
+      val lo = if (lows.isEmpty) Double.NegativeInfinity
+        else if (lows.exists(_.isNaN)) Double.NaN else lows.max
+      val hi = if (highs.isEmpty) Double.PositiveInfinity
+        else if (highs.exists(_.isNaN)) Double.NaN else highs.min
+      estimateSelectivity(spark, dir, f, Nil, lo, hi)
+    }).flatten.reduceOption(_ * _)
+    val effOverfetch = adaptiveOverfetch(overfetch, selectivity)
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries,
-        shortlist * math.max(1, overfetch), metric, efSearch,
+        shortlist * effOverfetch, metric, efSearch,
         probeSegments, routeEf, admissible = admissible),
       queries, k, metric, literalFilters = filters, literalRanges = ranges)
   }

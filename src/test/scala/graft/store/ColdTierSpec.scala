@@ -1532,4 +1532,131 @@ class ColdTierSpec extends AnyFunSuite {
       s"expected ${3 * nQ} pruned probes (3 admissible labels/query), " +
         s"planned $planned")
   }
+
+  test("histogram sidecar: GAP pruning drops segments whose [min,max] admits but whose bucket mass in the band/point is zero — results stay exact") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-hist").toString
+    val dim = 8
+    val rnd = new java.util.Random(31L)
+    // three segments by label STRUCTURE, not range: seg0 holds only
+    // labels {0, 9} (wide range, hollow middle), seg1 holds {3, 4, 5},
+    // seg2 holds {1, 2, 6, 7, 8} (range [1,8], hollow middle)
+    def segOf(label: Long): Long =
+      if (label == 0 || label == 9) 0L
+      else if (label >= 3 && label <= 5) 1L else 2L
+    val all = (0 until 900).map { i =>
+      val label = (i % 10).toLong
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        label)
+    }
+    ColdTier.sealMany(all.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", udf(segOf _).apply(col("label"))), dir)
+    ColdTier.sealAttrStats(spark, dir, "label")
+
+    // RANGE [3, 5]: min/max admits all three segments (seg0 [0,9],
+    // seg2 [1,8] both cover the band) — the histogram proves both are
+    // hollow there, so ONE probe per query survives
+    val nQ = 12
+    val rq = (0 until nQ).map { qi =>
+      (qi.toLong, all(qi * 31)._2, 100000L, 1000000L, 3L, 5L)
+    }.toDF("qid", "qv", "qtime", "ttl", "qflo", "qfhi")
+    val rstats = scala.collection.mutable.Map.empty[String, Long]
+    val rGot = ColdTier.search(spark, dir, rq, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"), filterRange = true,
+        searchStats = Some(rstats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    (0 until nQ).foreach { qi =>
+      val truth = all.filter(t => t._4 >= 3 && t._4 <= 5)
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qi * 31)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+      assert(rGot(qi.toLong) == truth, s"query $qi hist-pruned range")
+    }
+    val rPlanned = rstats("wave1_probes") + rstats("wave2_planned")
+    assert(rPlanned == nQ.toLong,
+      s"expected $nQ probes (hist gap-pruned to seg1 only), " +
+        s"planned $rPlanned")
+
+    // EQUALITY label = 7: min/max admits seg0 [0,9] too; the histogram
+    // shows seg0 holds no mass near 7, so only seg2 is probed
+    val eq = (0 until nQ).map { qi =>
+      (qi.toLong, all(qi * 31)._2, 100000L, 1000000L, 7L)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val estats = scala.collection.mutable.Map.empty[String, Long]
+    val eGot = ColdTier.search(spark, dir, eq, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"), searchStats = Some(estats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    (0 until nQ).foreach { qi =>
+      val truth = all.filter(_._4 == 7)
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qi * 31)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+      assert(eGot(qi.toLong) == truth, s"query $qi hist-pruned equality")
+    }
+    val ePlanned = estats("wave1_probes") + estats("wave2_planned")
+    assert(ePlanned == nQ.toLong,
+      s"expected $nQ probes (hist gap-pruned to seg2 only), " +
+        s"planned $ePlanned")
+  }
+
+  test("histogram selectivity estimate sizes the literal-filtered overfetch: a 1% label raises the shortlist past the static floor and finds the rare rows") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-adapt").toString
+    val dim = 8
+    val rnd = new java.util.Random(37L)
+    // 2000 rows, label 1 on 1% of them, label 0 elsewhere — sealed
+    // label-MIXED (time-sliced), so admission cannot help and only the
+    // over-fetch factor decides whether rare rows reach the re-rank
+    val all = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        if (i % 100 == 0) 1L else 0L)
+    }
+    (0 until 2).foreach { s =>
+      ColdTier.seal(
+        all.filter(_._1 % 2 == s).toDF("id", "vec", "eventTime", "label"),
+        dir, s.toLong)
+    }
+    ColdTier.sealIndexes(spark, dir, 0L until 2L, Metric.L2, m = 8,
+      efConstruction = 64)
+    ColdTier.sealAttrStats(spark, dir, "label")
+
+    // the estimate is the bucket mass: ~1% for label 1, ~99% for 0
+    val sel1 = ColdTier.estimateSelectivity(spark, dir, "label",
+      Seq(1.0), Double.NaN, Double.NaN)
+    assert(sel1.exists(s => s > 0.005 && s < 0.05),
+      s"label-1 selectivity estimate: $sel1")
+    // the policy: floor respected, rare label capped at the max raise
+    assert(ColdTier.adaptiveOverfetch(4, None) == 4)
+    assert(ColdTier.adaptiveOverfetch(4, Some(0.5)) == 4)
+    assert(ColdTier.adaptiveOverfetch(4, sel1) >= math.min(
+      ColdTier.MaxAdaptiveOverfetch, (1.0 / sel1.get * 0.9).toInt))
+    assert(ColdTier.adaptiveOverfetch(1, Some(1e-6)) ==
+      ColdTier.MaxAdaptiveOverfetch)
+
+    // end-to-end: static overfetch 1 with a small shortlist would keep
+    // rare rows out of the filter-oblivious shortlist; the estimator
+    // raises it to ~1/sel (capped), and the top-5 under label = 1
+    // matches the exact per-label truth
+    val q = all(123)._2
+    val queries = Seq((0L, q, 100000L, 1000000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    val got = ColdTier.searchIndexedLiteralFiltered(spark, dir, queries,
+        k = 5, filters = Seq(("label", Seq(1L), org.apache.spark.sql
+          .types.LongType)), Metric.L2, shortlist = 8, efSearch = 64,
+        overfetch = 1)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    val truth = all.filter(_._4 == 1L)
+      .map { case (id, v, _, _) => (id, Distances.l2(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    assert(got == truth,
+      s"adaptive-overfetch filtered probe: $got != $truth")
+  }
 }

@@ -161,6 +161,10 @@ class PlanCheckSpec extends AnyFunSuite {
     // aligned + interval pruning: same kernel, the entry itself asserts
     // three admissible probes per query
     ("knn_coldtier_range_pruned", false, true, false),
+    // histogram gap pruning on a label-STRUCTURED layout: same kernel,
+    // the entry itself asserts ONE probe per query where min/max alone
+    // would plan three
+    ("knn_coldtier_range_hist", false, true, false),
     // cluster frame broadcasts into the documents scan; no scan filter
     // (quality reads every document's text by design, like dedup_clusters)
     ("dedup_keep_best", true, false, false),
