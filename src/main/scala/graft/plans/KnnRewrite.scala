@@ -431,32 +431,22 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 probeSegments = r.probeSegments,
                 shortlist = math.max(r.shortlist, k))
                 .select(col("id"), col("dist"))
-            case (Seq((fattr, Seq(litE))), Seq()) =>
-              // single-equality filtered probe: the graph shortlist is
-              // filter-oblivious, so it is over-fetched by
-              // filterOverfetch, then ONLY the shortlisted ids are
-              // hydrated (the attribute rides the candidate-bounded
-              // re-rank join) and re-ranked under the equality.
-              // Candidate-bounded IO instead of the bare probe's zero
-              // IO — still no corpus scan.
-              val fv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-                .convertToScala(litE.eval(), litE.dataType)
-              val qDf = singleQuery(qv, floorTs, ceilTs).withColumn("qfilter",
-                org.apache.spark.sql.functions.lit(fv))
-              graft.store.ColdTier.searchIndexedFiltered(spark, r.coldDir,
-                qDf, k, fattr.name, metric,
-                shortlist = math.max(r.shortlist, k),
-                efSearch = r.efSearch, probeSegments = r.probeSegments,
-                overfetch = r.filterOverfetch)
-                .select(col("id"), col("dist"))
             case (many, rs) =>
-              // IN-list / multi-column conjunction / numeric RANGE
-              // bands: same over-fetch + candidate-bounded hydration,
-              // with the values known at plan time — segment admission
-              // is multi-value (attr-stats mayMatch over the whole IN
-              // list, interval overlap per range column, per-column
-              // sets intersected) and the hydration predicate is the
-              // full literal conjunction. Still no corpus scan.
+              // literal-filtered probe — single equality, IN-list,
+              // multi-column conjunction, or numeric RANGE bands: the
+              // graph shortlist is filter-oblivious, so it is
+              // over-fetched (the registered filterOverfetch as a
+              // FLOOR, raised by the attr-stats histogram selectivity
+              // estimate when the literal is rare — adaptiveOverfetch
+              // inside searchIndexedLiteralFiltered), then ONLY the
+              // shortlisted ids are hydrated (attributes ride the
+              // candidate-bounded re-rank join) under the full literal
+              // conjunction. Every filter value is known at plan time,
+              // so segment admission is ONE plan-time set (attr-stats
+              // mayMatch over the whole IN list incl. histogram GAP
+              // pruning, interval overlap per range column, per-column
+              // sets intersected). Candidate-bounded IO instead of the
+              // bare probe's zero IO — still no corpus scan.
               val filters = many.map { case (attr, lits) =>
                 (attr.name,
                   lits.map(l => org.apache.spark.sql.catalyst

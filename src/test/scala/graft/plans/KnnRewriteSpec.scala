@@ -227,12 +227,19 @@ class KnnRewriteSpec extends AnyFunSuite {
         .orderBy("dist").limit(10)
       assert(scanPaths(unreg).exists(_.contains(corpusPath)),
         "unregistered filter column must not rewrite")
-      // a non-equality predicate stays on the exact plan
+      // a numeric bound on the registered column is a RANGE band now —
+      // it rewrites too (the range-family spec covers its semantics)
       val range = corpus.where(col("label") > 0)
         .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
         .orderBy("dist").limit(10)
-      assert(scanPaths(range).exists(_.contains(corpusPath)),
-        "non-equality filter must not rewrite")
+      assert(!scanPaths(range).exists(_.contains(corpusPath)),
+        "registered numeric bound must be served from the tier")
+      // a NOT-EQUAL predicate has no probe shape — stays on the exact plan
+      val neq = corpus.where(col("label") =!= 0)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(scanPaths(neq).exists(_.contains(corpusPath)),
+        "not-equal filter must not rewrite")
     } finally KnnIndex.clear()
   }
 

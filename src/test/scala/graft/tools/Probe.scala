@@ -4,85 +4,87 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Metric
 
-/** Scratch dev driver (see verify skill): currently measures the
- * composed-mode streaming configurations (production 8000-row triggers
- * with flushEveryBatches=2 vs the plain-mode twin at the same trigger
- * size) at sf0.1 — the round-10 amortization experiment. */
+/** Scratch dev driver (see verify skill): currently drives the round-11
+ * histogram attr-stats surface end-to-end on real testdata — seal a
+ * label-structured tier from sf0.001 embeddings, check gap pruning
+ * plans one probe per query where [min,max] would plan three, check the
+ * selectivity estimate sizes the filtered SQL rewrite's overfetch, and
+ * run a filtered + range SQL query through the rewrite. */
 object Probe {
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEntry.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    import spark.implicits._
-    val rows = graft.Bench.derivedVectors(spark, dir).limit(40000)
-      .as[(Long, Array[Float], Long)].collect()
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
 
-    def run(label: String, composed: Boolean, chunkRows: Int,
-        flushEvery: Int): Unit = {
-      import graft.streaming.VectorStreamJob
-      import graft.streaming.VectorStreamJob.StreamEvent
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", 8)
-      implicit val sqlCtx = ss.sqlContext
-      val coldDir = java.nio.file.Files
-        .createTempDirectory("probe-cold").toString
-      val maxTtl = (rows.length / 4).toLong
-      val input = MemoryStream[StreamEvent]
-      val sq =
-        if (composed)
-          VectorStreamJob.run(input.toDS(),
-            graft.partitioners.SimplePartitioner(8), k = 10, Metric.L2,
-            maxTtl = maxTtl, useHnsw = true, crossBatchMerge = true,
-            coldDir = Some(coldDir), flushEveryBatches = flushEvery) { m =>
-            m.groupBy("qid").agg(max("latency_ms")).collect(); () }
-        else
-          VectorStreamJob.run(input.toDS(),
-            graft.partitioners.SimplePartitioner(8), k = 10, Metric.L2,
-            maxTtl = maxTtl, useHnsw = true) { m =>
-            m.groupBy("qid").agg(max("latency_ms")).collect(); () }
-      val qrnd = new java.util.Random(13L)
-      var fed = 0L
-      def feedChunk(chunk: Array[(Long, Array[Float], Long)]): Unit = {
-        val inserts = chunk.map { case (id, v, _) =>
-          fed += 1; StreamEvent("i", id, v, fed, 0L, 0) }
-        val qs = (0 until 16).map { i =>
-          val (_, v, _) = chunk(qrnd.nextInt(chunk.length))
-          StreamEvent("q", 2000000000L + fed + i, v, fed, maxTtl, 10)
-        }
-        input.addData(inserts.toIndexedSeq ++ qs: _*)
-        sq.processAllAvailable()
-      }
-      val chunks = rows.grouped(chunkRows).toArray
-      feedChunk(chunks.head)
-      val reps = chunks.tail.grouped(
-        math.max(1, chunks.tail.length / 2)).toArray.map { rcs =>
-        val (_, s) = time(rcs.foreach(feedChunk))
-        rcs.map(_.length).sum / s
-      }
-      sq.stop()
-      if (composed && flushEvery > 1)
-        graft.streaming.VectorStreamJob.drainStaged(ss, coldDir, Metric.L2)
-      val segs =
-        if (composed) graft.store.ColdTier.catalog(ss, coldDir).length else 0
-      println(f"probe $label: best=${reps.max}%.1f ins/s reps=${
-        reps.map(r => f"$r%.0f").mkString(",")} segs=$segs")
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(coldDir))
-    }
+    // 1. label-STRUCTURED tier: seg0 = {0,9}, seg1 = {3,4,5}, seg2 = rest
+    val tier = java.nio.file.Files.createTempDirectory("probe-hist").toString
+    val seg = when(col("label") === 0 || col("label") === 9, 0L)
+      .when(col("label") >= 3 && col("label") <= 5, 1L)
+      .otherwise(2L)
+    graft.store.ColdTier.sealMany(
+      e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").as("eventTime"), col("label"), seg.as("segmentId")),
+      tier)
+    graft.store.ColdTier.sealAttrStats(spark, tier, "label")
 
-    run("plain@8k", composed = false, chunkRows = 8000, flushEvery = 1)
-    run("composed@8k/fe2", composed = true, chunkRows = 8000, flushEvery = 2)
-    run("composed@2k/fe8", composed = true, chunkRows = 2000, flushEvery = 8)
+    // 2. gap pruning: band [3,5] must plan ONE probe per query
+    val queries = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+        lit(3).as("qflo"), lit(5).as("qfhi"))
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val out = graft.store.ColdTier.search(spark, tier, queries, 10,
+      Metric.L2, firstWaveFraction = 0.34, terminationFactor = 1.0,
+      filterColumn = Some("label"), filterRange = true,
+      searchStats = Some(stats)).collect()
+    val nq = queries.count()
+    val planned = stats("wave1_probes") + stats("wave2_planned")
+    println(s"probe hist-gap: $nq queries, ${out.length} rows, " +
+      s"$planned probes planned (min/max alone would plan ${3 * nq})")
+    require(planned == nq, "gap pruning must collapse to one probe/query")
+    require(out.nonEmpty, "filtered search must return rows")
+
+    // 3. selectivity estimate + adaptive overfetch policy
+    val sel = graft.store.ColdTier.estimateSelectivity(spark, tier,
+      "label", Seq(7.0), Double.NaN, Double.NaN)
+    println(s"probe selectivity(label=7): $sel -> overfetch " +
+      s"${graft.store.ColdTier.adaptiveOverfetch(4, sel)}")
+    require(sel.exists(s => s > 0.0 && s < 0.5), s"estimate off: $sel")
+
+    // 4. filtered + range SQL through the unified rewrite (plan-time
+    //    literal path with histogram-sized overfetch)
+    graft.store.ColdTier.sealIndexes(spark, tier, 0L until 3L, Metric.L2,
+      m = 8, efConstruction = 64)
+    graft.plans.KnnIndex.install(spark)
+    graft.GraftFunctions.register(spark)
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("probe-corpus").toString
+    spark.read.parquet(
+        graft.store.ColdTier.catalog(spark, tier).map(_.path): _*)
+      .select("id", "vec", "label")
+      .write.mode("overwrite").parquet(corpusPath)
+    graft.plans.KnnIndex.register(corpusPath, tier,
+      filterColumns = Set("label"))
+    spark.read.parquet(corpusPath).createOrReplaceTempView("probe_corpus")
+    val q = e.limit(1).collect()(0).getSeq[Float](1).toArray
+    val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+    val eqDf = spark.sql(
+      s"""SELECT id, l2_distance(vec, $arr) AS dist
+         |FROM probe_corpus WHERE label = 7 ORDER BY dist LIMIT 5""".stripMargin)
+    val bandDf = spark.sql(
+      s"""SELECT id, l2_distance(vec, $arr) AS dist
+         |FROM probe_corpus WHERE label BETWEEN 3 AND 5
+         |ORDER BY dist LIMIT 5""".stripMargin)
+    val eqRows = eqDf.collect()
+    val bandRows = bandDf.collect()
+    println(s"probe rewrite: eq=${eqRows.length} rows, " +
+      s"band=${bandRows.length} rows")
+    require(eqRows.length == 5 && bandRows.length == 5)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tier))
     println("probe OK")
   }
 }
