@@ -101,6 +101,9 @@ object EvalQueries {
   /** Label-STRUCTURED (bimodal per segment) tier dirs for the histogram
    * gap-pruning entry, per sf dir. */
   private val histDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Time-sliced tier rewritten by reclusterByAttr (label buckets x
+   * k-means cells), per sf dir. */
+  private val attrReclusterDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def alignedFilteredTier(s: SparkSession, dir: String): String =
     alignedFilteredDirs.getOrElseUpdate(dir, {
       val e = Tables(s, dir, "embeddings")
@@ -438,6 +441,49 @@ object EvalQueries {
       require(planned == nq, s"knn_coldtier_range_hist: expected $nq " +
         s"probes (histogram gap pruning to one segment per query), " +
         s"planned $planned — min/max alone would plan ${3 * nq}")
+      out
+    },
+
+    "knn_coldtier_attr_reclustered" -> { (s, dir) =>
+      // ATTRIBUTE-aligned recompaction: the tier is sealed TIME-sliced
+      // and label-MIXED (the streaming layout — every segment's label
+      // range spans every label, admission prunes nothing), then
+      // reclusterByAttr re-seals it into 5 label-quantile buckets x 2
+      // k-means cells and seals the attr-stats sidecar itself. After
+      // the pass, a per-label query admits ONE bucket (<= 2 cells) —
+      // the entry THROWS unless planning collapsed to <= 2 probes per
+      // query — and the result must STILL be per-label exact kNN
+      // bit-for-bit (the recluster is a pure layout change: tombstones
+      // applied, row multiset preserved, one atomic catalog swap).
+      val e = Tables(s, dir, "embeddings")
+      val tmp = attrReclusterDirs.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft-cold-attrrc").toString
+        (0 until 3).foreach { i =>
+          graft.store.ColdTier.seal(
+            e.where(col("vec_id") % 3 === i)
+              .select(col("vec_id").as("id"), col("embedding").as("vec"),
+                col("vec_id").as("eventTime"), col("label")), t, i.toLong)
+        }
+        graft.store.ColdTier.reclusterByAttr(s, t, "label", buckets = 5,
+          cellsPerBucket = 2, m = 8, efConstruction = 64)
+        t
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      val stats = scala.collection.mutable.Map.empty[String, Long]
+      val out = graft.store.ColdTier.search(s, tmp, queries,
+        VectorQueries.K, graft.Metric.L2, firstWaveFraction = 1.0,
+        terminationFactor = 1.0, filterColumn = Some("label"),
+        searchStats = Some(stats))
+      val nq = queries.count()
+      val planned = stats("wave1_probes") + stats("wave2_planned")
+      require(planned <= 2 * nq, s"knn_coldtier_attr_reclustered: " +
+        s"expected <= ${2 * nq} probes (one bucket x 2 cells per " +
+        s"query), planned $planned — the mixed layout would plan " +
+        s"${10 * nq}")
       out
     },
 
@@ -1276,6 +1322,10 @@ object EvalQueries {
     // exact kNN — pruning changes which segments are touched, never the
     // result (an independent storage layout through an identical twin)
     "knn_coldtier_filtered_pruned" -> filteredKnnOracle,
+    // the attr-recluster pass is a pure layout change — the filtered
+    // search over the rewritten tier answers the SAME per-label exact
+    // kNN as every other filtered flavor
+    "knn_coldtier_attr_reclustered" -> filteredKnnOracle,
 
     // identical SQL twin to ann_sq8_rerank: with every segment fresh, the
     // compressed cold tier IS that pipeline via an independent path

@@ -931,10 +931,136 @@ object ColdTier {
     val bCells = spark.sparkContext.broadcast(cells)
     val cellOf = udf((v: Seq[Float]) =>
       bCells.value.dataPartitions(v.toArray, 0L)(0))
+    commitRecluster(spark, dir, segs, hasLog, buildIndexes, metric, m,
+      efConstruction, maxGraphRows) { base =>
+      live.withColumn("segmentId", cellOf(col("vec")).cast("long") + base)
+    }
+  }
+
+  /** ATTRIBUTE-aligned recompaction: re-seal the ENTIRE live tier so
+   * each segment holds ONE contiguous range of `column` (one of
+   * `buckets` quantile buckets), k-means sub-clustered into
+   * `cellsPerBucket` cells within the bucket —
+   * `segmentId = base + bucket * cellsPerBucket + cell`. The layout a
+   * filtered-search-heavy workload wants, produced by the tier itself
+   * instead of demanded at seal time: a streaming lifecycle accretes
+   * TIME-sliced, label-mixed segments (every segment's [min,max] spans
+   * every label — admission prunes nothing); after this pass, attr-range
+   * admission ([[sealAttrStats]], re-sealed here on `column`) drops all
+   * non-matching buckets at plan time (equality or band → ~1 bucket) and
+   * centroid routing picks nearest cells WITHIN the survivors —
+   * multiplicative pruning, so filtered-serving cost scales with
+   * bucket size, not tier size.
+   *
+   * Bucketing: numeric columns cut at `approxQuantile` boundaries
+   * (equi-mass, skew-tolerant — duplicate cut points collapse);
+   * non-numeric columns cut at quantile ranks of the distinct-value
+   * set, capped at [[MaxAttrDistinct]] driver-side values (beyond that
+   * a lexicographic layout has no admission value a histogram would
+   * not serve better — the call refuses rather than degrades). Nulls
+   * land in bucket 0 (they match no filter but must survive for
+   * unfiltered queries); numeric NaN sorts last.
+   *
+   * Same lifecycle contract as [[recluster]] (tombstones applied
+   * physically, staged seal, ONE atomic catalog swap, gc, consolidated
+   * delete log), and the k-means fit is strided across the id range,
+   * not an id-ordered prefix. */
+  def reclusterByAttr(spark: SparkSession, dir: String, column: String,
+      buckets: Int, cellsPerBucket: Int = 1, metric: Metric = Metric.L2,
+      m: Int = 16, efConstruction: Int = 128, maxGraphRows: Int = 50000,
+      buildIndexes: Boolean = true, sampleCap: Int = 8192,
+      seed: Long = 42L): Array[SegmentStats] = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    require(cellsPerBucket > 0,
+      s"cellsPerBucket $cellsPerBucket must be positive")
+    val segs = catalog(spark, dir)
+    if (segs.isEmpty) return segs
+    val hasLog = tombstones(spark, dir).isDefined
+    val raw = spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
+    require(raw.columns.contains(column),
+      s"reclusterByAttr: tier has no column '$column'")
+    val live = applyTombstones(spark, dir, raw)
+      .select((coreColumns.tail ++ attributeColumns(raw)).map(col): _*)
+    // k-means fit sample, strided across the id range via a hash-mod
+    // filter sized from the catalog's row counts (no extra count pass)
+    val total = math.max(1L, segs.map(_.count).sum)
+    val mod = math.max(1L, total / math.max(1, 2 * sampleCap))
+    val sample = live
+      .where(pmod(xxhash64(col("id")), lit(mod)) === 0)
+      .limit(sampleCap)
+      .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) { // every row tombstoned: the tier empties
+      markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
+      swapCatalog(spark, dir, Array.empty)
+      gc(spark, dir)
+      return Array.empty
+    }
+    val numeric = live.schema(column).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // interior cut points: bucket(v) = #cuts <= v, so equal values can
+    // never straddle a boundary (quantiles repeat under heavy hitters —
+    // distinct() collapses them; fewer cuts = fewer, fuller buckets)
+    val bucketOf: org.apache.spark.sql.Column = if (numeric) {
+      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+      val cuts = live.where(col(column).isNotNull)
+        .select(col(column).cast("double").as("v"))
+        .stat.approxQuantile("v", probes, 0.001)
+        .distinct.sorted
+      val vD = col(column).cast("double")
+      cuts.zipWithIndex.foldLeft(lit(0)) { case (acc, (c, _)) =>
+        acc + when(vD.isNotNull && !isnan(vD) && vD > lit(c), 1)
+          .otherwise(0)
+      } + when(isnan(vD), lit(cuts.length)).otherwise(0) // NaN sorts last
+    } else {
+      val distinct = live.where(col(column).isNotNull)
+        .select(col(column).cast("string")).distinct()
+        .orderBy(col(column)).limit(MaxAttrDistinct + 1)
+        .collect().map(_.getString(0))
+      require(distinct.length <= MaxAttrDistinct,
+        s"reclusterByAttr: '$column' exceeds $MaxAttrDistinct distinct " +
+          s"values — a lexicographic layout has no admission value at " +
+          s"that cardinality; recluster on a numeric column instead")
+      val nCuts = math.min(buckets - 1, math.max(0, distinct.length - 1))
+      val cuts = (1 to nCuts)
+        .map(i => distinct(i * distinct.length / (nCuts + 1))).distinct
+      cuts.foldLeft(lit(0)) { case (acc, c) =>
+        acc + when(col(column).isNotNull &&
+          col(column).cast("string") >= lit(c), 1).otherwise(0)
+      }
+    }
+    val cells = graft.partitioners.KMeansPartitioner.fit(sample,
+      k = math.min(cellsPerBucket, sample.length), replicationFactor = 1,
+      iterations = 4, seed = seed, queryProbes = 1)
+    val bCells = spark.sparkContext.broadcast(cells)
+    val cellOf = udf((v: Seq[Float]) =>
+      bCells.value.dataPartitions(v.toArray, 0L)(0))
+    val out = commitRecluster(spark, dir, segs, hasLog, buildIndexes,
+      metric, m, efConstruction, maxGraphRows) { base =>
+      live.withColumn("segmentId",
+        bucketOf.cast("long") * cellsPerBucket +
+          cellOf(col("vec")).cast("long") + base)
+    }
+    // guarantee the admission sidecar the layout exists FOR (refresh
+    // inside the commit only extends sidecars that already exist)
+    sealAttrStats(spark, dir, column)
+    out
+  }
+
+  /** Distinct-value cap for [[reclusterByAttr]] on non-numeric columns:
+   * the cut-point set is collected driver-side. */
+  private[store] val MaxAttrDistinct = 65536
+
+  /** The shared commit tail of the recluster family: stage-seal the
+   * reassigned rows (`assign` receives the reserved id base), build
+   * sidecar indexes, redistribute temperature by row count, ONE atomic
+   * catalog swap, gc the victims, refresh attr-stats sidecars, and
+   * consolidate the delete log. */
+  private def commitRecluster(spark: SparkSession, dir: String,
+      segs: Array[SegmentStats], hasLog: Boolean, buildIndexes: Boolean,
+      metric: Metric, m: Int, efConstruction: Int, maxGraphRows: Int)
+      (assign: Long => DataFrame): Array[SegmentStats] = {
     val base = math.max(CompactionIdBase - 1, segs.map(_.segmentId).max) + 1
-    val staged = sealManyStaged(
-      live.withColumn("segmentId", cellOf(col("vec")).cast("long") + base),
-      dir)
+    val staged = sealManyStaged(assign(base), dir)
     if (buildIndexes)
       sealIndexes(spark, dir, staged.map(_.segmentId).toSeq, metric, m,
         efConstruction, maxGraphRows)

@@ -883,7 +883,19 @@ object VectorStreamJob {
       // wrong. 0 = off (manual recluster, the pre-existing behavior).
       autoReclusterCells: Int = 0,
       reclusterAccretedFraction: Double = 0.5,
-      reclusterMinSegments: Int = 8)(sink: DataFrame => Unit)
+      reclusterMinSegments: Int = 8,
+      // ATTR-aligned flavor of the same trigger: when set, the
+      // scheduled maintenance pass is
+      // [[graft.store.ColdTier.reclusterByAttr]] on this column
+      // (`autoReclusterAttrBuckets` quantile buckets x
+      // `autoReclusterCells` k-means cells per bucket) instead of the
+      // vector-only recluster — the layout a filtered-search-heavy
+      // deployment wants, converged to by the lifecycle itself: the
+      // flushed `attr` column's admission sidecar is re-sealed by the
+      // pass, so filtered cold queries prune to one bucket with no
+      // operator step. Same trigger condition and equivalence contract.
+      autoReclusterAttr: Option[String] = None,
+      autoReclusterAttrBuckets: Int = 8)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = events.sparkSession
     val routed = route(events, model)
@@ -924,10 +936,17 @@ object VectorStreamJob {
         if (segs.length >= reclusterMinSegments) {
           val accreted = segs.count(s => !cellAligned.contains(s.segmentId))
           if (accreted.toDouble / segs.length > reclusterAccretedFraction) {
-            val out = graft.store.ColdTier.recluster(spark, coldDir.get,
-              autoReclusterCells, metric, m = hnswM,
-              efConstruction = hnswEfConstruction,
-              buildIndexes = indexAtFlush)
+            val out = autoReclusterAttr match {
+              case Some(c) => graft.store.ColdTier.reclusterByAttr(spark,
+                coldDir.get, c, buckets = autoReclusterAttrBuckets,
+                cellsPerBucket = autoReclusterCells, metric = metric,
+                m = hnswM, efConstruction = hnswEfConstruction,
+                buildIndexes = indexAtFlush)
+              case None => graft.store.ColdTier.recluster(spark,
+                coldDir.get, autoReclusterCells, metric, m = hnswM,
+                efConstruction = hnswEfConstruction,
+                buildIndexes = indexAtFlush)
+            }
             cellAligned.clear()
             cellAligned ++= out.iterator.map(_.segmentId)
           }

@@ -1659,4 +1659,121 @@ class ColdTierSpec extends AnyFunSuite {
     assert(got == truth,
       s"adaptive-overfetch filtered probe: $got != $truth")
   }
+
+  test("reclusterByAttr: label-mixed time slices re-seal into quantile buckets x k-means cells — filtered probes collapse to one bucket's cells, results exact, deletes applied") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attr-recluster").toString
+    val rnd = new java.util.Random(41L)
+    // two separated vector clusters (so cellsPerBucket = 2 has real
+    // structure) x 10 labels, sealed as four TIME slices — the
+    // streaming layout where every segment holds every label and
+    // attr admission prunes nothing
+    val centers = Array(
+      Array.tabulate(8)(d => if (d < 4) 15f else 0f),
+      Array.tabulate(8)(d => if (d >= 4) 15f else 0f))
+    val all = (0 until 1000).map { i =>
+      val c = centers(i % 2)
+      (i.toLong, c.map(_ + rnd.nextGaussian().toFloat * 0.3f), i.toLong,
+        (i % 10).toLong)
+    }
+    (0 until 4).foreach { sid =>
+      ColdTier.seal(all.slice(sid * 250, sid * 250 + 250)
+        .toDF("id", "vec", "eventTime", "label"), dir, sid.toLong)
+    }
+    ColdTier.sealDeletes(all.filter(_._1 % 23 == 3)
+      .map { case (id, _, ts, _) => (id, ts) }.toDF("id", "ts"), dir, 0L)
+    val survivors = all.filterNot(_._1 % 23 == 3)
+    val queries = all.indices.by(97).map { i =>
+      (i.toLong, all(i)._2, Long.MaxValue / 2, Long.MaxValue / 2)
+    }.toDF("qid", "qv", "qtime", "ttl")
+    def lossless() = ColdTier.search(spark, dir, queries, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val before = lossless()
+
+    val out = ColdTier.reclusterByAttr(spark, dir, "label", buckets = 5,
+      cellsPerBucket = 2, m = 8, efConstruction = 64)
+    // lifecycle contract: reserved ids, victims gone, row multiset kept
+    assert(out.forall(_.segmentId >= ColdTier.CompactionIdBase))
+    (0 until 4).foreach { sid =>
+      assert(!new java.io.File(s"$dir/segment-$sid").exists(),
+        s"victim segment-$sid survived gc")
+    }
+    assert(out.map(_.count).sum == survivors.length)
+    assert(out.length <= 10, s"${out.length} segments > buckets x cells")
+    // the layout is transparent to unfiltered search
+    assert(lossless() == before, "reclusterByAttr changed lossless results")
+
+    // filtered equality: with 10 labels in 5 equi-mass buckets, a label
+    // admits ONE bucket = at most cellsPerBucket segments; the sidecar
+    // reclusterByAttr sealed makes admission engage with no extra setup
+    val nQ = 8
+    val fq = (0 until nQ).map { qi =>
+      (qi.toLong, all(qi * 71)._2, Long.MaxValue / 2, Long.MaxValue / 2,
+        (qi % 10).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got = ColdTier.search(spark, dir, fq, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"), searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    (0 until nQ).foreach { qi =>
+      val want = survivors.filter(_._4 == qi % 10)
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qi * 71)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(got(qi.toLong) == want, s"query $qi filtered post-recluster")
+    }
+    val planned = stats("wave1_probes") + stats("wave2_planned")
+    assert(planned <= 2L * nQ,
+      s"attr admission must collapse to one bucket's <=2 cells per " +
+        s"query: planned $planned > ${2 * nQ} (tier has ${out.length} " +
+        s"segments — mixed layout would plan ${out.length * nQ})")
+  }
+
+  test("reclusterByAttr: string column buckets lexicographically; a band over the string range prunes to its buckets") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attr-str").toString
+    val rnd = new java.util.Random(43L)
+    val all = (0 until 600).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), i.toLong,
+        s"cat${i % 6}")
+    }
+    (0 until 3).foreach { sid =>
+      ColdTier.seal(all.slice(sid * 200, sid * 200 + 200)
+        .toDF("id", "vec", "eventTime", "tag"), dir, sid.toLong)
+    }
+    val out = ColdTier.reclusterByAttr(spark, dir, "tag", buckets = 3,
+      cellsPerBucket = 1, m = 8, efConstruction = 64)
+    assert(out.map(_.count).sum == all.length)
+    assert(out.length <= 3)
+    // equality on one tag admits exactly the bucket holding it
+    val nQ = 6
+    val fq = (0 until nQ).map { qi =>
+      (qi.toLong, all(qi * 41)._2, Long.MaxValue / 2, Long.MaxValue / 2,
+        s"cat${qi % 6}")
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got = ColdTier.search(spark, dir, fq, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("tag"), searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    (0 until nQ).foreach { qi =>
+      val want = all.filter(_._4 == s"cat${qi % 6}")
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qi * 41)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(got(qi.toLong) == want, s"query $qi string-filtered")
+    }
+    val planned = stats("wave1_probes") + stats("wave2_planned")
+    assert(planned == nQ.toLong,
+      s"string admission must collapse to one bucket per query: " +
+        s"planned $planned != $nQ")
+  }
 }

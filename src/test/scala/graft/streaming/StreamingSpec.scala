@@ -1082,6 +1082,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == truth, s"post-recluster cold search $got != exact $truth")
   }
 
+  test("auto-recluster by attr: the lifecycle converges a label-mixed flushed tier to the attr-aligned layout — filtered cold probes collapse to one bucket, results exact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files
+      .createTempDirectory("graft-autorecl-attr").toString
+    val input = MemoryStream[StreamEvent]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold), indexAtFlush = true,
+      autoReclusterCells = 2, reclusterAccretedFraction = 0.5,
+      reclusterMinSegments = 4, autoReclusterAttr = Some("attr"),
+      autoReclusterAttrBuckets = 3) { _ => () }
+    def epoch(e: Int): Unit = {
+      input.addData((0 until 10).map(i =>
+        StreamEvent("i", e * 100L + i, vec(e * 100 + i),
+          e * 5000L + i, 0L, 0, attr = s"t${i % 3}")): _*)
+      q.processAllAvailable()
+    }
+    // each epoch's arrival TTL-retires the previous one -> one
+    // label-MIXED flush segment per trigger (every segment holds t0-t2,
+    // attr admission prunes nothing); the 4th accreted seal trips the
+    // trigger and the lifecycle runs reclusterByAttr("attr") itself
+    (0 to 4).foreach(epoch)
+    q.stop()
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.nonEmpty &&
+      cat.forall(_.segmentId >= graft.store.ColdTier.CompactionIdBase),
+      s"expected an attr-reclustered (reserved-id) catalog, got " +
+        s"${cat.map(_.segmentId).toList}")
+    assert(cat.length <= 6,
+      s"<= buckets x cells segments expected: ${cat.length}")
+
+    // filtered cold search over the flushed window (epochs 0..3):
+    // admission collapses each query to ONE bucket (<= 2 cells), and
+    // the result is the per-attr exact truth — the aligned layout plus
+    // its sidecar came from the lifecycle, not an operator step
+    val flushed = (0 to 3).flatMap(e =>
+      (0 until 10).map(i => (e * 100 + i, i % 3)))
+    val nQ = 3
+    val fq = (0 until nQ).map { qi =>
+      (qi.toLong, vec(3 + qi), 30000L, 30000L, s"t$qi")
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got = graft.store.ColdTier.search(spark, cold, fq, 5, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("attr"), searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qk, rs) =>
+        qk -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    (0 until nQ).foreach { qi =>
+      val want = flushed.filter(_._2 == qi)
+        .map { case (i, _) => (i.toLong, Distances.l2(vec(3 + qi), vec(i))) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+      assert(got(qi.toLong) == want, s"attr $qi filtered post-recluster")
+    }
+    val planned = stats("wave1_probes") + stats("wave2_planned")
+    assert(planned <= 2L * nQ,
+      s"attr admission must collapse to one bucket's <= 2 cells per " +
+        s"query: planned $planned (catalog ${cat.length} segments)")
+  }
+
   test("streaming RANGE kNN: a hot [attr, attrHi] band query is exact " +
       "(non-numeric attrs match nothing), and the flushed tier answers " +
       "the same band through the cold range kernel") {

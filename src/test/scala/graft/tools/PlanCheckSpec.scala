@@ -165,6 +165,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // the entry itself asserts ONE probe per query where min/max alone
     // would plan three
     ("knn_coldtier_range_hist", false, true, false),
+    // attr-aligned RECLUSTER: same kernel over the rewritten layout,
+    // the entry itself asserts <= one bucket (2 cells) per query
+    ("knn_coldtier_attr_reclustered", false, true, false),
     // cluster frame broadcasts into the documents scan; no scan filter
     // (quality reads every document's text by design, like dedup_clusters)
     ("dedup_keep_best", true, false, false),
