@@ -598,13 +598,15 @@ object ColdTier {
    * PLAN, not per query). */
   private[graft] def admissibleIds(spark: SparkSession, dir: String,
       column: String, values: Seq[Any],
-      vt: org.apache.spark.sql.types.DataType): Option[Set[Long]] = {
+      vt: org.apache.spark.sql.types.DataType,
+      cat0: Array[SegmentStats] = null): Option[Set[Long]] = {
     import org.apache.spark.sql.types.{NumericType, StringType}
     loadAttrStats(spark, dir, column).flatMap { st =>
       val vNumeric = vt.isInstanceOf[NumericType]
       val vString = vt == StringType
       if (st.numeric != vNumeric || !(vNumeric || vString)) None
-      else Some(catalog(spark, dir).map(_.segmentId).filter { sid =>
+      else Some((if (cat0 != null) cat0 else catalog(spark, dir))
+        .map(_.segmentId).filter { sid =>
         values.exists { v =>
           if (st.numeric) st.mayMatch(sid, v match {
             case n: java.lang.Number => n.doubleValue()
@@ -656,7 +658,8 @@ object ColdTier {
    * non-numeric sidecar (range admission is numeric-only) = never
    * prune. */
   private[graft] def admissibleIdsRange(spark: SparkSession, dir: String,
-      column: String, bounds: Seq[RangeBound]): Option[Set[Long]] =
+      column: String, bounds: Seq[RangeBound],
+      cat0: Array[SegmentStats] = null): Option[Set[Long]] =
     loadAttrStats(spark, dir, column).filter(_.numeric).map { st =>
       val lows = bounds.filter(_.isLower).map(_.asDouble)
       val highs = bounds.filterNot(_.isLower).map(_.asDouble)
@@ -666,7 +669,7 @@ object ColdTier {
         else if (lows.exists(_.isNaN)) Double.NaN else lows.max
       val hi = if (highs.isEmpty) Double.PositiveInfinity
         else if (highs.exists(_.isNaN)) Double.NaN else highs.min
-      catalog(spark, dir).map(_.segmentId)
+      (if (cat0 != null) cat0 else catalog(spark, dir)).map(_.segmentId)
         .filter(st.mayOverlap(_, lo, hi)).toSet
     }
 
@@ -681,10 +684,12 @@ object ColdTier {
    * callers keep the registered static overfetch as a FLOOR. None when
    * the column has no sidecar. */
   private[graft] def estimateSelectivity(spark: SparkSession, dir: String,
-      column: String, eqValues: Seq[Double], qlo: Double, qhi: Double)
-      : Option[Double] =
+      column: String, eqValues: Seq[Double], qlo: Double, qhi: Double,
+      cat0: Array[SegmentStats] = null): Option[Double] =
     loadAttrStats(spark, dir, column).filter(_.numeric).map { st =>
-      val cat = catalog(spark, dir)
+      // callers on the serving path pass the catalog they already read
+      // (catalog() is an uncached FS listing + parquet collect)
+      val cat = if (cat0 != null) cat0 else catalog(spark, dir)
       val total = math.max(1L, cat.map(_.count).sum)
       val mass = cat.map { s =>
         if (eqValues.nonEmpty)
@@ -701,17 +706,20 @@ object ColdTier {
 
   /** The over-fetch factor a filter-oblivious shortlist needs so that
    * ~`shortlist` candidates SURVIVE the literal predicate:
-   * max(static floor, ceil(1 / estimated selectivity)) capped at
-   * [[MaxAdaptiveOverfetch]]. With no estimate (no sidecar), the
-   * static registration value stands — the pre-histogram behavior. */
+   * max(static floor, min(cap, ceil(1 / estimated selectivity))).
+   * The cap bounds only the HISTOGRAM-DRIVEN raise — a registered
+   * static factor above [[MaxAdaptiveOverfetch]] always stands (the
+   * operator's explicit ask is a floor, never reduced by an estimate).
+   * With no estimate (no sidecar), the static value stands — the
+   * pre-histogram behavior. */
   private[graft] def adaptiveOverfetch(static: Int,
       selectivity: Option[Double]): Int = {
     val floor = math.max(1, static)
     selectivity match {
       case Some(s) =>
         val need = math.ceil(1.0 / math.max(s, 1e-9))
-        math.min(MaxAdaptiveOverfetch,
-          math.max(floor.toDouble, need)).toInt
+        math.max(floor.toDouble,
+          math.min(MaxAdaptiveOverfetch.toDouble, need)).toInt
       case None => floor
     }
   }
@@ -982,13 +990,20 @@ object ColdTier {
     val live = applyTombstones(spark, dir, raw)
       .select((coreColumns.tail ++ attributeColumns(raw)).map(col): _*)
     // k-means fit sample, strided across the id range via a hash-mod
-    // filter sized from the catalog's row counts (no extra count pass)
+    // filter sized from the catalog's row counts (no extra count pass).
+    // An empty STRIDE does NOT mean an empty tier (catalog counts are
+    // pre-tombstone, so a heavily-tombstoned tier can miss every
+    // surviving hash) — only the deterministic fallback read deciding
+    // emptiness may trigger the tier-empties path.
     val total = math.max(1L, segs.map(_.count).sum)
     val mod = math.max(1L, total / math.max(1, 2 * sampleCap))
-    val sample = live
+    val strided = live
       .where(pmod(xxhash64(col("id")), lit(mod)) === 0)
       .limit(sampleCap)
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
+    val sample = if (strided.nonEmpty) strided
+      else live.orderBy("id").limit(sampleCap)
+        .select("vec").collect().map(_.getSeq[Float](0).toArray)
     if (sample.isEmpty) { // every row tombstoned: the tier empties
       markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
       swapCatalog(spark, dir, Array.empty)
@@ -1040,9 +1055,20 @@ object ColdTier {
         bucketOf.cast("long") * cellsPerBucket +
           cellOf(col("vec")).cast("long") + base)
     }
-    // guarantee the admission sidecar the layout exists FOR (refresh
-    // inside the commit only extends sidecars that already exist)
-    sealAttrStats(spark, dir, column)
+    // guarantee the admission sidecar the layout exists FOR. The commit
+    // tail's refreshAttrStats already re-sealed it when it existed
+    // (every pass after the first), so only seal on first convergence;
+    // and the recluster is already committed at this point, so a
+    // transient stats failure degrades (no pruning until a re-seal) —
+    // it must not fail the pass, least of all a streaming lifecycle's.
+    if (!attrStatsColumns(spark, dir).contains(column))
+      try sealAttrStats(spark, dir, column)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          logger.warn(s"reclusterByAttr($dir, $column): recluster " +
+            s"committed but the attr-stats seal failed — admission " +
+            s"pruning disabled until sealAttrStats is re-run", e)
+      }
     out
   }
 
@@ -2278,10 +2304,13 @@ object ColdTier {
       "searchIndexedLiteralFiltered: each filter needs >= 1 value")
     require(filters.map(_._1).distinct.length == filters.length,
       "searchIndexedLiteralFiltered: one entry per column")
+    // one catalog read for both admission math and selectivity
+    val cat = catalog(spark, dir)
     val admissible = (filters
-      .flatMap { case (f, vs, vt) => admissibleIds(spark, dir, f, vs, vt) } ++
+      .flatMap { case (f, vs, vt) =>
+        admissibleIds(spark, dir, f, vs, vt, cat0 = cat) } ++
       ranges.groupBy(_.column).flatMap { case (f, bs) =>
-        admissibleIdsRange(spark, dir, f, bs)
+        admissibleIdsRange(spark, dir, f, bs, cat0 = cat)
       })
       .reduceOption(_ intersect _)
     // histogram-driven shortlist sizing: the graph walk is
@@ -2296,7 +2325,7 @@ object ColdTier {
         vs.map {
           case n: java.lang.Number => n.doubleValue()
           case _ => Double.NaN
-        }, Double.NaN, Double.NaN)
+        }, Double.NaN, Double.NaN, cat0 = cat)
     } ++ ranges.groupBy(_.column).map { case (f, bs) =>
       val lows = bs.filter(_.isLower).map(_.asDouble)
       val highs = bs.filterNot(_.isLower).map(_.asDouble)
@@ -2304,7 +2333,7 @@ object ColdTier {
         else if (lows.exists(_.isNaN)) Double.NaN else lows.max
       val hi = if (highs.isEmpty) Double.PositiveInfinity
         else if (highs.exists(_.isNaN)) Double.NaN else highs.min
-      estimateSelectivity(spark, dir, f, Nil, lo, hi)
+      estimateSelectivity(spark, dir, f, Nil, lo, hi, cat0 = cat)
     }).flatten.reduceOption(_ * _)
     val effOverfetch = adaptiveOverfetch(overfetch, selectivity)
     rerankExact(spark, dir,

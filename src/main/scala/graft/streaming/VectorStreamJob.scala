@@ -897,6 +897,10 @@ object VectorStreamJob {
       autoReclusterAttr: Option[String] = None,
       autoReclusterAttrBuckets: Int = 8)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(autoReclusterAttr.isEmpty || autoReclusterCells > 0,
+      "autoReclusterAttr needs autoReclusterCells > 0 (the trigger " +
+        "gate AND the cells-per-bucket count) — with the default 0 the " +
+        "attr recluster would silently never run")
     val spark = events.sparkSession
     val routed = route(events, model)
     val flush = coldDir.isDefined

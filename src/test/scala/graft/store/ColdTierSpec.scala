@@ -1640,6 +1640,9 @@ class ColdTierSpec extends AnyFunSuite {
       ColdTier.MaxAdaptiveOverfetch, (1.0 / sel1.get * 0.9).toInt))
     assert(ColdTier.adaptiveOverfetch(1, Some(1e-6)) ==
       ColdTier.MaxAdaptiveOverfetch)
+    // the cap bounds only the HISTOGRAM raise — an explicit static
+    // factor above the cap is a floor, never reduced by an estimate
+    assert(ColdTier.adaptiveOverfetch(128, Some(0.01)) == 128)
 
     // end-to-end: static overfetch 1 with a small shortlist would keep
     // rare rows out of the filter-oblivious shortlist; the estimator
@@ -1733,6 +1736,36 @@ class ColdTierSpec extends AnyFunSuite {
       s"attr admission must collapse to one bucket's <=2 cells per " +
         s"query: planned $planned > ${2 * nQ} (tier has ${out.length} " +
         s"segments — mixed layout would plan ${out.length * nQ})")
+  }
+
+  test("reclusterByAttr: an empty STRIDED sample does not wipe a tier that still has live rows (catalog counts are pre-tombstone)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attr-stride").toString
+    val rnd = new java.util.Random(47L)
+    val all = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 4).toLong)
+    }
+    ColdTier.seal(all.toDF("id", "vec", "eventTime", "label"), dir, 0L)
+    // with sampleCap = 1 the stride modulus is total/2 = 1000; keep
+    // alive ONLY ids whose hash misses it, so the strided sample is
+    // provably empty while live rows exist
+    val mod = 1000L
+    val alive = spark.range(2000)
+      .where(pmod(xxhash64(col("id")), lit(mod)) =!= 0)
+      .limit(3).as[Long].collect().toSet
+    assert(alive.size == 3)
+    ColdTier.sealDeletes(all.filterNot(t => alive(t._1))
+      .map { case (id, _, ts, _) => (id, ts) }.toDF("id", "ts"), dir, 0L)
+    val out = ColdTier.reclusterByAttr(spark, dir, "label", buckets = 2,
+      cellsPerBucket = 1, m = 8, efConstruction = 32, sampleCap = 1)
+    assert(out.map(_.count).sum == 3,
+      s"live rows must survive the pass: ${out.map(_.count).toList}")
+    val ids = spark.read.parquet(
+        ColdTier.catalog(spark, dir).map(_.path): _*)
+      .select("id").as[Long].collect().toSet
+    assert(ids == alive, s"$ids != $alive")
   }
 
   test("reclusterByAttr: string column buckets lexicographically; a band over the string range prunes to its buckets") {
