@@ -969,6 +969,15 @@ object ColdTier {
    * land in bucket 0 (they match no filter but must survive for
    * unfiltered queries); numeric NaN sorts last.
    *
+   * `timeSlices > 1` additionally splits every (bucket, cell) into
+   * that many `eventTime` quantile slices
+   * (`segmentId = base + (bucket*cells + cell)*timeSlices + slice`),
+   * keeping each segment's [minTs, maxTs] window TIGHT — the attr
+   * layout then composes with V3 freshness pruning instead of trading
+   * it away (a windowed filtered query prunes by attr admission ×
+   * cell routing × time window, multiplicatively), at the cost of
+   * `timeSlices`× more segments.
+   *
    * Same lifecycle contract as [[recluster]] (tombstones applied
    * physically, staged seal, ONE atomic catalog swap, gc, consolidated
    * delete log), and the k-means fit is strided across the id range,
@@ -977,10 +986,11 @@ object ColdTier {
       buckets: Int, cellsPerBucket: Int = 1, metric: Metric = Metric.L2,
       m: Int = 16, efConstruction: Int = 128, maxGraphRows: Int = 50000,
       buildIndexes: Boolean = true, sampleCap: Int = 8192,
-      seed: Long = 42L): Array[SegmentStats] = {
+      seed: Long = 42L, timeSlices: Int = 1): Array[SegmentStats] = {
     require(buckets > 0, s"buckets $buckets must be positive")
     require(cellsPerBucket > 0,
       s"cellsPerBucket $cellsPerBucket must be positive")
+    require(timeSlices > 0, s"timeSlices $timeSlices must be positive")
     val segs = catalog(spark, dir)
     if (segs.isEmpty) return segs
     val hasLog = tombstones(spark, dir).isDefined
@@ -1049,11 +1059,27 @@ object ColdTier {
     val bCells = spark.sparkContext.broadcast(cells)
     val cellOf = udf((v: Seq[Float]) =>
       bCells.value.dataPartitions(v.toArray, 0L)(0))
+    // optional eventTime quantile slicing within each (bucket, cell):
+    // cuts computed once over the whole tier (a global time axis keeps
+    // slice windows aligned across buckets), slice(v) = #cuts < v
+    val sliceOf: org.apache.spark.sql.Column =
+      if (timeSlices <= 1) lit(0L)
+      else {
+        val probes = (1 until timeSlices)
+          .map(_.toDouble / timeSlices).toArray
+        val cuts = live.select(col("eventTime").cast("double").as("t"))
+          .stat.approxQuantile("t", probes, 0.001)
+          .distinct.sorted
+        cuts.foldLeft(lit(0)) { case (acc, c) =>
+          acc + when(col("eventTime").cast("double") > lit(c), 1)
+            .otherwise(0)
+        }.cast("long")
+      }
     val out = commitRecluster(spark, dir, segs, hasLog, buildIndexes,
       metric, m, efConstruction, maxGraphRows) { base =>
       live.withColumn("segmentId",
-        bucketOf.cast("long") * cellsPerBucket +
-          cellOf(col("vec")).cast("long") + base)
+        (bucketOf.cast("long") * cellsPerBucket +
+          cellOf(col("vec")).cast("long")) * timeSlices + sliceOf + base)
     }
     // guarantee the admission sidecar the layout exists FOR. The commit
     // tail's refreshAttrStats already re-sealed it when it existed

@@ -1768,6 +1768,53 @@ class ColdTierSpec extends AnyFunSuite {
     assert(ids == alive, s"$ids != $alive")
   }
 
+  test("reclusterByAttr: timeSlices keep each segment's time window tight — a windowed filtered query prunes attr x time multiplicatively, results exact") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attr-time").toString
+    val rnd = new java.util.Random(53L)
+    val all = (0 until 1200).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 4).toLong)
+    }
+    (0 until 3).foreach { sid =>
+      ColdTier.seal(all.slice(sid * 400, sid * 400 + 400)
+        .toDF("id", "vec", "eventTime", "label"), dir, sid.toLong)
+    }
+    val out = ColdTier.reclusterByAttr(spark, dir, "label", buckets = 4,
+      cellsPerBucket = 1, m = 8, efConstruction = 32, timeSlices = 4)
+    assert(out.length == 16, s"4 labels x 4 slices: ${out.length}")
+    // tight windows: each slice spans ~1/4 of the 0..1199 time axis
+    assert(out.forall(s => s.maxTs - s.minTs <= 400),
+      out.map(s => (s.minTs, s.maxTs)).toList.toString)
+
+    // label = 2 within the window [50, 200]: ONE bucket admits the
+    // label and ONE of its slices overlaps the window -> one probe per
+    // query, and the result is the windowed per-label exact truth
+    val nQ = 4
+    val fq = (0 until nQ).map { qi =>
+      (qi.toLong, all(qi * 37)._2, 200L, 150L, 2L)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got = ColdTier.search(spark, dir, fq, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"), searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    (0 until nQ).foreach { qi =>
+      val want = all
+        .filter(t => t._4 == 2L && t._3 >= 50L && t._3 <= 200L)
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qi * 37)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(got(qi.toLong) == want, s"query $qi windowed filtered")
+    }
+    val planned = stats("wave1_probes") + stats("wave2_planned")
+    assert(planned == nQ.toLong,
+      s"attr x time pruning must plan one probe per query: $planned " +
+        s"(16 segments; attr alone would plan ${4 * nQ})")
+  }
+
   test("reclusterByAttr: string column buckets lexicographically; a band over the string range prunes to its buckets") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
