@@ -25,6 +25,8 @@ object EvalQueries {
   private val codesSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Dirs whose segments have PQ code companions sealed. */
   private val pqCodesSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val filteredCodesSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val filteredPqCodesSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Dirs whose segments have HNSW index sidecars sealed. */
   private val hnswSealed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   /** Compacted cold-tier dirs per sf dir (six flushes -> two segments). */
@@ -628,6 +630,54 @@ object EvalQueries {
           lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
       graft.store.ColdTier.searchCompressedPq(s, tmp, queries,
         VectorQueries.K, model, PqQueries.Shortlist)
+    },
+
+    "knn_coldtier_sq_filtered" -> { (s, dir) =>
+      // FILTERED compressed scan (SQ8): the code companions carry no
+      // attributes, so the dequantized-distance shortlist stays
+      // filter-oblivious, over-fetched 4x, and the label equality is
+      // applied at the exact-rerank hydration — the same composition as
+      // the filtered indexed path, on the 4x-compressed IO path. The
+      // DuckDB twin replays the identical pipeline (over-fetched code
+      // shortlist from the ann_sq8 aux, equality in the rerank join),
+      // so the gate is bit-exactness of the whole filtered pipeline.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = filteredTier(s, dir)
+      val model = PqQueries.sqModelFor(s, dir)
+      filteredCodesSealed.getOrElseUpdate(dir, {
+        (0L until 3L).foreach(sid =>
+          graft.store.ColdTier.sealCodes(s, tmp, sid, model))
+        true
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      graft.store.ColdTier.searchCompressed(s, tmp, queries,
+        VectorQueries.K, model, PqQueries.Shortlist,
+        filterColumn = Some("label"), overfetch = 4)
+    },
+
+    "knn_coldtier_pq_filtered" -> { (s, dir) =>
+      // FILTERED compressed scan at 32x (PQ/IVFADC+R): same
+      // composition — filter-oblivious ADC shortlist over-fetched 4x,
+      // label equality at the exact re-rank — replayed bit-exactly
+      // from the ann_pq aux.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = filteredTier(s, dir)
+      val model = PqQueries.pqModelFor(s, dir)
+      filteredPqCodesSealed.getOrElseUpdate(dir, {
+        (0L until 3L).foreach(sid =>
+          graft.store.ColdTier.sealPqCodes(s, tmp, sid, model))
+        true
+      })
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      graft.store.ColdTier.searchCompressedPq(s, tmp, queries,
+        VectorQueries.K, model, PqQueries.Shortlist,
+        filterColumn = Some("label"), overfetch = 4)
     },
 
     "knn_coldtier_hnsw" -> { (s, dir) =>
@@ -1330,6 +1380,10 @@ object EvalQueries {
     // identical SQL twin to ann_sq8_rerank: with every segment fresh, the
     // compressed cold tier IS that pipeline via an independent path
     "knn_coldtier_sq" -> PqQueries.oracles("ann_sq8_rerank"),
+    // filtered compressed twins: over-fetched code shortlist + label
+    // equality at the rerank join — the engine's exact composition
+    "knn_coldtier_sq_filtered" -> PqQueries.filteredSqOracle(4),
+    "knn_coldtier_pq_filtered" -> PqQueries.filteredPqOracle(4),
     // independent-path twin: the cold-tier PQ scan must replay the flat
     // ann_pq_rerank pipeline bit-for-bit (same codebooks, full window)
     "knn_coldtier_pq" -> PqQueries.oracles("ann_pq_rerank"),

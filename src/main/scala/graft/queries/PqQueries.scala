@@ -403,6 +403,30 @@ object PqQueries {
   private def routedSqCte: String =
     routedAdcCteFor("ann_sq8_cb", "ann_sq8_codes", 1)
 
+  /** Replay twin of the FILTERED compressed cold scans (EvalQueries'
+   * `knn_coldtier_{sq,pq}_filtered`): the same code-distance shortlist
+   * as the unfiltered rerank twins, over-fetched by `overfetch`
+   * (matching the engine's filter-oblivious over-fetch), with the
+   * label equality applied at the exact-rerank hydration — exactly
+   * where the engine applies it. Not in [[oracles]] (those keys pair
+   * with ann_* entries; these pair with EvalQueries entries). */
+  def filteredCompressedOracle(cte: String, overfetch: Int): String =
+    s"""WITH $cte,
+       |short AS (SELECT qid, id FROM r WHERE rn <= ${Shortlist * overfetch}),
+       |ex AS (SELECT s.qid, s.id,
+       |  ${VectorQueries.l2Sql("q2.embedding", "b.embedding")} AS dist
+       |  FROM short s JOIN embeddings q2 ON q2.vec_id = s.qid
+       |  JOIN embeddings b ON b.vec_id = s.id
+       |  WHERE b.label = q2.label),
+       |rr AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM ex)
+       |SELECT qid, rn, id, dist FROM rr WHERE rn <= $K""".stripMargin
+
+  def filteredSqOracle(overfetch: Int): String =
+    filteredCompressedOracle(sqCte, overfetch)
+  def filteredPqOracle(overfetch: Int): String =
+    filteredCompressedOracle(adcCte, overfetch)
+
   def oracles: Map[String, String] = Map(
     "ann_sq8" ->
       s"""WITH $sqCte

@@ -2457,17 +2457,29 @@ object ColdTier {
    * recall. L2 only.
    */
   def searchCompressed(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int, model: graft.ops.Sq.SqModel, shortlist: Int = 50): DataFrame = {
+      k: Int, model: graft.ops.Sq.SqModel, shortlist: Int = 50,
+      // ATTRIBUTE-filtered compressed scan: the code scan stays
+      // filter-oblivious (code companions carry no attributes), so the
+      // shortlist is over-fetched by `overfetch` and the equality is
+      // applied at the exact re-rank (candidate-bounded hydration, the
+      // same composition as the filtered indexed path). Queries must
+      // carry a `qfilter` column; with a sealAttrStats sidecar,
+      // segments admitting NONE of the query set's filter values are
+      // dropped before any code IO (union admission — lossless).
+      filterColumn: Option[String] = None, overfetch: Int = 4)
+      : DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     import spark.implicits._
     val segs = catalog(spark, dir)
-    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
+      filterColumn.map(_ => col("qfilter")): _*)
     // segment-level freshness vs the query set's overall window (driver
     // work bounded by catalog size + one 2-value aggregate)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
-    val fresh =
+    val fresh0 =
       if (w.isNullAt(0)) Array.empty[SegmentStats]
       else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    val fresh = unionAdmissible(spark, dir, filterColumn, q, fresh0)
     if (fresh.isEmpty)
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("qid", "rn", "id", "dist")
@@ -2500,11 +2512,21 @@ object ColdTier {
         col("eventTime") >= col("floor_ts") && col("eventTime") <= col("ceil_ts"))
       .select(col("qid"), col("id"),
         Distances.l2(col("qv"), col("vec")).as("dist"))
-    val shortUdaf = udaf(new TopKAggregator(shortlist),
+    val effShort =
+      if (filterColumn.isEmpty) shortlist
+      else shortlist * math.max(1, overfetch)
+    val shortUdaf = udaf(new TopKAggregator(effShort),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     val short = approx.groupBy("qid")
       .agg(shortUdaf(col("id"), col("dist")).as("topk"))
       .select(col("qid"), explode(col("topk.ids")).as("id"))
+    if (filterColumn.isDefined)
+      // filtered hydration through the shared re-rank (the equality
+      // goes through filterEquality — identical to every other
+      // filtered surface); the unfiltered path below stays byte-equal
+      // to the pre-filter formulation
+      return rerankExact(spark, dir, short, q, k, Metric.L2,
+        filterColumn = filterColumn)
     // exact re-rank: raw-vector IO only for shortlisted ids, per-query
     // freshness re-applied (an id can appear in several segments under
     // different timestamps — only in-window versions may score)
@@ -2537,15 +2559,22 @@ object ColdTier {
    * path against the same oracle. L2 only (ADC tables are L2). */
   def searchCompressedPq(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int, model: graft.ops.Pq.PqModel,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50,
+      // same filtered composition as [[searchCompressed]]: over-fetched
+      // filter-oblivious ADC shortlist, union-admission segment
+      // pruning, equality at the exact re-rank
+      filterColumn: Option[String] = None, overfetch: Int = 4)
+      : DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     import spark.implicits._
     val segs = catalog(spark, dir)
-    val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+    val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
+      filterColumn.map(_ => col("qfilter")): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
-    val fresh =
+    val fresh0 =
       if (w.isNullAt(0)) Array.empty[SegmentStats]
       else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    val fresh = unionAdmissible(spark, dir, filterColumn, q, fresh0)
     if (fresh.isEmpty)
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("qid", "rn", "id", "dist")
@@ -2559,10 +2588,13 @@ object ColdTier {
         missingCodes.map(_.path).mkString(", ") +
         " — run ColdTier.sealPqCodes(segmentId, model) for each")
     // query-broadcast contract: qid-keyed query block resident per task
-    val qArr = q.as[(Long, Array[Float], Long, Long)].collect()
+    val qArr = q.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+      .as[(Long, Array[Float], Long, Long)].collect()
     val bq = spark.sparkContext.broadcast(qArr)
     val bm = spark.sparkContext.broadcast(model)
-    val sl = shortlist
+    val sl =
+      if (filterColumn.isEmpty) shortlist
+      else shortlist * math.max(1, overfetch)
     // tombstones pre-shortlist, so deleted rows never consume slots;
     // per-partition ADC partials merge to the GLOBAL top-`shortlist`
     // exactly as Pq.search does — the shortlist set must be identical to
@@ -2598,8 +2630,30 @@ object ColdTier {
       }
     val short = graft.ops.Ann.mergePartialLists(partials.toDF(), sl)
       .select(col("qid"), col("id"))
-    rerankExact(spark, dir, short, q, k, Metric.L2)
+    rerankExact(spark, dir, short, q, k, Metric.L2,
+      filterColumn = filterColumn)
   }
+
+  /** Segments of `fresh0` admitting AT LEAST ONE of the query set's
+   * filter values ([[admissibleIds]] union semantics over the distinct
+   * `qfilter` values — queries are broadcast-small by contract, so the
+   * distinct collect is query-bounded). No filter, no sidecar, or a
+   * type-mismatched sidecar keeps every segment. Lossless: a dropped
+   * segment provably matches NO query's filter. */
+  private[store] def unionAdmissible(spark: SparkSession, dir: String,
+      filterColumn: Option[String], q: DataFrame,
+      fresh0: Array[SegmentStats]): Array[SegmentStats] =
+    filterColumn match {
+      case Some(f) if fresh0.nonEmpty =>
+        val vt = q.schema("qfilter").dataType
+        val vals = q.select(col("qfilter")).distinct()
+          .collect().map(_.get(0)).toSeq
+        admissibleIds(spark, dir, f, vals, vt, cat0 = fresh0) match {
+          case Some(ids) => fresh0.filter(s => ids(s.segmentId))
+          case None => fresh0
+        }
+      case _ => fresh0
+    }
 
   /** Search the cold tier: per-query segment pruning (freshness window +
    * distance lower bound), hot-first two-wave scan, single top-k merge.

@@ -416,6 +416,72 @@ class ColdTierSpec extends AnyFunSuite {
     assert(fres.nonEmpty && fres.forall(id => id >= 1000L && id < 2000L))
   }
 
+  test("filtered compressed scans (SQ8 + PQ): union admission prunes to the query set's labels, equality at the rerank is exact, deletes die") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-comp-filt").toString
+    val rnd = new java.util.Random(61L)
+    // label-ALIGNED: segment 1 = label 10 (ids 0..299), 2 = label 20,
+    // 3 = label 30; eventTime = id
+    val all = (0 until 900).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), i.toLong,
+        (i / 300 * 10 + 10).toLong)
+    }
+    (0 until 3).foreach { sIdx =>
+      ColdTier.seal(all.slice(sIdx * 300, sIdx * 300 + 300)
+        .toDF("id", "vec", "eventTime", "label"), dir, sIdx + 1L)
+    }
+    ColdTier.sealAttrStats(spark, dir, "label")
+    val sample = all.map(_._2).toArray
+    val sq = graft.ops.Sq.fit(sample)
+    (1L to 3L).foreach(sid => ColdTier.sealCodes(spark, dir, sid, sq))
+    val pq = graft.ops.Pq.fit(sample, numSub = 4, codesPerSub = 64,
+      iterations = 6, seed = 42L)
+    (1L to 3L).foreach(sid => ColdTier.sealPqCodes(spark, dir, sid, pq))
+
+    // queries ask for labels 10 and 30 only — union admission must
+    // keep exactly segments {1, 3}; no sidecar or no filter keeps all
+    val q = Seq(
+      (0L, all(7)._2, 100000L, 1000000L, 10L),
+      (1L, all(700)._2, 100000L, 1000000L, 30L)
+    ).toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val cat = ColdTier.catalog(spark, dir)
+    assert(ColdTier.unionAdmissible(spark, dir, Some("label"), q, cat)
+      .map(_.segmentId).toSet == Set(1L, 3L))
+    assert(ColdTier.unionAdmissible(spark, dir, None, q, cat)
+      .map(_.segmentId).toSet == Set(1L, 2L, 3L))
+
+    // shortlist >= every admitted row -> the filtered compressed result
+    // IS the per-label exact top-k (both compressed paths)
+    def truth(qIdx: Int, label: Long, dead: Set[Long] = Set.empty) =
+      all.filter(t => t._4 == label && !dead(t._1))
+        .map { case (id, v, _, _) => (id, Distances.l2(all(qIdx)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val gotSq = rows(ColdTier.searchCompressed(spark, dir, q, 10, sq,
+      shortlist = 900, filterColumn = Some("label"), overfetch = 1))
+    assert(gotSq(0L) == truth(7, 10L), s"sq filtered q0: ${gotSq(0L)}")
+    assert(gotSq(1L) == truth(700, 30L), s"sq filtered q1: ${gotSq(1L)}")
+    val gotPq = rows(ColdTier.searchCompressedPq(spark, dir, q, 10, pq,
+      shortlist = 900, filterColumn = Some("label"), overfetch = 1))
+    assert(gotPq(0L) == truth(7, 10L), s"pq filtered q0: ${gotPq(0L)}")
+    assert(gotPq(1L) == truth(700, 30L), s"pq filtered q1: ${gotPq(1L)}")
+
+    // tombstoned rows die in both compressed filtered paths
+    val dead = truth(7, 10L).take(2).toSet
+    ColdTier.sealDeletes(dead.toSeq.map(id => (id, 1000000L))
+      .toDF("id", "ts"), dir, 0L)
+    val gotSqD = rows(ColdTier.searchCompressed(spark, dir, q, 10, sq,
+      shortlist = 900, filterColumn = Some("label"), overfetch = 1))
+    assert(gotSqD(0L) == truth(7, 10L, dead),
+      s"sq filtered post-delete: ${gotSqD(0L)}")
+    val gotPqD = rows(ColdTier.searchCompressedPq(spark, dir, q, 10, pq,
+      shortlist = 900, filterColumn = Some("label"), overfetch = 1))
+    assert(gotPqD(0L) == truth(7, 10L, dead),
+      s"pq filtered post-delete: ${gotPqD(0L)}")
+  }
+
   test("hnsw sidecar roundtrip: deserialized graph answers searches identically") {
     val rnd = new java.util.Random(11L)
     val store = new HnswStore(Metric.L2, m = 8, efConstruction = 64, efSearch = 32)

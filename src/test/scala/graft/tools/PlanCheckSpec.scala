@@ -50,6 +50,10 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_coldtier_sq", true, true, false),
     // PQ cold scan: ADC kernel (no join) + broadcast-join exact re-rank
     ("knn_coldtier_pq", true, true, false),
+    // filtered compressed scans: over-fetched code shortlist + the
+    // equality at the broadcast-join exact re-rank (rerankExact)
+    ("knn_coldtier_sq_filtered", true, true, false),
+    ("knn_coldtier_pq_filtered", true, true, false),
     ("knn_coldtier_hnsw", true, true, false),
     ("knn_coldtier_hnsw_sharded", true, true, false),
     ("ann_sfc_adaptive", false, true, false),
