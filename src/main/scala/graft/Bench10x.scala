@@ -113,7 +113,8 @@ object Bench10x {
     val (_, buildSec) = time {
       val segStats = graft.store.ColdTier.sealMany(
         withCell.select(col("cell").cast("long").as("segmentId"), col("id"),
-          col("vec"), col("eventTime")), tier)
+          col("vec"), col("eventTime"),
+          pmod(col("id"), lit(8)).cast("long").as("label")), tier)
       graft.store.ColdTier.sealIndexes(spark, tier,
         segStats.map(_.segmentId).toSeq,
         Metric.L2, m = 16, efConstruction = 48, maxGraphRows = 150000)
@@ -150,6 +151,26 @@ object Bench10x {
     val (fastRows, fast1) = time(fastRun())
     val fastTimes = fast1 +: (2 to reps).map { _ => System.gc(); time(fastRun())._2 }
     val fastRecall = recallVsTruth(fastRows)
+
+    // --- FILTERED serving at 10x: per-query label equality through the
+    // indexed probe (filter-oblivious graph shortlist over-fetched 8x,
+    // candidate-bounded hydration under the equality). The tier is
+    // vector-clustered, so attr admission cannot prune — this measures
+    // the hydration-side cost of a selectivity-1/8 filter at 6M rows;
+    // the full-tier attr-stats seal gets its own build key.
+    val (_, attrStatsSec) = time(
+      graft.store.ColdTier.sealAttrStats(spark, tier, "label"))
+    val qF = q10.withColumn("qfilter",
+      pmod(col("qid"), lit(8)).cast("long")).cache()
+    qF.count()
+    def filtRun() = graft.store.ColdTier.searchIndexedFiltered(spark, tier,
+        qF, 10, "label", Metric.L2, shortlist = 96, efSearch = 96,
+        probeSegments = 12, overfetch = 8).count()
+    System.gc()
+    val filt1 = time(filtRun())._2
+    val filtTimes = filt1 +: (2 to reps).map { _ =>
+      System.gc(); time(filtRun())._2 }
+    qF.unpersist()
 
     // --- V5 early termination at scale: the EWMA-assisted approximate
     // two-wave scan (terminationFactor 0.8, reference vector_options.h:
@@ -219,6 +240,10 @@ object Bench10x {
       s""""ann_fastpath_query_10x_secs":${arr(fastTimes)},""" +
       s""""ann_fastpath_recall_10x":${"%.4f".format(fastRecall)},""" +
       s""""ann_fastpath_query_per_sec_10x":${"%.1f".format(nQ10 / fastTimes.min)},""" +
+      s""""coldtier_attrstats_build_10x_sec":${"%.2f".format(attrStatsSec)},""" +
+      s""""ann_filtered_query_10x_sec":${"%.2f".format(filtTimes.min)},""" +
+      s""""ann_filtered_query_10x_secs":${arr(filtTimes)},""" +
+      s""""ann_filtered_query_per_sec_10x":${"%.1f".format(nQ10 / filtTimes.min)},""" +
       s""""coldscan_et_queries":$etNQ,""" +
       s""""coldscan_lossless_10x_sec":${"%.2f".format(losslessTimes.min)},""" +
       s""""coldscan_early_term_10x_sec":${"%.2f".format(etTimes.min)},""" +
