@@ -163,9 +163,12 @@ object Bench10x {
     val qF = q10.withColumn("qfilter",
       pmod(col("qid"), lit(8)).cast("long")).cache()
     qF.count()
+    // same terminal action as idxRun/fastRun (collect_set + driver
+    // collect) so the filtered-vs-unfiltered q/s ratio is apples-to-apples
     def filtRun() = graft.store.ColdTier.searchIndexedFiltered(spark, tier,
         qF, 10, "label", Metric.L2, shortlist = 96, efSearch = 96,
-        probeSegments = 12, overfetch = 8).count()
+        probeSegments = 12, overfetch = 8)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     System.gc()
     val filt1 = time(filtRun())._2
     val filtTimes = filt1 +: (2 to reps).map { _ =>

@@ -997,8 +997,12 @@ object ColdTier {
     val raw = spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
     require(raw.columns.contains(column),
       s"reclusterByAttr: tier has no column '$column'")
+    // the pass reads `live` several times (bucket quantiles, fit
+    // sample, optional time quantiles, the re-seal itself) — persist it
+    // so the tombstone anti-join and the tier scan run once
     val live = applyTombstones(spark, dir, raw)
       .select((coreColumns.tail ++ attributeColumns(raw)).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // k-means fit sample, strided across the id range via a hash-mod
     // filter sized from the catalog's row counts (no extra count pass).
     // An empty STRIDE does NOT mean an empty tier (catalog counts are
@@ -1015,6 +1019,7 @@ object ColdTier {
       else live.orderBy("id").limit(sampleCap)
         .select("vec").collect().map(_.getSeq[Float](0).toArray)
     if (sample.isEmpty) { // every row tombstoned: the tier empties
+      live.unpersist()
       markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
       swapCatalog(spark, dir, Array.empty)
       gc(spark, dir)
@@ -1075,12 +1080,12 @@ object ColdTier {
             .otherwise(0)
         }.cast("long")
       }
-    val out = commitRecluster(spark, dir, segs, hasLog, buildIndexes,
+    val out = try commitRecluster(spark, dir, segs, hasLog, buildIndexes,
       metric, m, efConstruction, maxGraphRows) { base =>
       live.withColumn("segmentId",
         (bucketOf.cast("long") * cellsPerBucket +
           cellOf(col("vec")).cast("long")) * timeSlices + sliceOf + base)
-    }
+    } finally live.unpersist()
     // guarantee the admission sidecar the layout exists FOR. The commit
     // tail's refreshAttrStats already re-sealed it when it existed
     // (every pass after the first), so only seal on first convergence;
@@ -2395,12 +2400,19 @@ object ColdTier {
       // plan-time literal RANGE conjuncts — each re-applied exactly as
       // a Spark Column comparison (the same coercion the exact plan the
       // rewrite replaced would apply); conjoins with everything else
-      literalRanges: Seq[RangeBound] = Nil): DataFrame = {
+      literalRanges: Seq[RangeBound] = Nil,
+      // callers that already planned the segment set (the compressed
+      // scans) pass it here — skips a second catalog FS listing +
+      // parquet read per call. Restricting it below the full catalog is
+      // on the caller: a window- or admission-filtered set is lossless
+      // (out-of-window versions can't score; a non-admitted segment's
+      // version of a candidate id fails the filter at hydration).
+      cat0: Array[SegmentStats] = null): DataFrame = {
     import spark.implicits._
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
-    val segs = catalog(spark, dir)
+    val segs = if (cat0 != null) cat0 else catalog(spark, dir)
     val fresh =
       if (w.isNullAt(0)) Array.empty[SegmentStats]
       else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
@@ -2524,9 +2536,11 @@ object ColdTier {
       // filtered hydration through the shared re-rank (the equality
       // goes through filterEquality — identical to every other
       // filtered surface); the unfiltered path below stays byte-equal
-      // to the pre-filter formulation
+      // to the pre-filter formulation. The admission-filtered segment
+      // set is passed through — lossless (see rerankExact's cat0 doc)
+      // and skips a duplicate catalog read
       return rerankExact(spark, dir, short, q, k, Metric.L2,
-        filterColumn = filterColumn)
+        filterColumn = filterColumn, cat0 = fresh)
     // exact re-rank: raw-vector IO only for shortlisted ids, per-query
     // freshness re-applied (an id can appear in several segments under
     // different timestamps — only in-window versions may score)
@@ -2631,7 +2645,7 @@ object ColdTier {
     val short = graft.ops.Ann.mergePartialLists(partials.toDF(), sl)
       .select(col("qid"), col("id"))
     rerankExact(spark, dir, short, q, k, Metric.L2,
-      filterColumn = filterColumn)
+      filterColumn = filterColumn, cat0 = fresh)
   }
 
   /** Segments of `fresh0` admitting AT LEAST ONE of the query set's
@@ -2644,7 +2658,10 @@ object ColdTier {
       filterColumn: Option[String], q: DataFrame,
       fresh0: Array[SegmentStats]): Array[SegmentStats] =
     filterColumn match {
-      case Some(f) if fresh0.nonEmpty =>
+      // sidecar existence first: without one the distinct+collect job
+      // over the query set would be paid and then discarded
+      case Some(f) if fresh0.nonEmpty &&
+          loadAttrStats(spark, dir, f).isDefined =>
         val vt = q.schema("qfilter").dataType
         val vals = q.select(col("qfilter")).distinct()
           .collect().map(_.get(0)).toSeq
