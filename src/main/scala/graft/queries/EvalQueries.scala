@@ -830,6 +830,38 @@ object EvalQueries {
         VectorQueries.K, graft.Metric.L2)
     },
 
+    "knn_coldtier_filtered_early_term" -> { (s, dir) =>
+      // the APPROXIMATE mode COMPOSED with the attribute filter: the
+      // per-query threshold is the kth best FILTERED distance from
+      // wave 1 (sound — a segment's lower bound holds for every row in
+      // it, filtered or not, so skipping lb > threshold can never drop
+      // a better filtered row; lossless at factor 1.0 is gated by
+      // knn_coldtier_filtered), run at factor 0.8 + the learned EWMA
+      // fallback over the label-MIXED tier where wave 2 exists. The
+      // approximate filtered ids land as aux and replay through the
+      // FILTERED exact re-rank — the established approximate-op recipe.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = filteredTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      val lossless = graft.store.ColdTier.search(s, tmp, queries,
+        VectorQueries.K, graft.Metric.L2, firstWaveFraction = 0.34,
+        terminationFactor = 1.0, filterColumn = Some("label"))
+      val ewma = graft.store.ColdTier.learnThreshold(lossless,
+        VectorQueries.K, None)
+      val approx = graft.store.ColdTier.search(s, tmp, queries,
+        VectorQueries.K, graft.Metric.L2, firstWaveFraction = 0.34,
+        terminationFactor = 0.8, ewmaThreshold = ewma,
+        filterColumn = Some("label"))
+      OracleAux.write(approx.select("qid", "id"), dir,
+        "coldtier_filtered_et_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_filtered_et_shortlist"), queries,
+        VectorQueries.K, graft.Metric.L2, filterColumn = Some("label"))
+    },
+
     "knn_coldtier_graph_routed" -> { (s, dir) =>
       // IVF_HNSW-style coarse quantization: ROUTING itself goes through
       // a graph walk over the segment centroids (CentroidRouter) instead
@@ -1485,6 +1517,24 @@ object EvalQueries {
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // filtered early-termination replay: the approximate FILTERED
+    // scan's ids re-ranked exactly under the same label equality (a
+    // no-op on ids the filtered scan produced — mirrored anyway so the
+    // twin replays the engine's hydration semantics verbatim)
+    "knn_coldtier_filtered_early_term" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id
+         |  FROM ${OracleAux.ref("coldtier_filtered_et_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid)
+         |  JOIN embeddings b ON b.vec_id = c.id AND b.label = q.label),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""

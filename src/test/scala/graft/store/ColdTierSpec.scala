@@ -222,6 +222,64 @@ class ColdTierSpec extends AnyFunSuite {
       s"skip fraction too small to be evidence: $scanned/$planned")
   }
 
+  test("FILTERED early termination: the threshold from filtered wave-1 results skips real probes at recall >= 0.95 vs the filtered lossless scan") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-filt-et").toString
+    val rnd = new java.util.Random(67L)
+    val dim = 8
+    // 16 well-separated cells, one segment each, labels mixed INSIDE
+    // every cell (labels never align with segments, so the filter
+    // cannot be served by admission and rides the kernel)
+    (0 until 16).foreach { c =>
+      val rows = (0 until 120).map { i =>
+        val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.3f)
+        v(0) += 4f * (c % 4); v(1) += 4f * (c / 4)
+        (c * 1000L + i, v, 500L + i, (i % 3).toLong)
+      }
+      ColdTier.seal(rows.toDF("id", "vec", "eventTime", "label"), dir,
+        c.toLong)
+    }
+    val qrnd = new java.util.Random(79L)
+    val qs = (0 until 24).map { qi =>
+      val c = qi % 16
+      val v = Array.fill(dim)(qrnd.nextGaussian().toFloat * 0.3f)
+      v(0) += 4f * (c % 4); v(1) += 4f * (c / 4)
+      (qi.toLong, v, 10000L, 100000L, (qi % 3).toLong)
+    }
+    val qdf = qs.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val losslessDf = ColdTier.search(spark, dir, qdf, 10, Metric.L2,
+      firstWaveFraction = 0.25, terminationFactor = 1.0,
+      filterColumn = Some("label"))
+    val lossless = losslessDf.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ewma = ColdTier.learnThreshold(losslessDf, 10, None)
+    assert(ewma.isDefined)
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val approx = ColdTier.search(spark, dir, qdf, 10, Metric.L2,
+        firstWaveFraction = 0.25, terminationFactor = 0.8,
+        ewmaThreshold = ewma, filterColumn = Some("label"),
+        searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    // every approximate row satisfies its query's filter
+    qs.foreach { case (qid, _, _, _, lbl) =>
+      approx.getOrElse(qid, Set.empty).foreach { id =>
+        assert((id % 1000) % 3 == lbl, s"qid $qid id $id label mismatch")
+      }
+    }
+    val recalls = qs.map { case (qid, _, _, _, _) =>
+      approx.getOrElse(qid, Set.empty)
+        .intersect(lossless(qid)).size.toDouble / lossless(qid).size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.95, s"filtered early-termination recall: $recall")
+    val planned = stats("wave2_planned")
+    val scanned = stats("wave2_scanned")
+    assert(planned > 0 && scanned < planned,
+      s"filtered early termination must skip probes: $scanned/$planned")
+  }
+
   test("linearRoute == full-sort selection, ties and partial windows included (property)") {
     val rnd = new java.util.Random(5L)
     (0 until 200).foreach { _ =>

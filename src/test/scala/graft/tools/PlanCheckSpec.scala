@@ -209,6 +209,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // V5 approximate mode: output = exact re-rank over the aux ids
     // (the skip decisions live inside the aux)
     ("knn_coldtier_early_term", true, true, false),
+    // the approximate mode composed with the attribute filter: same
+    // aux-replay recipe, filtered hydration at the re-rank
+    ("knn_coldtier_filtered_early_term", true, true, false),
     // SQL-rewrite entry OUTPUT = the exact re-rank over the aux ids
     // (broadcast candidate + query joins, vec_id=0 filter pushed); the
     // zero-file-scan property of the REWRITTEN plan itself is asserted
