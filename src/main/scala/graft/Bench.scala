@@ -901,6 +901,23 @@ object Bench {
         val scanFiltAttrRc = minOf2(ColdTier.search(spark, cdirR, cqF, 10,
           Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
           filterColumn = Some("label")).count())
+        // attr x TIME: a windowed filtered query over the unsliced
+        // attr layout (every bucket segment spans the full time range)
+        // vs the timeSlices=4 layout (each bucket x quarter-window
+        // slice) — freshness pruning composes multiplicatively with
+        // admission on the sliced tier, measured
+        val span = nSeg.toLong * per
+        val cqW = cqF.withColumn("qtime", lit(span / 4))
+          .withColumn("ttl", lit(span / 4))
+        val scanFiltWin = minOf2(ColdTier.search(spark, cdirR, cqW, 10,
+          Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
+          filterColumn = Some("label")).count())
+        val (_, attrTimeReclusterSec) = time(ColdTier.reclusterByAttr(
+          spark, cdirR, "label", buckets = 8, cellsPerBucket = 1, m = 8,
+          efConstruction = 32, timeSlices = 4))
+        val scanFiltWinSliced = minOf2(ColdTier.search(spark, cdirR, cqW,
+          10, Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
+          filterColumn = Some("label")).count())
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(cdirR))
         val (_, compactSec) = time(ColdTier.compact(spark, cdir,
@@ -943,7 +960,7 @@ object Bench {
           10, Metric.L2, efSearch = 64, probeSegments = 2,
           shortlist = 64).count())
         delRows.unpersist(); crows.unpersist(); cq.unpersist()
-        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_filtered_sec":${"%.2f".format(scanFilt)},"coldtier_scan_filtered_pruned_sec":${"%.2f".format(scanFiltPruned)},"coldtier_scan_range_sec":${"%.2f".format(scanRange)},"coldtier_scan_range_pruned_sec":${"%.2f".format(scanRangePruned)},"coldtier_attr_recluster_sec":${"%.2f".format(attrReclusterSec)},"coldtier_scan_filtered_attrrc_sec":${"%.2f".format(scanFiltAttrRc)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_accreted_cold_sec":${"%.2f".format(probe12Cold)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_probe_compacted_cold_sec":${"%.2f".format(probe2Cold)},"coldtier_compact_sec":${"%.2f".format(compactSec)},"coldtier_tombstones":$nDel,"coldtier_probe_deletes_accreted_sec":${"%.2f".format(probeDelAcc)},"coldtier_probe_deletes_consolidated_sec":${"%.2f".format(probeDelCons)},"coldtier_compact_deletes_sec":${"%.2f".format(compactDelSec)},"coldtier_recluster_sec":${"%.2f".format(reclusterSec)},"coldtier_probe_routed_fast_sec":${"%.2f".format(probeRouted)}"""
+        s""""coldtier_segments_before":$nSeg,"coldtier_segments_after":$nSegAfter,"coldtier_scan_accreted_sec":${"%.2f".format(scan12)},"coldtier_scan_filtered_sec":${"%.2f".format(scanFilt)},"coldtier_scan_filtered_pruned_sec":${"%.2f".format(scanFiltPruned)},"coldtier_scan_range_sec":${"%.2f".format(scanRange)},"coldtier_scan_range_pruned_sec":${"%.2f".format(scanRangePruned)},"coldtier_attr_recluster_sec":${"%.2f".format(attrReclusterSec)},"coldtier_scan_filtered_attrrc_sec":${"%.2f".format(scanFiltAttrRc)},"coldtier_scan_filtered_windowed_sec":${"%.2f".format(scanFiltWin)},"coldtier_attr_time_recluster_sec":${"%.2f".format(attrTimeReclusterSec)},"coldtier_scan_filtered_windowed_sliced_sec":${"%.2f".format(scanFiltWinSliced)},"coldtier_scan_compacted_sec":${"%.2f".format(scan2)},"coldtier_probe_accreted_sec":${"%.2f".format(probe12)},"coldtier_probe_accreted_cold_sec":${"%.2f".format(probe12Cold)},"coldtier_probe_compacted_sec":${"%.2f".format(probe2)},"coldtier_probe_compacted_cold_sec":${"%.2f".format(probe2Cold)},"coldtier_compact_sec":${"%.2f".format(compactSec)},"coldtier_tombstones":$nDel,"coldtier_probe_deletes_accreted_sec":${"%.2f".format(probeDelAcc)},"coldtier_probe_deletes_consolidated_sec":${"%.2f".format(probeDelCons)},"coldtier_compact_deletes_sec":${"%.2f".format(compactDelSec)},"coldtier_recluster_sec":${"%.2f".format(reclusterSec)},"coldtier_probe_routed_fast_sec":${"%.2f".format(probeRouted)}"""
       }
 
     // --- coarse-quantizer routing at CATALOG scale: a 100-TB tier at
