@@ -612,6 +612,41 @@ object Bench {
     results("bench_exact_knn") = exactSec
     spreads("bench_exact_knn") = math.max(exact1, exact2) / exactSec
 
+    // --- routed kNN JOIN at scale: all-kNN (k=5 neighbors for EVERY
+    // vector) over a 50k slice of the derived corpus. queries == corpus,
+    // so the exact formulation's corpus-as-queries broadcast is off the
+    // table; both sides route through k-means cells into a pid-keyed
+    // cogroup (the ann_knn_join shape, gate-sized at sf0.01; measured
+    // here at bench scale). 64 cells x 4 probes: pair work is
+    // Σ_cell |q_c|·|d_c| (~150M pair distances) instead of the 2.5B of
+    // an unrouted self-join at 50k.
+    val joinN = math.min(50000L, nVec).toInt
+    val joinVecs = vecs.limit(joinN).cache()
+    joinVecs.count()
+    val joinSample = joinVecs.limit(4096).select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val joinModel = KMeansPartitioner.fit(joinSample, k = 64,
+      replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 4)
+    val bJoin = spark.sparkContext.broadcast(joinModel)
+    def joinRun(): Long = {
+      val dr = joinVecs.as[(Long, Array[Float], Long)]
+        .flatMap { case (id, v, ts) =>
+          bJoin.value.dataPartitions(v, id, ts)
+            .map(pid => Ann.VecRow(pid, id, ts, v)) }
+      val qr = joinVecs.as[(Long, Array[Float], Long)]
+        .flatMap { case (qid, v, _) =>
+          bJoin.value.queryPartitions(v, Long.MaxValue / 2, Long.MaxValue / 2)
+            .map(pid => Ann.QueryRow(pid, qid, Long.MaxValue / 2,
+              Long.MaxValue / 2, v)) }
+      Ann.searchRouted(dr, qr, 6, Metric.L2, useHnsw = false)
+        .where(col("id") =!= col("qid")).count()
+    }
+    val (_, join1) = time(joinRun())
+    val (_, join2) = time(joinRun())
+    val knnJoinSec = math.min(join1, join2)
+    joinVecs.unpersist()
+    System.gc()
+
     // ANN: k-means cells + per-partition HNSW
     val sample = vecs.limit(8192).select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
@@ -1048,7 +1083,7 @@ object Bench {
         s"""{"parts":${p.parts},"p50_ms":${"%.1f".format(p.pct(0.5))},"p99_ms":${"%.1f".format(p.pct(0.99))},"insert_per_sec":${"%.1f".format(p.insertPerSec)},"reps":${
           p.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"queries":${p.nQueries}}""")
         .mkString(",")}]}"""
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"partition_balance":${"%.3f".format(balance)}"""
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"knn_join_n":$joinN,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =

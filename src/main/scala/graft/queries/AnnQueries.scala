@@ -180,12 +180,68 @@ object AnnQueries {
     Ann.searchRouted(dr, qr, K, Metric.L2, useHnsw = false)
   }
 
+  /** Routed kNN JOIN (all-kNN): for EVERY corpus vector, its
+   * [[VectorQueries.KnnJoinK]] nearest neighbors among the rest — the
+   * batch retrieval composition a training pipeline runs (hard-negative
+   * mining, cross-corpus near-dup candidates, SemDeDup's pair stage).
+   * The exact twin (`knn_join`) collects + broadcasts the corpus as its
+   * query set — right as a small-scale oracle, a driver-side corpus
+   * collect at 100 TB where queries == corpus. Here NEITHER side leaves
+   * the executors: both route through the k-means cells (data to its
+   * nearest-centroid cell, queries to [[JoinProbes]] nearest cells) and
+   * meet in a pid-keyed cogroup ([[Ann.searchRouted]]) — one shuffle per
+   * side keyed on the cell, per-cell exact stores, k rows per
+   * (query, cell) into the list merge. Pair work is Σ_cell |q_c|·|d_c|
+   * instead of n², and cell count scales with the corpus so per-cell
+   * cost stays bounded (the gate sizes below are for the 500-row sf
+   * tables).
+   *
+   * Self-match handling mirrors `knn_join`: search k+1, drop self,
+   * re-rank. Exactness of the oracle twin: the merged top-(k+1) is the
+   * global top-(k+1) over the routed candidate set (any global winner
+   * ranks within its own cell's top-(k+1)); self is always a candidate
+   * (a vector's home cell is its own nearest centroid, which the probe
+   * set includes), so whether or not self survives to the merged list,
+   * dropping it and keeping k equals the non-self candidate top-k the
+   * SQL computes directly. */
+  val JoinCells = 8
+  val JoinProbes = 5
+  private def annKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "ann_knn_join"
+    val km = fitted.getOrElseUpdate((name, dir), KMeansPartitioner.fit(
+      sample(s, dir), k = JoinCells, replicationFactor = 1, iterations = 8,
+      seed = 42L, queryProbes = JoinProbes))
+    val b = s.sparkContext.broadcast(km)
+    val base = vectorsDf(s, dir).as[(Long, Array[Float], Long)]
+    val dr = base.flatMap { case (id, v, ts) =>
+      b.value.dataPartitions(v, id, ts).map(pid => Ann.VecRow(pid, id, ts, v)) }
+    val qr = base.flatMap { case (qid, v, _) =>
+      b.value.queryPartitions(v, Long.MaxValue / 2, Long.MaxValue / 2)
+        .map(pid => Ann.QueryRow(pid, qid, Long.MaxValue / 2,
+          Long.MaxValue / 2, v)) }
+    dr.persist(); qr.persist()
+    graft.CacheRegistry.retain(s"ann:$name:$dir", Seq(dr.toDF(), qr.toDF()))
+    OracleAux.write(dr.select(col("pid"), col("id")), dir, s"${name}_dr")
+    OracleAux.write(qr.select(col("pid"), col("qid")), dir, s"${name}_qr")
+    // the re-rank window spans at most k+1 rows per qid (the merged list)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist"), col("id"))
+    Ann.searchRouted(dr, qr, VectorQueries.KnnJoinK + 1, Metric.L2,
+        useHnsw = false)
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), row_number().over(w).as("rn"), col("id"),
+        col("dist"))
+      .where(col("rn") <= VectorQueries.KnnJoinK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     models.map { case (name, mk) =>
       name -> ((s: SparkSession, dir: String) =>
         gated(name, s, dir, fitted.getOrElseUpdate((name, dir), mk(s, dir))))
     } ++ Map[String, (SparkSession, String) => DataFrame](
       "ann_ivf_filtered" -> (ivfFiltered _),
+      "ann_knn_join" -> (annKnnJoin _),
       "dedup_minhash" -> { (s, dir) =>
         // signatures are materialized as the aux table, then read back:
         // the pair generation consumes exactly the bytes the oracle
@@ -280,6 +336,22 @@ object AnnQueries {
   def oracles: Map[String, String] =
     models.keys.map(name => name -> routedOracle(name)).toMap ++ Map(
       "ann_ivf_filtered" -> routedOracle("ann_ivf_filtered"),
+      // routed-join replay: non-self candidates sharing a probed cell,
+      // global top-k per query (see annKnnJoin's exactness argument)
+      "ann_knn_join" ->
+        s"""WITH dr AS (SELECT * FROM ${OracleAux.ref("ann_knn_join_dr")}),
+           |qr AS (SELECT * FROM ${OracleAux.ref("ann_knn_join_qr")}),
+           |cand AS (SELECT DISTINCT qr.qid, dr.id
+           |  FROM qr JOIN dr ON qr.pid = dr.pid WHERE dr.id <> qr.qid),
+           |d AS (SELECT c.qid, c.id,
+           |  ${VectorQueries.l2Sql("q.embedding", "b.embedding")} AS dist
+           |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+           |  JOIN embeddings b ON b.vec_id = c.id),
+           |r AS (SELECT qid, id, dist,
+           |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+           |  FROM d)
+           |SELECT qid, rn, id, dist FROM r
+           |WHERE rn <= ${VectorQueries.KnnJoinK}""".stripMargin,
       "dedup_minhash" ->
         s"""WITH s AS (SELECT * FROM ${OracleAux.ref("dedup_minhash_sig")}),
            |b AS (SELECT * FROM ${OracleAux.ref("dedup_minhash_bands")}),

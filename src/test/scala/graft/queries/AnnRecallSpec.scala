@@ -69,6 +69,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.8, s"filtered recall $r")
   }
 
+  // The routed kNN JOIN is measured against ITS exact twin (knn_join,
+  // k=5) rather than the knn_l2 truth: the join's query set is the whole
+  // corpus. 5/8 probed cells on the near-uniform corpus bounds recall
+  // the same way ann_ivf's 8/16 does (4/8 measured 0.78; clustered real
+  // corpora are what cell routing is actually shaped for).
+  test("ann_knn_join recall@5 >= 0.8 vs exact knn_join") {
+    val truth = SparkEntry.queries("knn_join")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+    val approx = SparkEntry.queries("ann_knn_join")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+    val per = truth.map { case (qid, t) =>
+      approx.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size }
+    val r = per.sum / per.size
+    info(s"ann_knn_join recall@5 = $r")
+    assert(r >= 0.8, s"routed join recall $r")
+  }
+
   // IVF-PQ probes 6/16 cells on the same near-uniform corpus, so routing
   // alone caps recall near ann_ivf's; the compressed-domain ADC ranking
   // costs a little more, and the exact re-rank wins most of that back.

@@ -229,6 +229,10 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_sql_rewrite_range", true, true, false),
     // catalog observability view: a bare stats-parquet scan
     ("coldtier_stats", false, true, false),
+    // routed kNN JOIN: both sides route into a pid-keyed cogroup — no
+    // broadcast join anywhere (that absence IS the point: the exact
+    // knn_join's corpus-as-queries broadcast is what this shape removes)
+    ("ann_knn_join", false, true, false),
     ("part_gray", false, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
