@@ -43,7 +43,23 @@ import graft.functions.{CosineDistance, IpDistance, L2Distance}
  * The projection may list only the registered id column and the distance
  * alias (the classic vector-search answer shape): anything wider would
  * need candidate hydration — that variant stays on the exact path rather
- * than silently changing more of the query than was opted into.
+ * than silently changing more of the query than was opted into. The one
+ * tolerated extra is ANOTHER alias of the SAME distance expression: the
+ * other production top-k idiom —
+ *
+ *   SELECT id, dist FROM (
+ *     SELECT id, <distance>(vec, <literal>) AS dist,
+ *            row_number() OVER (ORDER BY <distance>(vec, <literal>)) AS rn
+ *     FROM corpus) WHERE rn <= k
+ *
+ * — optimizes (LimitPushDownThroughWindow) into exactly the matched
+ * Limit/Sort shape with the window's sort key as a duplicate `_w0`
+ * distance alias beside `dist`, the Window/Filter wrapper left above.
+ * Every such alias maps to the probe's distance, the wrapper recomputes
+ * row_number over the k probe rows (trivial), and the results match the
+ * ORDER BY ... LIMIT k form (row_number admits exactly k rows; rank-like
+ * functions don't reduce to this shape, so their tie semantics are never
+ * silently changed).
  */
 object KnnIndex {
   /** @param filterColumns attribute columns sealed into the tier's
@@ -415,10 +431,14 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if idAttr.dataType == org.apache.spark.sql.types.LongType
           if distAlias._1.dataType == DoubleType
           // the ONLY projected columns are the id and the distance — the
-          // shape the probe answers without hydration
+          // shape the probe answers without hydration. A SECOND alias of
+          // the same distance expression is tolerated (the window-rank
+          // idiom's `_w0` sort key, see the object scaladoc) — every
+          // such alias re-exposes the probe's dist below.
           if projList.forall {
             case at: AttributeReference => at.name == r.idCol
-            case al: Alias => al.exprId == distAlias._1.exprId
+            case al: Alias => al.exprId == distAlias._1.exprId ||
+              al.child.semanticEquals(distAlias._2)
             case _ => false
           }
         } yield {

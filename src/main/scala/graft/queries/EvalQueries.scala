@@ -934,6 +934,54 @@ object EvalQueries {
         SqlRewriteK, graft.Metric.L2)
     },
 
+    "knn_sql_rewrite_rank" -> { (s, dir) =>
+      // the OTHER production top-k idiom: `row_number() OVER (ORDER BY
+      // dist) <= n` instead of `ORDER BY dist LIMIT n`.
+      // LimitPushDownThroughWindow reduces it to the matched Limit/Sort
+      // shape with a duplicate `_w0` distance alias, which the rewrite
+      // tolerates (KnnRewrite scaladoc); the Window/Filter wrapper
+      // recomputes row_number over the k probe rows. The entry THROWS if
+      // any file scan survives, and the served ids replay through the
+      // exact re-rank — the knn_sql_rewrite recipe. rank()/dense_rank()
+      // never reduce to this shape (tie semantics), spec-gated negative.
+      val tmp = routedTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = 2, shortlist = SqlRewriteK)
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_rank")
+        val df = s.sql(
+          s"""SELECT vec_id, dist FROM (
+             |  SELECT vec_id, l2_distance(embedding, $arr) AS dist,
+             |    row_number() OVER (ORDER BY l2_distance(embedding, $arr))
+             |      AS rn
+             |  FROM graft_knn_corpus_rank) WHERE rn <= $SqlRewriteK"""
+            .stripMargin)
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }
+        require(scans.isEmpty, "knn_sql_rewrite_rank: the window-rank " +
+          "plan still scans files — the index rewrite did not fire")
+        OracleAux.write(
+          df.select(lit(0L).as("qid"), col("vec_id").as("id")),
+          dir, "sql_rewrite_rank_ids")
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val queries = e.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "sql_rewrite_rank_ids"), queries,
+        SqlRewriteK, graft.Metric.L2)
+    },
+
     "knn_sql_rewrite_filtered" -> { (s, dir) =>
       // the FILTERED SQL-rewrite surface (the most common production kNN
       // shape: `WHERE label = x ORDER BY dist LIMIT k`): the optimizer
@@ -1561,6 +1609,20 @@ object EvalQueries {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |  WHERE vec_id = 0),
          |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_ids")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteK"""
+        .stripMargin,
+
+    // window-rank SQL-rewrite replay: identical recipe over the ids the
+    // row_number() idiom's rewritten plan served
+    "knn_sql_rewrite_rank" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_rank_ids")}),
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),

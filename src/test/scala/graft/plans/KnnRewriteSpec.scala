@@ -121,6 +121,48 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  test("window-rank idiom: row_number() OVER (ORDER BY dist) <= k rewrites; rank() stays exact") {
+    val (corpusPath, coldDir, rows) = fixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64)
+      val q = rows(13)._2
+      val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      spark.read.parquet(corpusPath).createOrReplaceTempView("knnrw_win")
+      // LimitPushDownThroughWindow reduces this to the matched Limit/Sort
+      // shape with a duplicate `_w0` distance alias; the rewrite must
+      // fire through it and match the LIMIT form's output exactly
+      val df = spark.sql(
+        s"""SELECT id, dist FROM (
+           |  SELECT id, l2_distance(vec, $arr) AS dist,
+           |         row_number() OVER (ORDER BY l2_distance(vec, $arr))
+           |           AS rn
+           |  FROM knnrw_win) WHERE rn <= 10""".stripMargin)
+      val paths = scanPaths(df)
+      assert(paths.isEmpty,
+        s"window-rank rewrite did not fire (or left a scan): $paths")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == 10)
+      val limitForm = spark.sql(
+        s"""SELECT id, l2_distance(vec, $arr) AS dist
+           |FROM knnrw_win ORDER BY dist LIMIT 10""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.sortBy(x => (x._2, x._1)).toSeq ==
+        limitForm.sortBy(x => (x._2, x._1)).toSeq,
+        "window-rank output != ORDER BY ... LIMIT output")
+      // rank()'s tie semantics (> k rows on ties) are NOT reducible to
+      // LIMIT k — the optimizer never produces the matched shape for it
+      // and the query keeps its exact corpus scan
+      val rankDf = spark.sql(
+        s"""SELECT id, dist FROM (
+           |  SELECT id, l2_distance(vec, $arr) AS dist,
+           |         rank() OVER (ORDER BY l2_distance(vec, $arr)) AS rn
+           |  FROM knnrw_win) WHERE rn <= 10""".stripMargin)
+      assert(scanPaths(rankDf).exists(_.contains(corpusPath)),
+        "rank() variant must stay on the exact corpus scan")
+    } finally KnnIndex.clear()
+  }
+
   test("cosine registration serves cosine ORDER BY; a metric mismatch stays on the exact plan") {
     import spark.implicits._
     val rows = clustered(600)

@@ -224,6 +224,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // IN-list rewrite entry OUTPUT = the literal-filtered exact re-rank
     // over the aux ids — same broadcast shape + no-corpus-scan assertion
     ("knn_sql_rewrite_in", true, true, false),
+    // window-rank-idiom rewrite entry OUTPUT = the exact re-rank over
+    // the aux ids — the knn_sql_rewrite shape
+    ("knn_sql_rewrite_rank", true, true, false),
     // range-band rewrite entry OUTPUT = the range-filtered exact re-rank
     // over the aux ids — same broadcast shape + no-corpus-scan assertion
     ("knn_sql_rewrite_range", true, true, false),
