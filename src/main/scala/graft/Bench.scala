@@ -627,20 +627,9 @@ object Bench {
       .map(_.getSeq[Float](0).toArray)
     val joinModel = KMeansPartitioner.fit(joinSample, k = 64,
       replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 4)
-    val bJoin = spark.sparkContext.broadcast(joinModel)
-    def joinRun(): Long = {
-      val dr = joinVecs.as[(Long, Array[Float], Long)]
-        .flatMap { case (id, v, ts) =>
-          bJoin.value.dataPartitions(v, id, ts)
-            .map(pid => Ann.VecRow(pid, id, ts, v)) }
-      val qr = joinVecs.as[(Long, Array[Float], Long)]
-        .flatMap { case (qid, v, _) =>
-          bJoin.value.queryPartitions(v, Long.MaxValue / 2, Long.MaxValue / 2)
-            .map(pid => Ann.QueryRow(pid, qid, Long.MaxValue / 2,
-              Long.MaxValue / 2, v)) }
-      Ann.searchRouted(dr, qr, 6, Metric.L2, useHnsw = false)
-        .where(col("id") =!= col("qid")).count()
-    }
+    def joinRun(): Long =
+      Ann.knnJoin(joinVecs.toDF(), 5, joinModel, Metric.L2,
+        useHnsw = false).count()
     val (_, join1) = time(joinRun())
     val (_, join2) = time(joinRun())
     val knnJoinSec = math.min(join1, join2)

@@ -193,6 +193,61 @@ object Ann {
     mergePartialLists(partials.toDF(), k)
   }
 
+  /** Routed kNN JOIN (all-kNN): for EVERY vector in `vectors`, its k
+   * nearest OTHER vectors — the batch retrieval composition a training
+   * pipeline runs (hard-negative mining, cross-corpus near-dup
+   * candidates, SemDeDup's pair stage). queries == corpus here, so the
+   * [[bruteForce]]/[[search]] query-broadcast contract does not hold:
+   * NEITHER side leaves the executors — both route through the
+   * partitioner model (data to its cells, each vector-as-query to its
+   * probe cells) and meet in the pid-keyed cogroup of [[searchRouted]].
+   * One shuffle per side keyed on the cell; pair work is Σ_cell
+   * |q_c|·|d_c| instead of n², with cell count scaled to the corpus so
+   * per-cell cost stays bounded.
+   *
+   * Self matches are searched as k+1 then dropped: a vector's home cell
+   * is its own nearest centroid (in the probe set of any sane model), so
+   * self is always a candidate; removing it from the merged top-(k+1)
+   * leaves exactly the non-self top-k.
+   *
+   * @param vectors (id LONG, vec ARRAY<FLOAT>, eventTime LONG)
+   * @param model   partitioner fitted on a (sample of) the same corpus —
+   *                typically [[graft.partitioners.KMeansPartitioner]]
+   *                with cells ~ corpus/targetCellSize
+   * @return (qid, rn, id, dist) — rn 1..k by ascending (dist, id),
+   *         qid over every input id, self excluded */
+  def knnJoin(vectors: DataFrame, k: Int, model: TemporalPartitionerModel,
+      metric: Metric = Metric.L2, useHnsw: Boolean = false): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val base = vectors.select(col("id"), col("vec"), col("eventTime"))
+      .as[(Long, Array[Float], Long)]
+    val dr = base.flatMap { case (id, v, ts) =>
+      b.value.dataPartitions(v, id, ts).map(pid => VecRow(pid, id, ts, v)) }
+    val qr = base.flatMap { case (qid, v, _) =>
+      b.value.queryPartitions(v, Long.MaxValue / 2, Long.MaxValue / 2)
+        .map(pid => QueryRow(pid, qid, Long.MaxValue / 2,
+          Long.MaxValue / 2, v)) }
+    knnJoinRouted(dr, qr, k, metric, useHnsw)
+  }
+
+  /** The join downstream of routing — callers that already hold the
+   * routed rows (e.g. after materializing them as oracle aux) enter
+   * here. See [[knnJoin]] for the semantics. */
+  def knnJoinRouted(vecRows: Dataset[VecRow], queryRows: Dataset[QueryRow],
+      k: Int, metric: Metric = Metric.L2,
+      useHnsw: Boolean = false): DataFrame = {
+    // the re-rank window spans at most k+1 rows per qid (the merged list)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist"), col("id"))
+    searchRouted(vecRows, queryRows, k + 1, metric, useHnsw)
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), row_number().over(w).as("rn"), col("id"),
+        col("dist"))
+      .where(col("rn") <= k)
+  }
+
   /** Versioned-delete reconciliation for the cold tier (reference V4):
    * drop every vector row superseded or deleted by a later event for the
    * same id. `events` = (id, eventTime, isDeletion); keeps a row iff it is

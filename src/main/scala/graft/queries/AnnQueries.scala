@@ -224,15 +224,8 @@ object AnnQueries {
     graft.CacheRegistry.retain(s"ann:$name:$dir", Seq(dr.toDF(), qr.toDF()))
     OracleAux.write(dr.select(col("pid"), col("id")), dir, s"${name}_dr")
     OracleAux.write(qr.select(col("pid"), col("qid")), dir, s"${name}_qr")
-    // the re-rank window spans at most k+1 rows per qid (the merged list)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("dist"), col("id"))
-    Ann.searchRouted(dr, qr, VectorQueries.KnnJoinK + 1, Metric.L2,
-        useHnsw = false)
-      .where(col("id") =!= col("qid"))
-      .select(col("qid"), row_number().over(w).as("rn"), col("id"),
-        col("dist"))
-      .where(col("rn") <= VectorQueries.KnnJoinK)
+    Ann.knnJoinRouted(dr, qr, VectorQueries.KnnJoinK, Metric.L2,
+      useHnsw = false)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

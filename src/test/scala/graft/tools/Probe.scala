@@ -28,6 +28,18 @@ object Probe {
     val q = e.limit(1).collect()(0).getSeq[Float](1).toArray
     val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
 
+    // public-API drive: the routed kNN join over the same corpus
+    val km = graft.partitioners.KMeansPartitioner.fit(
+      e.limit(1000).select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray),
+      k = 8, replicationFactor = 1, iterations = 4, seed = 42L,
+      queryProbes = 4)
+    val joined = graft.ops.Ann.knnJoin(
+      e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").as("eventTime")), 5, km).count()
+    println(s"PROBE Ann.knnJoin rows=$joined")
+    assert(joined > 0)
+
     val windowed = spark.sql(
       s"""SELECT id, dist FROM (
          |  SELECT id, l2_distance(vec, $arr) AS dist,
@@ -38,8 +50,7 @@ object Probe {
 
     val windowed2 = spark.sql(
       s"""SELECT id, dist FROM (
-         |  SELECT id, l2_distance(vec, $arr) AS dist,
-         |         row_number() OVER (ORDER BY dist) AS rn
+         |  SELECT id, dist, row_number() OVER (ORDER BY dist) AS rn
          |  FROM (SELECT id, l2_distance(vec, $arr) AS dist
          |        FROM probe_corpus)) WHERE rn <= 5""".stripMargin)
     println("=== windowed (ORDER BY dist alias) optimized ===")
