@@ -434,6 +434,11 @@ object Bench {
          |  compact-with-deletes ${v("coldtier_compact_deletes_sec")} s. Then
          |  recluster cell-aligned (${v("coldtier_recluster_sec")} s) and serve
          |  the routed fast path at **${v("coldtier_probe_routed_fast_sec")} s**.
+         |- **Routed kNN join** (all-kNN, queries == corpus so neither
+         |  side is broadcast — both route into a pid-keyed cogroup):
+         |  ${v("knn_join_n")} vectors × 5 neighbors in
+         |  ${v("knn_join_sec")} s = **${v("knn_join_vec_per_sec")}
+         |  vec/s** (64 cells × 4 probes).
          |- **Dedup**: MinHash-LSH ${v("dedup_docs_per_sec")} docs/s (2×
          |  efficiency ${v("dedup_scaleup_efficiency")}); 10× sweep
          |  ${v("dedup_docs_per_sec_10x")} docs/s, docs-normalized scale

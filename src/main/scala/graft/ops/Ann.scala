@@ -208,7 +208,11 @@ object Ann {
    * Self matches are searched as k+1 then dropped: a vector's home cell
    * is its own nearest centroid (in the probe set of any sane model), so
    * self is always a candidate; removing it from the merged top-(k+1)
-   * leaves exactly the non-self top-k.
+   * leaves exactly the non-self top-k. The self-drop makes this a
+   * SELF-join; for a cross-corpus join (retrieve from corpus B for every
+   * row of corpus A) use [[search]] directly — its query side is a
+   * routed Dataset too (only [[bruteForce]] broadcasts queries), and no
+   * self-exclusion applies across corpora.
    *
    * @param vectors (id LONG, vec ARRAY<FLOAT>, eventTime LONG)
    * @param model   partitioner fitted on a (sample of) the same corpus —
