@@ -222,6 +222,24 @@ object Ann {
    *         qid over every input id, self excluded */
   def knnJoin(vectors: DataFrame, k: Int, model: TemporalPartitionerModel,
       metric: Metric = Metric.L2, useHnsw: Boolean = false): DataFrame = {
+    val (dr, qr) = selfJoinRouting(vectors, model)
+    knnJoinRouted(dr, qr, k, metric, useHnsw)
+  }
+
+  /** The join's query-time window: the full ±2^62 eventTime contract
+   * span (qtime = 2^62-1, ttl = 2^63-1 so the floor lands at -2^62) — a
+   * qtime of MaxValue/2 with a MaxValue/2 ttl would silently exclude
+   * negative eventTimes from every top-k (the same convention bug the
+   * SQL rewrite's scaladoc records fixing). */
+  private val JoinQtime: Long = Long.MaxValue / 2
+  private val JoinTtl: Long = Long.MaxValue
+
+  /** The (data, query) routing of a self-join: every vector routed to
+   * its cells as data AND to its probe cells as an unbounded-window
+   * query — the one copy of the construction shared by [[knnJoin]] and
+   * the oracle entry (which persists + aux-materializes the pair). */
+  def selfJoinRouting(vectors: DataFrame, model: TemporalPartitionerModel)
+      : (Dataset[VecRow], Dataset[QueryRow]) = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val b = spark.sparkContext.broadcast(model)
@@ -230,10 +248,9 @@ object Ann {
     val dr = base.flatMap { case (id, v, ts) =>
       b.value.dataPartitions(v, id, ts).map(pid => VecRow(pid, id, ts, v)) }
     val qr = base.flatMap { case (qid, v, _) =>
-      b.value.queryPartitions(v, Long.MaxValue / 2, Long.MaxValue / 2)
-        .map(pid => QueryRow(pid, qid, Long.MaxValue / 2,
-          Long.MaxValue / 2, v)) }
-    knnJoinRouted(dr, qr, k, metric, useHnsw)
+      b.value.queryPartitions(v, JoinQtime, JoinTtl)
+        .map(pid => QueryRow(pid, qid, JoinQtime, JoinTtl, v)) }
+    (dr, qr)
   }
 
   /** The join downstream of routing — callers that already hold the

@@ -207,19 +207,11 @@ object AnnQueries {
   val JoinCells = 8
   val JoinProbes = 5
   private def annKnnJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val name = "ann_knn_join"
     val km = fitted.getOrElseUpdate((name, dir), KMeansPartitioner.fit(
       sample(s, dir), k = JoinCells, replicationFactor = 1, iterations = 8,
       seed = 42L, queryProbes = JoinProbes))
-    val b = s.sparkContext.broadcast(km)
-    val base = vectorsDf(s, dir).as[(Long, Array[Float], Long)]
-    val dr = base.flatMap { case (id, v, ts) =>
-      b.value.dataPartitions(v, id, ts).map(pid => Ann.VecRow(pid, id, ts, v)) }
-    val qr = base.flatMap { case (qid, v, _) =>
-      b.value.queryPartitions(v, Long.MaxValue / 2, Long.MaxValue / 2)
-        .map(pid => Ann.QueryRow(pid, qid, Long.MaxValue / 2,
-          Long.MaxValue / 2, v)) }
+    val (dr, qr) = Ann.selfJoinRouting(vectorsDf(s, dir), km)
     dr.persist(); qr.persist()
     graft.CacheRegistry.retain(s"ann:$name:$dir", Seq(dr.toDF(), qr.toDF()))
     OracleAux.write(dr.select(col("pid"), col("id")), dir, s"${name}_dr")

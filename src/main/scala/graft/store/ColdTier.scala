@@ -657,18 +657,26 @@ object ColdTier {
    * sound; hydration restores exactness). None = no sidecar or a
    * non-numeric sidecar (range admission is numeric-only) = never
    * prune. */
+  /** Conservative CLOSED hull of a column's range bounds: missing sides
+   * are infinite; a NaN bound (non-numeric rendering) poisons its side
+   * to NaN, which both mayOverlap and estimateSelectivity treat as
+   * never-prune / unknown — the one copy of the admission-critical fold
+   * shared by segment admission and selectivity estimation. */
+  private[graft] def closedHull(bounds: Seq[RangeBound]): (Double, Double) = {
+    val lows = bounds.filter(_.isLower).map(_.asDouble)
+    val highs = bounds.filterNot(_.isLower).map(_.asDouble)
+    val lo = if (lows.isEmpty) Double.NegativeInfinity
+      else if (lows.exists(_.isNaN)) Double.NaN else lows.max
+    val hi = if (highs.isEmpty) Double.PositiveInfinity
+      else if (highs.exists(_.isNaN)) Double.NaN else highs.min
+    (lo, hi)
+  }
+
   private[graft] def admissibleIdsRange(spark: SparkSession, dir: String,
       column: String, bounds: Seq[RangeBound],
       cat0: Array[SegmentStats] = null): Option[Set[Long]] =
     loadAttrStats(spark, dir, column).filter(_.numeric).map { st =>
-      val lows = bounds.filter(_.isLower).map(_.asDouble)
-      val highs = bounds.filterNot(_.isLower).map(_.asDouble)
-      // NaN poisons max/min into NaN, which mayOverlap treats as
-      // never-prune — exactly the conservative contract
-      val lo = if (lows.isEmpty) Double.NegativeInfinity
-        else if (lows.exists(_.isNaN)) Double.NaN else lows.max
-      val hi = if (highs.isEmpty) Double.PositiveInfinity
-        else if (highs.exists(_.isNaN)) Double.NaN else highs.min
+      val (lo, hi) = closedHull(bounds)
       (if (cat0 != null) cat0 else catalog(spark, dir)).map(_.segmentId)
         .filter(st.mayOverlap(_, lo, hi)).toSet
     }
@@ -2358,12 +2366,7 @@ object ColdTier {
           case _ => Double.NaN
         }, Double.NaN, Double.NaN, cat0 = cat)
     } ++ ranges.groupBy(_.column).map { case (f, bs) =>
-      val lows = bs.filter(_.isLower).map(_.asDouble)
-      val highs = bs.filterNot(_.isLower).map(_.asDouble)
-      val lo = if (lows.isEmpty) Double.NegativeInfinity
-        else if (lows.exists(_.isNaN)) Double.NaN else lows.max
-      val hi = if (highs.isEmpty) Double.PositiveInfinity
-        else if (highs.exists(_.isNaN)) Double.NaN else highs.min
+      val (lo, hi) = closedHull(bs)
       estimateSelectivity(spark, dir, f, Nil, lo, hi, cat0 = cat)
     }).flatten.reduceOption(_ * _)
     val effOverfetch = adaptiveOverfetch(overfetch, selectivity)
@@ -2740,6 +2743,12 @@ object ColdTier {
       searchStats: Option[scala.collection.mutable.Map[String, Long]] = None)
       : DataFrame = {
     import spark.implicits._
+    // filterRange only changes HOW filterColumn is compared (band vs
+    // equality); without a column to compare against, the planning would
+    // silently take the unfiltered path and drop the band — loud > wrong
+    require(!filterRange || filterColumn.isDefined,
+      "filterRange = true requires filterColumn (the attribute the " +
+        "[qflo, qfhi] band applies to)")
     // `snapshot` = time travel: plan over the pinned catalog and the
     // pinned tombstone rows instead of the live ones — mutations sealed
     // after [[ColdTier.snapshot]] (flushes, deletes, compactions) are

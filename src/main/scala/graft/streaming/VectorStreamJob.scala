@@ -72,6 +72,14 @@ object VectorStreamJob {
   final case class Routed(pid: Int, numPartitionsSent: Int, ev: StreamEvent,
       ingestMillis: Long)
 
+  /** NOTE checkpoint compatibility: `attr` widened this state schema
+   * (3 → 4 fields inside PartitionState.vecs) — a job restarted from a
+   * checkpoint written before the attr channel existed fails Spark's
+   * state-schema check and must restart from a fresh checkpoint (replay
+   * the source; flush staging is overwrite-idempotent so a re-run
+   * converges). Future additions to stored state should extend the
+   * PARALLEL arrays on PartialResult instead, or accept the same
+   * migration cost knowingly. */
   final case class StoredVec(id: Long, ts: Long, vec: Array[Float],
       attr: String = null)
   /** Versioned tombstone: a delete at `ts` supersedes any insert of the
@@ -163,7 +171,12 @@ object VectorStreamJob {
    * `store`, and assemble the retained state. Returns partials. */
   /** A stored attr as a double for range queries: null or a
    * non-numeric rendering goes NaN (fails every compare — the hot
-   * analog of the cold kernel's `try_cast("double")` → NaN). */
+   * analog of the cold kernel's `try_cast("double")` → NaN). Parity
+   * verified empirically: Spark's string→double cast accepts the same
+   * renderings as Double.parseDouble ('2d', '0x1p3', 'Infinity',
+   * whitespace), and the one shape where they differ mechanically
+   * (empty string: null vs NumberFormatException) lands NaN on both
+   * paths. */
   private def attrDouble(s: String): Double =
     if (s == null) Double.NaN
     else try java.lang.Double.parseDouble(s.trim)
