@@ -218,11 +218,21 @@ object Ann {
    * @param model   partitioner fitted on a (sample of) the same corpus —
    *                typically [[graft.partitioners.KMeansPartitioner]]
    *                with cells ~ corpus/targetCellSize
+   * @param window  when set, the join is TEMPORAL (the reference's V3
+   *                freshness semantics composed with the join): each
+   *                vector retrieves only among rows with eventTime in
+   *                [its own eventTime - window, its own eventTime] —
+   *                "neighbors among the last W events", the
+   *                recency-bounded negative-mining / backfill-dedup
+   *                shape. Self stays in its own window (ts is the
+   *                inclusive ceiling), so the drop-self argument is
+   *                unchanged. None = unbounded (the full contract span).
    * @return (qid, rn, id, dist) — rn 1..k by ascending (dist, id),
    *         qid over every input id, self excluded */
   def knnJoin(vectors: DataFrame, k: Int, model: TemporalPartitionerModel,
-      metric: Metric = Metric.L2, useHnsw: Boolean = false): DataFrame = {
-    val (dr, qr) = selfJoinRouting(vectors, model)
+      metric: Metric = Metric.L2, useHnsw: Boolean = false,
+      window: Option[Long] = None): DataFrame = {
+    val (dr, qr) = selfJoinRouting(vectors, model, window)
     knnJoinRouted(dr, qr, k, metric, useHnsw)
   }
 
@@ -235,10 +245,13 @@ object Ann {
   private val JoinTtl: Long = Long.MaxValue
 
   /** The (data, query) routing of a self-join: every vector routed to
-   * its cells as data AND to its probe cells as an unbounded-window
-   * query — the one copy of the construction shared by [[knnJoin]] and
-   * the oracle entry (which persists + aux-materializes the pair). */
-  def selfJoinRouting(vectors: DataFrame, model: TemporalPartitionerModel)
+   * its cells as data AND to its probe cells as a query — unbounded
+   * window by default, or each vector's own [ts - window, ts] when a
+   * temporal window is requested — the one copy of the construction
+   * shared by [[knnJoin]] and the oracle entries (which persist +
+   * aux-materialize the pair). */
+  def selfJoinRouting(vectors: DataFrame, model: TemporalPartitionerModel,
+      window: Option[Long] = None)
       : (Dataset[VecRow], Dataset[QueryRow]) = {
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -247,9 +260,13 @@ object Ann {
       .as[(Long, Array[Float], Long)]
     val dr = base.flatMap { case (id, v, ts) =>
       b.value.dataPartitions(v, id, ts).map(pid => VecRow(pid, id, ts, v)) }
-    val qr = base.flatMap { case (qid, v, _) =>
-      b.value.queryPartitions(v, JoinQtime, JoinTtl)
-        .map(pid => QueryRow(pid, qid, JoinQtime, JoinTtl, v)) }
+    val qr = base.flatMap { case (qid, v, ts) =>
+      val (qtime, ttl) = window match {
+        case Some(w) => (ts, w)
+        case None => (JoinQtime, JoinTtl)
+      }
+      b.value.queryPartitions(v, qtime, ttl)
+        .map(pid => QueryRow(pid, qid, qtime, ttl, v)) }
     (dr, qr)
   }
 

@@ -220,6 +220,31 @@ object AnnQueries {
       useHnsw = false)
   }
 
+  /** TEMPORAL flavor: each vector retrieves only among rows with
+   * eventTime (:= vec_id) in [its own - JoinWindow, its own] — the
+   * reference's V3 freshness semantics composed with the join
+   * (recency-bounded negative mining / backfill dedup). The per-cell
+   * store applies the window exactly ([[graft.store.VectorStore]]
+   * search bounds), and the oracle twin re-derives it from the id
+   * (qtime := qid by the eventTime convention), so the replay needs no
+   * extra aux columns. Self is its own window's inclusive ceiling, so
+   * the k+1-drop-self argument is unchanged. */
+  val JoinWindow = 300L
+  private def annKnnJoinWindowed(s: SparkSession, dir: String): DataFrame = {
+    val name = "ann_knn_join_windowed"
+    val km = fitted.getOrElseUpdate((name, dir), KMeansPartitioner.fit(
+      sample(s, dir), k = JoinCells, replicationFactor = 1, iterations = 8,
+      seed = 42L, queryProbes = JoinProbes))
+    val (dr, qr) = Ann.selfJoinRouting(vectorsDf(s, dir), km,
+      window = Some(JoinWindow))
+    dr.persist(); qr.persist()
+    graft.CacheRegistry.retain(s"ann:$name:$dir", Seq(dr.toDF(), qr.toDF()))
+    OracleAux.write(dr.select(col("pid"), col("id")), dir, s"${name}_dr")
+    OracleAux.write(qr.select(col("pid"), col("qid")), dir, s"${name}_qr")
+    Ann.knnJoinRouted(dr, qr, VectorQueries.KnnJoinK, Metric.L2,
+      useHnsw = false)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     models.map { case (name, mk) =>
       name -> ((s: SparkSession, dir: String) =>
@@ -227,6 +252,7 @@ object AnnQueries {
     } ++ Map[String, (SparkSession, String) => DataFrame](
       "ann_ivf_filtered" -> (ivfFiltered _),
       "ann_knn_join" -> (annKnnJoin _),
+      "ann_knn_join_windowed" -> (annKnnJoinWindowed _),
       "dedup_minhash" -> { (s, dir) =>
         // signatures are materialized as the aux table, then read back:
         // the pair generation consumes exactly the bytes the oracle
@@ -328,6 +354,25 @@ object AnnQueries {
            |qr AS (SELECT * FROM ${OracleAux.ref("ann_knn_join_qr")}),
            |cand AS (SELECT DISTINCT qr.qid, dr.id
            |  FROM qr JOIN dr ON qr.pid = dr.pid WHERE dr.id <> qr.qid),
+           |d AS (SELECT c.qid, c.id,
+           |  ${VectorQueries.l2Sql("q.embedding", "b.embedding")} AS dist
+           |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+           |  JOIN embeddings b ON b.vec_id = c.id),
+           |r AS (SELECT qid, id, dist,
+           |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+           |  FROM d)
+           |SELECT qid, rn, id, dist FROM r
+           |WHERE rn <= ${VectorQueries.KnnJoinK}""".stripMargin,
+      // temporal-join replay: same recipe with the freshness window
+      // re-derived from the id (eventTime := vec_id, qtime := qid)
+      "ann_knn_join_windowed" ->
+        s"""WITH dr AS (
+           |  SELECT * FROM ${OracleAux.ref("ann_knn_join_windowed_dr")}),
+           |qr AS (
+           |  SELECT * FROM ${OracleAux.ref("ann_knn_join_windowed_qr")}),
+           |cand AS (SELECT DISTINCT qr.qid, dr.id
+           |  FROM qr JOIN dr ON qr.pid = dr.pid WHERE dr.id <> qr.qid
+           |  AND dr.id >= qr.qid - $JoinWindow AND dr.id <= qr.qid),
            |d AS (SELECT c.qid, c.id,
            |  ${VectorQueries.l2Sql("q.embedding", "b.embedding")} AS dist
            |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid

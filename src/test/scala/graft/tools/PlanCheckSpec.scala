@@ -236,6 +236,8 @@ class PlanCheckSpec extends AnyFunSuite {
     // broadcast join anywhere (that absence IS the point: the exact
     // knn_join's corpus-as-queries broadcast is what this shape removes)
     ("ann_knn_join", false, true, false),
+    // temporal flavor: same cogroup shape, window applied per cell
+    ("ann_knn_join_windowed", false, true, false),
     ("part_gray", false, true, false))
 
   /** Entries whose plan only materializes at a larger scale factor. */
