@@ -630,8 +630,12 @@ object Bench {
     joinVecs.count()
     val joinSample = joinVecs.limit(4096).select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
-    val joinModel = KMeansPartitioner.fit(joinSample, k = 64,
-      replicationFactor = 1, iterations = 4, seed = 42L, queryProbes = 4)
+    // salted: on this clustered corpus one hot cell otherwise holds a
+    // third of ALL pairs in one task (see Ann.knnJoin scaladoc)
+    val joinModel = graft.partitioners.SaltedPartitioner.fromSample(
+      KMeansPartitioner.fit(joinSample, k = 64, replicationFactor = 1,
+        iterations = 4, seed = 42L, queryProbes = 4),
+      joinSample, joinN, targetPerPartition = 500L)
     def joinRun(): Long =
       Ann.knnJoin(joinVecs.toDF(), 5, joinModel, Metric.L2,
         useHnsw = false).count()

@@ -92,6 +92,30 @@ object Bench10x {
       r.getSeq[Long](1).count(t.contains).toDouble / t.size
     }
 
+    // --- routed kNN JOIN at 4x the 1x bench point (200k vectors vs
+    // 50k), cells scaled with the corpus (256 vs 64 -> constant
+    // ~800-row cells, the sizing policy the operator's scaladoc states)
+    // — the join's scaling evidence: vec/s here vs knn_join_vec_per_sec
+    // at 1x is the pair-work-normalized claim, since per-cell pair mass
+    // is held constant by construction
+    val joinN10 = math.min(200000L, nVec10).toInt
+    val joinVecs10 = vecs10.limit(joinN10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    joinVecs10.count()
+    // salted like the 1x point (one hot cell otherwise serializes a
+    // third of the pair mass — Ann.knnJoin scaladoc)
+    val joinModel10 = SaltedPartitioner.fromSample(
+      KMeansPartitioner.fit(sample, k = 256, replicationFactor = 1,
+        iterations = 4, seed = 42L, queryProbes = 4),
+      sample, joinN10, targetPerPartition = 500L)
+    def joinRun10() = Ann.knnJoin(joinVecs10.toDF(), 5, joinModel10,
+      Metric.L2, useHnsw = false).count()
+    System.gc()
+    val (_, join1) = time(joinRun10())
+    val joinTimes = join1 +: (2 to reps).map { _ =>
+      System.gc(); time(joinRun10())._2 }
+    joinVecs10.unpersist()
+
     // --- the amortized serving shape: ann_10x_sec above REBUILDS every
     // per-partition graph per run (insert+query throughput — the
     // streaming number), so comparing it against a cached-corpus scan
@@ -247,6 +271,10 @@ object Bench10x {
       s""""ann_filtered_query_10x_sec":${"%.2f".format(filtTimes.min)},""" +
       s""""ann_filtered_query_10x_secs":${arr(filtTimes)},""" +
       s""""ann_filtered_query_per_sec_10x":${"%.1f".format(nQ10 / filtTimes.min)},""" +
+      s""""knn_join_n_10x":$joinN10,""" +
+      s""""knn_join_sec_10x":${"%.2f".format(joinTimes.min)},""" +
+      s""""knn_join_secs_10x":${arr(joinTimes)},""" +
+      s""""knn_join_vec_per_sec_10x":${"%.1f".format(joinN10 / joinTimes.min)},""" +
       s""""coldscan_et_queries":$etNQ,""" +
       s""""coldscan_lossless_10x_sec":${"%.2f".format(losslessTimes.min)},""" +
       s""""coldscan_early_term_10x_sec":${"%.2f".format(etTimes.min)},""" +

@@ -2,67 +2,90 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.Metric
 
-/** Scratch dev driver (see verify skill): currently prints the OPTIMIZED
- * logical plan of the window-rank top-k SQL idiom over a parquet corpus,
- * so the KnnProbeRewrite widening matches the real post-optimizer shape
- * (extraOptimizations run after the main batches — InferWindowGroupLimit
- * etc. have already fired). */
+/** Scratch dev driver (see verify skill): currently profiles the routed
+ * kNN join's stages — routing flatMaps, the cogroup partials, the list
+ * merge, the final window — to find where the 47 s at 100k vectors goes
+ * (the pair-scan arithmetic alone is ~3 s at calib speed). */
 object Probe {
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEntry.configure(SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.GraftFunctions.register(spark)
-    val dir = "/root/testdata/sf0.001"
-    val corpusPath = java.nio.file.Files
-      .createTempDirectory("probe-corpus").toString
-    spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"),
-        col("label"))
-      .write.mode("overwrite").parquet(corpusPath)
-    spark.read.parquet(corpusPath).createOrReplaceTempView("probe_corpus")
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    val q = e.limit(1).collect()(0).getSeq[Float](1).toArray
-    val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+    import spark.implicits._
+    import graft.ops.Ann
+    import graft.partitioners.KMeansPartitioner
 
-    // public-API drive: the routed kNN join over the same corpus
-    val km = graft.partitioners.KMeansPartitioner.fit(
-      e.limit(1000).select("embedding").collect()
-        .map(_.getSeq[Float](0).toArray),
-      k = 8, replicationFactor = 1, iterations = 4, seed = 42L,
-      queryProbes = 4)
-    val joined = graft.ops.Ann.knnJoin(
-      e.select(col("vec_id").as("id"), col("embedding").as("vec"),
-        col("vec_id").as("eventTime")), 5, km).count()
-    println(s"PROBE Ann.knnJoin rows=$joined")
-    assert(joined > 0)
+    val sfDir = "/root/testdata/sf0.01"
+    val n = 100000
+    val vecs = graft.Bench.derivedVectorsN(spark, sfDir, 2)
+      .limit(n).repartition(16).cache()
+    vecs.count()
+    val sample = vecs.limit(4096).select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val model = graft.partitioners.SaltedPartitioner.fromSample(
+      KMeansPartitioner.fit(sample, k = 128, replicationFactor = 1,
+        iterations = 4, seed = 42L, queryProbes = 4),
+      sample, n, targetPerPartition = 500L)
 
-    val windowed = spark.sql(
-      s"""SELECT id, dist FROM (
-         |  SELECT id, l2_distance(vec, $arr) AS dist,
-         |         row_number() OVER (ORDER BY l2_distance(vec, $arr)) AS rn
-         |  FROM probe_corpus) WHERE rn <= 5""".stripMargin)
-    println("=== windowed (alias in OVER not referenced) optimized ===")
-    println(windowed.queryExecution.optimizedPlan.treeString)
+    val calib = graft.Bench.calibrationBf(spark, 16)
 
-    val windowed2 = spark.sql(
-      s"""SELECT id, dist FROM (
-         |  SELECT id, dist, row_number() OVER (ORDER BY dist) AS rn
-         |  FROM (SELECT id, l2_distance(vec, $arr) AS dist
-         |        FROM probe_corpus)) WHERE rn <= 5""".stripMargin)
-    println("=== windowed (ORDER BY dist alias) optimized ===")
-    println(windowed2.queryExecution.optimizedPlan.treeString)
+    // stage 1: routing flatMaps alone
+    val (dr, qr) = Ann.selfJoinRouting(vecs.toDF(), model)
+    val (nd, tDr) = time(dr.count())
+    val (nq, tQr) = time(qr.count())
 
-    val filtered = spark.sql(
-      s"""SELECT id, dist FROM (
-         |  SELECT id, l2_distance(vec, $arr) AS dist,
-         |         row_number() OVER (ORDER BY l2_distance(vec, $arr)) AS rn
-         |  FROM probe_corpus WHERE label = 3) WHERE rn <= 5""".stripMargin)
-    println("=== windowed + WHERE label optimized ===")
-    println(filtered.queryExecution.optimizedPlan.treeString)
+    // stage 2: cogroup partials (current exactCellScan), no merge
+    def partials() = dr.groupByKey(_.pid).cogroup(qr.groupByKey(_.pid)) {
+      (_, vs, qs) =>
+        val qList = qs.toArray
+        if (qList.isEmpty) Iterator.empty
+        else {
+          // same as Ann's private exactCellScan query-outer branch via
+          // the public path: count through knnJoinRouted is stage 3;
+          // here emit one marker per query to time cogroup+scan alone
+          val rows = vs.toArray
+          var acc = 0L
+          java.util.Arrays.sort(rows.map(_.id))
+          acc += rows.length
+          Iterator.single(acc + qList.length)
+        }
+    }
+    val (_, tCgNoScan) = time(partials().toDF().count())
+
+    // stage 3: full search (cogroup + scan + list merge), no window
+    val (_, tSearch) = time(
+      Ann.searchRouted(dr, qr, 6, Metric.L2, useHnsw = false).count())
+
+    // stage 4: the whole operator
+    val (_, tFull) = time(Ann.knnJoin(vecs.toDF(), 5, model).count())
+
+    // skew diagnosis: per-cell pair mass (|d_c| * |q_c|), top cells
+    val dc = dr.groupByKey(_.pid).count().toDF("pid", "nd")
+    val qc = qr.groupByKey(_.pid).count().toDF("pid2", "nq")
+    val mass = dc.join(qc, col("pid") === col("pid2"))
+      .select(col("pid"), col("nd"), col("nq"),
+        (col("nd") * col("nq")).as("pairs"))
+      .orderBy(col("pairs").desc).limit(8).collect()
+    val total = dc.join(qc, col("pid") === col("pid2"))
+      .agg(sum(col("nd") * col("nq"))).first().getLong(0)
+    println(s"PROBE join-skew totalPairs=$total top=" + mass.map(r =>
+      s"(pid=${r.getInt(0)} d=${r.getLong(1)} q=${r.getLong(2)} " +
+      s"p=${r.getLong(3)})").mkString(" "))
+
+    println(s"PROBE join-profile n=$n calib=${"%.2f".format(calib)} " +
+      s"dr=${"%.1f".format(tDr)}s($nd rows) qr=${"%.1f".format(tQr)}s($nq) " +
+      s"cogroup-noscan=${"%.1f".format(tCgNoScan)}s " +
+      s"searchRouted=${"%.1f".format(tSearch)}s " +
+      s"full=${"%.1f".format(tFull)}s")
     spark.stop()
   }
 }
