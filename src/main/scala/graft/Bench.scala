@@ -435,10 +435,14 @@ object Bench {
          |  recluster cell-aligned (${v("coldtier_recluster_sec")} s) and serve
          |  the routed fast path at **${v("coldtier_probe_routed_fast_sec")} s**.
          |- **Routed kNN join** (all-kNN, queries == corpus so neither
-         |  side is broadcast — both route into a pid-keyed cogroup):
+         |  side is broadcast — both route into a pid-keyed cogroup,
+         |  salted so no hot cell serializes the pair mass):
          |  ${v("knn_join_n")} vectors × 5 neighbors in
          |  ${v("knn_join_sec")} s = **${v("knn_join_vec_per_sec")}
-         |  vec/s** (64 cells × 4 probes).
+         |  vec/s** exact (64 cells × 4 probes); the per-sub-cell HNSW
+         |  flavor ${v("knn_join_hnsw_sec")} s
+         |  (${v("knn_join_hnsw_vec_per_sec")} vec/s) at recall@5
+         |  ${v("knn_join_hnsw_recall")} vs the exact join.
          |- **Dedup**: MinHash-LSH ${v("dedup_docs_per_sec")} docs/s (2×
          |  efficiency ${v("dedup_scaleup_efficiency")}); 10× sweep
          |  ${v("dedup_docs_per_sec_10x")} docs/s, docs-normalized scale
@@ -636,12 +640,29 @@ object Bench {
       KMeansPartitioner.fit(joinSample, k = 64, replicationFactor = 1,
         iterations = 4, seed = 42L, queryProbes = 4),
       joinSample, joinN, targetPerPartition = 500L)
-    def joinRun(): Long =
-      Ann.knnJoin(joinVecs.toDF(), 5, joinModel, Metric.L2,
-        useHnsw = false).count()
-    val (_, join1) = time(joinRun())
+    def joinRun() = Ann.knnJoin(joinVecs.toDF(), 5, joinModel, Metric.L2,
+        useHnsw = false)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    val (joinRows, join1) = time(joinRun())
     val (_, join2) = time(joinRun())
     val knnJoinSec = math.min(join1, join2)
+    // the HNSW flavor (per-sub-cell graphs built inside the run) — the
+    // quality/speed point a production all-kNN runs when exactness isn't
+    // contractual; recall measured against the exact join's output
+    System.gc()
+    val (joinHRows, joinHnswSec) = time(
+      Ann.knnJoin(joinVecs.toDF(), 5, joinModel, Metric.L2, useHnsw = true,
+          window = None)
+        .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect())
+    val joinTruth = joinRows.map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val joinHRecall = {
+      val per = joinHRows.flatMap { r =>
+        joinTruth.get(r.getLong(0)).map(t =>
+          r.getSeq[Long](1).count(t.contains).toDouble / t.size)
+      }
+      if (per.nonEmpty) per.sum / per.length else 0.0
+    }
     joinVecs.unpersist()
     System.gc()
 
@@ -1081,7 +1102,7 @@ object Bench {
         s"""{"parts":${p.parts},"p50_ms":${"%.1f".format(p.pct(0.5))},"p99_ms":${"%.1f".format(p.pct(0.99))},"insert_per_sec":${"%.1f".format(p.insertPerSec)},"reps":${
           p.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"queries":${p.nQueries}}""")
         .mkString(",")}]}"""
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"knn_join_n":$joinN,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"partition_balance":${"%.3f".format(balance)}"""
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"knn_join_n":$joinN,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"knn_join_hnsw_sec":${"%.2f".format(joinHnswSec)},"knn_join_hnsw_vec_per_sec":${"%.1f".format(joinN / joinHnswSec)},"knn_join_hnsw_recall":${"%.4f".format(joinHRecall)},"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =
