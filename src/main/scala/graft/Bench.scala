@@ -640,6 +640,17 @@ object Bench {
       KMeansPartitioner.fit(joinSample, k = 64, replicationFactor = 1,
         iterations = 4, seed = 42L, queryProbes = 4),
       joinSample, joinN, targetPerPartition = 500L)
+    // measured pair mass Σ_cell |d_c|·|q_c| — the join's actual workload
+    // (clusters pull queries into dense cells, so it exceeds the uniform
+    // n²·probes/cells estimate); pairs/s is the kernel-bound claim, like
+    // dedup's pair-normalized keys
+    val joinPairs = {
+      val (dj, qj) = Ann.selfJoinRouting(joinVecs.toDF(), joinModel)
+      dj.groupByKey(_.pid).count().toDF("pid", "nd")
+        .join(qj.groupByKey(_.pid).count().toDF("pid2", "nq"),
+          col("pid") === col("pid2"))
+        .agg(sum(col("nd") * col("nq"))).first().getLong(0)
+    }
     def joinRun() = Ann.knnJoin(joinVecs.toDF(), 5, joinModel, Metric.L2,
         useHnsw = false)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
@@ -1102,7 +1113,7 @@ object Bench {
         s"""{"parts":${p.parts},"p50_ms":${"%.1f".format(p.pct(0.5))},"p99_ms":${"%.1f".format(p.pct(0.99))},"insert_per_sec":${"%.1f".format(p.insertPerSec)},"reps":${
           p.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"queries":${p.nQueries}}""")
         .mkString(",")}]}"""
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"knn_join_n":$joinN,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"knn_join_hnsw_sec":${"%.2f".format(joinHnswSec)},"knn_join_hnsw_vec_per_sec":${"%.1f".format(joinN / joinHnswSec)},"knn_join_hnsw_recall":${"%.4f".format(joinHRecall)},"partition_balance":${"%.3f".format(balance)}"""
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"knn_join_n":$joinN,"knn_join_pairs":$joinPairs,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"knn_join_pairs_per_sec":${"%.1f".format(joinPairs / knnJoinSec)},"knn_join_hnsw_sec":${"%.2f".format(joinHnswSec)},"knn_join_hnsw_vec_per_sec":${"%.1f".format(joinN / joinHnswSec)},"knn_join_hnsw_recall":${"%.4f".format(joinHRecall)},"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =

@@ -108,6 +108,17 @@ object Bench10x {
       KMeansPartitioner.fit(sample, k = 256, replicationFactor = 1,
         iterations = 4, seed = 42L, queryProbes = 4),
       sample, joinN10, targetPerPartition = 500L)
+    // measured pair mass — same attribution key as the 1x point, so the
+    // scale pair separates workload growth (clusters densify) from lost
+    // kernel efficiency (the dedup pair-normalized recipe)
+    val joinPairs10 = {
+      import spark.implicits._
+      val (dj, qj) = Ann.selfJoinRouting(joinVecs10.toDF(), joinModel10)
+      dj.groupByKey(_.pid).count().toDF("pid", "nd")
+        .join(qj.groupByKey(_.pid).count().toDF("pid2", "nq"),
+          col("pid") === col("pid2"))
+        .agg(sum(col("nd") * col("nq"))).first().getLong(0)
+    }
     def joinRun10() = Ann.knnJoin(joinVecs10.toDF(), 5, joinModel10,
       Metric.L2, useHnsw = false).count()
     System.gc()
@@ -272,9 +283,11 @@ object Bench10x {
       s""""ann_filtered_query_10x_secs":${arr(filtTimes)},""" +
       s""""ann_filtered_query_per_sec_10x":${"%.1f".format(nQ10 / filtTimes.min)},""" +
       s""""knn_join_n_10x":$joinN10,""" +
+      s""""knn_join_pairs_10x":$joinPairs10,""" +
       s""""knn_join_sec_10x":${"%.2f".format(joinTimes.min)},""" +
       s""""knn_join_secs_10x":${arr(joinTimes)},""" +
       s""""knn_join_vec_per_sec_10x":${"%.1f".format(joinN10 / joinTimes.min)},""" +
+      s""""knn_join_pairs_per_sec_10x":${"%.1f".format(joinPairs10 / joinTimes.min)},""" +
       s""""coldscan_et_queries":$etNQ,""" +
       s""""coldscan_lossless_10x_sec":${"%.2f".format(losslessTimes.min)},""" +
       s""""coldscan_early_term_10x_sec":${"%.2f".format(etTimes.min)},""" +
