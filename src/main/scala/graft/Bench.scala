@@ -437,12 +437,16 @@ object Bench {
          |- **Routed kNN join** (all-kNN, queries == corpus so neither
          |  side is broadcast — both route into a pid-keyed cogroup,
          |  salted so no hot cell serializes the pair mass):
-         |  ${v("knn_join_n")} vectors × 5 neighbors in
-         |  ${v("knn_join_sec")} s = **${v("knn_join_vec_per_sec")}
-         |  vec/s** exact (64 cells × 4 probes); the per-sub-cell HNSW
-         |  flavor ${v("knn_join_hnsw_sec")} s
-         |  (${v("knn_join_hnsw_vec_per_sec")} vec/s) at recall@5
-         |  ${v("knn_join_hnsw_recall")} vs the exact join.
+         |  ${v("knn_join_n")} vectors × 5 neighbors,
+         |  ${v("knn_join_pairs")} measured candidate pairs in
+         |  ${v("knn_join_sec")} s = **${v("knn_join_pairs_per_sec")}
+         |  pairs/s** exact; at 4× the vectors the Bench10x child
+         |  measures ${v("knn_join_pairs_10x")} pairs at
+         |  ${v("knn_join_pairs_per_sec_10x")} pairs/s
+         |  (pair-normalized scaling, the claim the banded design
+         |  makes). The per-sub-cell HNSW flavor runs
+         |  ${v("knn_join_hnsw_sec")} s vs ${v("knn_join_sec")} s exact
+         |  at recall@5 ${v("knn_join_hnsw_recall")}.
          |- **Dedup**: MinHash-LSH ${v("dedup_docs_per_sec")} docs/s (2×
          |  efficiency ${v("dedup_scaleup_efficiency")}); 10× sweep
          |  ${v("dedup_docs_per_sec_10x")} docs/s, docs-normalized scale
@@ -622,14 +626,16 @@ object Bench {
     spreads("bench_exact_knn") = math.max(exact1, exact2) / exactSec
 
     // --- routed kNN JOIN at scale: all-kNN (k=5 neighbors for EVERY
-    // vector) over a 50k slice of the derived corpus. queries == corpus,
+    // vector) over a 30k slice of the derived corpus. queries == corpus,
     // so the exact formulation's corpus-as-queries broadcast is off the
     // table; both sides route through k-means cells into a pid-keyed
     // cogroup (the ann_knn_join shape, gate-sized at sf0.01; measured
-    // here at bench scale). 64 cells x 4 probes: pair work is
-    // Σ_cell |q_c|·|d_c| (~150M pair distances) instead of the 2.5B of
-    // an unrouted self-join at 50k.
-    val joinN = math.min(50000L, nVec).toInt
+    // here at bench scale, with the 4x sibling in the Bench10x child).
+    // Cells sized ~corpus/300 and salted; the measured pair mass rides
+    // the artifact so pairs/s (not vec/s) carries the kernel claim —
+    // the first corpus slice is cluster-dense, so pair mass runs ~3x
+    // the uniform n²·probes/cells estimate.
+    val joinN = math.min(30000L, nVec).toInt
     val joinVecs = vecs.limit(joinN).cache()
     joinVecs.count()
     val joinSample = joinVecs.limit(4096).select("vec").collect()
@@ -637,7 +643,7 @@ object Bench {
     // salted: on this clustered corpus one hot cell otherwise holds a
     // third of ALL pairs in one task (see Ann.knnJoin scaladoc)
     val joinModel = graft.partitioners.SaltedPartitioner.fromSample(
-      KMeansPartitioner.fit(joinSample, k = 64, replicationFactor = 1,
+      KMeansPartitioner.fit(joinSample, k = 96, replicationFactor = 1,
         iterations = 4, seed = 42L, queryProbes = 4),
       joinSample, joinN, targetPerPartition = 500L)
     // measured pair mass Σ_cell |d_c|·|q_c| — the join's actual workload
