@@ -92,12 +92,12 @@ object Bench10x {
       r.getSeq[Long](1).count(t.contains).toDouble / t.size
     }
 
-    // --- routed kNN JOIN at 4x the 1x bench point (200k vectors vs
-    // 50k), cells scaled with the corpus (256 vs 64 -> constant
-    // ~800-row cells, the sizing policy the operator's scaladoc states)
-    // — the join's scaling evidence: vec/s here vs knn_join_vec_per_sec
-    // at 1x is the pair-work-normalized claim, since per-cell pair mass
-    // is held constant by construction
+    // --- routed kNN JOIN at the scale point (200k vectors vs the
+    // parent's 30k), cells scaled with the corpus (256 vs 96 — the
+    // cells ~ corpus/constant policy the operator's scaladoc states).
+    // The scaling claim is PAIRS/S against the parent's key: pair mass
+    // is measured (below), not assumed — clusters densify with the
+    // corpus, so the workload grows faster than vector count
     val joinN10 = math.min(200000L, nVec10).toInt
     val joinVecs10 = vecs10.limit(joinN10)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

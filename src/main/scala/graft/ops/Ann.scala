@@ -26,6 +26,25 @@ import graft.store.{ExactStore, HnswStore, VectorStore}
  */
 object Ann {
 
+  /** Candidate admission shared by EVERY exact scan kernel (bruteForce
+   * and both loop orders of the per-cell scan): the L2 path computes
+   * through the bounded early-abandon distance — bit-identical results,
+   * since the partial sum of squares is nondecreasing, so abandoning
+   * past the heap's admission bound can never change the top-k — and
+   * other metrics compute in full. A NaN distance (NaN vector
+   * component) never admits on the L2 path; NaN inputs are out of
+   * contract for these kernels (bruteForce, the oracle-gated baseline,
+   * has always behaved this way). One copy, so the bit-exactness
+   * contract cannot drift between kernels. */
+  @inline private def offerBounded(h: graft.functions.BoundedTopK,
+      qv: Array[Float], v: Array[Float], id: Long, l2Abandon: Boolean,
+      distFn: (Array[Float], Array[Float]) => Double): Unit =
+    if (l2Abandon) {
+      val bd = h.bound
+      val d = graft.functions.Distances.l2Bounded(qv, v, bd)
+      if (d <= bd) h.offer(d, id)
+    } else h.offer(distFn(qv, v), id)
+
   final case class VecRow(pid: Int, id: Long, ts: Long, vec: Array[Float])
   final case class QueryRow(pid: Int, qid: Long, qtime: Long, ttl: Long, vec: Array[Float])
   final case class Partial(qid: Long, id: Long, dist: Double)
@@ -157,14 +176,8 @@ object Ann {
         var qi = 0
         while (qi < nq) {
           val q = qsSorted(qi)
-          if (t >= q.qtime - q.ttl && t <= q.qtime) {
-            val h = heaps(qi)
-            if (l2Abandon) {
-              val bd = h.bound
-              val d = graft.functions.Distances.l2Bounded(q.vec, v, bd)
-              if (d <= bd) h.offer(d, id)
-            } else h.offer(distFn(q.vec, v), id)
-          }
+          if (t >= q.qtime - q.ttl && t <= q.qtime)
+            offerBounded(heaps(qi), q.vec, v, id, l2Abandon, distFn)
           qi += 1
         }
         r += 1
@@ -184,13 +197,8 @@ object Ann {
         var r = 0
         while (r < m) {
           val t = ts(r)
-          if (t >= floor && t <= q.qtime) {
-            if (l2Abandon) {
-              val bd = h.bound
-              val d = graft.functions.Distances.l2Bounded(q.vec, vv(r), bd)
-              if (d <= bd) h.offer(d, ids(r))
-            } else h.offer(distFn(q.vec, vv(r)), ids(r))
-          }
+          if (t >= floor && t <= q.qtime)
+            offerBounded(h, q.vec, vv(r), ids(r), l2Abandon, distFn)
           r += 1
         }
         val (hid, hd) = h.drainSorted()
@@ -261,14 +269,8 @@ object Ann {
             var qi = 0
             while (qi < nq) {
               val q = qs(qi)
-              if (ts >= q._3 - q._4 && ts <= q._3) {
-                val h = heaps(qi)
-                if (l2Abandon) {
-                  val bd = h.bound
-                  val d = graft.functions.Distances.l2Bounded(q._2, v, bd)
-                  if (d <= bd) h.offer(d, id)
-                } else h.offer(distFn(q._2, v), id)
-              }
+              if (ts >= q._3 - q._4 && ts <= q._3)
+                offerBounded(heaps(qi), q._2, v, id, l2Abandon, distFn)
               qi += 1
             }
           }

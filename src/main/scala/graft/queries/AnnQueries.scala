@@ -206,11 +206,17 @@ object AnnQueries {
    * SQL computes directly. */
   val JoinCells = 8
   val JoinProbes = 5
+  /** One fit for BOTH join entries: the windowed flavor uses the same
+   * (sample, cells, seed, probes), so a second k-means run would be
+   * byte-identical waste. */
+  private def joinModel(s: SparkSession, dir: String) =
+    fitted.getOrElseUpdate(("ann_knn_join_model", dir), KMeansPartitioner
+      .fit(sample(s, dir), k = JoinCells, replicationFactor = 1,
+        iterations = 8, seed = 42L, queryProbes = JoinProbes))
+
   private def annKnnJoin(s: SparkSession, dir: String): DataFrame = {
     val name = "ann_knn_join"
-    val km = fitted.getOrElseUpdate((name, dir), KMeansPartitioner.fit(
-      sample(s, dir), k = JoinCells, replicationFactor = 1, iterations = 8,
-      seed = 42L, queryProbes = JoinProbes))
+    val km = joinModel(s, dir)
     val (dr, qr) = Ann.selfJoinRouting(vectorsDf(s, dir), km)
     dr.persist(); qr.persist()
     graft.CacheRegistry.retain(s"ann:$name:$dir", Seq(dr.toDF(), qr.toDF()))
@@ -232,9 +238,7 @@ object AnnQueries {
   val JoinWindow = 300L
   private def annKnnJoinWindowed(s: SparkSession, dir: String): DataFrame = {
     val name = "ann_knn_join_windowed"
-    val km = fitted.getOrElseUpdate((name, dir), KMeansPartitioner.fit(
-      sample(s, dir), k = JoinCells, replicationFactor = 1, iterations = 8,
-      seed = 42L, queryProbes = JoinProbes))
+    val km = joinModel(s, dir)
     val (dr, qr) = Ann.selfJoinRouting(vectorsDf(s, dir), km,
       window = Some(JoinWindow))
     dr.persist(); qr.persist()
