@@ -36,9 +36,14 @@ import graft.functions.{CosineDistance, IpDistance, L2Distance}
  *
  *   GlobalLimit k
  *     LocalLimit k
- *       Sort [dist ASC], global
+ *       Sort [dist ASC] | [dist ASC, idCol ASC], global
  *         Project [idCol, Alias(distance(vecCol, foldable) | swapped) AS dist]
  *           LogicalRelation parquet(registered path)
+ *
+ * The optional second sort key is the deterministic-pagination tie-break
+ * on the registered id column — the probe's merge contract already
+ * orders by (dist, id), so the tie-broken form is served by the
+ * identical probe; any other second key keeps the exact plan.
  *
  * The projection may list only the registered id column and the distance
  * alias (the classic vector-search answer shape): anything wider would
@@ -390,10 +395,16 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.get("spark.graft.knn.rewrite", "true") != "true") return plan
     plan.transformDown {
+      // one or two ascending sort keys: the distance alone, or the
+      // deterministic pagination form `ORDER BY dist, id` — the probe's
+      // merge contract already orders by (dist, id), so the tie-broken
+      // form is served by the identical probe (the second key is
+      // validated as the registered id column inside the match body)
       case lim @ Limit(IntegerLiteral(k),
-          Sort(Seq(SortOrder(sortRef: AttributeReference, Ascending, _, _)),
+          Sort(SortOrder(sortRef: AttributeReference, Ascending, _, _)
+              +: restOrders,
             true, Project(projList, below), _))
-          if relationPaths(below match {
+          if restOrders.length <= 1 && relationPaths(below match {
             case Filter(_, ch) => ch
             case ch => ch
           }).nonEmpty =>
@@ -425,6 +436,13 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if vecAttr.name == r.vecCol
           idAttr <- projList.collectFirst {
             case at: AttributeReference if at.name == r.idCol => at
+          }
+          // a second sort key must be the registered id column ascending
+          // (the probe's own tie-break); anything else keeps exact
+          if restOrders.forall {
+            case SortOrder(ar: AttributeReference, Ascending, _, _) =>
+              ar.exprId == idAttr.exprId
+            case _ => false
           }
           // schema parity with the probe output (id LONG, dist DOUBLE) —
           // an exprId swap under a different type would corrupt parents
@@ -499,9 +517,12 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val pdist = probePlan.output.find(_.name == "dist").get
           // re-expose the probe's columns under the ORIGINAL attribute
           // ids so every parent operator keeps resolving; re-assert the
-          // ordering contract the matched Sort promised
+          // ordering contract the matched Sort promised — (dist, id) is
+          // the probe's own total order, a superset of the single-key
+          // promise and exactly the tie-broken two-key one
           val ordered = Sort(
-            Seq(SortOrder(pdist, Ascending)), global = true, probePlan)
+            Seq(SortOrder(pdist, Ascending), SortOrder(pid, Ascending)),
+            global = true, probePlan)
           val out: Seq[NamedExpression] = projList.map {
             case at: AttributeReference =>
               Alias(pid, at.name)(exprId = at.exprId)

@@ -121,6 +121,36 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  test("tie-broken ORDER BY dist, id LIMIT k rewrites; a non-id tie-break stays exact") {
+    val (corpusPath, coldDir, rows) = fixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64)
+      val q = rows(21)._2
+      val corpus = spark.read.parquet(corpusPath)
+      // the deterministic-pagination form: the probe's own (dist, id)
+      // total order serves it, results must equal the single-key form
+      val tied = corpus
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy(col("dist"), col("id")).limit(10)
+      assert(scanPaths(tied).isEmpty,
+        s"tie-broken ORDER BY did not rewrite: ${scanPaths(tied)}")
+      val single = corpus
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy(col("dist")).limit(10)
+      assert(tied.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        single.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        "tie-broken output != single-key output")
+      // a second key that is not `id ASC` — same projection, so ONLY
+      // the tie-break validation can reject it: exact plan
+      val wrong = corpus
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy(col("dist"), col("id").desc).limit(10)
+      assert(scanPaths(wrong).exists(_.contains(corpusPath)),
+        "a descending tie-break must stay on the exact corpus scan")
+    } finally KnnIndex.clear()
+  }
+
   test("window-rank idiom: row_number() OVER (ORDER BY dist) <= k rewrites; rank() stays exact") {
     val (corpusPath, coldDir, rows) = fixture()
     try {
