@@ -61,7 +61,8 @@ object Recall {
     val got = results.where(col("rn") <= k)
       .select(col("qid"), col("rn"), col("id"))
     val rel = truth.where(col("rn") <= k).select(col("qid"), col("id"))
-    val dArr = array(ds.map(lit): _*)
+    val dArr = array(scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(ds.map(lit)): _*)
     val dcg = got.join(broadcast(rel), Seq("qid", "id"))
       .select(col("qid"), element_at(dArr, col("rn")).as("d"))
       .groupBy("qid").agg(sum(col("d")).as("dcg"))

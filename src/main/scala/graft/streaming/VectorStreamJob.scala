@@ -982,7 +982,9 @@ object VectorStreamJob {
               m = hnswM, efConstruction = hnswEfConstruction,
               dropLateQueries = dropLateQueries, flushEvicted = flush)
             else partials(routed, metric, maxTtl, dropLateQueries, flush)
-    val w =
+    // explicit wildcard: the three branches write differently-typed
+    // Datasets, and the inferred existential needs a language import
+    val w: org.apache.spark.sql.streaming.DataStreamWriter[_] =
       if (crossBatchMerge && flush) {
         // the reference's full operating mode in ONE job
         // (VStreamSearchJob.java:21-49): continuous ingest with TTL flush
