@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.Metric
 import graft.functions.{Distances, TopKAggregator}
 
+/** A catalog read-modify-write lost the version CAS (another writer —
+ * a streaming flusher's seal, an out-of-band compact/recluster —
+ * committed after this writer read the catalog), or the writer lock
+ * stayed held past the wait budget. Nothing was committed and nothing
+ * was lost: re-read the catalog ([[ColdTier.catalogVersioned]]) and
+ * retry the pass. */
+final class ConcurrentCatalogWriteException(msg: String)
+  extends java.io.IOException(msg)
+
 /**
  * Cold-tier segment storage: sealed vector segments as Parquet files with
  * a small stats catalog — the Spark re-expression of the reference's
@@ -34,6 +43,14 @@ import graft.functions.{Distances, TopKAggregator}
  * partition reach the shuffle). The only driver materialization is the
  * catalog itself and the per-wave distinct segment-id list — both bounded
  * by segment count, never by query or vector count.
+ *
+ * Writer contract: catalog commits are fenced by a version CAS plus a
+ * short writer lock (see the "catalog commit protocol" section inside) —
+ * concurrent committers are SAFE but not concurrent: the later
+ * read-modify-write fails loudly with [[ConcurrentCatalogWriteException]]
+ * and must re-read and retry. Run maintenance (compact / recluster /
+ * evict) from one job at a time per tier dir; the streaming flusher's
+ * seal appends are serialized against it by the same fence.
  */
 object ColdTier {
 
@@ -103,8 +120,23 @@ object ColdTier {
     import spark.implicits._
     heal(spark, dir)
     val stats = writeSegment(vectors, dir, segmentId)
-    Seq(stats).toDF().write.mode("append").parquet(statsPath(dir))
+    appendCatalog(spark, dir, Seq(stats).toDF())
     stats
+  }
+
+  /** Append catalog rows and bump the version, both under the writer
+   * lock: row first, bump second, so a concurrent CAS writer either sees
+   * the bumped version (fails loud, retries with the new row) or
+   * committed before this append started (the row then lands in the NEW
+   * live catalog dir — appends target whatever dir is live). */
+  private def appendCatalog(spark: SparkSession, dir: String,
+      rows: DataFrame): Unit = {
+    val live = new Path(statsPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withCatalogLock(fs, dir) {
+      rows.write.mode("append").parquet(statsPath(dir))
+      writeVersionAt(fs, live, readVersionAt(fs, live) + 1)
+    }
   }
 
   private def attrStatsPath(dir: String, column: String) =
@@ -833,7 +865,7 @@ object ColdTier {
     val spark = vectors.sparkSession
     import spark.implicits._
     val stats = sealManyStaged(vectors, dir)
-    stats.toSeq.toDF().write.mode("append").parquet(statsPath(dir))
+    appendCatalog(spark, dir, stats.toSeq.toDF())
     stats
   }
 
@@ -927,7 +959,7 @@ object ColdTier {
       maxGraphRows: Int = 50000, buildIndexes: Boolean = true,
       sampleCap: Int = 8192, seed: Long = 42L): Array[SegmentStats] = {
     require(numCells > 0, s"numCells $numCells must be positive")
-    val segs = catalog(spark, dir)
+    val (segs, baseVersion) = catalogVersioned(spark, dir)
     if (segs.isEmpty) return segs
     val hasLog = tombstones(spark, dir).isDefined
     val raw = spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
@@ -937,7 +969,7 @@ object ColdTier {
       .select("vec").collect().map(_.getSeq[Float](0).toArray)
     if (sample.isEmpty) { // every row tombstoned: the tier empties
       markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
-      swapCatalog(spark, dir, Array.empty)
+      swapCatalog(spark, dir, Array.empty, baseVersion)
       gc(spark, dir)
       return Array.empty
     }
@@ -947,8 +979,8 @@ object ColdTier {
     val bCells = spark.sparkContext.broadcast(cells)
     val cellOf = udf((v: Seq[Float]) =>
       bCells.value.dataPartitions(v.toArray, 0L)(0))
-    commitRecluster(spark, dir, segs, hasLog, buildIndexes, metric, m,
-      efConstruction, maxGraphRows) { base =>
+    commitRecluster(spark, dir, segs, baseVersion, hasLog, buildIndexes,
+      metric, m, efConstruction, maxGraphRows) { base =>
       live.withColumn("segmentId", cellOf(col("vec")).cast("long") + base)
     }
   }
@@ -999,7 +1031,7 @@ object ColdTier {
     require(cellsPerBucket > 0,
       s"cellsPerBucket $cellsPerBucket must be positive")
     require(timeSlices > 0, s"timeSlices $timeSlices must be positive")
-    val segs = catalog(spark, dir)
+    val (segs, baseVersion) = catalogVersioned(spark, dir)
     if (segs.isEmpty) return segs
     val hasLog = tombstones(spark, dir).isDefined
     val raw = spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
@@ -1029,7 +1061,7 @@ object ColdTier {
     if (sample.isEmpty) { // every row tombstoned: the tier empties
       live.unpersist()
       markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
-      swapCatalog(spark, dir, Array.empty)
+      swapCatalog(spark, dir, Array.empty, baseVersion)
       gc(spark, dir)
       return Array.empty
     }
@@ -1088,8 +1120,8 @@ object ColdTier {
             .otherwise(0)
         }.cast("long")
       }
-    val out = try commitRecluster(spark, dir, segs, hasLog, buildIndexes,
-      metric, m, efConstruction, maxGraphRows) { base =>
+    val out = try commitRecluster(spark, dir, segs, baseVersion, hasLog,
+      buildIndexes, metric, m, efConstruction, maxGraphRows) { base =>
       live.withColumn("segmentId",
         (bucketOf.cast("long") * cellsPerBucket +
           cellOf(col("vec")).cast("long")) * timeSlices + sliceOf + base)
@@ -1121,8 +1153,9 @@ object ColdTier {
    * catalog swap, gc the victims, refresh attr-stats sidecars, and
    * consolidate the delete log. */
   private def commitRecluster(spark: SparkSession, dir: String,
-      segs: Array[SegmentStats], hasLog: Boolean, buildIndexes: Boolean,
-      metric: Metric, m: Int, efConstruction: Int, maxGraphRows: Int)
+      segs: Array[SegmentStats], baseVersion: Long, hasLog: Boolean,
+      buildIndexes: Boolean, metric: Metric, m: Int, efConstruction: Int,
+      maxGraphRows: Int)
       (assign: Long => DataFrame): Array[SegmentStats] = {
     val base = math.max(CompactionIdBase - 1, segs.map(_.segmentId).max) + 1
     val staged = sealManyStaged(assign(base), dir)
@@ -1134,7 +1167,7 @@ object ColdTier {
     val out = staged.map(s =>
       s.copy(temperature = totalTemp * s.count / totalRows))
     markConsumed(spark, dir, segs.map(_.segmentId).toSeq)
-    swapCatalog(spark, dir, out)
+    swapCatalog(spark, dir, out, baseVersion)
     gc(spark, dir)
     refreshAttrStats(spark, dir)
     if (hasLog) {
@@ -1196,31 +1229,154 @@ object ColdTier {
   def recordHits(spark: SparkSession, dir: String, hits: Map[Long, Long],
       decay: Double = 0.7): Array[SegmentStats] = {
     import spark.implicits._
-    val updated = catalog(spark, dir).map { s =>
+    val (cat, baseVersion) = catalogVersioned(spark, dir)
+    val updated = cat.map { s =>
       s.copy(temperature =
         decay * s.temperature + (1 - decay) * hits.getOrElse(s.segmentId, 0L))
     }
-    swapCatalog(spark, dir, updated)
+    swapCatalog(spark, dir, updated, baseVersion)
     updated
   }
 
-  /** Replace the live catalog: write to `.tmp`, remove the live path, then
-   * rename `.tmp` over it. HDFS-like filesystems signal rename/delete
-   * failure by RETURNING FALSE rather than throwing — swallowing that
-   * leaves no live catalog (only `.tmp`, which [[heal]] would silently
-   * resurrect on the next read, dropping this update). Surface it instead.
-   * The delete→rename window is the crash window [[heal]] covers. */
-  private def swapCatalog(spark: SparkSession, dir: String,
-      stats: Array[SegmentStats]): Unit = {
+  // ------------------------------------------- catalog commit protocol
+  //
+  // The catalog is multi-writer-SAFE, not multi-writer-concurrent: every
+  // committer either appends under the writer lock (seal) or does a
+  // compare-and-swap keyed on the catalog VERSION (compact / recluster /
+  // evict / recordHits). A maintenance job whose base version moved —
+  // because a streaming flusher sealed a segment, or another maintenance
+  // job committed first — fails LOUDLY with
+  // [[ConcurrentCatalogWriteException]] and must re-read and retry;
+  // without the check, the later swap would last-writer-win and silently
+  // drop the other writer's segments from the catalog. (The reference
+  // never faces this: RocksDB's manifest write is single-writer by an
+  // in-process mutex, db/version_set.cc LogAndApply — a cross-JOB
+  // protocol needs the version fence instead.)
+
+  /** Name of the monotone version marker INSIDE the live catalog dir
+   * (underscore prefix: invisible to Spark's parquet reader, rides the
+   * same atomic rename as the rows it versions). */
+  private val VersionMarker = "_graft_version"
+
+  private def readVersionAt(fs: org.apache.hadoop.fs.FileSystem,
+      catalogDir: Path): Long = {
+    val p = new Path(catalogDir, VersionMarker)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeVersionAt(fs: org.apache.hadoop.fs.FileSystem,
+      catalogDir: Path, v: Long): Unit = {
+    val tmp = new Path(catalogDir, s".$VersionMarker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(catalogDir, VersionMarker)
+    if (fs.exists(dst) && !fs.delete(dst, false))
+      throw new java.io.IOException(s"catalog version: failed to delete $dst")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"catalog version: failed to rename $tmp over $dst")
+  }
+
+  /** The live catalog's commit version (0 for a fresh or pre-versioning
+   * tier). Bumped by every committed mutation — seal append or swap. */
+  def catalogVersion(spark: SparkSession, dir: String): Long = {
+    val live = new Path(statsPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readVersionAt(fs, live)
+  }
+
+  /** The live catalog AND the version that committed it. Mutators doing
+   * read-modify-write MUST read through this and pass the version to
+   * [[swapCatalog]]: the version is read BEFORE the rows, so a commit
+   * landing between the two reads can only make the final CAS fail loud
+   * (the retry re-reads everything) — never lose the concurrent
+   * writer's rows. */
+  def catalogVersioned(spark: SparkSession,
+      dir: String): (Array[SegmentStats], Long) = {
+    heal(spark, dir)
+    val fs = new Path(statsPath(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = readVersionAt(fs, new Path(statsPath(dir)))
+    (catalog(spark, dir), v)
+  }
+
+  private def lockPath(dir: String) = new Path(dir, "_catalog.lock")
+
+  /** Serialize catalog commits behind a lock FILE (atomic create-if-
+   * absent; on HDFS the create is atomic, on the local FS it is
+   * check-then-create — the version CAS stays the correctness backstop
+   * either way). Held only for the short commit critical section, never
+   * across a mutation's Spark jobs. A lock whose mtime is older than
+   * `staleMs` is presumed crashed and broken; a live holder past
+   * `waitMs` fails the caller loudly rather than queueing forever. */
+  private def withCatalogLock[A](fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, waitMs: Long = 30000L, staleMs: Long = 300000L)
+      (body: => A): A = {
+    val lock = lockPath(dir)
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false); out.close(); acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale = try {
+            System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > staleMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            throw new ConcurrentCatalogWriteException(
+              s"catalog writer lock $lock held past $waitMs ms — another " +
+                "committer is active on this tier; retry when it finishes")
+          else Thread.sleep(50)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Replace the live catalog — the single commit point of every
+   * compaction-family mutation. Writes the new rows plus the bumped
+   * [[VersionMarker]] to a unique `.tmp-*` dir, then under the writer
+   * lock: verifies the live version still equals `expectedVersion` (the
+   * CAS — throws [[ConcurrentCatalogWriteException]] and deletes its tmp
+   * if another writer committed since the caller's
+   * [[catalogVersioned]] read), removes the live path, renames the tmp
+   * over it. HDFS-like filesystems signal rename/delete failure by
+   * RETURNING FALSE rather than throwing — swallowing that leaves no
+   * live catalog (only tmp, which [[heal]] would silently resurrect on
+   * the next read, dropping this update). Surface it instead. The
+   * delete→rename window is the crash window [[heal]] covers. */
+  private[store] def swapCatalog(spark: SparkSession, dir: String,
+      stats: Array[SegmentStats], expectedVersion: Long): Unit = {
     import spark.implicits._
     val live = new Path(statsPath(dir))
-    val tmp = new Path(statsPath(dir) + ".tmp")
+    val tmp = new Path(statsPath(dir) +
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     stats.toSeq.toDF().write.mode("overwrite").parquet(tmp.toString)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(live) && !fs.delete(live, true))
-      throw new java.io.IOException(s"catalog swap: failed to delete $live")
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"catalog swap: failed to rename $tmp over $live")
+    withCatalogLock(fs, dir) {
+      val cur = readVersionAt(fs, live)
+      if (cur != expectedVersion) {
+        fs.delete(tmp, true)
+        throw new ConcurrentCatalogWriteException(
+          s"catalog at $dir moved from version $expectedVersion to $cur " +
+            "under this writer (a concurrent seal/compact/recluster " +
+            "committed first) — re-read the catalog and retry the pass")
+      }
+      writeVersionAt(fs, tmp, cur + 1)
+      if (fs.exists(live) && !fs.delete(live, true))
+        throw new java.io.IOException(s"catalog swap: failed to delete $live")
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(
+          s"catalog swap: failed to rename $tmp over $live")
+    }
   }
 
   /** Attribute merged results back to segments: one join of result ids
@@ -1251,20 +1407,29 @@ object ColdTier {
   }
 
   /** Crash recovery: if a crash in a catalog swap happened after the live
-   * catalog was removed but before the tmp dir was renamed over it, the
-   * tmp dir holds the complete surviving catalog. Healing RENAMES it back
-   * into place (not just reads it) so a subsequent append-mode seal()
-   * cannot recreate a live catalog that shadows the recovered rows. */
+   * catalog was removed but before the tmp dir was renamed over it, a
+   * `.tmp-*` dir holds the complete surviving catalog. Healing RENAMES
+   * the highest-versioned one back into place (not just reads it) so a
+   * subsequent append-mode seal() cannot recreate a live catalog that
+   * shadows the recovered rows. Other tmp dirs (a CAS loser's leftovers,
+   * an uncommitted crash before the live delete) are swept by [[gc]]
+   * once stale, never here — a young tmp may belong to a live writer. */
   private def heal(spark: SparkSession, dir: String): Unit = {
     val live = new Path(statsPath(dir))
-    val tmp = new Path(statsPath(dir) + ".tmp")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) return
+    val parent = live.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val tmps = fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(s"${live.getName}.tmp"))
+    if (tmps.isEmpty) return
+    val best = tmps.maxBy(p =>
+      try readVersionAt(fs, p) catch { case _: Exception => -1L })
     // a false rename here is fine only if a concurrent heal already
-    // renamed the tmp dir into place — otherwise surface it
-    if (!fs.exists(live) && fs.exists(tmp) &&
-        !fs.rename(tmp, live) && !fs.exists(live))
+    // renamed a tmp dir into place — otherwise surface it
+    if (!fs.rename(best, live) && !fs.exists(live))
       throw new java.io.IOException(
-        s"catalog heal: failed to rename $tmp back to $live")
+        s"catalog heal: failed to rename $best back to $live")
   }
 
   def catalog(spark: SparkSession, dir: String): Array[SegmentStats] = {
@@ -1403,13 +1568,13 @@ object ColdTier {
    * back to `.tmp` if a crash lands between delete and rename. */
   def evict(spark: SparkSession, dir: String, retentionFloor: Long): Array[SegmentStats] = {
     import spark.implicits._
-    val (keep, dropped) = catalog(spark, dir)
-      .partition(_.maxTs >= retentionFloor)
+    val (cat, baseVersion) = catalogVersioned(spark, dir)
+    val (keep, dropped) = cat.partition(_.maxTs >= retentionFloor)
     // an evicted flush id must stay "committed" for the flush predicate:
     // a micro-batch re-executed after its segment aged out would
     // otherwise re-seal already-expired rows into the live tier
     markConsumed(spark, dir, dropped.map(_.segmentId).toSeq)
-    swapCatalog(spark, dir, keep)
+    swapCatalog(spark, dir, keep, baseVersion)
     keep
   }
 
@@ -1436,6 +1601,18 @@ object ColdTier {
         !live.contains(n.stripSuffix("-codes").stripSuffix("-hnsw"))
     }
     victims.foreach(p => fs.delete(p, true))
+    // stale uncommitted catalog tmp dirs (a CAS loser's crash leftovers).
+    // Age-gated: a YOUNG tmp may belong to a live writer preparing its
+    // swap — deleting it would only fail that writer's rename loudly,
+    // but there is no reason to race it.
+    val liveStats = new Path(statsPath(dir))
+    if (fs.exists(liveStats)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(base)
+        .filter(st => st.getPath.getName.startsWith(s"${liveStats.getName}.tmp")
+          && now - st.getModificationTime > 300000L)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     victims.map(_.toString).toSeq
   }
 
@@ -1482,7 +1659,8 @@ object ColdTier {
       m: Int = 16, efConstruction: Int = 128,
       sqModel: Option[graft.ops.Sq.SqModel] = None): Array[SegmentStats] = {
     require(targetRows > 0, s"targetRows $targetRows must be positive")
-    val segs = catalog(spark, dir).sortBy(s => (s.minTs, s.segmentId))
+    val (cat, baseVersion) = catalogVersioned(spark, dir)
+    val segs = cat.sortBy(s => (s.minTs, s.segmentId))
     if (segs.length <= 1) return segs
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[SegmentStats]]
     var cur = Vector.empty[SegmentStats]
@@ -1530,7 +1708,7 @@ object ColdTier {
     }.toArray
     markConsumed(spark, dir,
       segs.map(_.segmentId).toSeq.diff(out.map(_.segmentId).toSeq))
-    swapCatalog(spark, dir, out)
+    swapCatalog(spark, dir, out, baseVersion)
     gc(spark, dir)
     refreshAttrStats(spark, dir, Some(
       out.map(_.segmentId).toSet -- segs.map(_.segmentId).toSet))
@@ -2736,6 +2914,20 @@ object ColdTier {
       // cannot OVERLAP the query's interval (lossless; conservative
       // exactly like the equality admission).
       filterRange: Boolean = false,
+      // IN-LIST-filtered search (`attribute IN (...)`, per-QUERY value
+      // sets — the hot streaming attrIn channel's cold twin): queries
+      // carry a `qfin` ARRAY column instead of `qfilter`. Served by the
+      // SAME equality kernel — each query decomposes into one equality
+      // probe row per distinct IN value (a matching row's attribute
+      // equals exactly one value, so merging the per-value exact top-ks
+      // by qid is exact), segment admission applies per value (the
+      // attr-stats sidecar prunes segments no value admits), and the
+      // per-(query, segment) probe set is deduplicated so no segment
+      // row is scanned twice for one query. A null/empty qfin matches
+      // nothing (SQL's vacuous IN). Wave pruning stays LOSSLESS: the
+      // per-query threshold is the kth distance of the merged-so-far
+      // top-k, a true upper bound for every value's remaining segments.
+      filterIn: Boolean = false,
       // when set, filled with probe-plan instrumentation (catalog-bounded
       // counts, two extra tiny actions): wave1_probes, wave2_planned,
       // wave2_scanned — the early-termination evidence (segments skipped
@@ -2749,6 +2941,11 @@ object ColdTier {
     require(!filterRange || filterColumn.isDefined,
       "filterRange = true requires filterColumn (the attribute the " +
         "[qflo, qfhi] band applies to)")
+    require(!filterIn || filterColumn.isDefined,
+      "filterIn = true requires filterColumn (the attribute the qfin " +
+        "value set applies to)")
+    require(!(filterIn && filterRange),
+      "filterIn and filterRange are mutually exclusive query shapes")
     // `snapshot` = time travel: plan over the pinned catalog and the
     // pinned tombstone rows instead of the live ones — mutations sealed
     // after [[ColdTier.snapshot]] (flushes, deletes, compactions) are
@@ -2758,9 +2955,17 @@ object ColdTier {
     val bSegs = spark.sparkContext.broadcast(segs)
     val prune = metric == Metric.L2
 
-    val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
-      (if (filterRange) Seq(col("qflo"), col("qfhi"))
-       else filterColumn.toSeq.map(_ => col("qfilter"))): _*)
+    // filterIn decomposes HERE: one equality row per (query, distinct IN
+    // value) — everything downstream is the plain equality path, working
+    // per value; the probe dedup below and the by-qid merges make the
+    // recomposition exact (see the filterIn param note)
+    val q =
+      if (filterIn)
+        queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"),
+          explode(array_distinct(col("qfin"))).as("qfilter"))
+      else queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
+        (if (filterRange) Seq(col("qflo"), col("qfhi"))
+         else filterColumn.toSeq.map(_ => col("qfilter"))): _*)
 
     // attribute-range pruning (only for filtered searches, only when the
     // [[sealAttrStats]] sidecar exists): segments whose [min,max] cannot
@@ -2820,7 +3025,17 @@ object ColdTier {
             planWaves(qid, qv, qtime, ttl, qfd, qfB, cat, st, fwf, prune)
           }
         }
-    val probes = planned.toDF("qid", "segmentId", "wave", "lower_bound")
+    val plannedDf = planned.toDF("qid", "segmentId", "wave", "lower_bound")
+    // filterIn plans per (query, value): the same segment can be admitted
+    // by several values (and land in different waves when admission sets
+    // differ) — collapse to one probe per (query, segment) in the
+    // EARLIEST wave so no segment row is scanned twice for one query
+    // (lower_bound depends only on (qv, segment), so min is a no-op)
+    val probes = (if (filterIn)
+        plannedDf.groupBy(col("qid"), col("segmentId"))
+          .agg(min(col("wave")).as("wave"),
+            min(col("lower_bound")).as("lower_bound"))
+      else plannedDf)
       .persist()
 
     // one Parquet scan over every segment this wave touches, joined to the

@@ -1980,4 +1980,73 @@ class ColdTierSpec extends AnyFunSuite {
       s"string admission must collapse to one bucket per query: " +
         s"planned $planned != $nQ")
   }
+
+  test("catalog CAS: an interleaved committer cannot lose a segment — the stale swap fails loudly and the retry succeeds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-cas").toString
+    ColdTier.seal(mkVecs(100, 8, 60L, 0L), dir, 1L)
+    ColdTier.seal(mkVecs(100, 8, 61L, 1000L), dir, 2L)
+    // an out-of-band maintenance job reads its base state...
+    val (cat0, v0) = ColdTier.catalogVersioned(spark, dir)
+    assert(cat0.length == 2)
+    // ...then the streaming flusher commits a NEW segment first
+    ColdTier.seal(mkVecs(100, 8, 62L, 2000L), dir, 3L)
+    assert(ColdTier.catalogVersion(spark, dir) == v0 + 1,
+      "a committed seal must bump the catalog version")
+    // the maintenance job's commit (a catalog built WITHOUT segment 3)
+    // must fail the version CAS — not last-writer-win the concurrently
+    // flushed segment out of the catalog
+    val ex = intercept[ConcurrentCatalogWriteException] {
+      ColdTier.swapCatalog(spark, dir, cat0, v0)
+    }
+    assert(ex.getMessage.contains("moved from version"))
+    assert(ColdTier.catalog(spark, dir).map(_.segmentId).sorted.toList ==
+      List(1L, 2L, 3L), "the losing swap must leave the catalog untouched")
+    // retry protocol: re-read at the fresh version, recommit — succeeds
+    val (cat1, v1) = ColdTier.catalogVersioned(spark, dir)
+    ColdTier.swapCatalog(spark, dir, cat1, v1)
+    assert(ColdTier.catalog(spark, dir).map(_.segmentId).sorted.toList ==
+      List(1L, 2L, 3L))
+    assert(ColdTier.catalogVersion(spark, dir) == v1 + 1)
+    // and the tier still answers exactly after the fenced commits
+    val qv = mkVecs(1, 8, 60L, 0L).select("vec").head().getSeq[Float](0).toArray
+    val got = ColdTier.search(spark, dir,
+        Seq((9L, qv, 5000L, 100000L)).toDF("qid", "qv", "qtime", "ttl"),
+        5, Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0)
+      .collect()
+    assert(got.nonEmpty)
+  }
+
+  test("catalog version fences the whole mutation family; a stale crashed lock is broken, a swap CAS loser leaves no tmp debris") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-ver").toString
+    assert(ColdTier.catalogVersion(spark, dir) == 0L, "fresh tier is v0")
+    ColdTier.seal(mkVecs(200, 8, 70L, 0L), dir, 1L)
+    ColdTier.seal(mkVecs(200, 8, 71L, 1000L), dir, 2L)
+    val v2 = ColdTier.catalogVersion(spark, dir)
+    assert(v2 == 2L, s"two seals = two bumps, got $v2")
+    // a crashed writer's stale lock (old mtime) must not wedge the tier:
+    // the next committer breaks it and proceeds
+    val lock = new java.io.File(dir, "_catalog.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 600000L))
+    ColdTier.seal(mkVecs(100, 8, 72L, 2000L), dir, 3L)
+    assert(ColdTier.catalogVersion(spark, dir) == 3L)
+    assert(!lock.exists(), "the breaker releases the broken lock")
+    // compact (a swap mutator) bumps once more and the CAS loser's tmp
+    // dir was deleted on failure (no `_segments.tmp-*` debris)
+    ColdTier.compact(spark, dir, targetRows = 1000L, metric = Metric.L2,
+      m = 8, efConstruction = 32)
+    assert(ColdTier.catalogVersion(spark, dir) == 4L)
+    val (cat, v) = ColdTier.catalogVersioned(spark, dir)
+    intercept[ConcurrentCatalogWriteException] {
+      ColdTier.swapCatalog(spark, dir, cat, v - 1)
+    }
+    val debris = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_segments.tmp"))
+    assert(debris.isEmpty, s"CAS loser left tmp debris: ${debris.toList}")
+    // evict (the remaining swap mutator) still commits at the live version
+    ColdTier.evict(spark, dir, Long.MinValue)
+    assert(ColdTier.catalogVersion(spark, dir) == v + 1)
+  }
 }
