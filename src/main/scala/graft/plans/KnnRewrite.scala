@@ -84,11 +84,19 @@ object KnnIndex {
    *        surfaced in SQL ("top-k among the last N days"). Bounds are
    *        clamped to the same ±2^62 eventTime contract the bare
    *        rewrite imposes. Disjoint from `filterColumns` (an equality
-   *        on the time column is a point window, not a label filter). */
+   *        on the time column is a point window, not a label filter).
+   * @param snapshot pin every probe to [[graft.store.ColdTier.snapshot]]
+   *        version `v` — the `VERSION AS OF` time-travel idiom as a
+   *        registration property: mutations sealed after the snapshot
+   *        (flushes, deletes, compactions) are invisible to rewritten
+   *        queries, byte-stable until the registration changes
+   *        ([[graft.store.ColdTier.gc]] keeps pinned segment files and
+   *        sidecars alive until the snapshot is dropped). */
   final case class Registration(coldDir: String, idCol: String,
       vecCol: String, metric: Metric, efSearch: Int, probeSegments: Int,
       shortlist: Int, filterColumns: Set[String] = Set.empty,
-      filterOverfetch: Int = 4, timeColumn: Option[String] = None)
+      filterOverfetch: Int = 4, timeColumn: Option[String] = None,
+      snapshot: Option[Long] = None)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Registration]
@@ -102,12 +110,13 @@ object KnnIndex {
       vecCol: String = "vec", metric: Metric = Metric.L2,
       efSearch: Int = 96, probeSegments: Int = Int.MaxValue,
       shortlist: Int = 64, filterColumns: Set[String] = Set.empty,
-      filterOverfetch: Int = 4, timeColumn: Option[String] = None): Unit = {
+      filterOverfetch: Int = 4, timeColumn: Option[String] = None,
+      snapshot: Option[Long] = None): Unit = {
     require(timeColumn.forall(t => !filterColumns(t)),
       s"timeColumn $timeColumn must not also be a filter column")
     reg.put(norm(corpusPath),
       Registration(coldDir, idCol, vecCol, metric, efSearch, probeSegments,
-        shortlist, filterColumns, filterOverfetch, timeColumn))
+        shortlist, filterColumns, filterOverfetch, timeColumn, snapshot))
   }
 
   def unregister(corpusPath: String): Unit = reg.remove(norm(corpusPath))
@@ -467,7 +476,8 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 r.coldDir, singleQuery(qv, floorTs, ceilTs), k, metric,
                 efSearch = r.efSearch,
                 probeSegments = r.probeSegments,
-                shortlist = math.max(r.shortlist, k))
+                shortlist = math.max(r.shortlist, k),
+                snapshot = r.snapshot)
                 .select(col("id"), col("dist"))
             case (many, rs) =>
               // literal-filtered probe — single equality, IN-list,
@@ -501,7 +511,8 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 r.coldDir, singleQuery(qv, floorTs, ceilTs), k, filters,
                 metric, shortlist = math.max(r.shortlist, k),
                 efSearch = r.efSearch, probeSegments = r.probeSegments,
-                overfetch = r.filterOverfetch, ranges = ranges)
+                overfetch = r.filterOverfetch, ranges = ranges,
+                snapshot = r.snapshot)
                 .select(col("id"), col("dist"))
           }
           // splice the OPTIMIZED probe plan: this rule runs after the

@@ -177,6 +177,20 @@ object EvalQueries {
    * and the DuckDB twin can embed the same BETWEEN. */
   private val TieredRangeLo = 2
   private val TieredRangeHi = 5
+  /** The cross-tier IN entry's static value set (3 of 10 labels) —
+   * static so the set can ride both the hot filterIn kernel (per-query
+   * qfin) and rerankExact's literalFilters, and the DuckDB twin can
+   * embed the same IN list. */
+  private val TieredInLabels = Seq(1, 4, 8)
+  /** The SQL-rewrite probe's contract freshness window as a (qtime, ttl)
+   * pair: floor -2^62, ceil 2^62-1 — exactly what KnnRewrite.singleQuery
+   * plans for an unwindowed registered query. The rewrite entries' exact
+   * re-rank uses the SAME span so probe and re-rank can never disagree
+   * on a negative eventTime (a MaxValue/2 ttl floors the window at 0 and
+   * would silently exclude such rows — harmless on this testdata where
+   * eventTime = vec_id >= 0, but inconsistent with the probe's span). */
+  private val RewriteQtime = Long.MaxValue / 2
+  private val RewriteTtl = Long.MaxValue
   /** Snapshot-pinned tier dirs per sf dir: (tier dir, snapshot version). */
   private val snapshotDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
@@ -928,7 +942,7 @@ object EvalQueries {
       } finally graft.plans.KnnIndex.unregister(corpus)
       val queries = e.where(col("vec_id") === 0L)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+          lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"))
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "sql_rewrite_ids"), queries,
         SqlRewriteK, graft.Metric.L2)
@@ -976,7 +990,7 @@ object EvalQueries {
       } finally graft.plans.KnnIndex.unregister(corpus)
       val queries = e.where(col("vec_id") === 0L)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+          lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"))
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "sql_rewrite_rank_ids"), queries,
         SqlRewriteK, graft.Metric.L2)
@@ -1033,7 +1047,7 @@ object EvalQueries {
       } finally graft.plans.KnnIndex.unregister(corpus)
       val queries = e.where(col("vec_id") === 0L)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"),
           col("label").as("qfilter"))
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "sql_rewrite_filtered_ids"), queries,
@@ -1091,7 +1105,7 @@ object EvalQueries {
       } finally graft.plans.KnnIndex.unregister(corpus)
       val queries = e.where(col("vec_id") === 0L)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+          lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"))
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "sql_rewrite_in_ids"), queries,
         SqlRewriteInK, graft.Metric.L2,
@@ -1151,7 +1165,7 @@ object EvalQueries {
       } finally graft.plans.KnnIndex.unregister(corpus)
       val queries = e.where(col("vec_id") === 0L)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+          lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"))
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "sql_rewrite_range_ids"), queries,
         SqlRewriteRangeK, graft.Metric.L2,
@@ -1308,6 +1322,47 @@ object EvalQueries {
             org.apache.spark.sql.types.IntegerType),
           graft.store.ColdTier.RangeBound("label", "<=", TieredRangeHi,
             org.apache.spark.sql.types.IntegerType)))
+    },
+
+    "knn_tiered_in" -> { (s, dir) =>
+      // the IN-LIST cross-tier composition — knn_tiered_filtered's
+      // hierarchical search under a static value set (`label IN
+      // (1, 4, 8)`, the streaming attrIn channel's batch twin): the
+      // cold tier is probed through filter-oblivious sidecars with the
+      // same 8x over-fetched shortlist, the hot quarter answers through
+      // the exact IN kernel (filterIn = true — per-value equality
+      // decomposition, per-value attr admission, merged by qid), both
+      // shortlists land as aux, and ONE literal-IN exact re-rank over
+      // the union answers the query — the DuckDB twin replays the whole
+      // IN-filtered cross-tier merge bit-exactly.
+      val e = Tables(s, dir, "embeddings")
+      val (tmp, cut) = tieredFilteredTier(s, dir, e)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      val coldQ = queries
+        .withColumn("qtime", lit(cut - 1)).withColumn("ttl", lit(cut - 1))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, coldQ,
+          shortlist = PqQueries.Shortlist * 8, graft.Metric.L2,
+          efSearch = 100),
+        dir, "tiered_in_cold_shortlist")
+      val hotQ = queries
+        .withColumn("ttl", lit(Long.MaxValue / 2 - cut))
+        .withColumn("qfin", array(TieredInLabels.map(lit): _*))
+      OracleAux.write(
+        graft.store.ColdTier.search(s, tmp, hotQ, PqQueries.Shortlist,
+            graft.Metric.L2, firstWaveFraction = 1.0,
+            terminationFactor = 1.0, filterColumn = Some("label"),
+            filterIn = true)
+          .select(col("qid"), col("id")),
+        dir, "tiered_in_hot_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "tiered_in_cold_shortlist")
+          .unionByName(OracleAux.read(s, dir, "tiered_in_hot_shortlist")),
+        queries, VectorQueries.K, graft.Metric.L2,
+        literalFilters = Seq(("label", TieredInLabels,
+          org.apache.spark.sql.types.IntegerType)))
     },
 
     "multimodal_decode" -> { (s, dir) =>
@@ -1739,6 +1794,24 @@ object EvalQueries {
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
         .stripMargin,
+
+    // IN-filtered cross-tier merge replay: both tiers' shortlists union
+    // into one candidate set, re-ranked exactly under the static value
+    // set (the WHERE guards against aux drift)
+    "knn_tiered_in" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("tiered_in_cold_shortlist")}
+         |  UNION SELECT qid, id FROM ${OracleAux.ref("tiered_in_hot_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label IN (${TieredInLabels.mkString(", ")})),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
 
     "eval_ndcg" -> {
       def knn(extraPred: String) =

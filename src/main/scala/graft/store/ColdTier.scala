@@ -832,6 +832,22 @@ object ColdTier {
     antiJoinTombstones(spark, rows, tombstones(spark, dir),
       deleteLogBytes(spark, dir))
 
+  /** The (tombstone rows, on-disk log bytes) pair for a live or a
+   * snapshot-PINNED read — every tombstone-applying serving path needs
+   * the two together (the bytes gate the broadcast). */
+  private def tombstonesFor(spark: SparkSession, dir: String,
+      snapshot: Option[Long]): (Option[DataFrame], Long) = snapshot match {
+    case Some(v) => tombstonesAt(spark, dir, v)
+    case None => (tombstones(spark, dir), deleteLogBytes(spark, dir))
+  }
+
+  /** [[applyTombstones]] against the live log or a pinned snapshot's. */
+  private def applyTombstonesFor(spark: SparkSession, dir: String,
+      snapshot: Option[Long], rows: DataFrame): DataFrame = {
+    val (tomb, bytes) = tombstonesFor(spark, dir, snapshot)
+    antiJoinTombstones(spark, rows, tomb, bytes)
+  }
+
   private def antiJoinTombstones(spark: SparkSession, rows: DataFrame,
       tomb: Option[DataFrame], logBytes: Long): DataFrame =
     tomb match {
@@ -2238,12 +2254,18 @@ object ColdTier {
       // IN-list / multi-column rewrite): routing and the unindexed scan
       // both drop segments outside it — lossless by the sidecar's
       // conservative contract. None = no restriction.
-      admissible: Option[Set[Long]] = None): DataFrame = {
+      admissible: Option[Set[Long]] = None,
+      // time travel: probe the catalog and tombstones as pinned by
+      // [[ColdTier.snapshot]] version `v` — post-snapshot seals,
+      // deletes and compactions are invisible ([[gc]] keeps pinned
+      // segment files and their sidecars alive)
+      snapshot: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
-    val segs = catalog(spark, dir)
+    val segs = snapshot.map(v => catalogAt(spark, dir, v))
+      .getOrElse(catalog(spark, dir))
     val fresh =
       if (w.isNullAt(0)) Array.empty[SegmentStats]
       else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1)
@@ -2321,7 +2343,7 @@ object ColdTier {
     val scanned =
       if (unindexed.isEmpty) empty
       else {
-        val data = applyTombstones(spark, dir,
+        val data = applyTombstonesFor(spark, dir, snapshot,
           spark.read.parquet(unindexed.map(_.path).toIndexedSeq: _*))
         val probeQ = q.select(Seq(col("qid"), col("qv"),
           (col("qtime") - col("ttl")).as("floor_ts"),
@@ -2361,7 +2383,11 @@ object ColdTier {
   def searchIndexedFast(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, metric: Metric = Metric.L2, efSearch: Int = 64,
       probeSegments: Int = Int.MaxValue, shortlist: Int = 50,
-      routeEf: Int = 0): DataFrame = {
+      routeEf: Int = 0,
+      // time travel: serve from the catalog/tombstones pinned by
+      // [[ColdTier.snapshot]] version `v` (the SQL rewrite's
+      // VERSION-pinned registration rides this)
+      snapshot: Option[Long] = None): DataFrame = {
     // probe DEPTH (shortlist, not k) controls the graph's beam — ef is
     // max(efSearch, 4*requested) inside the store, so asking each graph
     // for only k neighbors quarters the beam and costs real recall
@@ -2370,7 +2396,8 @@ object ColdTier {
     import spark.implicits._
     val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
-    val segs = catalog(spark, dir)
+    val segs = snapshot.map(v => catalogAt(spark, dir, v))
+      .getOrElse(catalog(spark, dir))
     val fresh =
       if (w.isNullAt(0)) Array.empty[SegmentStats]
       else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
@@ -2428,7 +2455,7 @@ object ColdTier {
     val scanned =
       if (unindexed.isEmpty) empty
       else {
-        val data = applyTombstones(spark, dir,
+        val data = applyTombstonesFor(spark, dir, snapshot,
           spark.read.parquet(unindexed.map(_.path).toIndexedSeq: _*))
         val probeQ = q.select(col("qid"), col("qv"),
           (col("qtime") - col("ttl")).as("floor_ts"),
@@ -2444,12 +2471,13 @@ object ColdTier {
     // log at deleteRatio 0.1 of a 100-TB corpus is far past any broadcast;
     // the candidate side is small (queries x segments x shortlist), so the
     // fallback shuffled-hash anti-join stays cheap
-    val live = tombstones(spark, dir) match {
+    val (tombOpt, tombBytes) = tombstonesFor(spark, dir, snapshot)
+    val live = tombOpt match {
       case Some(tombs) =>
         val ids = tombs.select(col("del_id").as("id")).distinct()
         val budget = spark.conf.getOption(TombstoneBroadcastMaxBytesKey)
           .map(_.toLong).getOrElse(TombstoneBroadcastMaxBytesDefault)
-        if (deleteLogBytes(spark, dir) <= budget)
+        if (tombBytes <= budget)
           cands.join(broadcast(ids), Seq("id"), "left_anti")
         else cands.join(ids.hint("shuffle_hash"), Seq("id"), "left_anti")
       case None => cands
@@ -2481,13 +2509,16 @@ object ColdTier {
       queries: DataFrame, k: Int, filterColumn: String,
       metric: Metric = Metric.L2, shortlist: Int = 50,
       efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
-      overfetch: Int = 4, routeEf: Int = 0): DataFrame = {
+      overfetch: Int = 4, routeEf: Int = 0,
+      snapshot: Option[Long] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries,
         shortlist * math.max(1, overfetch), metric, efSearch,
-        probeSegments, routeEf, filterColumn = Some(filterColumn)),
-      queries, k, metric, filterColumn = Some(filterColumn))
+        probeSegments, routeEf, filterColumn = Some(filterColumn),
+        snapshot = snapshot),
+      queries, k, metric, filterColumn = Some(filterColumn),
+      snapshot = snapshot)
   }
 
   /** LITERAL-filtered sidecar search for plan-time rewrites — the
@@ -2513,7 +2544,13 @@ object ColdTier {
       // BETWEEN): admission via the closed hull per column
       // ([[admissibleIdsRange]]), hydration re-applies each conjunct
       // exactly. Conjoins with `filters` (AND).
-      ranges: Seq[RangeBound] = Nil): DataFrame = {
+      ranges: Seq[RangeBound] = Nil,
+      // time travel: admission, probe and hydration all plan over the
+      // snapshot-pinned catalog/tombstones (attr-stats sidecars are
+      // per-segment and segments are immutable, so live stats rows stay
+      // valid for pinned segments; a pinned segment missing from the
+      // refreshed stats simply never prunes — conservative)
+      snapshot: Option[Long] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     require(filters.nonEmpty || ranges.nonEmpty,
       "searchIndexedLiteralFiltered: no filters given")
@@ -2522,7 +2559,8 @@ object ColdTier {
     require(filters.map(_._1).distinct.length == filters.length,
       "searchIndexedLiteralFiltered: one entry per column")
     // one catalog read for both admission math and selectivity
-    val cat = catalog(spark, dir)
+    val cat = snapshot.map(v => catalogAt(spark, dir, v))
+      .getOrElse(catalog(spark, dir))
     val admissible = (filters
       .flatMap { case (f, vs, vt) =>
         admissibleIds(spark, dir, f, vs, vt, cat0 = cat) } ++
@@ -2551,8 +2589,10 @@ object ColdTier {
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries,
         shortlist * effOverfetch, metric, efSearch,
-        probeSegments, routeEf, admissible = admissible),
-      queries, k, metric, literalFilters = filters, literalRanges = ranges)
+        probeSegments, routeEf, admissible = admissible,
+        snapshot = snapshot),
+      queries, k, metric, literalFilters = filters, literalRanges = ranges,
+      snapshot = snapshot)
   }
 
   /** Exact re-rank of a (qid, id) candidate set against the raw segments:
@@ -2588,12 +2628,18 @@ object ColdTier {
       // on the caller: a window- or admission-filtered set is lossless
       // (out-of-window versions can't score; a non-admitted segment's
       // version of a candidate id fails the filter at hydration).
-      cat0: Array[SegmentStats] = null): DataFrame = {
+      cat0: Array[SegmentStats] = null,
+      // time travel: hydrate against the catalog/tombstones pinned by
+      // snapshot version `v` (ignored when cat0 is supplied — the
+      // caller already planned the pinned set)
+      snapshot: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
-    val segs = if (cat0 != null) cat0 else catalog(spark, dir)
+    val segs = if (cat0 != null) cat0
+      else snapshot.map(v => catalogAt(spark, dir, v))
+        .getOrElse(catalog(spark, dir))
     val fresh =
       if (w.isNullAt(0)) Array.empty[SegmentStats]
       else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
@@ -2602,7 +2648,7 @@ object ColdTier {
         .toDF("qid", "rn", "id", "dist")
     // tombstones apply here too: a sidecar graph may shortlist a deleted
     // id (graphs are immutable after seal) — it dies at the re-rank
-    val raw = applyTombstones(spark, dir,
+    val raw = applyTombstonesFor(spark, dir, snapshot,
       spark.read.parquet(fresh.map(_.path).toIndexedSeq: _*))
       .select((Seq("id", "vec", "eventTime") ++ filterColumn ++
         literalFilters.map(_._1) ++ literalRanges.map(_.column))

@@ -67,7 +67,16 @@ object VectorStreamJob {
       // read as a double, falls in [attr, attrHi] (closed interval; a
       // non-numeric rendering or null bound matches nothing — SQL's
       // null-rejecting BETWEEN). Ignored on inserts/deletes/dumps.
-      attrHi: String = null)
+      attrHi: String = null,
+      // IN-LIST query channel (the cold tier's `filterIn` semantics on
+      // the hot path, the streaming twin of `WHERE attr IN (...)`): a
+      // QUERY with attrIn non-null asks for rows whose stored attr
+      // EQUALS ANY of the set's values (exact string compare, like the
+      // equality channel; a null-attr row matches nothing; an EMPTY set
+      // matches nothing — SQL's vacuous IN). Takes precedence over the
+      // equality/range channels when set. Ignored on inserts — a row
+      // stores ONE attr value via `attr`.
+      attrIn: Array[String] = null)
 
   final case class Routed(pid: Int, numPartitionsSent: Int, ev: StreamEvent,
       ingestMillis: Long)
@@ -280,7 +289,7 @@ object VectorStreamJob {
             // (reference params maxTTL) — clamping makes eviction safe
             val ttl = math.min(ev.ttl, maxTtl)
             val res =
-              if (ev.attr == null && ev.attrHi == null)
+              if (ev.attr == null && ev.attrHi == null && ev.attrIn == null)
                 store.search(ev.vec, ev.k, ev.eventTime - ttl, ev.eventTime)
               else {
                 // FILTERED query: exact bounded-heap scan over the
@@ -298,14 +307,25 @@ object VectorStreamJob {
                 // this surface's contract.
                 val distFn = graft.functions.Distances.forMetric(metric)
                 val topk = new graft.functions.BoundedTopK(ev.k)
-                val range = ev.attrHi != null
+                // IN-list takes precedence, then the numeric band, then
+                // the single equality — one membership/band/equality
+                // branch per (row, query), same kernel for all three
+                val inSet =
+                  if (ev.attrIn == null) null
+                  else {
+                    val hs = new java.util.HashSet[String]()
+                    ev.attrIn.foreach(v => if (v != null) hs.add(v))
+                    hs
+                  }
+                val range = inSet == null && ev.attrHi != null
                 val qlo = if (range) attrDouble(ev.attr) else Double.NaN
                 val qhi = if (range) attrDouble(ev.attrHi) else Double.NaN
                 val itv = live.values().iterator()
                 while (itv.hasNext) {
                   val v = itv.next()
                   val matches =
-                    if (range) {
+                    if (inSet != null) v.attr != null && inSet.contains(v.attr)
+                    else if (range) {
                       val ad = attrDouble(v.attr)
                       ad >= qlo && ad <= qhi
                     } else v.attr != null && v.attr == ev.attr

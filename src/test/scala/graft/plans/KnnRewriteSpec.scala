@@ -497,6 +497,70 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  test("VERSION-pinned registration: the rewrite serves the snapshot — " +
+      "post-snapshot seals and deletes are invisible, and an unpinned " +
+      "registration over the same tier sees them") {
+    import spark.implicits._
+    val (corpusPath, coldDir, rows) = fixture()
+    try {
+      val v = ColdTier.snapshot(spark, coldDir)
+      val q = rows(42)._2
+      // post-snapshot mutations: a segment of near-duplicates RIGHT AT
+      // the query point (they would dominate any live top-k) and a
+      // delete of the query point's own id
+      val near = (0 until 20).map(i =>
+        (5000L + i, q.map(x => x + i * 1e-4f), 100L + i))
+      ColdTier.seal(near.toDF("id", "vec", "eventTime"), coldDir, 99L)
+      ColdTier.sealIndexes(spark, coldDir, Seq(99L), Metric.L2, m = 8,
+        efConstruction = 64)
+      ColdTier.sealDeletes(Seq((42L, 10000L)).toDF("id", "ts"), coldDir, 1L)
+
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 8, shortlist = 64, snapshot = Some(v))
+      val corpus = spark.read.parquet(corpusPath)
+      def knnDf = corpus
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      val df = knnDf
+      assert(scanPaths(df).isEmpty,
+        s"pinned rewrite must fire with zero scans: ${scanPaths(df)}")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.length == 10)
+      assert(!got.exists(_._1 >= 5000L),
+        s"post-snapshot rows must be invisible to the pinned probe: ${got.toList}")
+      assert(got.exists(_._1 == 42L),
+        s"a post-snapshot delete must be invisible to the pinned probe: ${got.toList}")
+      // bit-parity with the pinned probe the registration claims to
+      // serve from (same contract-span freshness window as the rewrite)
+      val qDf = Seq((0L, q, Long.MaxValue / 2, Long.MaxValue))
+        .toDF("qid", "qv", "qtime", "ttl")
+      val probe = ColdTier.searchIndexedFast(spark, coldDir, qDf, 10,
+          Metric.L2, efSearch = 96, probeSegments = 8, shortlist = 64,
+          snapshot = Some(v))
+        .orderBy("rn").collect().map(r => (r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == probe.toSeq,
+        "pinned rewrite output != pinned index probe output")
+      // ...and the bit-exact pinned kernel agrees (the same recall bar
+      // as every other ANN surface)
+      val kernel = ColdTier.search(spark, coldDir, qDf, 10, Metric.L2,
+          firstWaveFraction = 1.0, terminationFactor = 1.0,
+          snapshot = Some(v))
+        .collect().map(_.getLong(2)).toSet
+      val recall = got.map(_._1).count(kernel.contains).toDouble / kernel.size
+      assert(recall >= 0.9, s"pinned probe recall vs pinned kernel: $recall")
+      // an UNPINNED registration over the SAME tier serves the live
+      // state: the new near-duplicates dominate and the delete applies
+      KnnIndex.unregister(corpusPath)
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 8, shortlist = 64)
+      val liveGot = knnDf.collect().map(_.getLong(0))
+      assert(liveGot.exists(_ >= 5000L),
+        s"live registration must see post-snapshot rows: ${liveGot.toList}")
+      assert(!liveGot.contains(42L),
+        s"live registration must apply the post-snapshot delete: ${liveGot.toList}")
+    } finally KnnIndex.clear()
+  }
+
   test("stale registration: a deleted tier degrades to the exact scan at plan time instead of failing the query") {
     val (corpusPath, coldDir, rows) = fixture()
     try {

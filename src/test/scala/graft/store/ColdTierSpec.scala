@@ -2049,4 +2049,50 @@ class ColdTierSpec extends AnyFunSuite {
     ColdTier.evict(spark, dir, Long.MinValue)
     assert(ColdTier.catalogVersion(spark, dir) == v + 1)
   }
+
+  test("filterIn: the IN-list cold kernel equals the brute-force IN twin across waves, with per-value attr-stats admission") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-in").toString
+    val dim = 8
+    // label-ALIGNED segments (segment i holds label i) so the attr-stats
+    // sidecar admission can prune per IN value
+    val rows = (0 until 800).map { i =>
+      val rnd = new java.util.Random(3000L + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 5).toString)
+    }
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", pmod(col("id"), lit(5)).cast("long")), dir)
+    ColdTier.sealAttrStats(spark, dir, "label")
+    val qv1 = rows(42)._2
+    val qv2 = rows(111)._2
+    val qs = Seq(
+      (1L, qv1, 100000L, 200000L, Seq("1", "3")),
+      (2L, qv2, 100000L, 200000L, Seq("0", "2", "4")),
+      (3L, qv1, 100000L, 200000L, Seq("nope")),           // matches nothing
+      (4L, qv2, 100000L, 200000L, Seq("2", "2", "nope"))  // dup + miss
+    ).toDF("qid", "qv", "qtime", "ttl", "qfin")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got = ColdTier.search(spark, dir, qs, 10, Metric.L2,
+        firstWaveFraction = 0.4, terminationFactor = 1.0,
+        filterColumn = Some("label"), filterIn = true,
+        searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getInt(1)).map(_.getLong(2)).toList).toMap
+    def truth(qv: Array[Float], vals: Set[String]) =
+      rows.filter(r => vals(r._4))
+        .map(r => (r._1, Distances.l2(qv, r._2)))
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toList
+    assert(got(1L) == truth(qv1, Set("1", "3")), s"q1: ${got.get(1L)}")
+    assert(got(2L) == truth(qv2, Set("0", "2", "4")), s"q2: ${got.get(2L)}")
+    assert(!got.contains(3L), "an unmatched IN set must return no rows")
+    assert(got(4L) == truth(qv2, Set("2")),
+      "duplicate and non-matching IN values must not change the answer")
+    // per-value admission over the aligned tier: q1 admits 2 segments,
+    // q2 admits 3, q3 none, q4 one — 6 probes total across both waves
+    val planned = stats.getOrElse("wave1_probes", 0L) +
+      stats.getOrElse("wave2_planned", 0L)
+    assert(planned == 6L,
+      s"IN admission must prune per value on the aligned tier: $planned != 6")
+  }
 }

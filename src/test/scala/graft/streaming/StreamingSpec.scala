@@ -709,6 +709,68 @@ class StreamingSpec extends AnyFunSuite {
       s"hot+cold filtered merge: ${merged._1.toList} != $fullTruth")
   }
 
+  test("streaming IN-list kNN: a hot query carrying a value SET is exact " +
+      "(empty set matches nothing), and the flushed tier serves the same " +
+      "IN through the cold filterIn kernel bit-exactly") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files.createTempDirectory("graft-instream")
+      .toString
+    val input = MemoryStream[StreamEvent]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold)) { merged =>
+      merged.collect().foreach(r => results.synchronized {
+        results += ((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) })
+    }
+    def attrOf(i: Int): String = (i % 4).toString
+    // ids 0..39 across 4 labels; one IN {"1","3"} query, one EMPTY-set
+    // query (SQL's vacuous IN — no rows), one equality query alongside
+    // (the channels must compose in one batch)
+    input.addData((0 until 40).map(i =>
+      StreamEvent("i", i.toLong, vec(i), i.toLong, 0L, 0, attrOf(i))) ++
+      Seq(
+        StreamEvent("q", 5000L, vec(7), 50L, 1000000L, 5,
+          attrIn = Array("1", "3")),
+        StreamEvent("q", 5001L, vec(7), 50L, 1000000L, 5,
+          attrIn = Array.empty[String]),
+        StreamEvent("q", 5002L, vec(7), 50L, 1000000L, 5, "2")): _*)
+    q.processAllAvailable()
+    def hotTruth(vals: Set[Int]) = (0 until 40).filter(i => vals(i % 4))
+      .map(i => (i.toLong, Distances.l2(vec(7), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    val gotIn = results.synchronized {
+      results.filter(_._1 == 5000L).sortBy(_._2).map(_._3).toList }
+    val gotEmpty = results.synchronized {
+      results.filter(_._1 == 5001L).map(_._3).toList }
+    val gotEq = results.synchronized {
+      results.filter(_._1 == 5002L).sortBy(_._2).map(_._3).toList }
+    assert(gotIn == hotTruth(Set(1, 3)), s"hot IN query: $gotIn")
+    assert(gotEmpty.isEmpty, s"empty IN set must match nothing: $gotEmpty")
+    assert(gotEq == hotTruth(Set(2)), s"equality alongside IN: $gotEq")
+
+    // epoch 1 retires epoch 0 (with its attrs) to cold; the SAME value
+    // set then answers over the flushed tier through the cold filterIn
+    // kernel, bit-matching the batch twin over the retired rows
+    input.addData((0 until 40).map(i =>
+      StreamEvent("i", 100L + i, vec(100 + i), 5000L + i, 0L, 0,
+        attrOf(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val cat = graft.store.ColdTier.catalog(spark, cold)
+    assert(cat.map(_.count).sum == 40L, s"epoch 0 must be cold: ${cat.toList}")
+    val coldQ = Seq((9L, vec(107), 5100L, 1000000L, Seq("1", "3")))
+      .toDF("qid", "qv", "qtime", "ttl", "qfin")
+    val gotCold = graft.store.ColdTier.search(spark, cold, coldQ, 5,
+        Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("attr"), filterIn = true)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toList
+    val coldTruth = (0 until 40).filter(i => i % 4 == 1 || i % 4 == 3)
+      .map(i => (i.toLong, Distances.l2(vec(107), vec(i))))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toList
+    assert(gotCold == coldTruth, s"cold filterIn: $gotCold != $coldTruth")
+  }
+
   test("flushBatch replay is idempotent and converges: a re-executed micro-batch neither duplicates rows nor loses the sidecar") {
     import spark.implicits._
     val cold = java.nio.file.Files.createTempDirectory("graft-replay").toString

@@ -102,6 +102,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // banded cross-tier merge OUTPUT = range-filtered exact re-rank over
     // the unioned aux shortlists — same broadcast shape
     ("knn_tiered_range", true, true, false),
+    // IN-filtered cross-tier merge OUTPUT = literal-IN exact re-rank over
+    // the unioned aux shortlists — same broadcast shape
+    ("knn_tiered_in", true, true, false),
     ("knn_coldtier_routed", true, true, false),
     ("knn_coldtier_reclustered", false, true, false), // kernel scan, see knn_coldtier
     // round-8 extension: every remaining oracle entry is audited, so no
