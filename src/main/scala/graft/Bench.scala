@@ -383,8 +383,10 @@ object Bench {
          |  p50/p99 ${v("stream_latency_p50_ms@16")}/${v("stream_latency_p99_ms@16")} ms
          |  at 16 partitions, ${v("stream_latency_p50_ms@32")}/${v("stream_latency_p99_ms@32")} ms
          |  at 32 (insert/s ${v("stream_insert_per_sec@16")} and
-         |  ${v("stream_insert_per_sec@32")}). Attribution of the 32-way
-         |  line: at HALF the query rate it sits at p50/p99
+         |  ${v("stream_insert_per_sec@32")}). Attribution reps ride the
+         |  envelope: at HALF the query rate the 16-way point sits at
+         |  p50/p99 ${v("stream_latency_p50_ms@16_halfq")}/${v("stream_latency_p99_ms@16_halfq")} ms
+         |  and the 32-way at
          |  ${v("stream_latency_p50_ms@32_halfq")}/${v("stream_latency_p99_ms@32_halfq")} ms
          |  — insensitive to query volume, so the latency is the per-trigger
          |  32-way fan-out floor (every trigger commits 32 state partitions
@@ -448,7 +450,11 @@ object Bench {
          |  ${v("knn_join_hnsw_sec")} s vs ${v("knn_join_sec")} s exact
          |  at recall@5 ${v("knn_join_hnsw_recall")}.
          |- **Dedup**: MinHash-LSH ${v("dedup_docs_per_sec")} docs/s (2×
-         |  efficiency ${v("dedup_scaleup_efficiency")}); 10× sweep
+         |  efficiency ${v("dedup_scaleup_efficiency")}). The 1×/10× scale
+         |  pair runs in the Bench10x CHILD JVM back-to-back (clean heap;
+         |  phase-local calib ${v("calib_dedup10x_sec")} s — the r11
+         |  artifact's 5.5× pair-throughput collapse was the old in-parent
+         |  phase inheriting ~2000 s of heap history): 10× sweep
          |  ${v("dedup_docs_per_sec_10x")} docs/s, docs-normalized scale
          |  efficiency ${v("dedup_scaleup_10x")} — but the pair mass itself
          |  grows superlinearly (${v("dedup_pairs_10x")} pairs at 10× vs
@@ -456,7 +462,19 @@ object Bench {
          |  is the PAIR-normalized ratio:
          |  **${v("dedup_pair_normalized_scaleup_10x")}**
          |  (${v("dedup_pairs_per_sec_10x")} vs ${v("dedup_pairs_per_sec_1x")}
-         |  pairs/s).
+         |  pairs/s, same JVM, same phase; raw reps
+         |  ${v("dedup_1x_secs")} / ${v("dedup_10x_secs")}).
+         |- **Selectivity-driven over-fetch at 10×** (1%-selectivity label,
+         |  ${v("ann_filtered1pct_queries")} queries): the static 8× guess
+         |  answers ${v("ann_filtered1pct_static_q_per_sec")} q/s but holds
+         |  recall ${v("ann_filtered1pct_static_recall")} (≈6 surviving
+         |  candidates for k=10); the attr-stats histogram estimates
+         |  selectivity ${v("ann_filtered1pct_selectivity_est")} and raises
+         |  the factor to ${v("ann_filtered1pct_adaptive_overfetch")}×
+         |  (capped), recovering recall
+         |  **${v("ann_filtered1pct_adaptive_recall")}** at
+         |  ${v("ann_filtered1pct_adaptive_q_per_sec")} q/s — the estimator
+         |  sizes the shortlist instead of the operator.
          |""".stripMargin
     val p = java.nio.file.Paths.get(readmePath)
     if (!java.nio.file.Files.exists(p)) return
@@ -581,9 +599,22 @@ object Bench {
         System.gc()
         Some(streamBench(spark, streamRows, 32, nReps = 2, rateScale = 0.5))
       }
-    val fanoutHalfQKeys = fanoutHalfQ.map(p =>
+    // the 16-way point gets the SAME half-query-rate attribution rep the
+    // 32-way line carries: the r11 artifact shipped a 16-way p99 ~4.5x
+    // the prior round's with no code on the path (ambient-noise rep,
+    // judged as such) — the halfq twin makes a noisy 16-way rep
+    // self-diagnosing instead of adjudicable-only-by-rerun
+    val fanoutHalfQ16 =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_FANOUT", "1") != "1") None
+      else {
+        System.gc()
+        Some(streamBench(spark, streamRows, 16, nReps = 2, rateScale = 0.5))
+      }
+    val fanoutHalfQKeys = (fanoutHalfQ.map(p =>
       s""","stream_latency_p50_ms@32_halfq":${"%.1f".format(p.pct(0.5))},"stream_latency_p99_ms@32_halfq":${"%.1f".format(p.pct(0.99))},"stream_insert_per_sec@32_halfq":${"%.1f".format(p.insertPerSec)}""")
-      .getOrElse("")
+      .getOrElse("")) + (fanoutHalfQ16.map(p =>
+      s""","stream_latency_p50_ms@16_halfq":${"%.1f".format(p.pct(0.5))},"stream_latency_p99_ms@16_halfq":${"%.1f".format(p.pct(0.99))},"stream_insert_per_sec@16_halfq":${"%.1f".format(p.insertPerSec)}""")
+      .getOrElse(""))
     // composed-mode (merge + TTL flush in one job) next to the plain
     // headline: the flush tap's measured cost, not a guess. Three
     // measured points instead of one claim:
@@ -652,10 +683,12 @@ object Bench {
     // dedup's pair-normalized keys
     val joinPairs = {
       val (dj, qj) = Ann.selfJoinRouting(joinVecs.toDF(), joinModel)
-      dj.groupByKey(_.pid).count().toDF("pid", "nd")
+      // null-safe: an empty pid intersection sums to NULL, not 0
+      Option(dj.groupByKey(_.pid).count().toDF("pid", "nd")
         .join(qj.groupByKey(_.pid).count().toDF("pid2", "nq"),
           col("pid") === col("pid2"))
-        .agg(sum(col("nd") * col("nq"))).first().getLong(0)
+        .agg(sum(col("nd") * col("nq"))).first()
+        .getAs[java.lang.Long](0)).map(_.longValue()).getOrElse(0L)
     }
     // timed reps use the SAME terminal action as the Bench10x sibling
     // (.count(), min-of-2) so the two pairs/s keys compare identical
@@ -663,7 +696,11 @@ object Bench {
     // separate UNTIMED passes
     def joinExact(useHnsw: Boolean) = Ann.knnJoin(joinVecs.toDF(), 5,
       joinModel, Metric.L2, useHnsw = useHnsw)
+    // same GC-before-rep discipline as the HNSW reps below, so the
+    // exact-vs-HNSW comparison runs under identical heap conditions
+    System.gc()
     val (_, join1) = time(joinExact(useHnsw = false).count())
+    System.gc()
     val (_, join2) = time(joinExact(useHnsw = false).count())
     val knnJoinSec = math.min(join1, join2)
     // the HNSW flavor (per-sub-cell graphs built inside the run) — the
@@ -822,9 +859,8 @@ object Bench {
     val nDoc1 = docs1.count()
     def dedupRun(d: org.apache.spark.sql.DataFrame) =
       Dedup.minhashPairs(d).count()
-    var pairs1 = 0L
     val d1Times = (1 to 2).map { _ =>
-      System.gc(); val (c, t) = time(dedupRun(docs1)); pairs1 = c; t }
+      System.gc(); time(dedupRun(docs1))._2 }
     val docs2 = docs1.unionAll(docs1.select(
       (col("doc_id") + idOffset).as("doc_id"), reverse(col("text")).as("text")))
       .repartition(cpus.toInt).cache()
@@ -834,51 +870,11 @@ object Bench {
     val docsPerSec = nDoc1 / d1Times.min
     val docsPerSec2 = nDoc2 / d2Times.min
 
-    // dedup 10x sweep: ten corpus copies under per-variant seeded alphabet
-    // permutations. A char bijection maps each variant's shingle set
-    // bijectively, so every variant reproduces the original near-dup
-    // cluster structure EXACTLY (pair mass x10 — dedup_pairs_{1x,10x} in
-    // the output make it checkable), while cross-variant shingle overlap
-    // is random noise far below the 0.5 jaccard gate. Same
-    // structure-preserved / density-scaled methodology as the ANN 10x
-    // point, giving the dedup family its own large-corpus evidence.
-    val dedup10Keys =
-      if (sys.env.getOrElse("SPARK_GRAFT_DEDUP10X", "1") != "1") ""
-      else {
-        val multD = 10
-        val alphabet = docs1.select(col("text")).as[String]
-          .flatMap(_.iterator.map(_.toString)).distinct()
-          .collect().map(_.charAt(0)).sorted
-        val perms = Array.tabulate(multD - 1) { r =>
-          val rnd = new scala.util.Random(9000L + r)
-          alphabet.zip(rnd.shuffle(alphabet.toVector)).toMap
-        }
-        val bPerms = spark.sparkContext.broadcast(perms)
-        val docs10 = docs1.as[(Long, String)].flatMap { case (id, t) =>
-          (0 until multD).iterator.map { r =>
-            if (r == 0) (id, t)
-            else (id + r.toLong * (1L << 40),
-              t.map(c => bPerms.value(r - 1).getOrElse(c, c)))
-          }
-        }.toDF("doc_id", "text").repartition(cpus.toInt * 2).cache()
-        val nDoc10 = docs10.count()
-        var pairs10 = 0L
-        val d10Times = (1 to 2).map { _ =>
-          System.gc(); val (c, t) = time(dedupRun(docs10)); pairs10 = c; t }
-        docs10.unpersist()
-        val dps10 = nDoc10 / d10Times.min
-        // docs-normalized scale-up conflates two effects: the pair mass
-        // grows SUPERLINEARLY with the corpus (near-dup clusters densify —
-        // r8 measured 12.2x pairs at 10x docs, so 10/12.2 = 0.82 is the
-        // docs-normalized CEILING for a pair-enumerating pipeline), and
-        // the per-pair cost itself. Emit both throughputs per PAIR so the
-        // artifact separates inherent workload growth from lost
-        // efficiency — the pair-normalized ratio is the one that must
-        // stay near 1.0 for the banded pipeline to claim linear scaling.
-        val pps1 = pairs1 / d1Times.min
-        val pps10 = pairs10 / d10Times.min
-        s""","n_docs_10x":$nDoc10,"dedup_docs_per_sec_10x":${"%.1f".format(dps10)},"dedup_scaleup_10x":${"%.3f".format(dps10 / docsPerSec)},"dedup_pairs_1x":$pairs1,"dedup_pairs_10x":$pairs10,"dedup_pairs_per_sec_1x":${"%.1f".format(pps1)},"dedup_pairs_per_sec_10x":${"%.1f".format(pps10)},"dedup_pair_normalized_scaleup_10x":${"%.3f".format(pps10 / pps1)}"""
-      }
+    // the dedup 10x sweep lives in the Bench10x CHILD JVM (clean heap by
+    // construction + a phase-local calib key): the r11 artifact recorded
+    // a 5.5x pair-throughput collapse on unchanged code when this phase
+    // ran last inside the long parent JVM — the same failure mode that
+    // moved the ANN 10x point into the child after r5/r7
     docs1.unpersist()
 
     // --- cold-tier lifecycle scale point: SEGMENT COUNT is the cold
@@ -897,8 +893,11 @@ object Bench {
         val cdir = java.nio.file.Files.createTempDirectory("bench-cold").toString
         val nSeg = 12
         // flush-sized segments, capped by the corpus (sf0.01 has ~60k
-        // vectors — a fixed 120k ask sealed empty segments and threw)
-        val per = math.max(1000, math.min(10000L, nVec / nSeg).toInt)
+        // vectors — a fixed 120k ask sealed empty segments and threw). No
+        // lower floor beyond 1: a floor of 1000 over a toy sf0.001 corpus
+        // (6k vectors / 12 segments) overruns the corpus and seals EMPTY
+        // segments, which throws — nSeg * per <= nVec must always hold
+        val per = math.max(1, math.min(10000L, nVec / nSeg).toInt)
         val crows = vecs.limit(nSeg * per)
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.orderBy("id")))
@@ -1124,7 +1123,7 @@ object Bench {
         s"""{"parts":${p.parts},"p50_ms":${"%.1f".format(p.pct(0.5))},"p99_ms":${"%.1f".format(p.pct(0.99))},"insert_per_sec":${"%.1f".format(p.insertPerSec)},"reps":${
           p.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"queries":${p.nQueries}}""")
         .mkString(",")}]}"""
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)}$dedup10Keys,$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"knn_join_n":$joinN,"knn_join_pairs":$joinPairs,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"knn_join_pairs_per_sec":${"%.1f".format(joinPairs / knnJoinSec)},"knn_join_hnsw_sec":${"%.2f".format(joinHnswSec)},"knn_join_hnsw_vec_per_sec":${"%.1f".format(joinN / joinHnswSec)},"knn_join_hnsw_recall":${"%.4f".format(joinHRecall)},"partition_balance":${"%.3f".format(balance)}"""
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"knn_join_n":$joinN,"knn_join_pairs":$joinPairs,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"knn_join_pairs_per_sec":${"%.1f".format(joinPairs / knnJoinSec)},"knn_join_hnsw_sec":${"%.2f".format(joinHnswSec)},"knn_join_hnsw_vec_per_sec":${"%.1f".format(joinN / joinHnswSec)},"knn_join_hnsw_recall":${"%.4f".format(joinHRecall)},"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =
