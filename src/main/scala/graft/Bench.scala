@@ -281,10 +281,13 @@ object Bench {
         else if (a.startsWith("-Xmx") || a.startsWith("-Xms")) ()
         else keep += a
       }
-      // 20g default: the child caches the 10x corpus (~5 GB deserialized
-      // at sf0.1) on top of normal execution memory; MEMORY_AND_DISK
-      // spills if the env overrides this smaller
-      val mem = sys.env.getOrElse("SPARK_GRAFT_10X_MEM", "20g")
+      // 28g default: the child caches the 10x corpus (~5 GB deserialized
+      // at sf0.1) plus the serving sections' sidecar graphs on top of
+      // normal execution memory, and now ends with the dedup scale pair;
+      // MEMORY_AND_DISK spills if the env overrides this smaller (20g
+      // ran the pre-dedup child fine but died in a spill storm once the
+      // dedup phase landed here)
+      val mem = sys.env.getOrElse("SPARK_GRAFT_10X_MEM", "28g")
       val cmd = Seq(javaBin, s"-Xmx$mem") ++ keep ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench10x")
       val pb = new ProcessBuilder(cmd.asJava)

@@ -313,7 +313,17 @@ object Bench10x {
     val w2Scanned = etStats.getOrElse("wave2_scanned", 0L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tier))
 
-    q10.unpersist(); vecs10.unpersist()
+    // free the serving sections' held memory BEFORE the dedup phase —
+    // the first child-JVM run of this phase died in a GC-locker spill
+    // storm here: the SidecarCache still pinned the 6M-vector tier's
+    // shard graphs (deleting the tier DIR never evicts the path-keyed
+    // cache) and the 10x corpus blocks release asynchronously unless
+    // blocked on. Dedup gets the heap the earlier phases borrowed.
+    q10.unpersist(blocking = true)
+    vecs10.unpersist(blocking = true)
+    graft.store.ColdTier.sidecarCacheInvalidate()
+    spark.catalog.clearCache()
+    System.gc()
 
     // --- dedup 1x + 10x, in THIS child JVM (r11 verdict #1: the parent
     // ran this phase last in a ~2000s-old JVM and the artifact recorded
