@@ -467,17 +467,23 @@ object Bench {
          |  (${v("dedup_pairs_per_sec_10x")} vs ${v("dedup_pairs_per_sec_1x")}
          |  pairs/s, same JVM, same phase; raw reps
          |  ${v("dedup_1x_secs")} / ${v("dedup_10x_secs")}).
-         |- **Selectivity-driven over-fetch at 10×** (1%-selectivity label,
-         |  ${v("ann_filtered1pct_queries")} queries): the static 8× guess
-         |  answers ${v("ann_filtered1pct_static_q_per_sec")} q/s but holds
-         |  recall ${v("ann_filtered1pct_static_recall")} (≈6 surviving
-         |  candidates for k=10); the attr-stats histogram estimates
-         |  selectivity ${v("ann_filtered1pct_selectivity_est")} and raises
-         |  the factor to ${v("ann_filtered1pct_adaptive_overfetch")}×
-         |  (capped), recovering recall
-         |  **${v("ann_filtered1pct_adaptive_recall")}** at
-         |  ${v("ann_filtered1pct_adaptive_q_per_sec")} q/s — the estimator
-         |  sizes the shortlist instead of the operator.
+         |- **Selectivity-driven over-fetch at 10×** (1%-selectivity label
+         |  UNALIGNED with the cell layout,
+         |  ${v("ann_filtered1pct_queries")} queries): the attr-stats
+         |  histogram estimates selectivity
+         |  ${v("ann_filtered1pct_selectivity_est")} and raises the
+         |  over-fetch from the registered 8× guess to
+         |  **${v("ann_filtered1pct_adaptive_overfetch")}×** — recall
+         |  ${v("ann_filtered1pct_static_recall")} →
+         |  ${v("ann_filtered1pct_adaptive_recall")}, q/s
+         |  ${v("ann_filtered1pct_static_q_per_sec")} →
+         |  ${v("ann_filtered1pct_adaptive_q_per_sec")} (cost tracks the
+         |  chosen shortlist linearly — candidate-bounded as designed).
+         |  The estimator sizes the shortlist instead of the operator; the
+         |  recall residue at this selectivity is the filter-OBLIVIOUS
+         |  12-of-64 probe fan-out (matching rows live in unprobed cells)
+         |  — a LAYOUT knob, which is exactly what attr-aligned recluster
+         |  (`coldtier_scan_filtered_attrrc_sec`) exists to turn.
          |""".stripMargin
     val p = java.nio.file.Paths.get(readmePath)
     if (!java.nio.file.Files.exists(p)) return

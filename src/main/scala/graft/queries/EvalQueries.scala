@@ -193,6 +193,31 @@ object EvalQueries {
   private val RewriteTtl = Long.MaxValue
   /** Snapshot-pinned tier dirs per sf dir: (tier dir, snapshot version). */
   private val snapshotDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  /** Decoy id floor for the pinned-SQL entry — far outside any vec_id. */
+  private val SqlSnapshotDecoyBase = 1L << 40
+  /** Indexed routed tier + pinned snapshot + post-snapshot DECOY segment
+   * per sf dir: (tier dir, pinned version). The decoys sit exactly at
+   * the vec_id-0 query point under ids outside the corpus — any
+   * unpinned probe ranks them first, a pinned one provably never sees
+   * them. */
+  private val sqlSnapDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private def sqlSnapshotTier(s: SparkSession, dir: String): (String, Long) =
+    sqlSnapDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val t = buildRoutedTier(s, dir, "graft-cold-snap", Seq.empty)
+      val ver = graft.store.ColdTier.snapshot(s, t)
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val decoys = (0 until 64).map(i => (SqlSnapshotDecoyBase + i,
+        qv.map(x => x + (i + 1) * 1e-5f), 0L))
+      val maxSeg = graft.store.ColdTier.catalog(s, t).map(_.segmentId).max
+      graft.store.ColdTier.seal(
+        decoys.toDF("id", "vec", "eventTime"), t, maxSeg + 1)
+      graft.store.ColdTier.sealIndexes(s, t, Seq(maxSeg + 1),
+        graft.Metric.L2, m = 16, efConstruction = 128)
+      (t, ver)
+    })
 
   private def sealedTier(s: SparkSession, dir: String): String =
     sealedDirs.getOrElseUpdate(dir, {
@@ -1176,6 +1201,54 @@ object EvalQueries {
             org.apache.spark.sql.types.IntegerType)))
     },
 
+    "knn_sql_rewrite_snapshot" -> { (s, dir) =>
+      // the VERSION AS OF SQL surface: the registration pins a
+      // ColdTier.snapshot taken BEFORE a decoy segment was sealed right
+      // at the query point. The rewritten ORDER BY must serve the
+      // pinned catalog: the entry THROWS if the rewrite left a file
+      // scan OR if any post-snapshot decoy id survives (the pin
+      // failed); the chosen ids land as aux and replay through the
+      // snapshot-pinned exact re-rank — the DuckDB twin re-ranks them
+      // against the immutable corpus table, the knn_sql_rewrite recipe.
+      val (tmp, ver) = sqlSnapshotTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = Int.MaxValue, shortlist = SqlRewriteK,
+          snapshot = Some(ver))
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_snap")
+        val df = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus_snap ORDER BY dist LIMIT $SqlRewriteK"""
+            .stripMargin)
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }
+        require(scans.isEmpty, "knn_sql_rewrite_snapshot: the pinned " +
+          "ORDER BY plan still scans files — the index rewrite did not fire")
+        require(df.where(col("vec_id") >= SqlSnapshotDecoyBase).isEmpty,
+          "knn_sql_rewrite_snapshot: a post-snapshot decoy id leaked " +
+            "into the pinned probe — VERSION pinning failed")
+        OracleAux.write(
+          df.select(lit(0L).as("qid"), col("vec_id").as("id")),
+          dir, "sql_rewrite_snapshot_ids")
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val queries = e.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"))
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "sql_rewrite_snapshot_ids"), queries,
+        SqlRewriteK, graft.Metric.L2, snapshot = Some(ver))
+    },
+
     "knn_tiered" -> { (s, dir) =>
       // ONE query answered across BOTH tiers — the reference's
       // hierarchical search (db/version_set.cc:2563-2655 probes the
@@ -1664,6 +1737,21 @@ object EvalQueries {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |  WHERE vec_id = 0),
          |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_ids")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteK"""
+        .stripMargin,
+
+    // pinned-SQL replay: the VERSION AS OF probe's ids re-ranked exactly
+    // against the immutable corpus table — the knn_sql_rewrite recipe
+    // (decoy exclusion is gated in the entry itself)
+    "knn_sql_rewrite_snapshot" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_snapshot_ids")}),
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),

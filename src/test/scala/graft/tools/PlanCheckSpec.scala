@@ -233,6 +233,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // range-band rewrite entry OUTPUT = the range-filtered exact re-rank
     // over the aux ids — same broadcast shape + no-corpus-scan assertion
     ("knn_sql_rewrite_range", true, true, false),
+    // the VERSION-pinned rewrite's OUTPUT is the snapshot-pinned exact
+    // re-rank over the aux ids — the knn_sql_rewrite shape
+    ("knn_sql_rewrite_snapshot", true, true, false),
     // catalog observability view: a bare stats-parquet scan
     ("coldtier_stats", false, true, false),
     // routed kNN JOIN: both sides route into a pid-keyed cogroup — no

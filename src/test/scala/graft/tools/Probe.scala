@@ -2,54 +2,40 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.Metric
 
-/** Scratch dev driver (see verify skill): currently drives the bench's
- * HNSW kNN-join flavor (per-sub-cell graphs, salted model) at a small
- * scale and checks recall vs the exact join — the new bench wiring
- * exercised before a full run. */
+/** Scratch dev driver (see the verify skill): point it at whatever
+ * public API is under change, read parquet from /root/testdata, collect
+ * and print. Current shape: drives the newest serving surface — an
+ * IN-list filtered cold search over a snapshot-pinned tier — end to end
+ * on sf0.001, as a fast sanity pass between full Verify runs. */
 object Probe {
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime(); val a = f
-    (a, (System.nanoTime() - t0) / 1e9)
-  }
-
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkEntry.configure(SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.Ann
-    import graft.partitioners.KMeansPartitioner
+    import spark.implicits._
+    import graft.store.ColdTier
+    import graft.Metric
 
-    val sfDir = "/root/testdata/sf0.01"
-    val n = 20000
-    val vecs = graft.Bench.derivedVectorsN(spark, sfDir, 1)
-      .limit(n).repartition(16).cache()
-    vecs.count()
-    val sample = vecs.limit(4096).select("vec").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val model = graft.partitioners.SaltedPartitioner.fromSample(
-      KMeansPartitioner.fit(sample, k = 32, replicationFactor = 1,
-        iterations = 4, seed = 42L, queryProbes = 4),
-      sample, n, targetPerPartition = 500L)
-
-    def sets(useHnsw: Boolean) = Ann.knnJoin(vecs.toDF(), 5, model,
-        Metric.L2, useHnsw = useHnsw)
-      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    val (exact, tE) = time(sets(useHnsw = false))
-    val (hnsw, tH) = time(sets(useHnsw = true))
-    val truth = exact.map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-    val per = hnsw.flatMap { r =>
-      truth.get(r.getLong(0)).map(t =>
-        r.getSeq[Long](1).count(t.contains).toDouble / t.size)
-    }
-    val rec = if (per.nonEmpty) per.sum / per.length else 0.0
-    println(s"PROBE join-hnsw n=$n exact=${"%.1f".format(tE)}s " +
-      s"hnsw=${"%.1f".format(tH)}s recall@5=${"%.4f".format(rec)} " +
-      s"qids exact=${exact.length} hnsw=${hnsw.length}")
-    assert(rec > 0.5, s"hnsw join recall $rec")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("probe-tier").toString
+    ColdTier.sealMany(e.select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("vec_id").as("eventTime"),
+      col("label"), pmod(col("vec_id"), lit(3)).cast("long").as("segmentId")),
+      dir)
+    val ver = ColdTier.snapshot(spark, dir)
+    val q = e.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+        array(lit(1), lit(4)).as("qfin"))
+    val got = ColdTier.search(spark, dir, q, 5, Metric.L2,
+      firstWaveFraction = 1.0, terminationFactor = 1.0,
+      filterColumn = Some("label"), filterIn = true, snapshot = Some(ver))
+    got.show(10, truncate = false)
+    println(s"rows=${got.count()} version=$ver dir=$dir")
     spark.stop()
   }
 }
