@@ -479,11 +479,13 @@ object Bench {
          |  ${v("ann_filtered1pct_static_q_per_sec")} →
          |  ${v("ann_filtered1pct_adaptive_q_per_sec")} (cost tracks the
          |  chosen shortlist linearly — candidate-bounded as designed).
-         |  The estimator sizes the shortlist instead of the operator; the
-         |  recall residue at this selectivity is the filter-OBLIVIOUS
-         |  12-of-64 probe fan-out (matching rows live in unprobed cells)
-         |  — a LAYOUT knob, which is exactly what attr-aligned recluster
-         |  (`coldtier_scan_filtered_attrrc_sec`) exists to turn.
+         |  The estimator sizes the shortlist instead of the operator. The
+         |  recall residue decomposes (measured, COVERAGE.md): part probe
+         |  fan-out (matching rows live in unprobed cells), part the
+         |  filter-OBLIVIOUS graph walk itself at 1% selectivity — both
+         |  remedied by the attr-aligned layout
+         |  (`coldtier_scan_filtered_attrrc_sec`), a LAYOUT knob, not an
+         |  over-fetch knob.
          |""".stripMargin
     val p = java.nio.file.Paths.get(readmePath)
     if (!java.nio.file.Files.exists(p)) return
