@@ -973,19 +973,36 @@ object VectorStreamJob {
         if (segs.length >= reclusterMinSegments) {
           val accreted = segs.count(s => !cellAligned.contains(s.segmentId))
           if (accreted.toDouble / segs.length > reclusterAccretedFraction) {
-            val out = autoReclusterAttr match {
-              case Some(c) => graft.store.ColdTier.reclusterByAttr(spark,
-                coldDir.get, c, buckets = autoReclusterAttrBuckets,
-                cellsPerBucket = autoReclusterCells, metric = metric,
-                m = hnswM, efConstruction = hnswEfConstruction,
-                buildIndexes = indexAtFlush)
-              case None => graft.store.ColdTier.recluster(spark,
-                coldDir.get, autoReclusterCells, metric, m = hnswM,
-                efConstruction = hnswEfConstruction,
-                buildIndexes = indexAtFlush)
+            try {
+              val out = autoReclusterAttr match {
+                case Some(c) => graft.store.ColdTier.reclusterByAttr(spark,
+                  coldDir.get, c, buckets = autoReclusterAttrBuckets,
+                  cellsPerBucket = autoReclusterCells, metric = metric,
+                  m = hnswM, efConstruction = hnswEfConstruction,
+                  buildIndexes = indexAtFlush)
+                case None => graft.store.ColdTier.recluster(spark,
+                  coldDir.get, autoReclusterCells, metric, m = hnswM,
+                  efConstruction = hnswEfConstruction,
+                  buildIndexes = indexAtFlush)
+              }
+              cellAligned.clear()
+              cellAligned ++= out.iterator.map(_.segmentId)
+            } catch {
+              // an OUT-OF-BAND committer (a manual compact/recluster run
+              // against the same tier dir) won the catalog CAS mid-pass:
+              // nothing was lost and nothing was committed here
+              // (ColdTier's fence contract), so the scheduled pass skips
+              // this trigger instead of killing the stream — the next
+              // catalog growth re-trips the trigger against the fresh
+              // catalog. This job's OWN seals can't race it (the
+              // lifecycle is sequential within foreachBatch).
+              case e: graft.store.ConcurrentCatalogWriteException =>
+                org.slf4j.LoggerFactory
+                  .getLogger("graft.streaming.VectorStreamJob")
+                  .warn("auto-recluster lost the catalog CAS to a " +
+                    "concurrent committer; retrying on the next " +
+                    s"catalog growth: ${e.getMessage}")
             }
-            cellAligned.clear()
-            cellAligned ++= out.iterator.map(_.segmentId)
           }
         }
       }
