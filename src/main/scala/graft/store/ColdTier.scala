@@ -1324,37 +1324,88 @@ object ColdTier {
 
   private def lockPath(dir: String) = new Path(dir, "_catalog.lock")
 
-  /** Serialize catalog commits behind a lock FILE (atomic create-if-
-   * absent; on HDFS the create is atomic, on the local FS it is
-   * check-then-create — the version CAS stays the correctness backstop
-   * either way). Held only for the short commit critical section, never
-   * across a mutation's Spark jobs. A lock whose mtime is older than
-   * `staleMs` is presumed crashed and broken; a live holder past
-   * `waitMs` fails the caller loudly rather than queueing forever. */
+  /** Read a lock file's owner token, or None when it vanished mid-read
+   * (the holder released, or a breaker got there first). */
+  private def readLockToken(fs: org.apache.hadoop.fs.FileSystem,
+      lock: Path): Option[String] = try {
+    val in = fs.open(lock)
+    try {
+      val buf = new Array[Byte](64)
+      val n = in.read(buf)
+      Some(if (n <= 0) "" else new String(buf, 0, n, "UTF-8"))
+    } finally in.close()
+  } catch { case _: java.io.IOException => None }
+
+  /** Serialize catalog commits behind an OWNED lock FILE. The tier
+   * filesystem is REQUIRED to provide atomic `create(overwrite=false)`
+   * (HDFS-class semantics — the 100-TB deployment target); on the local
+   * FS that create is check-then-create, so two simultaneous creators
+   * can both "win" — the owner-token verification below demotes that to
+   * a single winner (last token written survives the read-back), and
+   * the version CAS stays the read-modify-write backstop.
+   *
+   * Ownership protocol: every acquire writes a unique token into the
+   * lock and re-reads it — only the writer whose token SURVIVED holds
+   * the lock. A lock whose mtime is older than `staleMs` is presumed
+   * crashed; breaking it re-reads token+mtime immediately before the
+   * delete and only deletes the exact incarnation observed stale — two
+   * racing breakers cannot each delete-then-create (the loser sees the
+   * winner's FRESH token and goes back to waiting, never deleting a
+   * live lock). Release likewise deletes only while the file still
+   * carries this holder's token. Held only for the short commit
+   * critical section, never across a mutation's Spark jobs; a live
+   * holder past `waitMs` fails the caller loudly rather than queueing
+   * forever. */
   private def withCatalogLock[A](fs: org.apache.hadoop.fs.FileSystem,
       dir: String, waitMs: Long = 30000L, staleMs: Long = 300000L)
       (body: => A): A = {
     val lock = lockPath(dir)
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
       try {
-        val out = fs.create(lock, false); out.close(); acquired = true
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        // read-back: on a non-atomic create both racers reach here, but
+        // at most one token survives — the other observes a foreign
+        // token and keeps waiting instead of double-holding
+        acquired = readLockToken(fs, lock).contains(token)
+        if (!acquired) Thread.sleep(50)
       } catch {
         case _: java.io.IOException =>
-          val stale = try {
-            System.currentTimeMillis() -
-              fs.getFileStatus(lock).getModificationTime > staleMs
-          } catch { case _: java.io.FileNotFoundException => false }
-          if (stale) fs.delete(lock, false)
-          else if (System.currentTimeMillis() > deadline)
-            throw new ConcurrentCatalogWriteException(
-              s"catalog writer lock $lock held past $waitMs ms — another " +
-                "committer is active on this tier; retry when it finishes")
-          else Thread.sleep(50)
+          val observed = try {
+            val st = fs.getFileStatus(lock)
+            if (System.currentTimeMillis() - st.getModificationTime > staleMs)
+              readLockToken(fs, lock).map((_, st.getModificationTime))
+            else None
+          } catch { case _: java.io.FileNotFoundException => None }
+          observed match {
+            case Some((staleToken, staleMtime)) =>
+              // ownership-confirmed break: delete only the incarnation
+              // observed stale — if the lock changed under us (another
+              // breaker already broke and re-created it), leave it alone
+              val still = try {
+                val st = fs.getFileStatus(lock)
+                st.getModificationTime == staleMtime &&
+                  readLockToken(fs, lock).contains(staleToken)
+              } catch { case _: java.io.FileNotFoundException => false }
+              if (still) fs.delete(lock, false)
+            case None =>
+              if (System.currentTimeMillis() > deadline)
+                throw new ConcurrentCatalogWriteException(
+                  s"catalog writer lock $lock held past $waitMs ms — another " +
+                    "committer is active on this tier; retry when it finishes")
+              else Thread.sleep(50)
+          }
       }
     }
-    try body finally fs.delete(lock, false)
+    try body finally {
+      // release only our own incarnation: a breaker that (wrongly, e.g.
+      // under clock skew) broke this lock and re-created it must not
+      // have ITS lock deleted by us on the way out
+      if (readLockToken(fs, lock).contains(token)) fs.delete(lock, false)
+    }
   }
 
   /** Replace the live catalog — the single commit point of every
@@ -1618,15 +1669,19 @@ object ColdTier {
     }
     victims.foreach(p => fs.delete(p, true))
     // stale uncommitted catalog tmp dirs (a CAS loser's crash leftovers).
-    // Age-gated: a YOUNG tmp may belong to a live writer preparing its
-    // swap — deleting it would only fail that writer's rename loudly,
-    // but there is no reason to race it.
+    // Age-gated WELL past the writer-lock stale+wait budget (5 min + 30 s):
+    // swapCatalog writes its tmp BEFORE taking the lock, so a live
+    // committer can sit behind other holders for up to waitMs after a
+    // slow tmp write — a sweep gate near staleMs would delete that tmp
+    // mid-commit and fail the rename spuriously. One hour bounds the
+    // leak window for genuine crash debris without racing any live
+    // writer.
     val liveStats = new Path(statsPath(dir))
     if (fs.exists(liveStats)) {
       val now = System.currentTimeMillis()
       fs.listStatus(base)
         .filter(st => st.getPath.getName.startsWith(s"${liveStats.getName}.tmp")
-          && now - st.getModificationTime > 300000L)
+          && now - st.getModificationTime > 3600000L)
         .foreach(st => fs.delete(st.getPath, true))
     }
     victims.map(_.toString).toSeq
