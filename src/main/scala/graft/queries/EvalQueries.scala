@@ -232,6 +232,27 @@ object EvalQueries {
       t
     })
 
+  /** Like [[filteredTier]] but with HNSW sidecars sealed carrying the
+   * label's per-node attribute hashes (format v2) — the IN-WALK filtered
+   * probe layout. Its own dir so no other entry's (re)seal flips the
+   * sidecar generation under it. */
+  private val inWalkDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def inWalkTier(s: SparkSession, dir: String): String =
+    inWalkDirs.getOrElseUpdate(dir, {
+      val e = Tables(s, dir, "embeddings")
+      val t = java.nio.file.Files.createTempDirectory("graft-cold-iw").toString
+      (0 until 3).foreach { i =>
+        graft.store.ColdTier.seal(
+          e.where(col("vec_id") % 3 === i)
+            .select(col("vec_id").as("id"), col("embedding").as("vec"),
+              col("vec_id").as("eventTime"), col("label")), t, i.toLong)
+      }
+      graft.store.ColdTier.sealIndexes(s, t, 0L until 3L,
+        graft.Metric.L2, m = 16, efConstruction = 128,
+        attrColumns = Seq("label"))
+      t
+    })
+
   /** Like [[sealedTier]] but sealed WITH the label attribute column (the
    * filtered-search layout). Kept separate so the attribute-less entries
    * keep exercising the plain segment schema. */
@@ -779,6 +800,32 @@ object EvalQueries {
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "coldtier_hnsw_shard_shortlist"), queries,
         VectorQueries.K, graft.Metric.L2)
+    },
+
+    "knn_coldtier_hnsw_filtered" -> { (s, dir) =>
+      // IN-WALK filtered sidecar probe under the hard gate: sidecars
+      // sealed WITH per-node label hashes (format v2), each walk applies
+      // the query's label at candidate acceptance (traversal unfiltered —
+      // the ACORN shape; reference filter point hnswlib.h:135-146), and
+      // the exact filtered re-rank restores metric truth. The matching
+      // candidate set is materialized as oracle aux and the DuckDB twin
+      // replays the label-filtered re-rank over it — the established
+      // approximate-op recipe (walk quality is spec-gated: recall >= 0.9
+      // on a 1% label in ColdTierSpec, with NO shortlist over-fetch).
+      val e = Tables(s, dir, "embeddings")
+      val tmp = inWalkTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, queries,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2, efSearch = 100,
+          filterColumn = Some("label"), inWalkFilter = true),
+        dir, "coldtier_hnsw_flt_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_hnsw_flt_shortlist"), queries,
+        VectorQueries.K, graft.Metric.L2, filterColumn = Some("label"))
     },
 
     "knn_coldtier_reclustered" -> { (s, dir) =>
@@ -1653,6 +1700,22 @@ object EvalQueries {
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // replay the LABEL-filtered exact re-rank over the in-walk
+    // shortlist aux: same recipe as knn_coldtier_hnsw plus the
+    // null-rejecting label equality the hydration applies
+    "knn_coldtier_hnsw_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_hnsw_flt_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label = q.label),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""

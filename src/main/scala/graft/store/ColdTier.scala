@@ -584,6 +584,28 @@ object ColdTier {
     if (tryCast) c.try_cast(t) else c.cast(t)
   }
 
+  /** Canonical attribute-hash column for IN-WALK filtering: the numeric
+   * family casts to double (`+ 0.0` normalizes -0.0 to +0.0, matching
+   * SQL equality across the zero signs), every other family renders as
+   * string; xxhash64 over the cast. The SAME expression hashes stored
+   * attributes at seal time ([[sealIndexes]]) and query literals at
+   * probe time ([[probeCandidates]]), so equal values always hash equal
+   * under matching families — a hash collision (incl. null's
+   * seed-valued hash) only ever ADMITS a candidate, which the exact
+   * re-rank's true equality then drops; it can never LOSE a match.
+   * Cross-family pairs (e.g. string attribute vs numeric literal, which
+   * [[filterEquality]] serves via double coercion) disable in-walk
+   * filtering instead — [[HnswStore.searchFiltered]] falls back to the
+   * unfiltered walk, exactly like attr-stats pruning disables itself. */
+  private[store] def attrHashColumn(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.Column, Boolean) = {
+    val numeric =
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val canon = if (numeric) c.cast("double") + lit(0.0) else c.cast("string")
+    (xxhash64(canon), numeric)
+  }
+
   /** The full equality predicate for join-formulated filtered surfaces. */
   private[store] def filterEquality(attr: org.apache.spark.sql.Column,
       qf: org.apache.spark.sql.Column,
@@ -1928,7 +1950,12 @@ object ColdTier {
   def sealIndexes(spark: SparkSession, dir: String, segmentIds: Seq[Long],
       metric: Metric = Metric.L2, m: Int = 16,
       efConstruction: Int = 128,
-      maxGraphRows: Int = DefaultMaxGraphRows): Unit = {
+      maxGraphRows: Int = DefaultMaxGraphRows,
+      // attribute columns to carry as per-node hashes in the sidecar
+      // (format v2) — the in-walk filtered-probe payload. One xxhash64
+      // long per (node, column): +8 bytes/node/column of sidecar, no
+      // graph-shape change. Empty = byte-identical v1 sidecars.
+      attrColumns: Seq[String] = Nil): Unit = {
     require(maxGraphRows > 0, s"maxGraphRows $maxGraphRows must be positive")
     import spark.implicits._
     val paths = segmentIds.map(sid => s"$dir/segment-$sid")
@@ -1937,8 +1964,21 @@ object ColdTier {
     // wipe prior generations first (incl. crashed partial shard dirs and
     // layout flips) so ghost shards never outlive this seal
     paths.foreach(p => fs.delete(new Path(indexPath(p)), true))
-    val rows = spark.read.parquet(paths: _*)
-      .select(col("segmentId"), col("id"), col("vec"), col("eventTime"))
+    val raw = spark.read.parquet(paths: _*)
+    attrColumns.foreach(c => require(raw.columns.contains(c),
+      s"sealIndexes: attr column $c absent from segment schema " +
+        s"(${raw.columns.mkString(", ")})"))
+    // (column, numericFamily) resolved once from the segment schema; the
+    // hash expression is the shared canonical rule (attrHashColumn)
+    val attrMeta: Seq[(String, Boolean)] = attrColumns.map { c =>
+      (c, attrHashColumn(col(c), raw.schema(c).dataType)._2)
+    }
+    val hashCols = attrColumns.map(c =>
+      attrHashColumn(col(c), raw.schema(c).dataType)._1)
+    val rows = raw.select(col("segmentId"), col("id"), col("vec"),
+      col("eventTime"),
+      (if (hashCols.isEmpty) typedLit(Array.empty[Long])
+       else array(hashCols: _*)).as("attrHashes"))
     // shard counts from one segmentId-only pass (columnar: reads a
     // single column, no vectors)
     val shardCounts: Map[Long, Int] = rows.groupBy("segmentId").count()
@@ -1948,7 +1988,7 @@ object ColdTier {
       }.toMap
     val bShards = spark.sparkContext.broadcast(shardCounts)
     val sc = new SerConf(hconf)
-    rows.as[(Long, Long, Array[Float], Long)]
+    rows.as[(Long, Long, Array[Float], Long, Array[Long])]
       .groupByKey { r =>
         val n = bShards.value(r._1)
         // byteswap64: deterministic across JVMs (unlike hashCode contract
@@ -1962,8 +2002,11 @@ object ColdTier {
           if (bShards.value(sid) == 1) new Path(indexPath(s"$dir/segment-$sid"))
           else new Path(indexPath(s"$dir/segment-$sid"), f"shard-$shard%05d")
         val store = new HnswStore(metric, m, efConstruction)
-        it.toArray.sortBy(r => (r._4, r._2))
-          .foreach { case (_, id, v, ts) => store.put(id, ts, v) }
+        val sorted = it.toArray.sortBy(r => (r._4, r._2))
+        sorted.foreach { case (_, id, v, ts, _) => store.put(id, ts, v) }
+        attrMeta.zipWithIndex.foreach { case ((c, num), j) =>
+          store.setAttrHashes(c, num, sorted.map(_._5(j)))
+        }
         val tfs = target.getFileSystem(sc.conf)
         val os = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(tfs.create(target, true)))
@@ -2305,6 +2348,15 @@ object ColdTier {
       shortlist: Int, metric: Metric = Metric.L2,
       efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
       routeEf: Int = 0, filterColumn: Option[String] = None,
+      // IN-WALK filtering (requires filterColumn): each sidecar walk
+      // applies the query's attribute hash at candidate ACCEPTANCE
+      // ([[HnswStore.searchFiltered]] — traversal stays unfiltered), so
+      // a rare label surfaces matching candidates directly instead of
+      // relying on a 1/selectivity shortlist over-fetch. Graphs sealed
+      // without the column's hashes fall back per shard to the
+      // unfiltered walk — correctness never depends on the sidecar
+      // generation (the exact re-rank applies the true equality).
+      inWalkFilter: Boolean = false,
       // plan-time literal admission (the [[admissibleIds]] set of an
       // IN-list / multi-column rewrite): routing and the unindexed scan
       // both drop segments outside it — lossless by the sidecar's
@@ -2365,6 +2417,40 @@ object ColdTier {
             Some(spark.sparkContext.broadcast(
               routerFor(dir, indexed, routeEf)))
           else None
+        if (inWalkFilter && filterColumn.isDefined) {
+          // in-walk branch: the routed tuple carries the query literal's
+          // canonical attribute hash (plan-time family + the shared
+          // attrHashColumn rule), and each shard walk filters at
+          // acceptance. Null literals are null-rejecting equality — no
+          // probe rows (the exact answer for them is empty).
+          val fcol = filterColumn.get
+          val qt = q.schema("qfilter").dataType
+          val qNumeric =
+            qt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          val qHashCol = attrHashColumn(col("qfilter"), qt)._1
+          q.where(col("qfilter").isNotNull)
+            .select(col("qid"), col("qv"), col("qtime"), col("ttl"),
+              qfdCol, qfsCol, qHashCol.as("qh"))
+            .as[(Long, Array[Float], Long, Long, Double, String, Long)]
+            .flatMap { case (qid, qv, qtime, ttl, qfd, qfs, qh) =>
+              val qfB = if (qfs == null) null
+                else qfs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              routeToShards(qid, qv, qtime, ttl, qfd, qfB,
+                bSegMeta.value, bAttr.map(_.value), bIdx.value, cap,
+                bRouter.map(_.value))
+                .map { case (i, _, _, _, _) => (i, qid, qv, qtime, ttl, qh) }
+            }
+            .groupByKey(_._1)
+            .flatMapGroups { (i, it) =>
+              val path = bIdx.value(i)._3
+              val store = SidecarCache.get(path, sc.conf, efSearch)
+              it.flatMap { case (_, qid, qv, qtime, ttl, qh) =>
+                store.searchFiltered(qv, shortlist, qtime - ttl, qtime,
+                    fcol, qNumeric, qh)
+                  .map { case (id, _) => (qid, id) }
+              }
+            }.toDF("qid", "id")
+        } else {
         val routed =
           if (filterColumn.isEmpty)
             q.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
@@ -2394,6 +2480,7 @@ object ColdTier {
                 .map { case (id, _) => (qid, id) }
             }
           }.toDF("qid", "id")
+        }
       }
     val scanned =
       if (unindexed.isEmpty) empty
@@ -2572,6 +2659,32 @@ object ColdTier {
         shortlist * math.max(1, overfetch), metric, efSearch,
         probeSegments, routeEf, filterColumn = Some(filterColumn),
         snapshot = snapshot),
+      queries, k, metric, filterColumn = Some(filterColumn),
+      snapshot = snapshot)
+  }
+
+  /** IN-WALK attribute-filtered sidecar search — the principled fix for
+   * rare-label serving that [[searchIndexedFiltered]]'s over-fetch only
+   * approximates: the filter applies at candidate ACCEPTANCE inside each
+   * graph walk (traversal stays unfiltered, the ACORN shape — and the
+   * same accept-point the hot tier and the reference's hnswlib.h:135-146
+   * already filter at), so a 1%-selective label surfaces ~shortlist
+   * MATCHING candidates per probed segment directly. Requires sidecars
+   * sealed with `attrColumns = Seq(filterColumn)` ([[sealIndexes]]);
+   * shards sealed without the hashes fall back to the unfiltered walk
+   * (recall degrades toward the over-fetch path, correctness doesn't —
+   * the exact re-rank applies the true equality either way). No
+   * over-fetch knob: the walk's geometric ef widening replaces it. */
+  def searchIndexedInWalkFiltered(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, filterColumn: String,
+      metric: Metric = Metric.L2, shortlist: Int = 50,
+      efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
+      routeEf: Int = 0, snapshot: Option[Long] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    rerankExact(spark, dir,
+      probeCandidates(spark, dir, queries, shortlist, metric, efSearch,
+        probeSegments, routeEf, filterColumn = Some(filterColumn),
+        inWalkFilter = true, snapshot = snapshot),
       queries, k, metric, filterColumn = Some(filterColumn),
       snapshot = snapshot)
   }

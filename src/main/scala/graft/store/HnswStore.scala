@@ -59,6 +59,28 @@ final class HnswStore(
   // "internal id 0", resurrecting the first-inserted element).
   private val latest = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
 
+  // Optional per-node attribute hashes (sidecar format v2) — the in-walk
+  // filtered-search payload: column -> (numericFamily, hash per internal
+  // id). Hashes are computed by the SEALER (Spark xxhash64 over the
+  // canonically-cast attribute; see ColdTier.attrHashColumn) so the store
+  // only ever compares longs. Equal values always hash equal; a collision
+  // only ADMITS a wrong candidate (removed by the caller's exact
+  // re-rank), never drops a right one.
+  private var attrHashes =
+    scala.collection.immutable.Map.empty[String, (Boolean, Array[Long])]
+
+  /** Attach the attribute-hash column for in-walk filtering. `hashes`
+   * must align with internal-id (= insertion) order. */
+  def setAttrHashes(column: String, numeric: Boolean,
+      hashes: Array[Long]): Unit = {
+    require(hashes.length == n,
+      s"attr hashes for $column: ${hashes.length} values for $n nodes")
+    attrHashes += column -> (numeric, hashes)
+  }
+
+  /** Columns this graph can filter in-walk. */
+  def attrColumns: Set[String] = attrHashes.keySet
+
   override def size: Int = latest.size()
 
   private def grow(): Unit = {
@@ -321,11 +343,13 @@ final class HnswStore(
    * the SST at flush (db/flush_job.cc:944-949, reader
    * table/hnsw_table_reader.cc) so cold files are probed, never
    * re-indexed. Format v1: params, element arrays, per-layer adjacency
-   * (-1 = node absent from layer), live-version map. Readable by
-   * [[HnswStore.readFrom]] with any efSearch. */
+   * (-1 = node absent from layer), live-version map. Format v2 = v1 +
+   * a trailing attribute-hash block (written only when attr hashes were
+   * attached — an attribute-less graph stays byte-identical v1).
+   * Readable by [[HnswStore.readFrom]] with any efSearch. */
   def writeTo(o: java.io.DataOutputStream): Unit = {
     o.writeInt(HnswStore.Magic)
-    o.writeByte(1)
+    o.writeByte(if (attrHashes.isEmpty) 1 else 2)
     o.writeByte(metric match {
       case Metric.L2 => 0; case Metric.IP => 1; case Metric.Cosine => 2 })
     o.writeInt(m); o.writeInt(efConstruction)
@@ -362,18 +386,55 @@ final class HnswStore(
       val e = it.next()
       o.writeLong(e.getKey.longValue()); o.writeInt(e.getValue.intValue())
     }
+    if (attrHashes.nonEmpty) {
+      o.writeInt(attrHashes.size)
+      // sorted column order: deterministic bytes for identical input
+      attrHashes.toSeq.sortBy(_._1).foreach { case (c, (num, hs)) =>
+        o.writeUTF(c)
+        o.writeBoolean(num)
+        var j = 0
+        while (j < n) { o.writeLong(hs(j)); j += 1 }
+      }
+    }
   }
 
   override def search(q: Array[Float], k: Int, tsFloor: Long,
-      tsCeil: Long): Array[(Long, Double)] = {
+      tsCeil: Long): Array[(Long, Double)] =
+    searchImpl(q, k, tsFloor, tsCeil, null)
+
+  /** ATTRIBUTE-filtered search — the in-walk filtered probe (ACORN-style:
+   * traversal stays filter-OBLIVIOUS so graph connectivity is never cut;
+   * only candidate ACCEPTANCE applies the predicate — the shape the hot
+   * tier's freshness/version accept already uses, and the reference's
+   * hnswlib.h:135-146 filter point). With a 1%-selective attribute the
+   * geometric ef widening surfaces matching candidates directly instead
+   * of forcing the caller into a 1/selectivity shortlist over-fetch.
+   *
+   * `qNumeric`/`qHash` describe the query literal as canonicalized by the
+   * probe plan (same xxhash64-over-cast rule the sealer used). A graph
+   * without hashes for `column` — or sealed under the other type family —
+   * falls back to the unfiltered walk: a SUPERSET-leaning candidate set
+   * the caller's exact re-rank filters, so correctness never depends on
+   * the sidecar generation (only recall does). */
+  def searchFiltered(q: Array[Float], k: Int, tsFloor: Long, tsCeil: Long,
+      column: String, qNumeric: Boolean, qHash: Long): Array[(Long, Double)] =
+    attrHashes.get(column) match {
+      case Some((num, hs)) if num == qNumeric =>
+        searchImpl(q, k, tsFloor, tsCeil, id => hs(id) == qHash)
+      case _ => searchImpl(q, k, tsFloor, tsCeil, null)
+    }
+
+  private def searchImpl(q: Array[Float], k: Int, tsFloor: Long,
+      tsCeil: Long, pred: Int => Boolean): Array[(Long, Double)] = {
     if (entryPoint == -1 || latest.isEmpty) return Array.empty
     val ep = greedyDescend(q, entryPoint, maxLevel, 0)
-    // over-fetch so the accept-filter (deletes, versions, freshness) can
-    // drop candidates and still leave k (the reference filters inside the
-    // C++ search); a fixed factor cannot cover a high stale ratio or a
-    // narrow freshness window, so widen geometrically until k survivors
-    // are found, the beam exhausts the reachable graph (resN < ef), or
-    // ef covers every node
+    // over-fetch so the accept-filter (deletes, versions, freshness, and
+    // the optional attribute predicate) can drop candidates and still
+    // leave k (the reference filters inside the C++ search); a fixed
+    // factor cannot cover a high stale ratio, a narrow freshness window,
+    // or a rare attribute value, so widen geometrically until k
+    // survivors are found, the beam exhausts the reachable graph
+    // (resN < ef), or ef covers every node
     var ef = math.max(efSearch, k * 4)
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](k)
     val seenLabels = new java.util.HashSet[Long]()
@@ -384,7 +445,8 @@ final class HnswStore(
       var i = 0
       while (i < resN && out.length < k) {
         val id = resI(i)
-        if (accept(id, tsFloor, tsCeil) && seenLabels.add(labels(id))) {
+        if (accept(id, tsFloor, tsCeil) && (pred == null || pred(id)) &&
+            seenLabels.add(labels(id))) {
           out += ((labels(id), resD(i)))
         }
         i += 1
@@ -405,7 +467,7 @@ object HnswStore {
   def readFrom(in: java.io.DataInputStream, efSearch: Int = 64): HnswStore = {
     require(in.readInt() == Magic, "not an HNSW sidecar (bad magic)")
     val ver = in.readByte()
-    require(ver == 1, s"unsupported HNSW sidecar version $ver")
+    require(ver == 1 || ver == 2, s"unsupported HNSW sidecar version $ver")
     val metric = in.readByte() match {
       case 0 => Metric.L2; case 1 => Metric.IP; case 2 => Metric.Cosine
       case b => throw new IllegalArgumentException(s"bad metric byte $b")
@@ -456,6 +518,19 @@ object HnswStore {
       val label = in.readLong(); val id = in.readInt()
       s.latest.put(label, id)
       i += 1
+    }
+    if (ver >= 2) {
+      val nCols = in.readInt()
+      var c = 0
+      while (c < nCols) {
+        val name = in.readUTF()
+        val num = in.readBoolean()
+        val hs = new Array[Long](n)
+        i = 0
+        while (i < n) { hs(i) = in.readLong(); i += 1 }
+        s.setAttrHashes(name, num, hs)
+        c += 1
+      }
     }
     s
   }

@@ -2050,6 +2050,74 @@ class ColdTierSpec extends AnyFunSuite {
     assert(ColdTier.catalogVersion(spark, dir) == v + 1)
   }
 
+  test("in-walk filtered probe: recall >= 0.9 on a 1% label WITHOUT attr alignment or shortlist over-fetch; v1 sidecars fall back to the oblivious path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-inwalk").toString
+    val dim = 16
+    val nLabels = 100
+    // labels stride across ids while segments stripe by id — every
+    // segment holds every label (deliberately NOT attr-aligned; the
+    // layout the attr-recluster remedy exists for)
+    val rows = (0 until 8000).map { i =>
+      val rnd = new java.util.Random(7000L + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % nLabels).toLong)
+    }
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", pmod(col("id"), lit(4)).cast("long")), dir)
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 16, efConstruction = 128, attrColumns = Seq("label"))
+    val k = 10
+    val nQ = 25
+    val qs = (0 until nQ).map { qi =>
+      val (_, qv, _, lbl) = rows(qi * 311)
+      (qi.toLong, qv, Long.MaxValue / 2, Long.MaxValue / 2, lbl)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      (0 until nQ).map { qi =>
+        val (_, qv, _, lbl) = rows(qi * 311)
+        val truth = rows.filter(_._4 == lbl)
+          .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+        got.getOrElse(qi.toLong, Set.empty[Long])
+          .count(truth.contains).toDouble / k
+      }.sum / nQ
+    }
+    // the in-walk probe: shortlist is NOT inflated by 1/selectivity —
+    // the walk's acceptance filter + geometric ef widening surface
+    // matching candidates directly (the ACORN shape)
+    val inWalk = recallOf(ColdTier.searchIndexedInWalkFiltered(
+      spark, dir, qs, k, "label", Metric.L2, shortlist = 2 * k,
+      efSearch = 64))
+    assert(inWalk >= 0.9, s"in-walk filtered recall $inWalk")
+    // the filter-OBLIVIOUS probe at the same shortlist budget is the
+    // path this replaces: ~0.25% of each segment's unfiltered top-20
+    // matches a 1% label, so recall collapses (deterministic — the
+    // graphs and data are seeded)
+    val oblivious = recallOf(ColdTier.searchIndexedFiltered(
+      spark, dir, qs, k, "label", Metric.L2, shortlist = 2 * k,
+      efSearch = 64, overfetch = 1))
+    assert(oblivious < inWalk - 0.2,
+      s"oblivious $oblivious vs in-walk $inWalk — the acceptance filter " +
+        "should be the difference")
+    // RESEAL without attr hashes (v1 sidecars): the in-walk surface
+    // falls back per shard to the unfiltered walk and must equal the
+    // oblivious composition bit-for-bit — correctness never depends on
+    // the sidecar generation
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 16, efConstruction = 128)
+    val fallback = ColdTier.searchIndexedInWalkFiltered(
+      spark, dir, qs, k, "label", Metric.L2, shortlist = 2 * k,
+      efSearch = 64).collect().map(_.toSeq).toSet
+    val obliviousRows = ColdTier.searchIndexedFiltered(
+      spark, dir, qs, k, "label", Metric.L2, shortlist = 2 * k,
+      efSearch = 64, overfetch = 1).collect().map(_.toSeq).toSet
+    assert(fallback == obliviousRows,
+      "v1 fallback must equal the filter-oblivious composition exactly")
+  }
+
   test("writer lock ownership: racing committers breaking the same stale lock lose no segment — every seal lands, every bump counts") {
     // the round-12 advice scenario: N committers all observe a crashed
     // writer's stale lock at once. An ownership-blind break lets two

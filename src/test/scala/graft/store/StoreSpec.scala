@@ -87,6 +87,57 @@ class StoreSpec extends AnyFunSuite {
       s"narrow window must find every fresh element: ${narrow.toList}")
   }
 
+  test("HnswStore in-walk filtered search: 1% attribute recall, v2 roundtrip, fallback on family mismatch / missing column") {
+    val vecs = randomVecs(3000, 16, 11L)
+    // 1% attribute, deliberately uncorrelated with vector space; the
+    // store compares opaque longs, so the test can use the label itself
+    val labels = Array.tabulate(3000)(i => (i % 100).toLong)
+    val s = new HnswStore(Metric.L2, m = 16, efConstruction = 128,
+      efSearch = 64)
+    vecs.zipWithIndex.foreach { case (v, i) => s.put(i.toLong, 0L, v) }
+    s.setAttrHashes("label", numeric = true, labels)
+    assert(s.attrColumns == Set("label"))
+    val rnd = new java.util.Random(12L)
+    val recalls = (0 until 30).map { _ =>
+      val qi = rnd.nextInt(3000)
+      val q = vecs(qi)
+      val lbl = (qi % 100).toLong
+      val truth = bruteForce(vecs, q, 10, i => i % 100 == qi % 100).toSet
+      val got = s.searchFiltered(q, 10, Long.MinValue, Long.MaxValue,
+        "label", qNumeric = true, lbl)
+      assert(got.forall { case (id, _) => id % 100 == lbl },
+        "in-walk acceptance admitted a non-matching node")
+      got.count(t => truth.contains(t._1)).toDouble / 10
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"in-walk filtered recall $mean")
+    // v2 serialization roundtrip carries the hashes
+    val bos = new java.io.ByteArrayOutputStream()
+    s.writeTo(new java.io.DataOutputStream(bos))
+    val r = HnswStore.readFrom(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)), efSearch = 64)
+    assert(r.attrColumns == Set("label"))
+    val q = vecs(123)
+    assert(r.searchFiltered(q, 10, Long.MinValue, Long.MaxValue,
+        "label", qNumeric = true, 23L)
+      .sameElements(s.searchFiltered(q, 10, Long.MinValue, Long.MaxValue,
+        "label", qNumeric = true, 23L)))
+    // family mismatch / unknown column: conservative unfiltered fallback
+    assert(s.searchFiltered(q, 10, Long.MinValue, Long.MaxValue,
+        "label", qNumeric = false, 23L).sameElements(s.search(q, 10)))
+    assert(s.searchFiltered(q, 10, Long.MinValue, Long.MaxValue,
+        "other", qNumeric = true, 23L).sameElements(s.search(q, 10)))
+    // an attribute-less graph still writes byte-format v1
+    val s1 = new HnswStore(Metric.L2, efSearch = 32)
+    vecs.take(50).zipWithIndex.foreach { case (v, i) => s1.put(i.toLong, 0L, v) }
+    val bos1 = new java.io.ByteArrayOutputStream()
+    s1.writeTo(new java.io.DataOutputStream(bos1))
+    assert(bos1.toByteArray()(4) == 1, "attribute-less sidecar must stay v1")
+    val r1 = HnswStore.readFrom(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos1.toByteArray)))
+    assert(r1.attrColumns.isEmpty)
+  }
+
   test("HnswStore is deterministic for the same insert sequence") {
     val vecs = randomVecs(400, 16, 6L)
     def build() = {

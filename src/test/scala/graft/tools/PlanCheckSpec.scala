@@ -55,6 +55,7 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_coldtier_sq_filtered", true, true, false),
     ("knn_coldtier_pq_filtered", true, true, false),
     ("knn_coldtier_hnsw", true, true, false),
+    ("knn_coldtier_hnsw_filtered", true, true, false),
     ("knn_coldtier_hnsw_sharded", true, true, false),
     ("ann_sfc_adaptive", false, true, false),
     ("embed_neardup", false, true, false),
