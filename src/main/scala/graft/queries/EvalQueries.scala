@@ -201,6 +201,37 @@ object EvalQueries {
    * unpinned probe ranks them first, a pinned one provably never sees
    * them. */
   private val sqlSnapDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  /** Like [[sqlSnapDirs]] but the tier carries the label attribute and
+   * the post-pin decoys carry the MATCHING label — the layout that
+   * proves the snapshot pin composes with the filtered rewrite (an
+   * unpinned filtered probe would rank the label-matching decoys
+   * first; a pinned one provably never sees them): (tier, version,
+   * decoy label). */
+  private val sqlSnapFltDirs = scala.collection.concurrent.TrieMap.empty[String, (String, Long, Int)]
+  private def sqlSnapshotFilteredTier(s: SparkSession,
+      dir: String): (String, Long, Int) =
+    sqlSnapFltDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val t = buildRoutedTier(s, dir, "graft-cold-snapflt", Seq("label"))
+      val ver = graft.store.ColdTier.snapshot(s, t)
+      val e = Tables(s, dir, "embeddings")
+      val r0 = e.where(col("vec_id") === 0L)
+        .select(col("embedding"), col("label")).head()
+      val qv = r0.getSeq[Float](0).toArray
+      val lbl = r0.getInt(1)
+      // decoys AT the query point carrying the query's OWN label —
+      // admissible to every filter surface, so only the snapshot pin
+      // can keep them out
+      val decoys = (0 until 64).map(i => (SqlSnapshotDecoyBase + i,
+        qv.map(x => x + (i + 1) * 1e-5f), 0L, lbl))
+      val maxSeg = graft.store.ColdTier.catalog(s, t).map(_.segmentId).max
+      graft.store.ColdTier.seal(
+        decoys.toDF("id", "vec", "eventTime", "label"), t, maxSeg + 1)
+      graft.store.ColdTier.sealIndexes(s, t, Seq(maxSeg + 1),
+        graft.Metric.L2, m = 16, efConstruction = 128)
+      (t, ver, lbl)
+    })
+
   private def sqlSnapshotTier(s: SparkSession, dir: String): (String, Long) =
     sqlSnapDirs.getOrElseUpdate(dir, {
       import s.implicits._
@@ -1296,6 +1327,69 @@ object EvalQueries {
         SqlRewriteK, graft.Metric.L2, snapshot = Some(ver))
     },
 
+    "knn_sql_rewrite_snapshot_filtered" -> { (s, dir) =>
+      // the pin COMPOSED with the filtered rewrite (`VERSION AS OF` +
+      // `WHERE label = x ORDER BY dist LIMIT k`): the registration
+      // carries BOTH snapshot and filterColumns, so the rewrite routes
+      // through the literal-filtered probe with admission, hydration
+      // and tombstones all pinned. The decoy segment sealed AFTER the
+      // pin sits at the query point with the MATCHING label — every
+      // filter surface admits it, so only the pin can exclude it. The
+      // entry THROWS if a corpus scan survives (hydration reads tier
+      // files — this surface is candidate-bounded IO, not zero-IO) or
+      // if any decoy id leaks; ids replay through the pinned filtered
+      // exact re-rank — the knn_sql_rewrite recipe.
+      val (tmp, ver, lbl) = sqlSnapshotFilteredTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = Int.MaxValue, shortlist = SqlRewriteK,
+          filterColumns = Set("label"), filterOverfetch = 4,
+          snapshot = Some(ver))
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_snapflt")
+        val df = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus_snapflt WHERE label = $lbl
+             |ORDER BY dist LIMIT $SqlRewriteFilteredK""".stripMargin)
+        val corpusScans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                l.relation
+                  .asInstanceOf[
+                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.exists(_.toString
+                    .contains("embeddings.parquet")) => l
+        }
+        require(corpusScans.isEmpty, "knn_sql_rewrite_snapshot_filtered: " +
+          "the pinned filtered ORDER BY plan still scans the corpus — " +
+          "the index rewrite did not fire")
+        require(df.where(col("vec_id") >= SqlSnapshotDecoyBase).isEmpty,
+          "knn_sql_rewrite_snapshot_filtered: a post-snapshot decoy with " +
+            "a MATCHING label leaked into the pinned filtered probe — " +
+            "the pin does not compose with the filter")
+        OracleAux.write(
+          df.select(lit(0L).as("qid"), col("vec_id").as("id")),
+          dir, "sql_rewrite_snapflt_ids")
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val queries = e.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"),
+          col("label").as("qfilter"))
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "sql_rewrite_snapflt_ids"), queries,
+        SqlRewriteFilteredK, graft.Metric.L2, filterColumn = Some("label"),
+        snapshot = Some(ver))
+    },
+
     "knn_tiered" -> { (s, dir) =>
       // ONE query answered across BOTH tiers — the reference's
       // hierarchical search (db/version_set.cc:2563-2655 probes the
@@ -1840,6 +1934,24 @@ object EvalQueries {
     // filtered SQL-rewrite replay: the filtered top-n's ids re-ranked
     // exactly under the same label equality (the aux carries only
     // label-matching ids — the WHERE guards against aux drift)
+    // pinned + filtered composition replay: the pinned filtered
+    // rewrite's ids re-ranked under the same label equality against the
+    // immutable corpus table (the decoys are not corpus rows — a leaked
+    // decoy id would join to nothing Spark-side re-ranks to a row,
+    // hash-mismatching; the entry additionally THROWS on any leak)
+    "knn_sql_rewrite_snapshot_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_snapflt_ids")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label = q.label),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteFilteredK"""
+        .stripMargin,
+
     "knn_sql_rewrite_filtered" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
          |  FROM embeddings WHERE vec_id = 0),

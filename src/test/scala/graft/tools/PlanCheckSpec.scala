@@ -237,6 +237,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // the VERSION-pinned rewrite's OUTPUT is the snapshot-pinned exact
     // re-rank over the aux ids — the knn_sql_rewrite shape
     ("knn_sql_rewrite_snapshot", true, true, false),
+    // pinned + filtered composition: pinned hydration under the label
+    // equality, broadcast re-rank over the aux ids
+    ("knn_sql_rewrite_snapshot_filtered", true, true, false),
     // catalog observability view: a bare stats-parquet scan
     ("coldtier_stats", false, true, false),
     // routed kNN JOIN: both sides route into a pid-keyed cogroup — no
