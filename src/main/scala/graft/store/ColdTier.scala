@@ -992,12 +992,23 @@ object ColdTier {
    * The k-means fit reads an id-ordered `sampleCap` sample (driver-side,
    * model-bounded — same contract as every fit in the repo); assignment
    * and sealing are one distributed pass through [[sealManyStaged]]. */
+  /** Test seam: invoked by the recluster family right after it reads its
+   * base catalog version (the open of the CAS window) — lets a spec land
+   * an out-of-band commit deterministically inside the window instead of
+   * racing wall-clock. Null (no-op) in production. */
+  @volatile private[graft] var onReclusterBaseRead: () => Unit = null
+  private def reclusterBaseReadSeam(): Unit = {
+    val hook = onReclusterBaseRead
+    if (hook != null) hook()
+  }
+
   def recluster(spark: SparkSession, dir: String, numCells: Int,
       metric: Metric = Metric.L2, m: Int = 16, efConstruction: Int = 128,
       maxGraphRows: Int = 50000, buildIndexes: Boolean = true,
       sampleCap: Int = 8192, seed: Long = 42L): Array[SegmentStats] = {
     require(numCells > 0, s"numCells $numCells must be positive")
     val (segs, baseVersion) = catalogVersioned(spark, dir)
+    reclusterBaseReadSeam()
     if (segs.isEmpty) return segs
     val hasLog = tombstones(spark, dir).isDefined
     val raw = spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)
@@ -1070,6 +1081,7 @@ object ColdTier {
       s"cellsPerBucket $cellsPerBucket must be positive")
     require(timeSlices > 0, s"timeSlices $timeSlices must be positive")
     val (segs, baseVersion) = catalogVersioned(spark, dir)
+    reclusterBaseReadSeam()
     if (segs.isEmpty) return segs
     val hasLog = tombstones(spark, dir).isDefined
     val raw = spark.read.parquet(segs.map(_.path).toIndexedSeq: _*)

@@ -1144,6 +1144,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == truth, s"post-recluster cold search $got != exact $truth")
   }
 
+  test("auto-recluster losing the catalog CAS to an out-of-band committer: the stream survives the skip, the concurrent segment survives the pass, the next trigger re-clusters fresh") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cold = java.nio.file.Files
+      .createTempDirectory("graft-autorecl-cas").toString
+    // deterministic out-of-band committer: the seam fires INSIDE the
+    // lifecycle's recluster pass, right after it read its base catalog
+    // version — a seal committed there (standing in for any manual
+    // compact/recluster/flush against the same tier dir; all ride the
+    // same version fence) bumps the version, so the pass MUST lose its
+    // CAS. An ownership-blind commit would instead swap the concurrent
+    // segment out of the catalog — silent loss.
+    val decoyIds = (900 until 905).map(_.toLong)
+    @volatile var hookFired = false
+    graft.store.ColdTier.onReclusterBaseRead = () => {
+      graft.store.ColdTier.onReclusterBaseRead = null // once
+      hookFired = true
+      graft.store.ColdTier.seal(
+        decoyIds.map(i => (i, vec(i.toInt), 20001L))
+          .toDF("id", "vec", "eventTime"), cold, 7777L)
+    }
+    val input = MemoryStream[StreamEvent]
+    val q = VectorStreamJob.run(input.toDS(), SimplePartitioner(2), k = 5,
+      Metric.L2, maxTtl = 1000L, coldDir = Some(cold), indexAtFlush = true,
+      autoReclusterCells = 3, reclusterAccretedFraction = 0.5,
+      reclusterMinSegments = 4) { _ => () }
+    try {
+      def epoch(e: Int): Unit = {
+        input.addData((0 until 10).map(i =>
+          StreamEvent("i", e * 100L + i, vec(e * 100 + i),
+            e * 5000L + i, 0L, 0)): _*)
+        q.processAllAvailable()
+      }
+      // the 4th accreted seal trips the trigger; the seam makes that
+      // first pass lose its CAS — the stream must NOT die
+      (0 to 4).foreach(epoch)
+      assert(hookFired, "the recluster pass never reached its CAS window")
+      assert(q.exception.isEmpty,
+        s"the lost CAS killed the stream: ${q.exception}")
+      val afterSkip = graft.store.ColdTier.catalog(spark, cold)
+      assert(afterSkip.map(_.segmentId).contains(7777L),
+        "the out-of-band committer's segment was lost — the skipped " +
+          "pass must commit NOTHING")
+      assert(afterSkip.exists(_.segmentId < graft.store.ColdTier.CompactionIdBase),
+        "the losing pass still swapped in a reclustered catalog")
+      // next catalog growth re-trips the trigger against the FRESH
+      // catalog (accreted fraction still ~1); this pass must succeed
+      epoch(5)
+      assert(q.exception.isEmpty, s"retry pass failed: ${q.exception}")
+      val after = graft.store.ColdTier.catalog(spark, cold)
+      assert(after.forall(_.segmentId >= graft.store.ColdTier.CompactionIdBase),
+        s"expected a reclustered catalog after the retry, got ids " +
+          s"${after.map(_.segmentId).toList}")
+      // nothing lost end to end: the concurrent segment's rows folded
+      // into the aligned layout
+      val ids = spark.read.parquet(after.map(_.path): _*)
+        .select("id").as[Long].collect().toSet
+      assert(decoyIds.forall(ids.contains),
+        s"out-of-band rows missing after convergence: ${ids.toList.sorted}")
+    } finally {
+      graft.store.ColdTier.onReclusterBaseRead = null
+      q.stop()
+    }
+  }
+
   test("auto-recluster by attr: the lifecycle converges a label-mixed flushed tier to the attr-aligned layout — filtered cold probes collapse to one bucket, results exact") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
