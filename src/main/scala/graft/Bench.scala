@@ -1083,9 +1083,19 @@ object Bench {
     // r5 + r7). The parent frees its cached blocks first so the child
     // measures on a quiet box, then parses the child's one-line JSON.
     // Falls back to the in-process run only if the spawn itself fails.
+    // the whole 10x section (ANN + dedup scale pair + 1pct-overfetch)
+    // rides the child gate; the dedicated SPARK_GRAFT_DEDUP10X knob was
+    // retired when the dedup sweep moved into the child — warn loudly
+    // if someone still sets it expecting the old per-phase gate
+    if (sys.env.contains("SPARK_GRAFT_DEDUP10X"))
+      System.err.println("[bench] SPARK_GRAFT_DEDUP10X is no longer " +
+        "read: the dedup 10x sweep runs inside the Bench10x child JVM " +
+        "and is gated by SPARK_GRAFT_10X together with every other 10x key")
     val tenXFrag: String =
       if (sys.env.getOrElse("SPARK_GRAFT_10X", "1") != "1")
-        """"ann_recall_at_10_10x":0.0,"ann_vectors_per_sec_10x":0.0,"n_vectors_10x":0,"bf_10x_sec":0.0,"ann_10x_sec":0.0"""
+        // note: disabling 10x also drops the dedup-10x, pair-normalized
+        // and 1pct-overfetch keys — they live in the child JVM section
+        """"ann_recall_at_10_10x":0.0,"ann_vectors_per_sec_10x":0.0,"n_vectors_10x":0,"bf_10x_sec":0.0,"ann_10x_sec":0.0,"bench10x_disabled":true"""
       else {
         vecs.unpersist(); queries.unpersist()
         graft.CacheRegistry.clear()
@@ -1093,8 +1103,13 @@ object Bench {
         System.gc()
         spawn10x().getOrElse {
           System.err.println("[bench] 10x child JVM failed; running in-process")
+          // provenance: an in-parent run records the heap-history
+          // contamination the child JVM exists to avoid (r11's dedup
+          // collapse) — stamp the fragment so the artifact is
+          // machine-detectably NOT a clean child measurement
           Bench10x.run(spark, sfDir, cpus.toInt,
-            sys.env.getOrElse("SPARK_GRAFT_10X_REPS", "2").toInt)
+            sys.env.getOrElse("SPARK_GRAFT_10X_REPS", "2").toInt) +
+            ""","bench10x_in_process":true"""
         }
       }
 

@@ -153,9 +153,14 @@ object Bench10x {
           // 1%-selectivity label for the static-vs-adaptive overfetch
           // comparison below (100 uniform values)
           pmod(col("id"), lit(100)).cast("long").as("label100")), tier)
+      // label100 rides the sidecars as per-node hashes (format v2) so
+      // the 1pct section can measure the IN-WALK filtered probe on the
+      // same build — one extra long per row through the same shuffle
+      // (r13: the build key now includes this hashing)
       graft.store.ColdTier.sealIndexes(spark, tier,
         segStats.map(_.segmentId).toSeq,
-        Metric.L2, m = 16, efConstruction = 48, maxGraphRows = 150000)
+        Metric.L2, m = 16, efConstruction = 48, maxGraphRows = 150000,
+        attrColumns = Seq("label100"))
     }
     withCell.unpersist()
     // probeSegments 12 / efSearch 96: the serving paths beat the exact
@@ -269,7 +274,26 @@ object Bench10x {
     val adaptive1pTimes = adaptive1pA +: (2 to reps).map { _ =>
       System.gc(); time(adaptive1pRun())._2 }
     val adaptive1pRecall = recall1p(adaptiveRows)
-    q1pF.unpersist(); q1p.unpersist()
+
+    // --- IN-WALK filtered probe on the SAME mixed layout (r12 verdict
+    // #2): the label applies at candidate acceptance inside each graph
+    // walk (sidecars carry label100 hashes from the build), so every
+    // surfaced candidate matches and the shortlist needs no
+    // 1/selectivity inflation — 24 per probed segment replaces the
+    // adaptive point's 96x39. Same queries, same routing knobs, recall
+    // vs the same exact filtered kernel.
+    def inWalk1pRun() = graft.store.ColdTier.searchIndexedInWalkFiltered(
+        spark, tier, q1pF, 10, "label100", Metric.L2, shortlist = 24,
+        efSearch = 96, probeSegments = 12)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    System.gc()
+    val (inWalkRows, inWalk1pA) = time(inWalk1pRun())
+    val inWalk1pTimes = inWalk1pA +: (2 to reps).map { _ =>
+      System.gc(); time(inWalk1pRun())._2 }
+    val inWalk1pRecall = recall1p(inWalkRows)
+    // q1p/q1pF stay cached: the attr-aligned recluster point below
+    // (after the early-termination section, which needs the tier's
+    // CURRENT cell-aligned layout) reuses the same queries and truth
 
     // --- V5 early termination at scale: the EWMA-assisted approximate
     // two-wave scan (terminationFactor 0.8, reference vector_options.h:
@@ -311,6 +335,32 @@ object Bench10x {
     etQ.unpersist()
     val w2Planned = etStats.getOrElse("wave2_planned", 0L)
     val w2Scanned = etStats.getOrElse("wave2_scanned", 0L)
+
+    // --- the CONVERGED rare-label point (r12 verdict #1): reclusterByAttr
+    // re-seals the whole 6M-row tier attr-aligned on label100 (one
+    // quantile bucket per label, indexes + attr-stats rebuilt — the same
+    // pass the streaming lifecycle runs via autoReclusterAttr), then the
+    // SAME static filtered call that read recall ~0.61 on the mixed
+    // layout runs again: admission now collapses each query to its one
+    // matching bucket, whose walk is filter-dense by construction. This
+    // is where the rare-label serving story ends — the over-fetch sweep
+    // proved fan-out alone caps at ~0.88. Runs AFTER the early-
+    // termination section so the et keys keep measuring the
+    // cell-aligned layout they always measured.
+    val (rcSegs, attrRcBuildSec) = time(
+      graft.store.ColdTier.reclusterByAttr(spark, tier, "label100",
+        buckets = 100, cellsPerBucket = 1, metric = Metric.L2,
+        m = 16, efConstruction = 48, maxGraphRows = 150000))
+    def attrRc1pRun() = graft.store.ColdTier.searchIndexedFiltered(spark,
+        tier, q1pF, 10, "label100", Metric.L2, shortlist = 96,
+        efSearch = 96, probeSegments = 12, overfetch = 8)
+      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    System.gc()
+    val (attrRcRows, attrRc1pA) = time(attrRc1pRun())
+    val attrRc1pTimes = attrRc1pA +: (2 to reps).map { _ =>
+      System.gc(); time(attrRc1pRun())._2 }
+    val attrRc1pRecall = recall1p(attrRcRows)
+    q1pF.unpersist(); q1p.unpersist()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tier))
 
     // free the serving sections' held memory BEFORE the dedup phase —
@@ -438,6 +488,16 @@ object Bench10x {
       s""""ann_filtered1pct_adaptive_secs":${arr(adaptive1pTimes)},""" +
       s""""ann_filtered1pct_adaptive_q_per_sec":${"%.1f".format(onePctNQ / adaptive1pTimes.min)},""" +
       s""""ann_filtered1pct_adaptive_recall":${"%.4f".format(adaptive1pRecall)},""" +
+      s""""ann_filtered1pct_inwalk_sec":${"%.2f".format(inWalk1pTimes.min)},""" +
+      s""""ann_filtered1pct_inwalk_secs":${arr(inWalk1pTimes)},""" +
+      s""""ann_filtered1pct_inwalk_q_per_sec":${"%.1f".format(onePctNQ / inWalk1pTimes.min)},""" +
+      s""""ann_filtered1pct_inwalk_recall":${"%.4f".format(inWalk1pRecall)},""" +
+      s""""ann_filtered1pct_attrrc_build_sec":${"%.2f".format(attrRcBuildSec)},""" +
+      s""""ann_filtered1pct_attrrc_segments":${rcSegs.length},""" +
+      s""""ann_filtered1pct_attrrc_sec":${"%.2f".format(attrRc1pTimes.min)},""" +
+      s""""ann_filtered1pct_attrrc_secs":${arr(attrRc1pTimes)},""" +
+      s""""ann_filtered1pct_attrrc_q_per_sec":${"%.1f".format(onePctNQ / attrRc1pTimes.min)},""" +
+      s""""ann_filtered1pct_attrrc_recall":${"%.4f".format(attrRc1pRecall)},""" +
       s""""calib_dedup10x_sec":${"%.2f".format(calibDedupSec)},""" +
       s""""n_docs_10x":$nDoc10,""" +
       s""""dedup_docs_per_sec_1x_child":${"%.1f".format(nDoc1 / d1Times.min)},""" +
