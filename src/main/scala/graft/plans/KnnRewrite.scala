@@ -96,7 +96,16 @@ object KnnIndex {
       vecCol: String, metric: Metric, efSearch: Int, probeSegments: Int,
       shortlist: Int, filterColumns: Set[String] = Set.empty,
       filterOverfetch: Int = 4, timeColumn: Option[String] = None,
-      snapshot: Option[Long] = None)
+      snapshot: Option[Long] = None,
+      // serve matched filter conjuncts IN-WALK (the ACORN acceptance
+      // filter) instead of by shortlist over-fetch: equality/IN
+      // conjuncts test sealed attribute hashes, numeric range bands test
+      // sealed canonical values — declare it when the tier's sidecars
+      // were sealed with the filter columns (ColdTier.sealIndexes
+      // attrColumns); shards sealed without the payload fall back per
+      // shard, so correctness never depends on the declaration (only
+      // recall and probe cost do).
+      inWalk: Boolean = false)
 
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, Registration]
@@ -111,12 +120,13 @@ object KnnIndex {
       efSearch: Int = 96, probeSegments: Int = Int.MaxValue,
       shortlist: Int = 64, filterColumns: Set[String] = Set.empty,
       filterOverfetch: Int = 4, timeColumn: Option[String] = None,
-      snapshot: Option[Long] = None): Unit = {
+      snapshot: Option[Long] = None, inWalk: Boolean = false): Unit = {
     require(timeColumn.forall(t => !filterColumns(t)),
       s"timeColumn $timeColumn must not also be a filter column")
     reg.put(norm(corpusPath),
       Registration(coldDir, idCol, vecCol, metric, efSearch, probeSegments,
-        shortlist, filterColumns, filterOverfetch, timeColumn, snapshot))
+        shortlist, filterColumns, filterOverfetch, timeColumn, snapshot,
+        inWalk))
   }
 
   def unregister(corpusPath: String): Unit = reg.remove(norm(corpusPath))
@@ -512,7 +522,7 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 metric, shortlist = math.max(r.shortlist, k),
                 efSearch = r.efSearch, probeSegments = r.probeSegments,
                 overfetch = r.filterOverfetch, ranges = ranges,
-                snapshot = r.snapshot)
+                inWalk = r.inWalk, snapshot = r.snapshot)
                 .select(col("id"), col("dist"))
           }
           // splice the OPTIMIZED probe plan: this rule runs after the

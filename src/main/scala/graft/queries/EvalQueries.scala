@@ -166,6 +166,17 @@ object EvalQueries {
    * over 0..9 at every sf, TESTDATA.md) — static so the DuckDB twin can
    * embed the same literals. */
   private val SqlRewriteInLabels = Seq(0, 1)
+  /** The IN-WALK in-list entry's static label set (2 of 10 labels) —
+   * hashed once at plan time ([[graft.store.ColdTier.literalAttrHash]])
+   * and applied at candidate acceptance inside every sidecar walk;
+   * static so the DuckDB twin can embed the same literals. */
+  private val InWalkInLabels = Seq(2, 7)
+  /** The IN-WALK range entry's static band `label > Lo AND label <= Hi`
+   * (2 of 10 labels; one strict edge so the closed-hull admit +
+   * exact-re-rank drop is exercised) — static so the DuckDB twin can
+   * embed the same bounds. */
+  private val InWalkRangeLo = 4
+  private val InWalkRangeHi = 6
   /** The range entry's static band `label >= Lo AND label < Hi` — 4 of
    * 10 labels match (~40% of candidates); top-n sized to the same
    * headroom margin as the IN entry (shortlist 500 over-fetched 4x). */
@@ -859,6 +870,64 @@ object EvalQueries {
         VectorQueries.K, graft.Metric.L2, filterColumn = Some("label"))
     },
 
+    "knn_coldtier_hnsw_filtered_in" -> { (s, dir) =>
+      // IN-LIST in-walk sidecar probe: the label IN set hashes ONCE at
+      // plan time (literalAttrHash — the same canonical xxhash64 rule
+      // the sealer used), the hash array broadcasts beside the shard
+      // index, and every walk admits a candidate whose sealed hash
+      // equals ANY of the values (acceptance only; traversal stays
+      // unfiltered — the ACORN shape; reference filter point
+      // hnswlib.h:135-146). The exact literal-filtered re-rank restores
+      // metric truth; the shortlist lands as oracle aux and the DuckDB
+      // twin replays the IN-filtered re-rank over it — the established
+      // approximate-op recipe.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = inWalkTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      val filters = Seq(("label", InWalkInLabels: Seq[Any],
+        org.apache.spark.sql.types.IntegerType))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, queries,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2, efSearch = 100,
+          inWalkLiterals = filters),
+        dir, "coldtier_hnsw_flt_in_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_hnsw_flt_in_shortlist"), queries,
+        VectorQueries.K, graft.Metric.L2, literalFilters = filters)
+    },
+
+    "knn_coldtier_hnsw_filtered_range" -> { (s, dir) =>
+      // RANGE in-walk sidecar probe (format v3): the band's bounds fold
+      // to their conservative CLOSED double hull at plan time, every
+      // walk admits a candidate whose sealed canonical value lies inside
+      // it (acceptance only — strict edges admitted closed; rounding is
+      // monotone, so a truly-matching row can never be rejected), and
+      // the exact range-filtered re-rank restores the strict bound. One
+      // strict edge (label > lo) is deliberate: the walk admits the
+      // boundary label, the re-rank drops it — the admit-only contract
+      // under test. Shortlist aux + DuckDB replay as usual.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = inWalkTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+      val ranges = Seq(
+        graft.store.ColdTier.RangeBound("label", ">", InWalkRangeLo,
+          org.apache.spark.sql.types.IntegerType),
+        graft.store.ColdTier.RangeBound("label", "<=", InWalkRangeHi,
+          org.apache.spark.sql.types.IntegerType))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, queries,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2, efSearch = 100,
+          inWalkRanges = ranges),
+        dir, "coldtier_hnsw_flt_range_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_hnsw_flt_range_shortlist"),
+        queries, VectorQueries.K, graft.Metric.L2, literalRanges = ranges)
+    },
+
     "knn_coldtier_reclustered" -> { (s, dir) =>
       // vector-aware recompaction under the hard gate: four TIME-sliced
       // flush segments (the streaming layout) recluster into k-means-cell
@@ -1211,6 +1280,63 @@ object EvalQueries {
           lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"))
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "sql_rewrite_in_ids"), queries,
+        SqlRewriteInK, graft.Metric.L2,
+        literalFilters = Seq(("label", SqlRewriteInLabels,
+          org.apache.spark.sql.types.IntegerType)))
+    },
+
+    "knn_sql_rewrite_inwalk" -> { (s, dir) =>
+      // the IN-list rewrite served IN-WALK: the registration declares
+      // the tier's sidecars carry label hashes (inWalk = true — sealed
+      // by inWalkTier), so the matched `WHERE label IN (...) ORDER BY
+      // dist LIMIT k` probe filters at candidate ACCEPTANCE inside each
+      // graph walk with a PLAIN shortlist — no 1/selectivity over-fetch
+      // — while hydration still applies the exact IN predicate. Same
+      // no-corpus-scan gate (the entry THROWS if a scan survives), same
+      // bit-exact aux replay as knn_sql_rewrite_in; only the serving
+      // mechanism differs.
+      val tmp = inWalkTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          shortlist = SqlRewriteK, filterColumns = Set("label"),
+          inWalk = true)
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_inwalk")
+        val df = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus_inwalk
+             |WHERE label IN (${SqlRewriteInLabels.mkString(", ")})
+             |ORDER BY dist LIMIT $SqlRewriteInK""".stripMargin)
+        val corpusScans = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+                l.relation
+                  .asInstanceOf[
+                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.exists(_.toString
+                    .contains("embeddings.parquet")) => l
+        }
+        require(corpusScans.isEmpty, "knn_sql_rewrite_inwalk: the " +
+          "in-walk IN-list ORDER BY plan still scans the corpus — the " +
+          "index rewrite did not fire")
+        OracleAux.write(
+          df.select(lit(0L).as("qid"), col("vec_id").as("id")),
+          dir, "sql_rewrite_inwalk_ids")
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val queries = e.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(RewriteQtime).as("qtime"), lit(RewriteTtl).as("ttl"))
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "sql_rewrite_inwalk_ids"), queries,
         SqlRewriteInK, graft.Metric.L2,
         literalFilters = Seq(("label", SqlRewriteInLabels,
           org.apache.spark.sql.types.IntegerType)))
@@ -1815,6 +1941,37 @@ object EvalQueries {
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
         .stripMargin,
 
+    // replay the IN-filtered exact re-rank over the literal in-walk
+    // shortlist aux: same recipe as knn_coldtier_hnsw_filtered with the
+    // static IN list in place of the per-query label equality
+    "knn_coldtier_hnsw_filtered_in" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_hnsw_flt_in_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label IN (${InWalkInLabels.mkString(", ")})),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // replay the range-filtered exact re-rank over the range in-walk
+    // shortlist aux — the strict lower bound re-applied exactly
+    "knn_coldtier_hnsw_filtered_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_hnsw_flt_range_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label > $InWalkRangeLo AND b.label <= $InWalkRangeHi),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
     // same re-rank replay over the sharded layout's shortlist aux
     "knn_coldtier_hnsw_sharded" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -1973,6 +2130,22 @@ object EvalQueries {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
          |  FROM embeddings WHERE vec_id = 0),
          |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_in_ids")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label IN (${SqlRewriteInLabels.mkString(", ")})),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteInK"""
+        .stripMargin,
+
+    // the in-walk-served IN rewrite replays through the SAME IN-filtered
+    // re-rank recipe — only the aux (and the serving mechanism that
+    // produced it) differs from knn_sql_rewrite_in
+    "knn_sql_rewrite_inwalk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("sql_rewrite_inwalk_ids")}),
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id

@@ -606,6 +606,27 @@ object ColdTier {
     (xxhash64(canon), numeric)
   }
 
+  /** Driver-side hash of a PLAN-TIME literal under the shared canonical
+   * rule: builds the [[attrHashColumn]] expression tree directly in
+   * Catalyst (the DSL form is an unresolved column node in Spark 4 —
+   * not evaluable without an analyzer pass) and evaluates it once — so
+   * IN-list / conjunction values known at plan time hash bit-identically
+   * to sealed attributes without a Spark job. Parity with the sealer's
+   * column form is spec-gated (ColdTierSpec literal-hash parity). Same
+   * admit-only collision contract as the column form. */
+  private[graft] def literalAttrHash(v: Any,
+      vt: org.apache.spark.sql.types.DataType): (Long, Boolean) = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, XxHash64, Literal => CatLiteral}
+    val numeric = vt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val typed = Cast(CatLiteral(v), vt)
+    val canon =
+      if (numeric)
+        Add(Cast(typed, org.apache.spark.sql.types.DoubleType),
+          CatLiteral(0.0))
+      else Cast(typed, org.apache.spark.sql.types.StringType)
+    (new XxHash64(Seq(canon)).eval(null).asInstanceOf[Long], numeric)
+  }
+
   /** The full equality predicate for join-formulated filtered surfaces. */
   private[store] def filterEquality(attr: org.apache.spark.sql.Column,
       qf: org.apache.spark.sql.Column,
@@ -1966,7 +1987,10 @@ object ColdTier {
       // attribute columns to carry as per-node hashes in the sidecar
       // (format v2) — the in-walk filtered-probe payload. One xxhash64
       // long per (node, column): +8 bytes/node/column of sidecar, no
-      // graph-shape change. Empty = byte-identical v1 sidecars.
+      // graph-shape change. NUMERIC-family columns additionally carry
+      // their canonical double values (format v3, +8 more bytes/node) —
+      // the in-walk RANGE payload (nulls seal as NaN, which fails every
+      // interval). Empty = byte-identical v1 sidecars.
       attrColumns: Seq[String] = Nil): Unit = {
     require(maxGraphRows > 0, s"maxGraphRows $maxGraphRows must be positive")
     import spark.implicits._
@@ -1987,10 +2011,19 @@ object ColdTier {
     }
     val hashCols = attrColumns.map(c =>
       attrHashColumn(col(c), raw.schema(c).dataType)._1)
+    // canonical double values ride beside the hashes for numeric-family
+    // columns (the range payload); non-numeric columns contribute NaN
+    // placeholders so the arrays stay position-aligned with attrMeta
+    val valueCols = attrMeta.map { case (c, num) =>
+      if (num) coalesce(col(c).cast("double") + lit(0.0), lit(Double.NaN))
+      else lit(Double.NaN)
+    }
     val rows = raw.select(col("segmentId"), col("id"), col("vec"),
       col("eventTime"),
       (if (hashCols.isEmpty) typedLit(Array.empty[Long])
-       else array(hashCols: _*)).as("attrHashes"))
+       else array(hashCols: _*)).as("attrHashes"),
+      (if (valueCols.isEmpty) typedLit(Array.empty[Double])
+       else array(valueCols: _*)).as("attrVals"))
     // shard counts from one segmentId-only pass (columnar: reads a
     // single column, no vectors)
     val shardCounts: Map[Long, Int] = rows.groupBy("segmentId").count()
@@ -2000,7 +2033,7 @@ object ColdTier {
       }.toMap
     val bShards = spark.sparkContext.broadcast(shardCounts)
     val sc = new SerConf(hconf)
-    rows.as[(Long, Long, Array[Float], Long, Array[Long])]
+    rows.as[(Long, Long, Array[Float], Long, Array[Long], Array[Double])]
       .groupByKey { r =>
         val n = bShards.value(r._1)
         // byteswap64: deterministic across JVMs (unlike hashCode contract
@@ -2015,9 +2048,10 @@ object ColdTier {
           else new Path(indexPath(s"$dir/segment-$sid"), f"shard-$shard%05d")
         val store = new HnswStore(metric, m, efConstruction)
         val sorted = it.toArray.sortBy(r => (r._4, r._2))
-        sorted.foreach { case (_, id, v, ts, _) => store.put(id, ts, v) }
+        sorted.foreach { case (_, id, v, ts, _, _) => store.put(id, ts, v) }
         attrMeta.zipWithIndex.foreach { case ((c, num), j) =>
           store.setAttrHashes(c, num, sorted.map(_._5(j)))
+          if (num) store.setAttrValues(c, sorted.map(_._6(j)))
         }
         val tfs = target.getFileSystem(sc.conf)
         val os = new java.io.DataOutputStream(
@@ -2369,6 +2403,28 @@ object ColdTier {
       // unfiltered walk — correctness never depends on the sidecar
       // generation (the exact re-rank applies the true equality).
       inWalkFilter: Boolean = false,
+      // plan-time LITERAL in-walk filtering — the IN-list / multi-column
+      // conjunction shapes where every filter value is known before the
+      // walk starts: each (column, values, valueType) conjunct is hashed
+      // driver-side ([[literalAttrHash]], the shared canonical rule) and
+      // applied at candidate ACCEPTANCE inside every sidecar walk
+      // ([[HnswStore.searchFilteredConj]] — any-of within a conjunct,
+      // AND across conjuncts; shards without matching-family hashes drop
+      // the conjunct, falling back toward the unfiltered walk). The
+      // unindexed-segment exact scan applies the SAME predicate exactly
+      // (it reads the raw attribute), so mixed layouts stay
+      // filter-aware. Mutually exclusive with per-query `filterColumn`
+      // filtering.
+      inWalkLiterals: Seq[(String, Seq[Any],
+        org.apache.spark.sql.types.DataType)] = Nil,
+      // plan-time literal RANGE conjuncts applied IN-WALK: each column's
+      // bounds fold to their conservative CLOSED double hull
+      // ([[closedHull]] — strict edges admitted closed, NaN sides drop
+      // the conjunct) and acceptance tests the sidecar's canonical
+      // values (format v3; shards without them drop the conjunct). The
+      // unindexed-segment exact scan re-applies each bound EXACTLY.
+      // Composes with `inWalkLiterals` (AND).
+      inWalkRanges: Seq[RangeBound] = Nil,
       // plan-time literal admission (the [[admissibleIds]] set of an
       // IN-list / multi-column rewrite): routing and the unindexed scan
       // both drop segments outside it — lossless by the sidecar's
@@ -2380,6 +2436,10 @@ object ColdTier {
       // segment files and their sidecars alive)
       snapshot: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    require((inWalkLiterals.isEmpty && inWalkRanges.isEmpty) ||
+        filterColumn.isEmpty,
+      "probeCandidates: literal in-walk filtering and per-query " +
+        "filterColumn filtering are mutually exclusive")
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
@@ -2429,7 +2489,42 @@ object ColdTier {
             Some(spark.sparkContext.broadcast(
               routerFor(dir, indexed, routeEf)))
           else None
-        if (inWalkFilter && filterColumn.isDefined) {
+        if (inWalkLiterals.nonEmpty || inWalkRanges.nonEmpty) {
+          // literal in-walk branch: one hash-conjunct array + one
+          // closed-hull range array for the whole plan (values are
+          // plan-time constants), broadcast beside the shard index; each
+          // walk filters at acceptance exactly like the per-query
+          // branch, but with zero per-tuple filter payload — the routed
+          // tuple stays the bare unfiltered shape.
+          val conj = inWalkLiterals.map { case (f, vs, vt) =>
+            val hashed = vs.map(v => literalAttrHash(v, vt))
+            (f, hashed.head._2,
+              hashed.map(_._1).distinct.sorted.toArray)
+          }.toArray
+          val rangeConj = inWalkRanges.groupBy(_.column).toSeq
+            .map { case (f, bs) => val (lo, hi) = closedHull(bs); (f, lo, hi) }
+            .filterNot { case (_, lo, hi) => lo.isNaN || hi.isNaN }
+            .sortBy(_._1).toArray
+          val bConj = spark.sparkContext.broadcast(conj)
+          val bRange = spark.sparkContext.broadcast(rangeConj)
+          q.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
+            .as[(Long, Array[Float], Long, Long)]
+            .flatMap { case (qid, qv, qtime, ttl) =>
+              routeToShards(qid, qv, qtime, ttl, Double.NaN, null,
+                bSegMeta.value, None, bIdx.value, cap,
+                bRouter.map(_.value))
+            }
+            .groupByKey(_._1)
+            .flatMapGroups { (i, it) =>
+              val path = bIdx.value(i)._3
+              val store = SidecarCache.get(path, sc.conf, efSearch)
+              it.flatMap { case (_, qid, qv, qtime, ttl) =>
+                store.searchFilteredConj(qv, shortlist, qtime - ttl,
+                    qtime, bConj.value, bRange.value)
+                  .map { case (id, _) => (qid, id) }
+              }
+            }.toDF("qid", "id")
+        } else if (inWalkFilter && filterColumn.isDefined) {
           // in-walk branch: the routed tuple carries the query literal's
           // canonical attribute hash (plan-time family + the shared
           // attrHashColumn rule), and each shard walk filters at
@@ -2505,12 +2600,21 @@ object ColdTier {
           filterColumn.map(_ => col("qfilter")): _*)
         val shortUdaf = udaf(new TopKAggregator(shortlist),
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+        // literal in-walk plans apply their predicate EXACTLY here (the
+        // raw attribute is in the scan) — the unindexed shortlist is
+        // filtered-exact, never diluted by non-matching near neighbors
+        val litPred = (inWalkLiterals.map { case (f, vs, vt) =>
+          vs.map(v => filterEquality(data(f), lit(v).cast(vt),
+              data.schema(f).dataType, vt))
+            .reduceLeft(_ || _)
+        } ++ inWalkRanges.map(rb => rb.predicate(data(rb.column))))
+          .foldLeft(lit(true))(_ && _)
         data.join(broadcast(probeQ),
             col("eventTime") >= col("floor_ts") &&
             col("eventTime") <= col("ceil_ts") &&
             filterColumn.map(f => filterEquality(data(f), col("qfilter"),
                 data.schema(f).dataType, q.schema("qfilter").dataType))
-              .getOrElse(lit(true)))
+              .getOrElse(lit(true)) && litPred)
           .select(col("qid"), col("id"),
             Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
           .groupBy("qid")
@@ -2725,6 +2829,18 @@ object ColdTier {
       // ([[admissibleIdsRange]]), hydration re-applies each conjunct
       // exactly. Conjoins with `filters` (AND).
       ranges: Seq[RangeBound] = Nil,
+      // serve the literal conjuncts IN-WALK (the ACORN acceptance
+      // filter): equality/IN conjuncts test sealed hashes
+      // ([[probeCandidates]] inWalkLiterals), numeric range conjuncts
+      // test sealed canonical values against their closed hull
+      // ([[probeCandidates]] inWalkRanges; format v3). Requires sidecars
+      // sealed with the filter columns for full effect (shards without
+      // the payload fall back per shard — correctness never depends on
+      // it, the exact re-rank applies the true predicate either way).
+      // Fully walk-evaluable plans drop the over-fetch entirely; a plan
+      // with a NON-numeric range literal (hull unevaluable in-walk)
+      // keeps the full adaptive over-fetch — the walk only ever helps.
+      inWalk: Boolean = false,
       // time travel: admission, probe and hydration all plan over the
       // snapshot-pinned catalog/tombstones (attr-stats sidecars are
       // per-segment and segments are immutable, so live stats rows stay
@@ -2765,11 +2881,16 @@ object ColdTier {
       val (lo, hi) = closedHull(bs)
       estimateSelectivity(spark, dir, f, Nil, lo, hi, cat0 = cat)
     }).flatten.reduceOption(_ * _)
-    val effOverfetch = adaptiveOverfetch(overfetch, selectivity)
+    val rangesWalkable = ranges.forall(b => !b.asDouble.isNaN)
+    val effOverfetch =
+      if (inWalk && rangesWalkable) 1
+      else adaptiveOverfetch(overfetch, selectivity)
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries,
         shortlist * effOverfetch, metric, efSearch,
         probeSegments, routeEf, admissible = admissible,
+        inWalkLiterals = if (inWalk) filters else Nil,
+        inWalkRanges = if (inWalk) ranges else Nil,
         snapshot = snapshot),
       queries, k, metric, literalFilters = filters, literalRanges = ranges,
       snapshot = snapshot)

@@ -81,6 +81,29 @@ final class HnswStore(
   /** Columns this graph can filter in-walk. */
   def attrColumns: Set[String] = attrHashes.keySet
 
+  // Optional per-node canonical attribute VALUES (sidecar format v3) —
+  // the in-walk RANGE payload for numeric-family columns: the same
+  // cast-to-double (+0.0) canonicalization the hash rule uses, null
+  // stored as NaN (NaN fails every interval test — sound, because SQL
+  // range predicates reject null too). Rounding is admit-only against a
+  // CLOSED double hull: rounding-to-double is monotone, so a value
+  // truly inside [lo, hi] can never round to outside the closed hull of
+  // the rounded bounds; strict bounds are admitted closed and the
+  // caller's exact re-rank drops the boundary.
+  private var attrValues =
+    scala.collection.immutable.Map.empty[String, Array[Double]]
+
+  /** Attach canonical double values for in-walk range filtering.
+   * `values` must align with internal-id (= insertion) order. */
+  def setAttrValues(column: String, values: Array[Double]): Unit = {
+    require(values.length == n,
+      s"attr values for $column: ${values.length} values for $n nodes")
+    attrValues += column -> values
+  }
+
+  /** Columns this graph can range-filter in-walk. */
+  def attrValueColumns: Set[String] = attrValues.keySet
+
   override def size: Int = latest.size()
 
   private def grow(): Unit = {
@@ -346,10 +369,17 @@ final class HnswStore(
    * (-1 = node absent from layer), live-version map. Format v2 = v1 +
    * a trailing attribute-hash block (written only when attr hashes were
    * attached — an attribute-less graph stays byte-identical v1).
+   * Format v3 = v2 + a trailing canonical-value block (written only when
+   * attr VALUES were attached — the in-walk range payload; hash-only
+   * graphs stay byte-identical v2).
    * Readable by [[HnswStore.readFrom]] with any efSearch. */
   def writeTo(o: java.io.DataOutputStream): Unit = {
+    val ver =
+      if (attrValues.nonEmpty) 3
+      else if (attrHashes.nonEmpty) 2
+      else 1
     o.writeInt(HnswStore.Magic)
-    o.writeByte(if (attrHashes.isEmpty) 1 else 2)
+    o.writeByte(ver)
     o.writeByte(metric match {
       case Metric.L2 => 0; case Metric.IP => 1; case Metric.Cosine => 2 })
     o.writeInt(m); o.writeInt(efConstruction)
@@ -386,7 +416,7 @@ final class HnswStore(
       val e = it.next()
       o.writeLong(e.getKey.longValue()); o.writeInt(e.getValue.intValue())
     }
-    if (attrHashes.nonEmpty) {
+    if (ver >= 2) {
       o.writeInt(attrHashes.size)
       // sorted column order: deterministic bytes for identical input
       attrHashes.toSeq.sortBy(_._1).foreach { case (c, (num, hs)) =>
@@ -394,6 +424,14 @@ final class HnswStore(
         o.writeBoolean(num)
         var j = 0
         while (j < n) { o.writeLong(hs(j)); j += 1 }
+      }
+    }
+    if (ver >= 3) {
+      o.writeInt(attrValues.size)
+      attrValues.toSeq.sortBy(_._1).foreach { case (c, vs) =>
+        o.writeUTF(c)
+        var j = 0
+        while (j < n) { o.writeDouble(vs(j)); j += 1 }
       }
     }
   }
@@ -423,6 +461,48 @@ final class HnswStore(
         searchImpl(q, k, tsFloor, tsCeil, id => hs(id) == qHash)
       case _ => searchImpl(q, k, tsFloor, tsCeil, null)
     }
+
+  /** Plan-time LITERAL-conjunction in-walk search — the IN-list and
+   * multi-column WHERE shapes where every filter value is known before
+   * the walk starts. Each conjunct is `(column, numericFamily, SORTED
+   * ascending literal hashes)`; acceptance admits a candidate only when,
+   * for EVERY conjunct this graph carries matching-family hashes for,
+   * the node's sealed hash equals one of the literal hashes (IN = any-of
+   * within a conjunct, AND across conjuncts). Conjuncts the graph cannot
+   * evaluate (no hashes for the column, or the other type family) drop
+   * out of acceptance — a superset-leaning candidate set the caller's
+   * exact re-rank restricts, so correctness never depends on the sidecar
+   * generation (only recall does; all-dropped = the unfiltered walk). */
+  def searchFilteredConj(q: Array[Float], k: Int, tsFloor: Long,
+      tsCeil: Long, conjuncts: Array[(String, Boolean, Array[Long])],
+      // RANGE conjuncts as CLOSED double hulls `(column, lo, hi)` over
+      // the canonical values (format v3): acceptance admits when
+      // lo <= value <= hi. Bounds must arrive pre-closed (strict edges
+      // widened to inclusive) — rounding-to-double is monotone, so a
+      // truly-matching raw value can never land outside the closed hull
+      // of the rounded bounds; the caller's exact re-rank restores
+      // strictness. NaN values (sealed nulls) fail every interval.
+      // Columns without sealed values drop out (superset-leaning).
+      ranges: Array[(String, Double, Double)] = Array.empty)
+      : Array[(Long, Double)] = {
+    val active = conjuncts.flatMap { case (c, qNumeric, qhs) =>
+      attrHashes.get(c) match {
+        case Some((num, hs)) if num == qNumeric => Some((hs, qhs))
+        case _ => None
+      }
+    }
+    val activeR = ranges.flatMap { case (c, lo, hi) =>
+      attrValues.get(c).map(vs => (vs, lo, hi))
+    }
+    if (active.isEmpty && activeR.isEmpty)
+      searchImpl(q, k, tsFloor, tsCeil, null)
+    else searchImpl(q, k, tsFloor, tsCeil, id =>
+      active.forall { case (hs, qhs) =>
+        java.util.Arrays.binarySearch(qhs, hs(id)) >= 0
+      } && activeR.forall { case (vs, lo, hi) =>
+        vs(id) >= lo && vs(id) <= hi
+      })
+  }
 
   private def searchImpl(q: Array[Float], k: Int, tsFloor: Long,
       tsCeil: Long, pred: Int => Boolean): Array[(Long, Double)] = {
@@ -467,7 +547,7 @@ object HnswStore {
   def readFrom(in: java.io.DataInputStream, efSearch: Int = 64): HnswStore = {
     require(in.readInt() == Magic, "not an HNSW sidecar (bad magic)")
     val ver = in.readByte()
-    require(ver == 1 || ver == 2, s"unsupported HNSW sidecar version $ver")
+    require(ver >= 1 && ver <= 3, s"unsupported HNSW sidecar version $ver")
     val metric = in.readByte() match {
       case 0 => Metric.L2; case 1 => Metric.IP; case 2 => Metric.Cosine
       case b => throw new IllegalArgumentException(s"bad metric byte $b")
@@ -529,6 +609,18 @@ object HnswStore {
         i = 0
         while (i < n) { hs(i) = in.readLong(); i += 1 }
         s.setAttrHashes(name, num, hs)
+        c += 1
+      }
+    }
+    if (ver >= 3) {
+      val nCols = in.readInt()
+      var c = 0
+      while (c < nCols) {
+        val name = in.readUTF()
+        val vs = new Array[Double](n)
+        i = 0
+        while (i < n) { vs(i) = in.readDouble(); i += 1 }
+        s.setAttrValues(name, vs)
         c += 1
       }
     }

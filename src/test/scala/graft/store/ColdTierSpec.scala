@@ -2118,6 +2118,140 @@ class ColdTierSpec extends AnyFunSuite {
       "v1 fallback must equal the filter-oblivious composition exactly")
   }
 
+  test("literal in-walk probe: IN over rare labels without over-fetch, exact scan fallback on mixed layouts, literal-hash parity with the sealer") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-inwalk-lit").toString
+    val dim = 16
+    val nLabels = 100
+    // same deliberately NOT attr-aligned stripe layout as the per-query
+    // in-walk test: every segment holds every label
+    val rows = (0 until 8000).map { i =>
+      val rnd = new java.util.Random(9000L + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % nLabels).toLong)
+    }
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", pmod(col("id"), lit(4)).cast("long")), dir)
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 16, efConstruction = 128, attrColumns = Seq("label"))
+    val k = 10
+    val nQ = 25
+    val inLabels = Seq(17L, 63L) // 2 of 100 — 2% selectivity
+    val filters = Seq(("label", inLabels: Seq[Any],
+      org.apache.spark.sql.types.LongType))
+    val qs = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = rows(qi * 311)
+      (qi.toLong, qv, Long.MaxValue / 2, Long.MaxValue / 2)
+    }.toDF("qid", "qv", "qtime", "ttl")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      (0 until nQ).map { qi =>
+        val (_, qv, _, _) = rows(qi * 311)
+        val truth = rows.filter(r => inLabels.contains(r._4))
+          .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+        got.getOrElse(qi.toLong, Set.empty[Long])
+          .count(truth.contains).toDouble / k
+      }.sum / nQ
+    }
+    // inWalk = true drops the over-fetch entirely (effective factor 1);
+    // the acceptance filter + geometric ef widening carry the recall
+    val inWalk = recallOf(ColdTier.searchIndexedLiteralFiltered(
+      spark, dir, qs, k, filters, Metric.L2, shortlist = 2 * k,
+      efSearch = 64, overfetch = 1, inWalk = true))
+    assert(inWalk >= 0.9, s"literal in-walk IN recall $inWalk")
+    // the oblivious literal path at the same budget collapses (~2% of
+    // each segment's unfiltered top-20 matches)
+    val oblivious = recallOf(ColdTier.searchIndexedLiteralFiltered(
+      spark, dir, qs, k, filters, Metric.L2, shortlist = 2 * k,
+      efSearch = 64, overfetch = 1))
+    assert(oblivious < inWalk - 0.2,
+      s"oblivious $oblivious vs literal in-walk $inWalk")
+    // mixed layout: a FIFTH, unindexed segment holding the globally
+    // nearest matching rows for a fresh query point — the exact-scan
+    // fallback applies the literal predicate itself, so those rows must
+    // surface even though no graph covers them
+    val rnd5 = new java.util.Random(4242L)
+    val probe = Array.fill(dim)(rnd5.nextGaussian().toFloat)
+    val near = (0 until 40).map { j =>
+      val v = probe.clone()
+      v(0) = v(0) + (j + 1) * 1e-4f
+      (100000L + j, v, j.toLong, inLabels(j % 2))
+    }
+    ColdTier.seal(near.toDF("id", "vec", "eventTime", "label"), dir, 4L)
+    val mixed = ColdTier.searchIndexedLiteralFiltered(spark, dir,
+      Seq((0L, probe, Long.MaxValue / 2, Long.MaxValue / 2))
+        .toDF("qid", "qv", "qtime", "ttl"),
+      k, filters, Metric.L2, shortlist = 2 * k, efSearch = 64,
+      overfetch = 1, inWalk = true).collect()
+    assert(mixed.length == k)
+    assert(mixed.forall(_.getLong(2) >= 100000L),
+      "unindexed matching rows must dominate the mixed-layout top-k")
+    // literal-hash parity: the driver-side literalAttrHash must equal
+    // the sealer's column expression on the same values — across the
+    // numeric width gap (Int literal vs Long column) and for strings
+    val parity = Seq(17L, 63L).toDF("label")
+      .select(ColdTier.attrHashColumn(col("label"),
+        org.apache.spark.sql.types.LongType)._1.as("h"))
+      .collect().map(_.getLong(0))
+    assert(ColdTier.literalAttrHash(17,
+      org.apache.spark.sql.types.IntegerType)._1 == parity(0))
+    assert(ColdTier.literalAttrHash(63L,
+      org.apache.spark.sql.types.LongType)._1 == parity(1))
+    val sparity = Seq("abc").toDF("s")
+      .select(ColdTier.attrHashColumn(col("s"),
+        org.apache.spark.sql.types.StringType)._1.as("h"))
+      .collect().map(_.getLong(0))
+    assert(ColdTier.literalAttrHash("abc",
+      org.apache.spark.sql.types.StringType)._1 == sparity(0))
+    // RANGE in-walk over the same (now mixed) tier: band (30, 32] — the
+    // strict edge admits label 30 at walk acceptance (closed hull over
+    // the sealed canonical values, format v3) and the exact re-rank
+    // drops it; the unindexed 5th segment's exact scan applies the band
+    // directly (its labels 17/63 are outside — zero contribution)
+    val band = Seq(
+      ColdTier.RangeBound("label", ">", 30,
+        org.apache.spark.sql.types.IntegerType),
+      ColdTier.RangeBound("label", "<=", 32,
+        org.apache.spark.sql.types.IntegerType))
+    val gotR = ColdTier.searchIndexedLiteralFiltered(spark, dir, qs, k,
+      Nil, Metric.L2, shortlist = 2 * k, efSearch = 64, overfetch = 1,
+      ranges = band, inWalk = true).collect()
+    assert(gotR.forall { r =>
+      val id = r.getLong(2)
+      id < 100000L && id % 100 > 30 && id % 100 <= 32
+    }, "range output must satisfy the strict band exactly")
+    val byQ = gotR.groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(2)).toSet }
+    val rRecall = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = rows(qi * 311)
+      val truth = rows.filter(r => r._4 > 30 && r._4 <= 32)
+        .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      byQ.getOrElse(qi.toLong, Set.empty[Long])
+        .count(truth.contains).toDouble / k
+    }.sum / nQ
+    assert(rRecall >= 0.9, s"in-walk range recall $rRecall")
+    // the oblivious range path at the same budget collapses on the 2%
+    // band — the acceptance filter is the difference here too
+    val gotOb = ColdTier.searchIndexedLiteralFiltered(spark, dir, qs, k,
+      Nil, Metric.L2, shortlist = 2 * k, efSearch = 64, overfetch = 1,
+      ranges = band).collect()
+    val byQOb = gotOb.groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(2)).toSet }
+    val obRecall = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = rows(qi * 311)
+      val truth = rows.filter(r => r._4 > 30 && r._4 <= 32)
+        .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      byQOb.getOrElse(qi.toLong, Set.empty[Long])
+        .count(truth.contains).toDouble / k
+    }.sum / nQ
+    assert(obRecall < rRecall - 0.2,
+      s"oblivious range $obRecall vs in-walk range $rRecall")
+  }
+
   test("writer lock ownership: racing committers breaking the same stale lock lose no segment — every seal lands, every bump counts") {
     // the round-12 advice scenario: N committers all observe a crashed
     // writer's stale lock at once. An ownership-blind break lets two

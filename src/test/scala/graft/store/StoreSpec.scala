@@ -138,6 +138,120 @@ class StoreSpec extends AnyFunSuite {
     assert(r1.attrColumns.isEmpty)
   }
 
+  test("HnswStore in-walk literal-conjunction search: IN any-of, AND across columns, per-conjunct fallback") {
+    val vecs = randomVecs(3000, 16, 13L)
+    val labels = Array.tabulate(3000)(i => (i % 100).toLong)
+    val parity = Array.tabulate(3000)(i => (i % 2).toLong)
+    val s = new HnswStore(Metric.L2, m = 16, efConstruction = 128,
+      efSearch = 64)
+    vecs.zipWithIndex.foreach { case (v, i) => s.put(i.toLong, 0L, v) }
+    s.setAttrHashes("label", numeric = true, labels)
+    s.setAttrHashes("parity", numeric = true, parity)
+    // IN = any-of within one conjunct: 2 of 100 labels (hashes SORTED —
+    // the acceptance predicate binary-searches)
+    val inSet = Array(17L, 63L)
+    val rnd = new java.util.Random(14L)
+    val recalls = (0 until 30).map { _ =>
+      val q = vecs(rnd.nextInt(3000))
+      val truth = bruteForce(vecs, q, 10,
+        i => i % 100 == 17 || i % 100 == 63).toSet
+      val got = s.searchFilteredConj(q, 10, Long.MinValue, Long.MaxValue,
+        Array(("label", true, inSet)))
+      assert(got.forall { case (id, _) => id % 100 == 17 || id % 100 == 63 },
+        "IN acceptance admitted a node outside the value set")
+      got.count(t => truth.contains(t._1)).toDouble / 10
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"in-walk IN recall $mean")
+    // AND across conjuncts: label IN (17, 63) AND parity = 1
+    val q = vecs(123)
+    val conj = s.searchFilteredConj(q, 10, Long.MinValue, Long.MaxValue,
+      Array(("label", true, inSet), ("parity", true, Array(1L))))
+    assert(conj.nonEmpty)
+    assert(conj.forall { case (id, _) =>
+      (id % 100 == 17 || id % 100 == 63) && id % 2 == 1
+    }, "conjunction acceptance admitted a node failing a conjunct")
+    // per-conjunct fallback: an unknown column's conjunct drops out —
+    // the remaining conjunct still filters
+    val partial = s.searchFilteredConj(q, 10, Long.MinValue, Long.MaxValue,
+      Array(("label", true, inSet), ("other", true, Array(1L))))
+    assert(partial.forall { case (id, _) =>
+      id % 100 == 17 || id % 100 == 63
+    }, "the evaluable conjunct must keep filtering when another drops")
+    // all conjuncts unevaluable (unknown column / family mismatch):
+    // the unfiltered walk, bit-for-bit
+    assert(s.searchFilteredConj(q, 10, Long.MinValue, Long.MaxValue,
+      Array(("other", true, Array(1L)), ("label", false, inSet)))
+      .sameElements(s.search(q, 10)))
+  }
+
+  test("HnswStore in-walk range search: closed-hull acceptance over canonical values, v3 roundtrip, NaN nulls rejected, fallback without values") {
+    val vecs = randomVecs(3000, 16, 15L)
+    // canonical double score 0..99 striped across ids; id 0's score is
+    // NaN (a sealed null) — it must fail every interval
+    val score = Array.tabulate(3000)(i =>
+      if (i == 0) Double.NaN else (i % 100).toDouble)
+    val s = new HnswStore(Metric.L2, m = 16, efConstruction = 128,
+      efSearch = 64)
+    vecs.zipWithIndex.foreach { case (v, i) => s.put(i.toLong, 0L, v) }
+    s.setAttrValues("score", score)
+    assert(s.attrValueColumns == Set("score"))
+    val noConj = Array.empty[(String, Boolean, Array[Long])]
+    // narrow band [17, 18] — 2% selectivity; closed-hull inclusive
+    val rnd = new java.util.Random(16L)
+    val recalls = (0 until 30).map { _ =>
+      val q = vecs(rnd.nextInt(3000))
+      val truth = bruteForce(vecs, q, 10,
+        i => i != 0 && (i % 100 == 17 || i % 100 == 18)).toSet
+      val got = s.searchFilteredConj(q, 10, Long.MinValue, Long.MaxValue,
+        noConj, Array(("score", 17.0, 18.0)))
+      assert(got.forall { case (id, _) =>
+        id != 0L && (id % 100 == 17 || id % 100 == 18)
+      }, "range acceptance admitted a node outside the closed hull")
+      got.count(t => truth.contains(t._1)).toDouble / 10
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"in-walk range recall $mean")
+    // the NaN (null) node fails even an all-covering interval
+    val q = vecs(123)
+    val all = s.searchFilteredConj(q, 3000, Long.MinValue, Long.MaxValue,
+      noConj, Array(("score", Double.NegativeInfinity,
+        Double.PositiveInfinity)))
+    assert(!all.exists(_._1 == 0L), "a NaN (null) value must fail every interval")
+    // range AND hash conjunct compose
+    s.setAttrHashes("parity",  numeric = true,
+      Array.tabulate(3000)(i => (i % 2).toLong))
+    val both = s.searchFilteredConj(q, 10, Long.MinValue, Long.MaxValue,
+      Array(("parity", true, Array(1L))), Array(("score", 17.0, 18.0)))
+    assert(both.forall { case (id, _) =>
+      id % 2 == 1 && (id % 100 == 17 || id % 100 == 18)
+    }, "hash + range conjunction must both apply")
+    // v3 roundtrip carries the values
+    val bos = new java.io.ByteArrayOutputStream()
+    s.writeTo(new java.io.DataOutputStream(bos))
+    assert(bos.toByteArray()(4) == 3, "value-carrying sidecar must be v3")
+    val r = HnswStore.readFrom(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)), efSearch = 64)
+    assert(r.attrValueColumns == Set("score"))
+    assert(r.searchFilteredConj(q, 10, Long.MinValue, Long.MaxValue,
+        noConj, Array(("score", 17.0, 18.0)))
+      .sameElements(s.searchFilteredConj(q, 10, Long.MinValue,
+        Long.MaxValue, noConj, Array(("score", 17.0, 18.0)))))
+    // a column without sealed values drops its range conjunct —
+    // unfiltered walk, bit-for-bit
+    assert(s.searchFilteredConj(q, 10, Long.MinValue, Long.MaxValue,
+      noConj, Array(("other", 17.0, 18.0)))
+      .sameElements(s.search(q, 10)))
+    // hash-only graphs stay byte-format v2
+    val s2 = new HnswStore(Metric.L2, efSearch = 32)
+    vecs.take(50).zipWithIndex.foreach { case (v, i) => s2.put(i.toLong, 0L, v) }
+    s2.setAttrHashes("label", numeric = true,
+      Array.tabulate(50)(_.toLong))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    s2.writeTo(new java.io.DataOutputStream(bos2))
+    assert(bos2.toByteArray()(4) == 2, "hash-only sidecar must stay v2")
+  }
+
   test("HnswStore is deterministic for the same insert sequence") {
     val vecs = randomVecs(400, 16, 6L)
     def build() = {

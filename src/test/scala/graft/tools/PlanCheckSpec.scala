@@ -56,6 +56,12 @@ class PlanCheckSpec extends AnyFunSuite {
     ("knn_coldtier_pq_filtered", true, true, false),
     ("knn_coldtier_hnsw", true, true, false),
     ("knn_coldtier_hnsw_filtered", true, true, false),
+    // IN-list in-walk probe OUTPUT = the literal-filtered exact re-rank
+    // over the aux shortlist — same broadcast shape as the equality twin
+    ("knn_coldtier_hnsw_filtered_in", true, true, false),
+    // range in-walk probe OUTPUT = the range-filtered exact re-rank
+    // over the aux shortlist — same broadcast shape
+    ("knn_coldtier_hnsw_filtered_range", true, true, false),
     ("knn_coldtier_hnsw_sharded", true, true, false),
     ("ann_sfc_adaptive", false, true, false),
     ("embed_neardup", false, true, false),
@@ -228,6 +234,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // IN-list rewrite entry OUTPUT = the literal-filtered exact re-rank
     // over the aux ids — same broadcast shape + no-corpus-scan assertion
     ("knn_sql_rewrite_in", true, true, false),
+    // in-walk-served IN rewrite OUTPUT = the same literal-filtered
+    // re-rank shape (broadcast + no-corpus-scan assertion in the entry)
+    ("knn_sql_rewrite_inwalk", true, true, false),
     // window-rank-idiom rewrite entry OUTPUT = the exact re-rank over
     // the aux ids — the knn_sql_rewrite shape
     ("knn_sql_rewrite_rank", true, true, false),
