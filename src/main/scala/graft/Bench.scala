@@ -467,25 +467,33 @@ object Bench {
          |  (${v("dedup_pairs_per_sec_10x")} vs ${v("dedup_pairs_per_sec_1x")}
          |  pairs/s, same JVM, same phase; raw reps
          |  ${v("dedup_1x_secs")} / ${v("dedup_10x_secs")}).
-         |- **Selectivity-driven over-fetch at 10×** (1%-selectivity label
+         |- **Rare-label filtered serving at 10×** (1%-selectivity label
          |  UNALIGNED with the cell layout,
-         |  ${v("ann_filtered1pct_queries")} queries): the attr-stats
-         |  histogram estimates selectivity
-         |  ${v("ann_filtered1pct_selectivity_est")} and raises the
-         |  over-fetch from the registered 8× guess to
-         |  **${v("ann_filtered1pct_adaptive_overfetch")}×** — recall
-         |  ${v("ann_filtered1pct_static_recall")} →
-         |  ${v("ann_filtered1pct_adaptive_recall")}, q/s
-         |  ${v("ann_filtered1pct_static_q_per_sec")} →
-         |  ${v("ann_filtered1pct_adaptive_q_per_sec")} (cost tracks the
-         |  chosen shortlist linearly — candidate-bounded as designed).
-         |  The estimator sizes the shortlist instead of the operator. The
-         |  recall residue decomposes (measured, COVERAGE.md): part probe
-         |  fan-out (matching rows live in unprobed cells), part the
-         |  filter-OBLIVIOUS graph walk itself at 1% selectivity — both
-         |  remedied by the attr-aligned layout
-         |  (`coldtier_scan_filtered_attrrc_sec`), a LAYOUT knob, not an
-         |  over-fetch knob.
+         |  ${v("ann_filtered1pct_queries")} queries, every point recall'd
+         |  against the same exact filtered kernel): static 8× over-fetch
+         |  recall ${v("ann_filtered1pct_static_recall")} at
+         |  ${v("ann_filtered1pct_static_q_per_sec")} q/s; the attr-stats
+         |  histogram (selectivity estimate
+         |  ${v("ann_filtered1pct_selectivity_est")}) raises the over-fetch
+         |  to **${v("ann_filtered1pct_adaptive_overfetch")}×** — recall
+         |  ${v("ann_filtered1pct_adaptive_recall")} at
+         |  ${v("ann_filtered1pct_adaptive_q_per_sec")} q/s; the IN-WALK
+         |  acceptance filter (no over-fetch) reaches recall
+         |  ${v("ann_filtered1pct_inwalk_recall")} at
+         |  ${v("ann_filtered1pct_inwalk_q_per_sec")} q/s on the SAME mixed
+         |  layout; `reclusterByAttr` converges the tier label-aligned
+         |  (one-off ${v("ann_filtered1pct_attrrc_build_sec")} s,
+         |  ${v("ann_filtered1pct_attrrc_segments")} segments) and the same
+         |  static call then reads recall
+         |  ${v("ann_filtered1pct_attrrc_recall")} at
+         |  **${v("ann_filtered1pct_attrrc_q_per_sec")} q/s**; the
+         |  COMPOSITION — in-walk acceptance ON the aligned layout — ends
+         |  the story at recall
+         |  **${v("ann_filtered1pct_attrrc_inwalk_recall")}** at
+         |  **${v("ann_filtered1pct_attrrc_inwalk_q_per_sec")} q/s**
+         |  (admission removes the fan-out residue, acceptance removes the
+         |  label-mixing residue). The layout knob plus the acceptance
+         |  filter replace the over-fetch knob.
          |""".stripMargin
     val p = java.nio.file.Paths.get(readmePath)
     if (!java.nio.file.Files.exists(p)) return

@@ -360,6 +360,24 @@ object Bench10x {
     val attrRc1pTimes = attrRc1pA +: (2 to reps).map { _ =>
       System.gc(); time(attrRc1pRun())._2 }
     val attrRc1pRecall = recall1p(attrRcRows)
+    // --- the COMPOSITION point: in-walk acceptance ON the converged
+    // attr-aligned layout. reclusterByAttr's commit carried the label100
+    // sidecar payload forward (the attrs-marker contract), so each
+    // query's single admissible bucket walks with the acceptance filter:
+    // admission removes the fan-out residue, the filter removes the
+    // label-mixing residue (quantile cut merging leaves ~25 two-label
+    // buckets), and the density-sized first beam keeps the walk one-pass
+    // — neither knob alone reaches this point's recall at this cost.
+    def attrRcInWalk1pRun() =
+      graft.store.ColdTier.searchIndexedInWalkFiltered(spark, tier, q1pF,
+          10, "label100", Metric.L2, shortlist = 24, efSearch = 96,
+          probeSegments = 12)
+        .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+    System.gc()
+    val (attrRcIwRows, attrRcIw1pA) = time(attrRcInWalk1pRun())
+    val attrRcIw1pTimes = attrRcIw1pA +: (2 to reps).map { _ =>
+      System.gc(); time(attrRcInWalk1pRun())._2 }
+    val attrRcIw1pRecall = recall1p(attrRcIwRows)
     q1pF.unpersist(); q1p.unpersist()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tier))
 
@@ -498,6 +516,10 @@ object Bench10x {
       s""""ann_filtered1pct_attrrc_secs":${arr(attrRc1pTimes)},""" +
       s""""ann_filtered1pct_attrrc_q_per_sec":${"%.1f".format(onePctNQ / attrRc1pTimes.min)},""" +
       s""""ann_filtered1pct_attrrc_recall":${"%.4f".format(attrRc1pRecall)},""" +
+      s""""ann_filtered1pct_attrrc_inwalk_sec":${"%.2f".format(attrRcIw1pTimes.min)},""" +
+      s""""ann_filtered1pct_attrrc_inwalk_secs":${arr(attrRcIw1pTimes)},""" +
+      s""""ann_filtered1pct_attrrc_inwalk_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw1pTimes.min)},""" +
+      s""""ann_filtered1pct_attrrc_inwalk_recall":${"%.4f".format(attrRcIw1pRecall)},""" +
       s""""calib_dedup10x_sec":${"%.2f".format(calibDedupSec)},""" +
       s""""n_docs_10x":$nDoc10,""" +
       s""""dedup_docs_per_sec_1x_child":${"%.1f".format(nDoc1 / d1Times.min)},""" +

@@ -125,6 +125,17 @@ object EvalQueries {
    * (tier dir, hot/cold ts cut) — the cross-tier FILTERED layout. */
   private val tieredFilteredDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  /** Like [[tieredFilteredTier]] but the cold sidecars are sealed WITH
+   * the label attribute payload (hashes + canonical values) — the
+   * in-walk cross-tier layout. Separate CACHE so the over-fetch entries
+   * keep exercising filter-oblivious sidecars; one shared BUILDER so
+   * the layouts can never diverge. */
+  private val tieredInWalkDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private def tieredInWalkTier(s: SparkSession, dir: String,
+      e: org.apache.spark.sql.DataFrame): (String, Long) =
+    tieredInWalkDirs.getOrElseUpdate(dir,
+      buildTieredTier(s, e, "graft-cold-tieriw", Seq("label")))
 
   /** Hot/cold tiered layout WITH the label attribute, per sf dir:
    * newest quarter in one unindexed hot segment, older three quarters
@@ -133,25 +144,34 @@ object EvalQueries {
    * (tier dir, hot/cold eventTime cut). */
   private def tieredFilteredTier(s: SparkSession, dir: String,
       e: org.apache.spark.sql.DataFrame): (String, Long) =
-    tieredFilteredDirs.getOrElseUpdate(dir, {
-      val t = java.nio.file.Files.createTempDirectory("graft-cold-tierflt")
-        .toString
-      val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
-      val c = maxId / 4 * 3
-      (0 until 2).foreach { i =>
-        graft.store.ColdTier.seal(
-          e.where(col("vec_id") < c && col("vec_id") % 2 === i)
-            .select(col("vec_id").as("id"), col("embedding").as("vec"),
-              col("vec_id").as("eventTime"), col("label")), t, i.toLong)
-      }
-      graft.store.ColdTier.sealIndexes(s, t, 0L until 2L,
-        graft.Metric.L2, m = 16, efConstruction = 128)
+    tieredFilteredDirs.getOrElseUpdate(dir,
+      buildTieredTier(s, e, "graft-cold-tierflt", Nil))
+
+  /** One copy of the hot/cold split recipe (newest-quarter cut, parity
+   * split of the cold rows, seal-then-index order) for every tiered
+   * layout variant — the cut formula and seal order can never diverge
+   * between the over-fetch and in-walk entries. */
+  private def buildTieredTier(s: SparkSession,
+      e: org.apache.spark.sql.DataFrame, prefix: String,
+      attrColumns: Seq[String]): (String, Long) = {
+    val t = java.nio.file.Files.createTempDirectory(prefix).toString
+    val maxId = e.agg(max(col("vec_id"))).first().getLong(0)
+    val c = maxId / 4 * 3
+    (0 until 2).foreach { i =>
       graft.store.ColdTier.seal(
-        e.where(col("vec_id") >= c)
+        e.where(col("vec_id") < c && col("vec_id") % 2 === i)
           .select(col("vec_id").as("id"), col("embedding").as("vec"),
-            col("vec_id").as("eventTime"), col("label")), t, 2L)
-      (t, c)
-    })
+            col("vec_id").as("eventTime"), col("label")), t, i.toLong)
+    }
+    graft.store.ColdTier.sealIndexes(s, t, 0L until 2L,
+      graft.Metric.L2, m = 16, efConstruction = 128,
+      attrColumns = attrColumns)
+    graft.store.ColdTier.seal(
+      e.where(col("vec_id") >= c)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("vec_id").as("eventTime"), col("label")), t, 2L)
+    (t, c)
+  }
   /** Top-n of the SQL-rewrite entry (one literal query; the LIMIT). */
   private val SqlRewriteK = 500
   /** Top-n of the FILTERED SQL-rewrite entry — smaller than SqlRewriteK
@@ -1619,6 +1639,47 @@ object EvalQueries {
         filterColumn = Some("label"))
     },
 
+    "knn_tiered_inwalk" -> { (s, dir) =>
+      // the IN-WALK cross-tier composition: the same hierarchical split
+      // as knn_tiered_filtered, but the cold sidecars carry label
+      // hashes and the cold probe filters at candidate ACCEPTANCE with
+      // a PLAIN shortlist — no 8x over-fetch; the acceptance filter
+      // replaces it — while the hot quarter still answers through the
+      // exact filtered scan kernel (disjoint freshness windows keep the
+      // tiers from double-serving, as in every tiered entry). Both
+      // shortlists land as aux and ONE label-filtered exact re-rank
+      // over the union answers the query, so the DuckDB twin replays
+      // the whole merge bit-exactly — composition correctness stays
+      // independent of walk quality (that is ColdTierSpec's job).
+      val e = Tables(s, dir, "embeddings")
+      val (tmp, cut) = tieredInWalkTier(s, dir, e)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          col("label").as("qfilter"))
+      val coldQ = queries
+        .withColumn("qtime", lit(cut - 1)).withColumn("ttl", lit(cut - 1))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, coldQ,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2,
+          efSearch = 100, filterColumn = Some("label"),
+          inWalkFilter = true),
+        dir, "tiered_iw_cold_shortlist")
+      val hotQ = queries
+        .withColumn("ttl", lit(Long.MaxValue / 2 - cut))
+      OracleAux.write(
+        graft.store.ColdTier.search(s, tmp, hotQ, PqQueries.Shortlist,
+            graft.Metric.L2, firstWaveFraction = 1.0,
+            terminationFactor = 1.0, filterColumn = Some("label"))
+          .select(col("qid"), col("id")),
+        dir, "tiered_iw_hot_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "tiered_iw_cold_shortlist")
+          .unionByName(OracleAux.read(s, dir, "tiered_iw_hot_shortlist")),
+        queries, VectorQueries.K, graft.Metric.L2,
+        filterColumn = Some("label"))
+    },
+
     "knn_tiered_range" -> { (s, dir) =>
       // the RANGE cross-tier composition — knn_tiered_filtered's
       // hierarchical search under a static numeric band (`label BETWEEN
@@ -2205,6 +2266,23 @@ object EvalQueries {
          |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
          |c AS (SELECT qid, id FROM ${OracleAux.ref("tiered_flt_cold_shortlist")}
          |  UNION SELECT qid, id FROM ${OracleAux.ref("tiered_flt_hot_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label = q.label),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // in-walk cross-tier merge replay: identical recipe to
+    // knn_tiered_filtered — only the aux (and the cold serving
+    // mechanism that produced it) differs
+    "knn_tiered_inwalk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("tiered_iw_cold_shortlist")}
+         |  UNION SELECT qid, id FROM ${OracleAux.ref("tiered_iw_hot_shortlist")}),
          |d AS (SELECT q.qid, c.id,
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id

@@ -615,17 +615,36 @@ object ColdTier {
    * column form is spec-gated (ColdTierSpec literal-hash parity). Same
    * admit-only collision contract as the column form. */
   private[graft] def literalAttrHash(v: Any,
-      vt: org.apache.spark.sql.types.DataType): (Long, Boolean) = {
+      vt: org.apache.spark.sql.types.DataType,
+      // session timezone for timezone-dependent renderings (timestamp →
+      // string casts need it to EVALUATE, and the sealer rendered under
+      // the session's zone — parity requires the same one). None is fine
+      // for every tz-independent family (numerics, strings, dates).
+      timeZoneId: Option[String] = None): (Long, Boolean) = {
     import org.apache.spark.sql.catalyst.expressions.{Add, Cast, XxHash64, Literal => CatLiteral}
     val numeric = vt.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val typed = Cast(CatLiteral(v), vt)
+    val typed = Cast(CatLiteral(v), vt, timeZoneId)
     val canon =
       if (numeric)
-        Add(Cast(typed, org.apache.spark.sql.types.DoubleType),
-          CatLiteral(0.0))
-      else Cast(typed, org.apache.spark.sql.types.StringType)
+        Add(Cast(typed, org.apache.spark.sql.types.DoubleType,
+          timeZoneId), CatLiteral(0.0))
+      else Cast(typed, org.apache.spark.sql.types.StringType, timeZoneId)
     (new XxHash64(Seq(canon)).eval(null).asInstanceOf[Long], numeric)
   }
+
+  /** The exact plan-time literal predicate — any-of within an equality
+   * conjunct, AND across conjuncts and range bounds — over `df`'s sealed
+   * attributes. ONE copy shared by the probe's unindexed-scan fallback
+   * and the exact re-rank so the two surfaces can never drift. */
+  private def literalPredicate(df: DataFrame,
+      filters: Seq[(String, Seq[Any], org.apache.spark.sql.types.DataType)],
+      ranges: Seq[RangeBound]): org.apache.spark.sql.Column =
+    (filters.map { case (f, vs, vt) =>
+      vs.map(v => filterEquality(df(f), lit(v).cast(vt),
+          df.schema(f).dataType, vt))
+        .reduceLeft(_ || _)
+    } ++ ranges.map(rb => rb.predicate(df(rb.column))))
+      .foldLeft(lit(true))(_ && _)
 
   /** The full equality predicate for join-formulated filtered surfaces. */
   private[store] def filterEquality(attr: org.apache.spark.sql.Column,
@@ -1229,10 +1248,22 @@ object ColdTier {
       maxGraphRows: Int)
       (assign: Long => DataFrame): Array[SegmentStats] = {
     val base = math.max(CompactionIdBase - 1, segs.map(_.segmentId).max) + 1
-    val staged = sealManyStaged(assign(base), dir)
-    if (buildIndexes)
+    val reassigned = assign(base)
+    val staged = sealManyStaged(reassigned, dir)
+    if (buildIndexes) {
+      // carry the victims' in-walk payload forward: union of their
+      // attrs markers, restricted to columns the reassigned schema
+      // still carries (a registration-promised payload must survive
+      // maintenance — sealing without it would silently cost recall on
+      // every filtered probe, with the over-fetch safety net already
+      // dropped by inWalk callers)
+      val fsm = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val carried = segs.flatMap(s => sidecarAttrColumns(fsm, s.path))
+        .distinct.filter(reassigned.columns.contains).toSeq
       sealIndexes(spark, dir, staged.map(_.segmentId).toSeq, metric, m,
-        efConstruction, maxGraphRows)
+        efConstruction, maxGraphRows, attrColumns = carried)
+    }
     val totalTemp = segs.map(_.temperature).sum
     val totalRows = math.max(1L, staged.map(_.count).sum)
     val out = staged.map(s =>
@@ -1720,7 +1751,8 @@ object ColdTier {
     val victims = fs.listStatus(base).map(_.getPath).filter { p =>
       val n = p.getName
       n.startsWith("segment-") &&
-        !live.contains(n.stripSuffix("-codes").stripSuffix("-hnsw"))
+        !live.contains(n.stripSuffix("-codes").stripSuffix("-hnsw")
+          .stripSuffix("-attrs"))
     }
     victims.foreach(p => fs.delete(p, true))
     // stale uncommitted catalog tmp dirs (a CAS loser's crash leftovers).
@@ -1825,7 +1857,12 @@ object ColdTier {
           val stats = writeSegment(rows, dir, nextId)
             .copy(temperature = g.map(_.temperature).sum)
           if (g.forall(s => indexSealed(fs, s.path)))
-            sealIndexes(spark, dir, Seq(nextId), metric, m, efConstruction)
+            // union of the victims' attrs markers: the merged graph keeps
+            // every in-walk payload column any input carried (and a
+            // payload-less input gains it — the column is in the schema)
+            sealIndexes(spark, dir, Seq(nextId), metric, m, efConstruction,
+              attrColumns = g.flatMap(s => sidecarAttrColumns(fs, s.path))
+                .distinct.filter(rows.columns.contains).toSeq)
           if (g.forall(s => fs.exists(new Path(s"${s.path}-codes"))))
             sqModel.foreach(mod => sealCodes(spark, dir, nextId, mod))
           Some(stats)
@@ -1917,6 +1954,43 @@ object ColdTier {
   }
 
   private def indexPath(segmentPath: String) = s"$segmentPath-hnsw"
+
+  /** Companion marker recording which attribute columns a segment's
+   * sidecar graphs were sealed with (one name per line). Maintenance
+   * passes that REBUILD sidecars (compact, the recluster family) read
+   * the victims' markers and re-seal with the union — without it, any
+   * compaction would silently strip the in-walk filter payload from a
+   * tier whose registration promised it (and an inWalk registration has
+   * already dropped the over-fetch safety net, so the loss would cost
+   * recall with no error anywhere). Swept by [[gc]] alongside the other
+   * segment companions. */
+  private def attrsPath(segmentPath: String) = s"$segmentPath-attrs"
+
+  /** The attr columns `segmentPath`'s sidecar was sealed with (empty =
+   * no marker = payload-less v1 graphs). */
+  private def sidecarAttrColumns(fs: org.apache.hadoop.fs.FileSystem,
+      segmentPath: String): Seq[String] = {
+    val p = new Path(attrsPath(segmentPath))
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  private def writeAttrsMarker(fs: org.apache.hadoop.fs.FileSystem,
+      segmentPath: String, attrColumns: Seq[String]): Unit = {
+    val p = new Path(attrsPath(segmentPath))
+    if (attrColumns.isEmpty) { fs.delete(p, false); () }
+    else {
+      val os = fs.create(p, true)
+      try os.write(attrColumns.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
+  }
 
   /** Marker committing a SHARDED sidecar directory: written only after
    * every shard task finished. A single-file sidecar commits by its own
@@ -2065,6 +2139,10 @@ object ColdTier {
         fs.create(new Path(indexPath(s"$dir/segment-$sid"), ShardSealedMarker),
           true).close()
     }
+    // record the payload columns so sidecar REBUILDS (compact/recluster)
+    // carry them forward instead of silently stripping the in-walk filter
+    segmentIds.foreach(sid =>
+      writeAttrsMarker(fs, s"$dir/segment-$sid", attrColumns))
   }
 
   /** Executor-local sidecar cache keyed by (path, length, mtime, efSearch):
@@ -2440,6 +2518,9 @@ object ColdTier {
         filterColumn.isEmpty,
       "probeCandidates: literal in-walk filtering and per-query " +
         "filterColumn filtering are mutually exclusive")
+    require(inWalkLiterals.forall(_._2.nonEmpty),
+      "probeCandidates: each inWalkLiterals conjunct needs >= 1 value " +
+        "(an empty IN list matches no rows — answer it without a probe)")
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
@@ -2496,8 +2577,9 @@ object ColdTier {
           // walk filters at acceptance exactly like the per-query
           // branch, but with zero per-tuple filter payload — the routed
           // tuple stays the bare unfiltered shape.
+          val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
           val conj = inWalkLiterals.map { case (f, vs, vt) =>
-            val hashed = vs.map(v => literalAttrHash(v, vt))
+            val hashed = vs.map(v => literalAttrHash(v, vt, tz))
             (f, hashed.head._2,
               hashed.map(_._1).distinct.sorted.toArray)
           }.toArray
@@ -2603,12 +2685,7 @@ object ColdTier {
         // literal in-walk plans apply their predicate EXACTLY here (the
         // raw attribute is in the scan) — the unindexed shortlist is
         // filtered-exact, never diluted by non-matching near neighbors
-        val litPred = (inWalkLiterals.map { case (f, vs, vt) =>
-          vs.map(v => filterEquality(data(f), lit(v).cast(vt),
-              data.schema(f).dataType, vt))
-            .reduceLeft(_ || _)
-        } ++ inWalkRanges.map(rb => rb.predicate(data(rb.column))))
-          .foldLeft(lit(true))(_ && _)
+        val litPred = literalPredicate(data, inWalkLiterals, inWalkRanges)
         data.join(broadcast(probeQ),
             col("eventTime") >= col("floor_ts") &&
             col("eventTime") <= col("ceil_ts") &&
@@ -2871,7 +2948,9 @@ object ColdTier {
     // registered static factor as the floor and MaxAdaptiveOverfetch
     // as the cap. A 1% label no longer needs the operator to have
     // guessed filterOverfetch = 100 at registration time.
-    val selectivity = (filters.map { case (f, vs, _) =>
+    // lazy: the in-walk branch never sizes an over-fetch, so it must not
+    // pay the per-plan attr-stats loads the estimate costs
+    lazy val selectivity = (filters.map { case (f, vs, _) =>
       estimateSelectivity(spark, dir, f,
         vs.map {
           case n: java.lang.Number => n.doubleValue()
@@ -2954,12 +3033,7 @@ object ColdTier {
       .select((Seq("id", "vec", "eventTime") ++ filterColumn ++
         literalFilters.map(_._1) ++ literalRanges.map(_.column))
         .distinct.map(col): _*)
-    val literalPred = (literalFilters.map { case (f, vs, vt) =>
-      vs.map(v => filterEquality(col(f), lit(v).cast(vt),
-          raw.schema(f).dataType, vt))
-        .reduceLeft(_ || _)
-    } ++ literalRanges.map(rb => rb.predicate(col(rb.column))))
-      .foldLeft(lit(true))(_ && _)
+    val literalPred = literalPredicate(raw, literalFilters, literalRanges)
     val probeQ = q.select(Seq(col("qid"), col("qv"),
       (col("qtime") - col("ttl")).as("floor_ts"),
       col("qtime").as("ceil_ts")) ++

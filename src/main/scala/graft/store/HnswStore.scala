@@ -516,6 +516,23 @@ final class HnswStore(
     // survivors are found, the beam exhausts the reachable graph
     // (resN < ef), or ef covers every node
     var ef = math.max(efSearch, k * 4)
+    if (pred != null) {
+      // size the FIRST beam by the predicate's exact density: one O(n)
+      // pass over the payload arrays (trivial next to any walk) counts
+      // matching nodes. Zero matches answers EMPTY with no walk at all —
+      // the common case on an attr-aligned layout, where the old path
+      // widened all the way to ef = n before concluding nothing matched —
+      // and a rare predicate jumps straight to the ef the geometric
+      // widening would have re-walked its way up to. The widening loop
+      // below stays as the backstop for what the count cannot see
+      // (stale versions, freshness drops).
+      var cnt = 0
+      var i = 0
+      while (i < n) { if (pred(i)) cnt += 1; i += 1 }
+      if (cnt == 0) return Array.empty
+      ef = math.min(n,
+        math.max(ef, math.ceil(k.toDouble * 2 * n / cnt).toInt))
+    }
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](k)
     val seenLabels = new java.util.HashSet[Long]()
     var done = false

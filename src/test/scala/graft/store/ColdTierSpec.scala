@@ -2252,6 +2252,41 @@ class ColdTierSpec extends AnyFunSuite {
       s"oblivious range $obRecall vs in-walk range $rRecall")
   }
 
+  test("attrs marker: compaction and recluster carry the in-walk payload forward instead of stripping it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attrs-carry").toString
+    val dim = 8
+    val rows = (0 until 1200).map { i =>
+      val rnd = new java.util.Random(11000L + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 100).toLong)
+    }
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", pmod(col("id"), lit(4)).cast("long")), dir)
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 8, efConstruction = 64, attrColumns = Seq("label"))
+    val qs = Seq((0L, rows(17)._2, Long.MaxValue / 2, Long.MaxValue / 2))
+      .toDF("qid", "qv", "qtime", "ttl")
+    val filters = Seq(("label", Seq(17L): Seq[Any],
+      org.apache.spark.sql.types.LongType))
+    def onlyMatching(): Boolean =
+      ColdTier.probeCandidates(spark, dir, qs, shortlist = 10,
+          Metric.L2, efSearch = 32, inWalkLiterals = filters)
+        .collect().forall(_.getLong(1) % 100 == 17)
+    assert(onlyMatching(), "payload must filter before any maintenance")
+    // size-tiered compaction rebuilds sidecars — the merged graph must
+    // keep the label payload (union of the victims' attrs markers)
+    ColdTier.compact(spark, dir, targetRows = 10000L)
+    assert(ColdTier.catalog(spark, dir).length == 1, "compacted to one")
+    assert(onlyMatching(),
+      "compaction must carry the in-walk payload forward")
+    // the recluster family shares the commit tail — same guarantee
+    ColdTier.recluster(spark, dir, numCells = 2, m = 8,
+      efConstruction = 64)
+    assert(onlyMatching(),
+      "recluster must carry the in-walk payload forward")
+  }
+
   test("writer lock ownership: racing committers breaking the same stale lock lose no segment — every seal lands, every bump counts") {
     // the round-12 advice scenario: N committers all observe a crashed
     // writer's stale lock at once. An ownership-blind break lets two

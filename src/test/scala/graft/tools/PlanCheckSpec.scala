@@ -106,6 +106,9 @@ class PlanCheckSpec extends AnyFunSuite {
     // filtered cross-tier twin: label-filtered exact re-rank over the
     // union aux — same broadcast candidate + query joins
     ("knn_tiered_filtered", true, true, false),
+    // in-walk cross-tier OUTPUT = the same filtered re-rank shape; the
+    // cold aux came from the acceptance-filtered walk at plain shortlist
+    ("knn_tiered_inwalk", true, true, false),
     // banded cross-tier merge OUTPUT = range-filtered exact re-rank over
     // the unioned aux shortlists — same broadcast shape
     ("knn_tiered_range", true, true, false),
