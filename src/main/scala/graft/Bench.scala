@@ -486,14 +486,17 @@ object Bench {
          |  ${v("ann_filtered1pct_attrrc_segments")} segments) and the same
          |  static call then reads recall
          |  ${v("ann_filtered1pct_attrrc_recall")} at
-         |  **${v("ann_filtered1pct_attrrc_q_per_sec")} q/s**; the
-         |  COMPOSITION — in-walk acceptance ON the aligned layout — ends
-         |  the story at recall
-         |  **${v("ann_filtered1pct_attrrc_inwalk_recall")}** at
-         |  **${v("ann_filtered1pct_attrrc_inwalk_q_per_sec")} q/s**
-         |  (admission removes the fan-out residue, acceptance removes the
-         |  label-mixing residue). The layout knob plus the acceptance
-         |  filter replace the over-fetch knob.
+         |  **${v("ann_filtered1pct_attrrc_q_per_sec")} q/s**; in-walk
+         |  acceptance ON the aligned layout is the fastest probe point
+         |  (${v("ann_filtered1pct_attrrc_inwalk_recall")} at
+         |  ${v("ann_filtered1pct_attrrc_inwalk_q_per_sec")} q/s — the
+         |  aligned walk is DEPTH-bound, not filter-bound, so its plain
+         |  shortlist reads shallower than the static call's 8× one).
+         |  Measured frontier: the acceptance filter is the RECALL knob on
+         |  a mixed layout, the aligned layout is the THROUGHPUT knob, and
+         |  the exact filtered kernel over the aligned layout (admission
+         |  collapses each query to its one bucket) stays the lossless
+         |  endpoint.
          |""".stripMargin
     val p = java.nio.file.Paths.get(readmePath)
     if (!java.nio.file.Files.exists(p)) return

@@ -363,11 +363,13 @@ object Bench10x {
     // --- the COMPOSITION point: in-walk acceptance ON the converged
     // attr-aligned layout. reclusterByAttr's commit carried the label100
     // sidecar payload forward (the attrs-marker contract), so each
-    // query's single admissible bucket walks with the acceptance filter:
-    // admission removes the fan-out residue, the filter removes the
-    // label-mixing residue (quantile cut merging leaves ~25 two-label
-    // buckets), and the density-sized first beam keeps the walk one-pass
-    // — neither knob alone reaches this point's recall at this cost.
+    // query's single admissible bucket walks with the acceptance filter
+    // at a PLAIN shortlist. Measured outcome (r13 artifacts): this is
+    // the FASTEST probe point, slightly below the static aligned call's
+    // recall — on a label-dense bucket the walk is DEPTH-bound, not
+    // filter-bound, so the 8x-deep static shortlist reads further into
+    // the graph than the plain one. Kept measured beside the others so
+    // the recall/cost frontier ships as data, not narrative.
     def attrRcInWalk1pRun() =
       graft.store.ColdTier.searchIndexedInWalkFiltered(spark, tier, q1pF,
           10, "label100", Metric.L2, shortlist = 24, efSearch = 96,

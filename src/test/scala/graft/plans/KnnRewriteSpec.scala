@@ -418,6 +418,90 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  test("inWalk registration serves IN/range/conjunction through the " +
+      "acceptance-filtered walk; a payload-less tier stays correct by fallback") {
+    import spark.implicits._
+    val rows = clustered(800).map { case (id, v, _) =>
+      (id, v, 100L + id, (id % 3).toInt, if (id % 2 == 0) "eu" else "us")
+    }
+    val corpusPath = Files.createTempDirectory("knnrw-iwcorpus").toString
+    rows.toDF("id", "vec", "eventTime", "label", "region")
+      .write.mode("overwrite").parquet(corpusPath)
+    // tier WITH the in-walk payload on both filter columns
+    val coldDir = Files.createTempDirectory("knnrw-iwtier").toString
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label", "region")
+      .withColumn("segmentId", (col("id") % 4).cast("long")), coldDir)
+    ColdTier.sealIndexes(spark, coldDir, 0L until 4L, Metric.L2, m = 8,
+      efConstruction = 64, attrColumns = Seq("label", "region"))
+    val q = rows(42)._2
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64,
+        filterColumns = Set("label", "region"), inWalk = true)
+      val corpus = spark.read.parquet(corpusPath)
+      // IN-list: served (no corpus scan), exact predicate holds, recall
+      // meets the standard bar with NO over-fetch anywhere in the plan
+      val dfIn = corpus.where(col("label").isin(0, 2))
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(!scanPaths(dfIn).exists(_.contains(corpusPath)),
+        "corpus scan survived the in-walk IN rewrite")
+      val gotIn = dfIn.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(gotIn.length == 10)
+      assert(gotIn.forall { case (id, _) => id % 3 == 0 || id % 3 == 2 })
+      val truthIn = rows.filter(r => r._4 == 0 || r._4 == 2)
+        .map { case (id, v, _, _, _) => (id, Distances.l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      assert(gotIn.map(_._1).count(truthIn.contains).toDouble /
+        truthIn.size >= 0.9, "in-walk IN rewrite recall")
+      // RANGE band: served through the sealed canonical values
+      val dfRange = corpus.where(col("label") >= 1 && col("label") < 3)
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(!scanPaths(dfRange).exists(_.contains(corpusPath)),
+        "corpus scan survived the in-walk range rewrite")
+      val gotR = dfRange.collect().map(_.getLong(0))
+      assert(gotR.forall(id => id % 3 == 1 || id % 3 == 2))
+      val truthR = rows.filter(r => r._4 >= 1 && r._4 < 3)
+        .map { case (id, v, _, _, _) => (id, Distances.l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      assert(gotR.count(truthR.contains).toDouble / truthR.size >= 0.9,
+        "in-walk range rewrite recall")
+      // string-equality + IN conjunction: both conjuncts filter in-walk
+      val dfBoth = corpus.where(
+          col("label").isin(0, 1) && col("region") === "us")
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(!scanPaths(dfBoth).exists(_.contains(corpusPath)),
+        "in-walk conjunction must rewrite")
+      assert(dfBoth.collect().map(_.getLong(0)).forall(id =>
+        (id % 3 == 0 || id % 3 == 1) && id % 2 == 1))
+    } finally KnnIndex.clear()
+    // payload-LESS tier with inWalk = true: per-shard fallback to the
+    // unfiltered walk — the exact re-rank keeps the predicate exact, so
+    // the declaration can be wrong without a wrong answer
+    val bareDir = Files.createTempDirectory("knnrw-iwbare").toString
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label", "region")
+      .withColumn("segmentId", (col("id") % 4).cast("long")), bareDir)
+    ColdTier.sealIndexes(spark, bareDir, 0L until 4L, Metric.L2, m = 8,
+      efConstruction = 64)
+    try {
+      KnnIndex.register(corpusPath, bareDir, efSearch = 96,
+        probeSegments = 4, shortlist = 64,
+        filterColumns = Set("label"), inWalk = true)
+      val corpus = spark.read.parquet(corpusPath)
+      val df = corpus.where(col("label").isin(0, 2))
+        .select(col("id"), Distances.l2(col("vec"), lit(q)).as("dist"))
+        .orderBy("dist").limit(10)
+      assert(!scanPaths(df).exists(_.contains(corpusPath)),
+        "fallback must still serve from the tier")
+      val got = df.collect().map(_.getLong(0))
+      assert(got.nonEmpty)
+      assert(got.forall(id => id % 3 == 0 || id % 3 == 2),
+        "fallback results must still satisfy the exact predicate")
+    } finally KnnIndex.clear()
+  }
+
   test("WHERE <numeric col> range bands (BETWEEN, strict bounds, composed " +
       "with equality) are served from the index; non-numeric or " +
       "unregistered ranges stay exact") {
