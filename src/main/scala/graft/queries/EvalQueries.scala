@@ -172,6 +172,23 @@ object EvalQueries {
           col("vec_id").as("eventTime"), col("label")), t, 2L)
     (t, c)
   }
+  /** The SQL-rewrite entries' shared hard gate: file-relation scans in
+   * the OPTIMIZED plan that still touch the registered corpus parquet —
+   * nonEmpty means the index rewrite failed to fire. One copy so the
+   * scan-detection rule can never diverge across the gated idioms. */
+  private def corpusScansOf(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            l.relation
+              .asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString
+                .contains("embeddings.parquet")) => l
+    }
+
   /** Top-n of the SQL-rewrite entry (one literal query; the LIMIT). */
   private val SqlRewriteK = 500
   /** Top-n of the FILTERED SQL-rewrite entry — smaller than SqlRewriteK
@@ -1220,16 +1237,7 @@ object EvalQueries {
           s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
              |FROM graft_knn_corpus_flt WHERE label = $lbl
              |ORDER BY dist LIMIT $SqlRewriteFilteredK""".stripMargin)
-        val corpusScans = df.queryExecution.optimizedPlan.collect {
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-              if l.relation.isInstanceOf[
-                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-                l.relation
-                  .asInstanceOf[
-                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-                  .location.rootPaths.exists(_.toString
-                    .contains("embeddings.parquet")) => l
-        }
+        val corpusScans = corpusScansOf(df)
         require(corpusScans.isEmpty, "knn_sql_rewrite_filtered: the " +
           "filtered ORDER BY plan still scans the corpus — the index " +
           "rewrite did not fire")
@@ -1278,16 +1286,7 @@ object EvalQueries {
              |FROM graft_knn_corpus_in
              |WHERE label IN (${SqlRewriteInLabels.mkString(", ")})
              |ORDER BY dist LIMIT $SqlRewriteInK""".stripMargin)
-        val corpusScans = df.queryExecution.optimizedPlan.collect {
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-              if l.relation.isInstanceOf[
-                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-                l.relation
-                  .asInstanceOf[
-                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-                  .location.rootPaths.exists(_.toString
-                    .contains("embeddings.parquet")) => l
-        }
+        val corpusScans = corpusScansOf(df)
         require(corpusScans.isEmpty, "knn_sql_rewrite_in: the IN-list " +
           "ORDER BY plan still scans the corpus — the index rewrite " +
           "did not fire")
@@ -1335,16 +1334,7 @@ object EvalQueries {
              |FROM graft_knn_corpus_inwalk
              |WHERE label IN (${SqlRewriteInLabels.mkString(", ")})
              |ORDER BY dist LIMIT $SqlRewriteInK""".stripMargin)
-        val corpusScans = df.queryExecution.optimizedPlan.collect {
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-              if l.relation.isInstanceOf[
-                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-                l.relation
-                  .asInstanceOf[
-                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-                  .location.rootPaths.exists(_.toString
-                    .contains("embeddings.parquet")) => l
-        }
+        val corpusScans = corpusScansOf(df)
         require(corpusScans.isEmpty, "knn_sql_rewrite_inwalk: the " +
           "in-walk IN-list ORDER BY plan still scans the corpus — the " +
           "index rewrite did not fire")
@@ -1395,16 +1385,7 @@ object EvalQueries {
              |FROM graft_knn_corpus_range
              |WHERE label >= $SqlRewriteRangeLo AND label < $SqlRewriteRangeHi
              |ORDER BY dist LIMIT $SqlRewriteRangeK""".stripMargin)
-        val corpusScans = df.queryExecution.optimizedPlan.collect {
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-              if l.relation.isInstanceOf[
-                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-                l.relation
-                  .asInstanceOf[
-                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-                  .location.rootPaths.exists(_.toString
-                    .contains("embeddings.parquet")) => l
-        }
+        val corpusScans = corpusScansOf(df)
         require(corpusScans.isEmpty, "knn_sql_rewrite_range: the range " +
           "ORDER BY plan still scans the corpus — the index rewrite " +
           "did not fire")
@@ -1505,16 +1486,7 @@ object EvalQueries {
           s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
              |FROM graft_knn_corpus_snapflt WHERE label = $lbl
              |ORDER BY dist LIMIT $SqlRewriteFilteredK""".stripMargin)
-        val corpusScans = df.queryExecution.optimizedPlan.collect {
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-              if l.relation.isInstanceOf[
-                org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-                l.relation
-                  .asInstanceOf[
-                    org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-                  .location.rootPaths.exists(_.toString
-                    .contains("embeddings.parquet")) => l
-        }
+        val corpusScans = corpusScansOf(df)
         require(corpusScans.isEmpty, "knn_sql_rewrite_snapshot_filtered: " +
           "the pinned filtered ORDER BY plan still scans the corpus — " +
           "the index rewrite did not fire")

@@ -597,12 +597,22 @@ object ColdTier {
    * [[filterEquality]] serves via double coercion) disable in-walk
    * filtering instead — [[HnswStore.searchFiltered]] falls back to the
    * unfiltered walk, exactly like attr-stats pruning disables itself. */
-  private[store] def attrHashColumn(c: org.apache.spark.sql.Column,
+  /** The ONE canonical rendering: numeric family → double with -0.0
+   * normalized, everything else → string. The hash payload, the v3 value
+   * payload, and [[closedHull]]'s bound folding must all agree on this
+   * rule bit-for-bit — it lives here and nowhere else. */
+  private[store] def attrCanonColumn(c: org.apache.spark.sql.Column,
       dt: org.apache.spark.sql.types.DataType)
       : (org.apache.spark.sql.Column, Boolean) = {
     val numeric =
       dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val canon = if (numeric) c.cast("double") + lit(0.0) else c.cast("string")
+    (if (numeric) c.cast("double") + lit(0.0) else c.cast("string"), numeric)
+  }
+
+  private[store] def attrHashColumn(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.Column, Boolean) = {
+    val (canon, numeric) = attrCanonColumn(c, dt)
     (xxhash64(canon), numeric)
   }
 
@@ -631,6 +641,16 @@ object ColdTier {
       else Cast(typed, org.apache.spark.sql.types.StringType, timeZoneId)
     (new XxHash64(Seq(canon)).eval(null).asInstanceOf[Long], numeric)
   }
+
+  /** Timezone-DEPENDENT types render session-relatively (timestamp →
+   * string goes through spark.sql.session.timeZone), so hashes sealed by
+   * one session only match probes from a same-timezone session — a
+   * silent every-match-rejected failure mode, worse than no filter. Such
+   * columns are excluded from in-walk filtering entirely (the probe
+   * falls back exactly like cross-family pairs do; the exact re-rank's
+   * SQL comparison is probe-session-consistent and keeps correctness). */
+  private def tzDependent(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.TimestampType]
 
   /** The exact plan-time literal predicate — any-of within an equality
    * conjunct, AND across conjuncts and range bounds — over `df`'s sealed
@@ -1416,9 +1436,15 @@ object ColdTier {
       lock: Path): Option[String] = try {
     val in = fs.open(lock)
     try {
+      // read to EOF: a single read() may legally return a PREFIX of the
+      // token (HDFS stream contract) — a short read here would make an
+      // acquirer fail its own read-back and a releaser skip its own
+      // delete, orphaning the lock for the full staleMs window
       val buf = new Array[Byte](64)
-      val n = in.read(buf)
-      Some(if (n <= 0) "" else new String(buf, 0, n, "UTF-8"))
+      var n = 0
+      var r = in.read(buf, 0, buf.length)
+      while (r > 0) { n += r; r = in.read(buf, n, buf.length - n) }
+      Some(new String(buf, 0, n, "UTF-8"))
     } finally in.close()
   } catch { case _: java.io.IOException => None }
 
@@ -1452,7 +1478,17 @@ object ColdTier {
     while (!acquired) {
       try {
         val out = fs.create(lock, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
+        try {
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+        } catch {
+          case e: java.io.IOException =>
+            // the create succeeded but the token write/close failed: an
+            // ownerless fresh lock would stall every committer for the
+            // full staleMs window — remove our debris before surfacing
+            try fs.delete(lock, false)
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
         // read-back: on a non-atomic create both racers reach here, but
         // at most one token survives — the other observes a foreign
         // token and keeps waiting instead of double-holding
@@ -2078,20 +2114,19 @@ object ColdTier {
     attrColumns.foreach(c => require(raw.columns.contains(c),
       s"sealIndexes: attr column $c absent from segment schema " +
         s"(${raw.columns.mkString(", ")})"))
-    // (column, numericFamily) resolved once from the segment schema; the
-    // hash expression is the shared canonical rule (attrHashColumn)
-    val attrMeta: Seq[(String, Boolean)] = attrColumns.map { c =>
-      (c, attrHashColumn(col(c), raw.schema(c).dataType)._2)
+    // (column, numericFamily, hash expr, value expr) resolved ONCE per
+    // column from the segment schema — hash and value both derive from
+    // the same attrCanonColumn rendering, so the two payloads can never
+    // disagree. Non-numeric columns contribute NaN value placeholders so
+    // the arrays stay position-aligned with attrMeta.
+    val attrInfo = attrColumns.map { c =>
+      val (canon, numeric) = attrCanonColumn(col(c), raw.schema(c).dataType)
+      (c, numeric, xxhash64(canon),
+        if (numeric) coalesce(canon, lit(Double.NaN)) else lit(Double.NaN))
     }
-    val hashCols = attrColumns.map(c =>
-      attrHashColumn(col(c), raw.schema(c).dataType)._1)
-    // canonical double values ride beside the hashes for numeric-family
-    // columns (the range payload); non-numeric columns contribute NaN
-    // placeholders so the arrays stay position-aligned with attrMeta
-    val valueCols = attrMeta.map { case (c, num) =>
-      if (num) coalesce(col(c).cast("double") + lit(0.0), lit(Double.NaN))
-      else lit(Double.NaN)
-    }
+    val attrMeta: Seq[(String, Boolean)] = attrInfo.map(a => (a._1, a._2))
+    val hashCols = attrInfo.map(_._3)
+    val valueCols = attrInfo.map(_._4)
     val rows = raw.select(col("segmentId"), col("id"), col("vec"),
       col("eventTime"),
       (if (hashCols.isEmpty) typedLit(Array.empty[Long])
@@ -2578,11 +2613,15 @@ object ColdTier {
           // branch, but with zero per-tuple filter payload — the routed
           // tuple stays the bare unfiltered shape.
           val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
-          val conj = inWalkLiterals.map { case (f, vs, vt) =>
-            val hashed = vs.map(v => literalAttrHash(v, vt, tz))
-            (f, hashed.head._2,
-              hashed.map(_._1).distinct.sorted.toArray)
-          }.toArray
+          // tz-dependent conjuncts drop out (superset-leaning — the
+          // re-rank applies them exactly); their hashes are seal-session
+          // renderings a probe session cannot reliably reproduce
+          val conj = inWalkLiterals.filterNot(f => tzDependent(f._3))
+            .map { case (f, vs, vt) =>
+              val hashed = vs.map(v => literalAttrHash(v, vt, tz))
+              (f, hashed.head._2,
+                hashed.map(_._1).distinct.sorted.toArray)
+            }.toArray
           val rangeConj = inWalkRanges.groupBy(_.column).toSeq
             .map { case (f, bs) => val (lo, hi) = closedHull(bs); (f, lo, hi) }
             .filterNot { case (_, lo, hi) => lo.isNaN || hi.isNaN }
@@ -2600,13 +2639,19 @@ object ColdTier {
             .flatMapGroups { (i, it) =>
               val path = bIdx.value(i)._3
               val store = SidecarCache.get(path, sc.conf, efSearch)
-              it.flatMap { case (_, qid, qv, qtime, ttl) =>
+              // one payload pass per (shard, plan): the conjuncts are
+              // plan constants, so the density count is too — without
+              // this, every query would rescan the payload arrays
+              val cnt = store.countMatchingConj(bConj.value, bRange.value)
+              if (cnt == 0) Iterator.empty
+              else it.flatMap { case (_, qid, qv, qtime, ttl) =>
                 store.searchFilteredConj(qv, shortlist, qtime - ttl,
-                    qtime, bConj.value, bRange.value)
+                    qtime, bConj.value, bRange.value, precount = cnt)
                   .map { case (id, _) => (qid, id) }
               }
             }.toDF("qid", "id")
-        } else if (inWalkFilter && filterColumn.isDefined) {
+        } else if (inWalkFilter && filterColumn.isDefined &&
+            !tzDependent(q.schema("qfilter").dataType)) {
           // in-walk branch: the routed tuple carries the query literal's
           // canonical attribute hash (plan-time family + the shared
           // attrHashColumn rule), and each shard walk filters at
@@ -2960,9 +3005,12 @@ object ColdTier {
       val (lo, hi) = closedHull(bs)
       estimateSelectivity(spark, dir, f, Nil, lo, hi, cat0 = cat)
     }).flatten.reduceOption(_ * _)
-    val rangesWalkable = ranges.forall(b => !b.asDouble.isNaN)
+    // a tz-dependent equality/IN conjunct or a non-numeric range bound
+    // cannot filter in-walk — keep the full adaptive over-fetch then
+    val walkable = filters.forall(f => !tzDependent(f._3)) &&
+      ranges.forall(b => !b.asDouble.isNaN)
     val effOverfetch =
-      if (inWalk && rangesWalkable) 1
+      if (inWalk && walkable) 1
       else adaptiveOverfetch(overfetch, selectivity)
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries,

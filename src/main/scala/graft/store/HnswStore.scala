@@ -473,6 +473,54 @@ final class HnswStore(
    * out of acceptance — a superset-leaning candidate set the caller's
    * exact re-rank restricts, so correctness never depends on the sidecar
    * generation (only recall does; all-dropped = the unfiltered walk). */
+  /** Matching-node count for a plan-time literal conjunction — the same
+   * predicate [[searchFilteredConj]] walks with, evaluated once over the
+   * payload arrays. Callers probing MANY queries against one graph
+   * compute this once and pass it back as `precount` so the per-walk
+   * density sizing does not rescan the payload per query (a 150k-node
+   * shard probed by 512 queries would otherwise pay 512 redundant O(n)
+   * passes). Returns -1 when no conjunct is evaluable (unfiltered walk —
+   * no count applies). */
+  def countMatchingConj(conjuncts: Array[(String, Boolean, Array[Long])],
+      ranges: Array[(String, Double, Double)]): Int = {
+    val pred = conjPredicate(conjuncts, ranges)
+    if (pred == null) -1
+    else {
+      var cnt = 0
+      var i = 0
+      while (i < n) { if (pred(i)) cnt += 1; i += 1 }
+      cnt
+    }
+  }
+
+  private def conjPredicate(
+      conjuncts: Array[(String, Boolean, Array[Long])],
+      ranges: Array[(String, Double, Double)]): Int => Boolean = {
+    val active = conjuncts.flatMap { case (c, qNumeric, qhs) =>
+      attrHashes.get(c) match {
+        case Some((num, hs)) if num == qNumeric => Some((hs, qhs))
+        case _ => None
+      }
+    }
+    val activeR = ranges.flatMap { case (c, lo, hi) =>
+      attrValues.get(c).map(vs => (vs, lo, hi))
+    }
+    if (active.isEmpty && activeR.isEmpty) null
+    else id =>
+      active.forall { case (hs, qhs) =>
+        java.util.Arrays.binarySearch(qhs, hs(id)) >= 0
+      } && activeR.forall { case (vs, lo, hi) =>
+        val v = vs(id)
+        // Spark orders NaN GREATER than every numeric, so a genuine NaN
+        // attribute satisfies any lower bound and fails any finite upper
+        // bound — admit it exactly when the hull is upper-unbounded.
+        // Sealed NULLs share the NaN encoding and ride along, which is
+        // admit-only-safe: the exact re-rank's SQL predicate drops them.
+        (v >= lo && v <= hi) ||
+          (v != v && hi == Double.PositiveInfinity)
+      }
+  }
+
   def searchFilteredConj(q: Array[Float], k: Int, tsFloor: Long,
       tsCeil: Long, conjuncts: Array[(String, Boolean, Array[Long])],
       // RANGE conjuncts as CLOSED double hulls `(column, lo, hi)` over
@@ -483,29 +531,18 @@ final class HnswStore(
       // of the rounded bounds; the caller's exact re-rank restores
       // strictness. NaN values (sealed nulls) fail every interval.
       // Columns without sealed values drop out (superset-leaning).
-      ranges: Array[(String, Double, Double)] = Array.empty)
-      : Array[(Long, Double)] = {
-    val active = conjuncts.flatMap { case (c, qNumeric, qhs) =>
-      attrHashes.get(c) match {
-        case Some((num, hs)) if num == qNumeric => Some((hs, qhs))
-        case _ => None
-      }
-    }
-    val activeR = ranges.flatMap { case (c, lo, hi) =>
-      attrValues.get(c).map(vs => (vs, lo, hi))
-    }
-    if (active.isEmpty && activeR.isEmpty)
-      searchImpl(q, k, tsFloor, tsCeil, null)
-    else searchImpl(q, k, tsFloor, tsCeil, id =>
-      active.forall { case (hs, qhs) =>
-        java.util.Arrays.binarySearch(qhs, hs(id)) >= 0
-      } && activeR.forall { case (vs, lo, hi) =>
-        vs(id) >= lo && vs(id) <= hi
-      })
-  }
+      ranges: Array[(String, Double, Double)] = Array.empty,
+      // matching-node count from [[countMatchingConj]] over the SAME
+      // conjuncts — callers with many queries per graph pass it to skip
+      // the per-walk payload rescan. -1 = count inside the walk.
+      precount: Int = -1)
+      : Array[(Long, Double)] =
+    searchImpl(q, k, tsFloor, tsCeil, conjPredicate(conjuncts, ranges),
+      precount)
 
   private def searchImpl(q: Array[Float], k: Int, tsFloor: Long,
-      tsCeil: Long, pred: Int => Boolean): Array[(Long, Double)] = {
+      tsCeil: Long, pred: Int => Boolean,
+      precount: Int = -1): Array[(Long, Double)] = {
     if (entryPoint == -1 || latest.isEmpty) return Array.empty
     val ep = greedyDescend(q, entryPoint, maxLevel, 0)
     // over-fetch so the accept-filter (deletes, versions, freshness, and
@@ -526,9 +563,12 @@ final class HnswStore(
       // widening would have re-walked its way up to. The widening loop
       // below stays as the backstop for what the count cannot see
       // (stale versions, freshness drops).
-      var cnt = 0
-      var i = 0
-      while (i < n) { if (pred(i)) cnt += 1; i += 1 }
+      var cnt = precount
+      if (cnt < 0) {
+        cnt = 0
+        var i = 0
+        while (i < n) { if (pred(i)) cnt += 1; i += 1 }
+      }
       if (cnt == 0) return Array.empty
       ef = math.min(n,
         math.max(ef, math.ceil(k.toDouble * 2 * n / cnt).toInt))

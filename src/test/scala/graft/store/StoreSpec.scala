@@ -212,12 +212,23 @@ class StoreSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.9, s"in-walk range recall $mean")
-    // the NaN (null) node fails even an all-covering interval
+    // NaN (sealed null OR genuine NaN) fails every UPPER-BOUNDED
+    // interval, but is admitted when the hull is upper-unbounded —
+    // Spark orders NaN above every numeric, so `score > x` (no upper
+    // bound) truly matches a NaN attribute and the acceptance must not
+    // lose it (a sealed null riding along is dropped by the exact
+    // re-rank — admit-only either way)
     val q = vecs(123)
-    val all = s.searchFilteredConj(q, 3000, Long.MinValue, Long.MaxValue,
-      noConj, Array(("score", Double.NegativeInfinity,
-        Double.PositiveInfinity)))
-    assert(!all.exists(_._1 == 0L), "a NaN (null) value must fail every interval")
+    val bounded = s.searchFilteredConj(q, 3000, Long.MinValue,
+      Long.MaxValue, noConj,
+      Array(("score", Double.NegativeInfinity, 99.0)))
+    assert(!bounded.exists(_._1 == 0L),
+      "NaN must fail an upper-bounded interval")
+    val unbounded = s.searchFilteredConj(q, 3000, Long.MinValue,
+      Long.MaxValue, noConj,
+      Array(("score", 0.0, Double.PositiveInfinity)))
+    assert(unbounded.exists(_._1 == 0L),
+      "NaN must be ADMITTED when the hull has no upper bound")
     // range AND hash conjunct compose
     s.setAttrHashes("parity",  numeric = true,
       Array.tabulate(3000)(i => (i % 2).toLong))
