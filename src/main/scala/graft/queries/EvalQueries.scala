@@ -935,6 +935,35 @@ object EvalQueries {
         VectorQueries.K, graft.Metric.L2, literalFilters = filters)
     },
 
+    "knn_coldtier_hnsw_filtered_qin" -> { (s, dir) =>
+      // PER-QUERY IN in-walk sidecar probe — the last cell of the
+      // filter matrix (literal IN/range and per-query equality walk
+      // in-walk already; per-query IN previously rode only the scan
+      // kernel's qfin channel): each query carries its OWN 2-label
+      // value set ([label, (label+3) % 10] — derivable by the DuckDB
+      // twin), the routed tuple carries the sorted canonical hash set,
+      // every walk admits candidates matching ANY value at acceptance
+      // (traversal unfiltered — the ACORN shape; reference filter point
+      // hnswlib.h:135-146), and the exact re-rank applies the true
+      // null-rejecting IN. Shortlist aux + DuckDB replay, the
+      // established approximate-op recipe.
+      val e = Tables(s, dir, "embeddings")
+      val tmp = inWalkTier(s, dir)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          array(col("label"), pmod(col("label") + 3, lit(10))).as("qfin"))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, queries,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2, efSearch = 100,
+          filterColumn = Some("label"), inWalkFilterIn = true),
+        dir, "coldtier_hnsw_flt_qin_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "coldtier_hnsw_flt_qin_shortlist"), queries,
+        VectorQueries.K, graft.Metric.L2, filterColumn = Some("label"),
+        filterIn = true)
+    },
+
     "knn_coldtier_hnsw_filtered_range" -> { (s, dir) =>
       // RANGE in-walk sidecar probe (format v3): the band's bounds fold
       // to their conservative CLOSED double hull at plan time, every
@@ -1985,6 +2014,22 @@ object EvalQueries {
          |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
          |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
          |  WHERE b.label IN (${InWalkInLabels.mkString(", ")})),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
+
+    // replay the PER-QUERY-IN exact re-rank over the qfin in-walk
+    // shortlist aux: each query's own 2-label set re-derived from its
+    // embeddings row, exactly as the Spark entry built it
+    "knn_coldtier_hnsw_filtered_qin" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("coldtier_hnsw_flt_qin_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label = q.label OR b.label = (q.label + 3) % 10),
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""

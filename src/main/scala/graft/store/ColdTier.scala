@@ -1181,14 +1181,32 @@ object ColdTier {
     // never straddle a boundary (quantiles repeat under heavy hitters —
     // distinct() collapses them; fewer cuts = fewer, fuller buckets)
     val bucketOf: org.apache.spark.sql.Column = if (numeric) {
-      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-      val cuts = live.where(col(column).isNotNull)
-        .select(col(column).cast("double").as("v"))
-        .stat.approxQuantile("v", probes, 0.001)
-        .distinct.sorted
       val vD = col(column).cast("double")
+      // distinct-value cuts when the column's cardinality fits the ask:
+      // quantile probes REPEAT under heavy hitters (100 uniform int
+      // labels over 99 probes collapsed to ~75 cuts in the r13 10x
+      // artifact — ~25 two-label buckets, diluting every filtered walk
+      // over them ~50%), while cutting at the exact distinct values
+      // seals one single-value bucket per label — the admission-then-
+      // walk layout the pass exists to converge to. One bounded scan
+      // (limit buckets+1) decides which path applies.
+      val distinctVals = live
+        .where(col(column).isNotNull && !isnan(vD))
+        .select(vD.as("v")).distinct().orderBy("v").limit(buckets + 1)
+        .collect().map(_.getDouble(0))
+      val cuts =
+        if (distinctVals.length <= buckets) distinctVals.drop(1)
+        else {
+          val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+          live.where(col(column).isNotNull)
+            .select(vD.as("v"))
+            .stat.approxQuantile("v", probes, 0.001)
+            .distinct.sorted
+        }
+      // bucket(v) = #cuts <= v: distinct-value cuts put each value in
+      // its own bucket; quantile cuts keep equal values together
       cuts.zipWithIndex.foldLeft(lit(0)) { case (acc, (c, _)) =>
-        acc + when(vD.isNotNull && !isnan(vD) && vD > lit(c), 1)
+        acc + when(vD.isNotNull && !isnan(vD) && vD >= lit(c), 1)
           .otherwise(0)
       } + when(isnan(vD), lit(cuts.length)).otherwise(0) // NaN sorts last
     } else {
@@ -2007,12 +2025,28 @@ object ColdTier {
   private def sidecarAttrColumns(fs: org.apache.hadoop.fs.FileSystem,
       segmentPath: String): Seq[String] = {
     val p = new Path(attrsPath(segmentPath))
-    if (!fs.exists(p)) Nil
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
+    } else if (!indexSealed(fs, segmentPath)) Nil
+    else {
+      // marker absent but a COMMITTED sidecar exists: a generation
+      // sealed before the marker mechanism, or a crash in the old
+      // marker-last window. Sniff the payload columns from the sidecar
+      // bytes themselves (one shard decode — shards of a seal carry
+      // identical column sets), so maintenance never strips a payload
+      // just because its marker is missing (the r13 advice). Unreadable
+      // bytes degrade to Nil — the pre-sniff behavior.
+      shardFiles(fs, segmentPath).headOption.toSeq.flatMap { f =>
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(fs.open(new Path(f))))
+          try HnswStore.readFrom(in, efSearch = 16).attrColumns.toSeq.sorted
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
     }
   }
 
@@ -2027,6 +2061,22 @@ object ColdTier {
       finally os.close()
     }
   }
+
+  /** Do ALL committed sidecars in `cat` carry the in-walk payload for
+   * every column in `columns`? Catalog-bounded FS metadata reads (the
+   * attrs markers; marker-less legacy sidecars sniff their bytes once).
+   * Unindexed segments don't count — their exact-scan fallback applies
+   * the predicate itself. */
+  private[store] def inWalkPayloadPresent(spark: SparkSession, dir: String,
+      columns: Seq[String], cat: Array[SegmentStats]): Boolean =
+    columns.isEmpty || {
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      cat.filter(s => indexSealed(fs, s.path)).forall { s =>
+        val carried = sidecarAttrColumns(fs, s.path)
+        columns.forall(carried.contains)
+      }
+    }
 
   /** Marker committing a SHARDED sidecar directory: written only after
    * every shard task finished. A single-file sidecar commits by its own
@@ -2127,6 +2177,15 @@ object ColdTier {
     val attrMeta: Seq[(String, Boolean)] = attrInfo.map(a => (a._1, a._2))
     val hashCols = attrInfo.map(_._3)
     val valueCols = attrInfo.map(_._4)
+    // record the payload columns BEFORE building: a crash between the
+    // shard-sealed marker and a late attrs-marker write would leave a
+    // committed payload-carrying sidecar whose marker is missing, and
+    // maintenance would then silently strip the in-walk filter (the r13
+    // advice). Writing first means a crash leaves at worst a marker
+    // without a committed sidecar — maintenance then carries the
+    // DECLARED columns forward, which is the seal's intent anyway.
+    segmentIds.foreach(sid =>
+      writeAttrsMarker(fs, s"$dir/segment-$sid", attrColumns))
     val rows = raw.select(col("segmentId"), col("id"), col("vec"),
       col("eventTime"),
       (if (hashCols.isEmpty) typedLit(Array.empty[Long])
@@ -2169,15 +2228,13 @@ object ColdTier {
         sid
       }.collect() // one row per (segment, shard): catalog-bounded
     // commit the sharded layouts — marker AFTER all shard tasks returned
+    // (the attrs marker was already written before the build, closing
+    // the crash window between the two)
     shardCounts.foreach { case (sid, n) =>
       if (n > 1)
         fs.create(new Path(indexPath(s"$dir/segment-$sid"), ShardSealedMarker),
           true).close()
     }
-    // record the payload columns so sidecar REBUILDS (compact/recluster)
-    // carry them forward instead of silently stripping the in-walk filter
-    segmentIds.foreach(sid =>
-      writeAttrsMarker(fs, s"$dir/segment-$sid", attrColumns))
   }
 
   /** Executor-local sidecar cache keyed by (path, length, mtime, efSearch):
@@ -2489,6 +2546,37 @@ object ColdTier {
       metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime &&
         st.forall(_.mayMatch(metas(si)._4, qfd, qfB))
     }
+    chooseShards(qid, qv, qtime, ttl, inWin, metas, idx, cap, router)
+  }
+
+  /** MULTI-VALUE routing (the per-query IN shape): a segment is
+   * admissible when ANY of the query's filter values may match —
+   * per-value exactly the conservative [[AttrStats.mayMatch]] the
+   * equality path applies. An empty value array admits nothing (SQL's
+   * vacuous IN — callers normally filter such queries out earlier). */
+  private def routeToShardsMulti(qid: Long, qv: Array[Float], qtime: Long,
+      ttl: Long, qfds: Array[Double], qfBs: Array[Array[Byte]],
+      metas: Array[(Array[Float], Long, Long, Long)],
+      st: Option[AttrStats], idx: Array[(Int, Int, String)], cap: Int,
+      router: Option[CentroidRouter])
+      : Seq[(Int, Long, Array[Float], Long, Long)] = {
+    val inWin = metas.indices.filter { si =>
+      metas(si)._3 >= qtime - ttl && metas(si)._2 <= qtime &&
+        st.forall(s => qfds.indices.exists(j =>
+          s.mayMatch(metas(si)._4, qfds(j), qfBs(j))))
+    }
+    chooseShards(qid, qv, qtime, ttl, inWin, metas, idx, cap, router)
+  }
+
+  /** Shared tail of the routing variants: pick the `cap` nearest
+   * in-window segments (linear or graph-routed) and fan out to their
+   * shards. */
+  private def chooseShards(qid: Long, qv: Array[Float], qtime: Long,
+      ttl: Long, inWin: IndexedSeq[Int],
+      metas: Array[(Array[Float], Long, Long, Long)],
+      idx: Array[(Int, Int, String)], cap: Int,
+      router: Option[CentroidRouter])
+      : Seq[(Int, Long, Array[Float], Long, Long)] = {
     def linear: Set[Int] = linearRoute(qv, inWin, metas(_)._1, cap)
     val chosen: Int => Boolean =
       if (cap >= inWin.size) inWin.toSet
@@ -2516,6 +2604,21 @@ object ColdTier {
       // unfiltered walk — correctness never depends on the sidecar
       // generation (the exact re-rank applies the true equality).
       inWalkFilter: Boolean = false,
+      // per-query IN in-walk filtering (requires filterColumn): queries
+      // carry a `qfin` ARRAY column (the hot filterIn channel's probe
+      // twin); the routed tuple carries the query's SORTED distinct
+      // canonical hashes — one per non-null IN value, the same
+      // xxhash64-over-cast rule the sealer used — and each walk admits
+      // a candidate whose sealed hash equals ANY of them
+      // ([[HnswStore.searchFilteredIn]]; acceptance only, traversal
+      // unfiltered). Null elements drop (SQL's null-rejecting IN);
+      // null/empty qfin probes nothing (vacuous IN). Segment admission
+      // is per-value any-of ([[routeToShardsMulti]]). Shards without
+      // matching-family hashes fall back to the unfiltered walk —
+      // correctness never depends on the sidecar generation (the exact
+      // re-rank applies the true IN). Mutually exclusive with the other
+      // in-walk shapes.
+      inWalkFilterIn: Boolean = false,
       // plan-time LITERAL in-walk filtering — the IN-list / multi-column
       // conjunction shapes where every filter value is known before the
       // walk starts: each (column, values, valueType) conjunct is hashed
@@ -2556,8 +2659,16 @@ object ColdTier {
     require(inWalkLiterals.forall(_._2.nonEmpty),
       "probeCandidates: each inWalkLiterals conjunct needs >= 1 value " +
         "(an empty IN list matches no rows — answer it without a probe)")
+    require(!inWalkFilterIn || filterColumn.isDefined,
+      "probeCandidates: inWalkFilterIn requires filterColumn (the " +
+        "attribute the qfin value set applies to)")
+    require(!(inWalkFilterIn && (inWalkFilter ||
+        inWalkLiterals.nonEmpty || inWalkRanges.nonEmpty)),
+      "probeCandidates: inWalkFilterIn is mutually exclusive with the " +
+        "other in-walk shapes")
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
-      filterColumn.map(_ => col("qfilter")): _*)
+      (if (inWalkFilterIn) Seq(col("qfin"))
+       else filterColumn.map(_ => col("qfilter")).toSeq): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
     val segs = snapshot.map(v => catalogAt(spark, dir, v))
       .getOrElse(catalog(spark, dir))
@@ -2582,7 +2693,13 @@ object ColdTier {
     // pre-pruning shape (the r10→r9 A/B the fast-path attribution
     // demanded).
     val (attrStats, qfdCol, qfsCol) =
-      attrPruning(spark, dir, filterColumn, q)
+      if (inWalkFilterIn)
+        // the IN shape plans admission per VALUE from its own stats load
+        // (family-matched against the qfin ELEMENT type) inside its
+        // branch — the equality preamble would look for a qfilter column
+        // the IN queries do not carry
+        (None, lit(Double.NaN).as("qfd"), lit(null).cast("string").as("qfs"))
+      else attrPruning(spark, dir, filterColumn, q)
     val bAttr = attrStats.map(spark.sparkContext.broadcast(_))
     val probed =
       if (indexed.isEmpty) empty
@@ -2678,10 +2795,84 @@ object ColdTier {
             .flatMapGroups { (i, it) =>
               val path = bIdx.value(i)._3
               val store = SidecarCache.get(path, sc.conf, efSearch)
+              // memoize the predicate-density count per distinct filter
+              // hash: queries repeat filter values, and the count is an
+              // O(n) payload pass that Q same-label queries would
+              // otherwise each re-pay per shard (the r13 advice)
+              val counts = new java.util.HashMap[Long, Integer]()
               it.flatMap { case (_, qid, qv, qtime, ttl, qh) =>
+                var cnt = counts.get(qh)
+                if (cnt == null) {
+                  cnt = Integer.valueOf(
+                    store.countMatching(fcol, qNumeric, Array(qh)))
+                  counts.put(qh, cnt)
+                }
                 store.searchFiltered(qv, shortlist, qtime - ttl, qtime,
-                    fcol, qNumeric, qh)
+                    fcol, qNumeric, qh, precount = cnt.intValue())
                   .map { case (id, _) => (qid, id) }
+              }
+            }.toDF("qid", "id")
+        } else if (inWalkFilterIn) {
+          // per-query IN in-walk branch: each routed tuple carries the
+          // query's SORTED distinct canonical hash array; segment
+          // admission is per-value any-of against the attr-stats
+          // sidecar; each walk admits candidates matching ANY value at
+          // acceptance. tz-dependent element types cannot hash
+          // probe-consistently — such queries route unfiltered
+          // (superset-leaning; the exact re-rank applies the true IN).
+          val fcol = filterColumn.get
+          val elemT = q.schema("qfin").dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          val qNumeric =
+            elemT.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          val hashable = !tzDependent(elemT)
+          val statsIn = filterColumn.flatMap(f =>
+            loadAttrStats(spark, dir, f).filter(_.numeric == qNumeric))
+          val bStatsIn = statsIn.map(spark.sparkContext.broadcast(_))
+          val vals = array_distinct(array_compact(col("qfin")))
+          val qhsCol =
+            if (hashable)
+              array_sort(transform(vals, v => attrHashColumn(v, elemT)._1))
+            else typedLit(Array.empty[Long])
+          // per-value admission renderings (both built unconditionally —
+          // transform preserves length, so they stay position-aligned
+          // with vals; the non-matching family side is just unused)
+          val qfdsCol = transform(vals,
+            v => coalesce(v.try_cast("double"), lit(Double.NaN)))
+          val qfssCol = transform(vals, v => v.cast("string"))
+          q.where(col("qfin").isNotNull && size(vals) > 0)
+            .select(col("qid"), col("qv"), col("qtime"), col("ttl"),
+              qhsCol.as("qhs"), qfdsCol.as("qfds"), qfssCol.as("qfss"))
+            .as[(Long, Array[Float], Long, Long, Array[Long],
+              Array[Double], Array[String])]
+            .flatMap { case (qid, qv, qtime, ttl, qhs, qfds, qfss) =>
+              val qfBs = qfss.map(s => if (s == null) null
+                else s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              routeToShardsMulti(qid, qv, qtime, ttl, qfds, qfBs,
+                bSegMeta.value, bStatsIn.map(_.value), bIdx.value, cap,
+                bRouter.map(_.value))
+                .map { case (i, _, _, _, _) =>
+                  (i, qid, qv, qtime, ttl, qhs) }
+            }
+            .groupByKey(_._1)
+            .flatMapGroups { (i, it) =>
+              val path = bIdx.value(i)._3
+              val store = SidecarCache.get(path, sc.conf, efSearch)
+              // same per-(shard, filter-value-set) density memoization
+              // as the equality branch
+              val counts =
+                scala.collection.mutable.HashMap.empty[Seq[Long], Int]
+              it.flatMap { case (_, qid, qv, qtime, ttl, qhs) =>
+                if (!hashable)
+                  store.search(qv, shortlist, qtime - ttl, qtime)
+                    .map { case (id, _) => (qid, id) }
+                else {
+                  val cnt = counts.getOrElseUpdate(qhs.toSeq,
+                    store.countMatching(fcol, qNumeric, qhs))
+                  store.searchFilteredIn(qv, shortlist, qtime - ttl,
+                      qtime, fcol, qNumeric, qhs, precount = cnt)
+                    .map { case (id, _) => (qid, id) }
+                }
               }
             }.toDF("qid", "id")
         } else {
@@ -2724,19 +2915,30 @@ object ColdTier {
         val probeQ = q.select(Seq(col("qid"), col("qv"),
           (col("qtime") - col("ttl")).as("floor_ts"),
           col("qtime").as("ceil_ts")) ++
-          filterColumn.map(_ => col("qfilter")): _*)
+          (if (inWalkFilterIn) Seq(col("qfin"))
+           else filterColumn.map(_ => col("qfilter")).toSeq): _*)
         val shortUdaf = udaf(new TopKAggregator(shortlist),
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
         // literal in-walk plans apply their predicate EXACTLY here (the
         // raw attribute is in the scan) — the unindexed shortlist is
         // filtered-exact, never diluted by non-matching near neighbors
         val litPred = literalPredicate(data, inWalkLiterals, inWalkRanges)
+        // the per-query filter, applied exactly: equality against
+        // qfilter, or any-of against the qfin array (null-rejecting —
+        // SQL IN semantics; the same filterEquality coercion per value)
+        val qPred = filterColumn.map { f =>
+          if (inWalkFilterIn) {
+            val elemT = q.schema("qfin").dataType
+              .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType
+            exists(col("qfin"), v => filterEquality(data(f), v,
+              data.schema(f).dataType, elemT))
+          } else filterEquality(data(f), col("qfilter"),
+            data.schema(f).dataType, q.schema("qfilter").dataType)
+        }.getOrElse(lit(true))
         data.join(broadcast(probeQ),
             col("eventTime") >= col("floor_ts") &&
-            col("eventTime") <= col("ceil_ts") &&
-            filterColumn.map(f => filterEquality(data(f), col("qfilter"),
-                data.schema(f).dataType, q.schema("qfilter").dataType))
-              .getOrElse(lit(true)) && litPred)
+            col("eventTime") <= col("ceil_ts") && qPred && litPred)
           .select(col("qid"), col("id"),
             Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
           .groupBy("qid")
@@ -2927,6 +3129,32 @@ object ColdTier {
       snapshot = snapshot)
   }
 
+  /** Per-query IN in-walk sidecar search — the `qfin` shape of
+   * [[searchIndexedInWalkFiltered]], closing the filter matrix's last
+   * cell (literal IN/range and per-query equality walk in-walk already;
+   * per-query IN previously rode only the exact scan kernel's filterIn).
+   * Queries carry a `qfin` ARRAY column; the routed tuple carries the
+   * query's sorted canonical hash set, every walk admits candidates
+   * matching ANY value at acceptance ([[HnswStore.searchFilteredIn]] —
+   * traversal unfiltered, the ACORN shape; the reference's per-item
+   * filter point is hnswlib.h:135-146), and the exact re-rank applies
+   * the true null-rejecting IN. Same fallback contract as the equality
+   * sibling: payload-less shards walk unfiltered, correctness never
+   * depends on the sidecar generation. */
+  def searchIndexedInWalkFilteredIn(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, filterColumn: String,
+      metric: Metric = Metric.L2, shortlist: Int = 50,
+      efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
+      routeEf: Int = 0, snapshot: Option[Long] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    rerankExact(spark, dir,
+      probeCandidates(spark, dir, queries, shortlist, metric, efSearch,
+        probeSegments, routeEf, filterColumn = Some(filterColumn),
+        inWalkFilterIn = true, snapshot = snapshot),
+      queries, k, metric, filterColumn = Some(filterColumn),
+      filterIn = true, snapshot = snapshot)
+  }
+
   /** LITERAL-filtered sidecar search for plan-time rewrites — the
    * IN-list and multi-column-conjunction shapes (`WHERE label IN (...)
    * AND region = 'x' ORDER BY dist LIMIT k`) where every filter value
@@ -3009,8 +3237,25 @@ object ColdTier {
     // cannot filter in-walk — keep the full adaptive over-fetch then
     val walkable = filters.forall(f => !tzDependent(f._3)) &&
       ranges.forall(b => !b.asDouble.isNaN)
+    // the in-walk promise is only as good as the sealed payload: with a
+    // wrong registration or stripped sidecars, dropping the over-fetch
+    // would collapse recall silently with no safety net and no
+    // diagnostic (the r13 advice). Check the attrs markers of the
+    // committed sidecars (catalog-bounded metadata reads); if any lacks
+    // a walkable column, keep the adaptive over-fetch as the net and
+    // warn — the walk still filters wherever the payload exists.
+    val payloadOk = !inWalk || !walkable || {
+      val needed = (filters.filterNot(f => tzDependent(f._3)).map(_._1) ++
+        ranges.map(_.column)).distinct
+      val ok = inWalkPayloadPresent(spark, dir, needed, cat)
+      if (!ok) logger.warn(s"searchIndexedLiteralFiltered($dir): inWalk " +
+        s"requested but the sidecar payload for ${needed.mkString(", ")} " +
+        "is missing on at least one indexed segment — keeping the " +
+        "adaptive over-fetch as the recall safety net")
+      ok
+    }
     val effOverfetch =
-      if (inWalk && walkable) 1
+      if (inWalk && walkable && payloadOk) 1
       else adaptiveOverfetch(overfetch, selectivity)
     rerankExact(spark, dir,
       probeCandidates(spark, dir, queries,
@@ -3044,6 +3289,12 @@ object ColdTier {
   def rerankExact(spark: SparkSession, dir: String, candidates: DataFrame,
       queries: DataFrame, k: Int, metric: Metric = Metric.L2,
       filterColumn: Option[String] = None,
+      // per-query IN re-rank (requires filterColumn): queries carry a
+      // `qfin` ARRAY column and a candidate row survives when the sealed
+      // attribute equals ANY element (null-rejecting, SQL IN semantics —
+      // the same filterEquality coercion per value). The qfin shape of
+      // the qfilter equality above.
+      filterIn: Boolean = false,
       literalFilters: Seq[(String, Seq[Any],
         org.apache.spark.sql.types.DataType)] = Nil,
       // plan-time literal RANGE conjuncts — each re-applied exactly as
@@ -3062,8 +3313,11 @@ object ColdTier {
       // caller already planned the pinned set)
       snapshot: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    require(!filterIn || filterColumn.isDefined,
+      "rerankExact: filterIn requires filterColumn")
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
-      filterColumn.map(_ => col("qfilter")): _*)
+      (if (filterIn) Seq(col("qfin"))
+       else filterColumn.map(_ => col("qfilter")).toSeq): _*)
     val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
     val segs = if (cat0 != null) cat0
       else snapshot.map(v => catalogAt(spark, dir, v))
@@ -3085,16 +3339,23 @@ object ColdTier {
     val probeQ = q.select(Seq(col("qid"), col("qv"),
       (col("qtime") - col("ttl")).as("floor_ts"),
       col("qtime").as("ceil_ts")) ++
-      filterColumn.map(_ => col("qfilter")): _*)
+      (if (filterIn) Seq(col("qfin"))
+       else filterColumn.map(_ => col("qfilter")).toSeq): _*)
     val topkUdaf = udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val qPred = filterColumn.map { f =>
+      if (filterIn) {
+        val elemT = q.schema("qfin").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        exists(col("qfin"), v => filterEquality(col(f), v,
+          raw.schema(f).dataType, elemT))
+      } else filterEquality(col(f), col("qfilter"),
+        raw.schema(f).dataType, q.schema("qfilter").dataType)
+    }.getOrElse(lit(true))
     raw.join(broadcast(candidates.select("qid", "id").distinct()), "id")
       .join(broadcast(probeQ), "qid")
       .where(col("eventTime") >= col("floor_ts") &&
-        col("eventTime") <= col("ceil_ts") &&
-        filterColumn.map(f => filterEquality(col(f), col("qfilter"),
-            raw.schema(f).dataType, q.schema("qfilter").dataType))
-          .getOrElse(lit(true)) && literalPred)
+        col("eventTime") <= col("ceil_ts") && qPred && literalPred)
       .select(col("qid"), col("id"),
         Distances.forMetric(metric, col("qv"), col("vec")).as("dist"))
       .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))

@@ -455,11 +455,55 @@ final class HnswStore(
    * the caller's exact re-rank filters, so correctness never depends on
    * the sidecar generation (only recall does). */
   def searchFiltered(q: Array[Float], k: Int, tsFloor: Long, tsCeil: Long,
-      column: String, qNumeric: Boolean, qHash: Long): Array[(Long, Double)] =
+      column: String, qNumeric: Boolean, qHash: Long,
+      // matching-node count from [[countMatching]] over the SAME
+      // (column, qHash) — callers probing many queries per graph pass it
+      // so the density-sized first beam does not rescan the payload per
+      // walk. -1 = count inside the walk.
+      precount: Int = -1): Array[(Long, Double)] =
     attrHashes.get(column) match {
       case Some((num, hs)) if num == qNumeric =>
-        searchImpl(q, k, tsFloor, tsCeil, id => hs(id) == qHash)
+        searchImpl(q, k, tsFloor, tsCeil, id => hs(id) == qHash, precount)
       case _ => searchImpl(q, k, tsFloor, tsCeil, null)
+    }
+
+  /** Per-QUERY IN in-walk search: acceptance admits a candidate whose
+   * sealed hash for `column` equals ANY of `qHashes` (SORTED ascending —
+   * binary-searched per visited node). Same fallback contract as
+   * [[searchFiltered]]: no payload for the column, or the other type
+   * family, walks unfiltered (superset-leaning; the caller's exact
+   * re-rank applies the true IN). */
+  def searchFilteredIn(q: Array[Float], k: Int, tsFloor: Long,
+      tsCeil: Long, column: String, qNumeric: Boolean,
+      qHashes: Array[Long], precount: Int = -1): Array[(Long, Double)] =
+    attrHashes.get(column) match {
+      case Some((num, hs)) if num == qNumeric =>
+        searchImpl(q, k, tsFloor, tsCeil,
+          id => java.util.Arrays.binarySearch(qHashes, hs(id)) >= 0,
+          precount)
+      case _ => searchImpl(q, k, tsFloor, tsCeil, null)
+    }
+
+  /** Matching-node count for a per-query equality/IN predicate on
+   * `column` — the density the first-beam sizing needs, evaluated once
+   * over the payload arrays. Callers probing MANY queries against one
+   * graph memoize this per distinct filter value and pass it back as
+   * `precount` (the r13 advice: the per-query branch otherwise pays Q
+   * redundant O(n) payload passes per shard). `qHashes` must be sorted
+   * ascending. Returns -1 when the column has no matching-family
+   * payload (unfiltered walk — no count applies). */
+  def countMatching(column: String, qNumeric: Boolean,
+      qHashes: Array[Long]): Int =
+    attrHashes.get(column) match {
+      case Some((num, hs)) if num == qNumeric =>
+        var cnt = 0
+        var i = 0
+        while (i < n) {
+          if (java.util.Arrays.binarySearch(qHashes, hs(i)) >= 0) cnt += 1
+          i += 1
+        }
+        cnt
+      case _ => -1
     }
 
   /** Plan-time LITERAL-conjunction in-walk search — the IN-list and

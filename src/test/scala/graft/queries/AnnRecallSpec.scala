@@ -193,6 +193,36 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_coldtier_hnsw_filtered_qin: per-query IN holds on every row, full k per query, recall vs the exact IN truth >= 0.9") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val labelOf = e.map(t => (t._1, t._3)).toMap
+    val rows = SparkEntry.queries("knn_coldtier_hnsw_filtered_qin")(
+      spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      val set = Set(labelOf(qid), (labelOf(qid) + 3) % 10)
+      assert(rs.length == VectorQueries.K, s"query $qid: ${rs.length} rows")
+      rs.foreach(r => assert(set(labelOf(r.getLong(2))),
+        s"query $qid returned id ${r.getLong(2)} outside its IN set"))
+    }
+    val per = byQ.map { case (qid, rs) =>
+      val qv = e.find(_._1 == qid).get._2
+      val set = Set(labelOf(qid), (labelOf(qid) + 3) % 10)
+      val truth = e.filter(t => set(t._3))
+        .map(t => (t._1, graft.functions.Distances.l2(qv, t._2)))
+        .sortBy { case (id, d) => (d, id) }
+        .take(VectorQueries.K).map(_._1).toSet
+      rs.map(_.getLong(2)).count(truth.contains).toDouble / truth.size
+    }
+    val r = per.sum / per.size
+    info(s"per-query IN in-walk recall@${VectorQueries.K} = $r")
+    assert(r >= 0.9, s"recall $r")
+  }
+
   test("dedup_minhash candidates cover the high-jaccard exact pairs") {
     val exactPairs = TextQueries.queries("text_jaccard_pairs")(spark, dir)
       .collect().filter(_.getDouble(2) >= 0.65)

@@ -2376,4 +2376,213 @@ class ColdTierSpec extends AnyFunSuite {
     assert(planned == 6L,
       s"IN admission must prune per value on the aligned tier: $planned != 6")
   }
+
+  test("per-query IN in-walk probe: qfin value sets filter at walk acceptance, recall >= 0.9 on 2-of-100 labels, vacuous IN empty, v1 sidecars stay predicate-exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-inwalk-qin").toString
+    val dim = 16
+    val nLabels = 100
+    // the same deliberately NOT attr-aligned stripe layout as the
+    // equality in-walk spec: every segment holds every label
+    val rows = (0 until 8000).map { i =>
+      val rnd = new java.util.Random(15000L + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % nLabels).toLong)
+    }
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", pmod(col("id"), lit(4)).cast("long")), dir)
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 16, efConstruction = 128, attrColumns = Seq("label"))
+    val k = 10
+    val nQ = 20
+    // per-QUERY value sets (2 of 100 labels each, different per query —
+    // the shape the literal IN path cannot serve)
+    def setOf(qi: Int): Seq[Long] =
+      Seq((qi * 7 % nLabels).toLong, ((qi * 7 + 31) % nLabels).toLong)
+    val qs = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = rows(qi * 311)
+      (qi.toLong, qv, Long.MaxValue / 2, Long.MaxValue / 2,
+        setOf(qi).toArray)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfin")
+    val got = ColdTier.searchIndexedInWalkFilteredIn(spark, dir, qs, k,
+      "label", Metric.L2, shortlist = 2 * k, efSearch = 64).collect()
+    // the exact re-rank applies the true IN: every row satisfies it
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val qi = r.getLong(0).toInt
+      assert(setOf(qi).contains(r.getLong(2) % nLabels),
+        s"query $qi returned a row outside its IN set")
+    }
+    val byQ = got.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recall = (0 until nQ).map { qi =>
+      val (_, qv, _, _) = rows(qi * 311)
+      val vals = setOf(qi).toSet
+      val truth = rows.filter(r => vals(r._4))
+        .map { case (id, v, _, _) => (id, Distances.l2(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      byQ.getOrElse(qi.toLong, Set.empty[Long])
+        .count(truth.contains).toDouble / k
+    }.sum / nQ
+    assert(recall >= 0.9, s"per-query IN in-walk recall $recall")
+    // vacuous IN: a null / empty / all-null qfin returns no rows
+    val vac = Seq(
+      (100L, rows(17)._2, Long.MaxValue / 2, Long.MaxValue / 2,
+        Array.empty[java.lang.Long]),
+      (101L, rows(18)._2, Long.MaxValue / 2, Long.MaxValue / 2,
+        Array[java.lang.Long](null)))
+      .toDF("qid", "qv", "qtime", "ttl", "qfin")
+    assert(ColdTier.searchIndexedInWalkFilteredIn(spark, dir, vac, k,
+      "label", Metric.L2, shortlist = 2 * k, efSearch = 64)
+      .collect().isEmpty, "vacuous IN must return no rows")
+    // RESEAL without hashes (v1 sidecars): the walk falls back
+    // unfiltered per shard, but the exact re-rank keeps every returned
+    // row inside its query's IN set — correctness never depends on the
+    // sidecar generation
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 16, efConstruction = 128)
+    val fb = ColdTier.searchIndexedInWalkFilteredIn(spark, dir, qs, k,
+      "label", Metric.L2, shortlist = 2 * k, efSearch = 64).collect()
+    fb.foreach { r =>
+      val qi = r.getLong(0).toInt
+      assert(setOf(qi).contains(r.getLong(2) % nLabels),
+        s"v1 fallback: query $qi returned a row outside its IN set")
+    }
+  }
+
+  test("reclusterByAttr: distinct-value bucketing — 100 int labels x 100 buckets seal as 100 single-label segments (quantile cuts would merge them)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attr-distinct").toString
+    val rnd = new java.util.Random(59L)
+    val nLabels = 100
+    val all = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % nLabels).toLong)
+    }
+    (0 until 2).foreach { sid =>
+      ColdTier.seal(all.slice(sid * 1000, sid * 1000 + 1000)
+        .toDF("id", "vec", "eventTime", "label"), dir, sid.toLong)
+    }
+    val out = ColdTier.reclusterByAttr(spark, dir, "label",
+      buckets = nLabels, cellsPerBucket = 1, m = 8, efConstruction = 32)
+    // the r13 residue this closes: quantile probes repeat on 100 uniform
+    // labels and merged ~25 bucket pairs (75 segments); distinct-value
+    // cuts must give one single-label segment per label
+    assert(out.length == nLabels,
+      s"${out.length} segments != $nLabels single-label buckets")
+    val labelsPerSeg = spark.read
+      .parquet(ColdTier.catalog(spark, dir).map(_.path): _*)
+      .groupBy("segmentId")
+      .agg(countDistinct(col("label")).as("nl"), count(lit(1)).as("n"))
+      .collect()
+    assert(labelsPerSeg.length == nLabels)
+    labelsPerSeg.foreach { r =>
+      assert(r.getLong(1) == 1L,
+        s"segment ${r.getLong(0)} holds ${r.getLong(1)} labels")
+      assert(r.getLong(2) == 2000L / nLabels)
+    }
+    // admission then collapses every filtered query to its ONE bucket
+    val nQ = 5
+    val fq = (0 until nQ).map { qi =>
+      (qi.toLong, all(qi * 101)._2, Long.MaxValue / 2, Long.MaxValue / 2,
+        (qi * 13 % nLabels).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val got = ColdTier.search(spark, dir, fq, 10, Metric.L2,
+        firstWaveFraction = 1.0, terminationFactor = 1.0,
+        filterColumn = Some("label"), searchStats = Some(stats))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    (0 until nQ).foreach { qi =>
+      val want = all.filter(_._4 == qi * 13 % nLabels)
+        .map { case (id, v, _, _) =>
+          (id, Distances.l2(all(qi * 101)._2, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(got(qi.toLong) == want, s"query $qi filtered")
+    }
+    val planned = stats("wave1_probes") + stats("wave2_planned")
+    assert(planned == nQ.toLong,
+      s"single-label buckets must admit exactly one segment per " +
+        s"query: planned $planned != $nQ")
+  }
+
+  test("attrs-marker sniff: a payload-carrying sidecar whose marker is missing still carries the in-walk payload through compaction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-attrs-sniff").toString
+    val dim = 8
+    val rows = (0 until 1200).map { i =>
+      val rnd = new java.util.Random(17000L + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 100).toLong)
+    }
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", pmod(col("id"), lit(4)).cast("long")), dir)
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 8, efConstruction = 64, attrColumns = Seq("label"))
+    // simulate a pre-marker generation (or the old crash window): the
+    // sidecars carry the payload, the markers are gone
+    (0 until 4).foreach { sid =>
+      val f = new java.io.File(s"$dir/segment-$sid-attrs")
+      assert(f.exists(), "marker should exist after sealIndexes")
+      assert(f.delete())
+    }
+    val qs = Seq((0L, rows(17)._2, Long.MaxValue / 2, Long.MaxValue / 2))
+      .toDF("qid", "qv", "qtime", "ttl")
+    val filters = Seq(("label", Seq(17L): Seq[Any],
+      org.apache.spark.sql.types.LongType))
+    def onlyMatching(): Boolean =
+      ColdTier.probeCandidates(spark, dir, qs, shortlist = 10,
+          Metric.L2, efSearch = 32, inWalkLiterals = filters)
+        .collect().forall(_.getLong(1) % 100 == 17)
+    assert(onlyMatching(), "payload must filter with markers missing")
+    // compaction must SNIFF the payload columns from the sidecar bytes
+    // (the r13 advice) instead of silently stripping them
+    ColdTier.compact(spark, dir, targetRows = 10000L)
+    assert(ColdTier.catalog(spark, dir).length == 1, "compacted to one")
+    assert(onlyMatching(),
+      "compaction must carry the sniffed in-walk payload forward")
+  }
+
+  test("inWalk without sealed payload keeps the adaptive over-fetch net: results equal the oblivious literal path bit-for-bit, and the presence check reports the gap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("coldtier-inwalk-nopayload").toString
+    val dim = 16
+    val rows = (0 until 4000).map { i =>
+      val rnd = new java.util.Random(19000L + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 100).toLong)
+    }
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", pmod(col("id"), lit(4)).cast("long")), dir)
+    // v1 sidecars: NO attr payload — an inWalk registration over this
+    // tier is the r13-advice failure shape (effOverfetch forced to 1
+    // with no payload anywhere would silently collapse recall)
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 16, efConstruction = 128)
+    assert(!ColdTier.inWalkPayloadPresent(spark, dir, Seq("label"),
+      ColdTier.catalog(spark, dir)),
+      "presence check must report the missing payload")
+    val k = 10
+    val qs = (0 until 10).map { qi =>
+      val (_, qv, _, _) = rows(qi * 311)
+      (qi.toLong, qv, Long.MaxValue / 2, Long.MaxValue / 2)
+    }.toDF("qid", "qv", "qtime", "ttl")
+    val filters = Seq(("label", Seq(17L, 63L): Seq[Any],
+      org.apache.spark.sql.types.LongType))
+    def run(inWalk: Boolean) = ColdTier.searchIndexedLiteralFiltered(
+      spark, dir, qs, k, filters, Metric.L2, shortlist = 2 * k,
+      efSearch = 64, overfetch = 8, inWalk = inWalk)
+      .collect().map(_.toSeq).toSet
+    // with the payload absent the net must hold: the inWalk call keeps
+    // the same over-fetched shortlist as the oblivious one, so the two
+    // compositions are bit-identical (walks are unfiltered either way)
+    assert(run(inWalk = true) == run(inWalk = false),
+      "missing payload: inWalk must fall back to the over-fetched path")
+    // and with the payload present the check passes (sanity)
+    ColdTier.sealIndexes(spark, dir, 0L until 4L, Metric.L2,
+      m = 16, efConstruction = 128, attrColumns = Seq("label"))
+    assert(ColdTier.inWalkPayloadPresent(spark, dir, Seq("label"),
+      ColdTier.catalog(spark, dir)))
+  }
 }

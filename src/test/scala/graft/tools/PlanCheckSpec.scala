@@ -62,6 +62,10 @@ class PlanCheckSpec extends AnyFunSuite {
     // range in-walk probe OUTPUT = the range-filtered exact re-rank
     // over the aux shortlist — same broadcast shape
     ("knn_coldtier_hnsw_filtered_range", true, true, false),
+    // per-query IN in-walk probe OUTPUT = the qfin exact re-rank over
+    // the aux shortlist — same broadcast shape (the any-of equality
+    // rides the broadcast probe tuple's array)
+    ("knn_coldtier_hnsw_filtered_qin", true, true, false),
     ("knn_coldtier_hnsw_sharded", true, true, false),
     ("ann_sfc_adaptive", false, true, false),
     ("embed_neardup", false, true, false),
