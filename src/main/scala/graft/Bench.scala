@@ -54,6 +54,108 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Wall-time budget guard — the r13 lesson: BENCH_r13.json came back
+   * rc=124 (timeout, parsed null) because the suite outgrew the driver's
+   * budget, so the round shipped NO driver-verified perf numbers. The
+   * deadline anchors at first touch (Bench.main touches it before any
+   * work) at start + SPARK_GRAFT_BENCH_BUDGET_SEC (default 3000 s ≈ 50
+   * min — r12's last completed driver run was 57:45 TOTAL wall incl. sbt
+   * startup, so the measured suite must stay well under it). The
+   * [[Bench10x]] child draws on the SAME budget: [[spawn10x]] passes the
+   * absolute deadline through SPARK_GRAFT_BENCH_DEADLINE_MS.
+   *
+   * No silent caps: every skipped phase or rep is recorded and lands in
+   * the artifact (`bench_skipped` in the parent, `bench10x_skipped` in
+   * the child), so a trimmed run is machine-detectably trimmed. */
+  object BenchBudget {
+    private val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val deadlineMs: Long =
+      sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_MS").map(_.toLong)
+        .getOrElse(System.currentTimeMillis() +
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3480")
+            .toLong * 1000)
+    def remainingSec: Long =
+      (deadlineMs - System.currentTimeMillis()) / 1000
+    // the parent's optional extras run BEFORE the 10x child, so a bare
+    // remaining-time check would happily spend the child's budget on
+    // fan-out twins; the parent sets this reserve at start and clears
+    // it when the child takes over (the child JVM starts at 0)
+    private val reserve = new java.util.concurrent.atomic.AtomicLong(0)
+    def setReserve(sec: Long): Unit = reserve.set(sec)
+    def clearReserve(): Unit = reserve.set(0)
+    /** true = run the phase; false = skip, recorded + logged. `estSec`
+     * is a conservative estimate of the phase's cost (callers guarding
+     * a repeat rep pass the measured first rep). */
+    def allow(phase: String, estSec: Long): Boolean = {
+      val ok = remainingSec - reserve.get > estSec
+      if (!ok) {
+        skipped.synchronized(skipped += phase)
+        System.err.println(s"[bench] budget: skipping $phase " +
+          s"(~${estSec}s est, ${remainingSec}s left, " +
+          s"${reserve.get}s reserved)")
+      }
+      ok
+    }
+    /** Artifact fragment: the skip list + what was left on the clock
+     * (the remaining-seconds key is namespaced by `listName` so the
+     * parent's and the child's fragments never collide in the merged
+     * document). */
+    def keys(listName: String): String = {
+      val sk = skipped.synchronized(skipped.toList)
+      s""""$listName":[${sk.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""${listName}_remaining_sec":$remainingSec"""
+    }
+  }
+
+  /** SHA-256 (first 16 hex, prefixed with the class-file count) over the
+   * graft class files on the classpath — the identical-binary twin-run
+   * stamp (r13's two committed twins differed by 4 keys because the
+   * second run was a different build; same-binary twins are what make
+   * ambient-band claims checkable, and the stamp makes "same binary"
+   * verifiable from the artifacts alone). */
+  def binarySha(): String = try {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    import scala.jdk.CollectionConverters._
+    var count = 0
+    // sbt's forked run ships the project as a jar (bg-jobs/.../
+    // vstreamspark_*.jar), a plain -cp run ships the classes dir — hash
+    // the graft .class CONTENTS either way (zip metadata like entry
+    // timestamps never enters the digest, so identical source+compiler
+    // always stamps identically)
+    System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparator).sorted.foreach { e =>
+        val f = new java.io.File(e)
+        if (f.isDirectory && new java.io.File(f, "graft").isDirectory) {
+          val base = f.toPath
+          java.nio.file.Files.walk(base.resolve("graft")).iterator().asScala
+            .filter(_.toString.endsWith(".class"))
+            .map(p => (base.relativize(p).toString, p)).toList
+            .sortBy(_._1).foreach { case (rel, p) =>
+              md.update(rel.getBytes("UTF-8"))
+              md.update(java.nio.file.Files.readAllBytes(p))
+              count += 1
+            }
+        } else if (f.isFile && f.getName.startsWith("vstreamspark")) {
+          val zf = new java.util.zip.ZipFile(f)
+          try zf.entries().asScala
+            .filter(z => z.getName.startsWith("graft/") &&
+              z.getName.endsWith(".class"))
+            .toSeq.sortBy(_.getName).foreach { z =>
+              md.update(z.getName.getBytes("UTF-8"))
+              val in = zf.getInputStream(z)
+              val buf = new Array[Byte](65536)
+              var n = in.read(buf)
+              while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+              in.close()
+              count += 1
+            }
+          finally zf.close()
+        }
+      }
+    if (count == 0) "unknown"
+    else count + ":" + md.digest().take(8).map("%02x".format(_)).mkString
+  } catch { case scala.util.control.NonFatal(_) => "unknown" }
+
   /** Fixed-workload calibration point: the exact bounded-heap bf kernel
    * over a canned 100k × 64-dim seeded corpus (sf-independent), 129
    * queries, min-of-2 after an untimed warmup. The work is IDENTICAL
@@ -291,6 +393,10 @@ object Bench {
       val cmd = Seq(javaBin, s"-Xmx$mem") ++ keep ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench10x")
       val pb = new ProcessBuilder(cmd.asJava)
+      // the child draws on the SAME wall-time budget (absolute deadline,
+      // so parent time already spent counts)
+      pb.environment().put("SPARK_GRAFT_BENCH_DEADLINE_MS",
+        BenchBudget.deadlineMs.toString)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream)
@@ -469,7 +575,9 @@ object Bench {
          |  ${v("dedup_1x_secs")} / ${v("dedup_10x_secs")}).
          |- **Rare-label filtered serving at 10×** (1%-selectivity label
          |  UNALIGNED with the cell layout,
-         |  ${v("ann_filtered1pct_queries")} queries, every point recall'd
+         |  ${v("ann_filtered1pct_queries")} queries — the two slowest
+         |  points subsample ${v("ann_filtered1pct_inwalk_queries")}
+         |  queries × 1 rep, recorded per point; every point recall'd
          |  against the same exact filtered kernel): static 8× over-fetch
          |  recall ${v("ann_filtered1pct_static_recall")} at
          |  ${v("ann_filtered1pct_static_q_per_sec")} q/s; the attr-stats
@@ -483,20 +591,32 @@ object Bench {
          |  ${v("ann_filtered1pct_inwalk_q_per_sec")} q/s on the SAME mixed
          |  layout; `reclusterByAttr` converges the tier label-aligned
          |  (one-off ${v("ann_filtered1pct_attrrc_build_sec")} s,
-         |  ${v("ann_filtered1pct_attrrc_segments")} segments) and the same
-         |  static call then reads recall
+         |  ${v("ann_filtered1pct_attrrc_segments")} segments — one
+         |  single-label bucket per label since distinct-value
+         |  bucketing) and the frontier ENDS on the lossless endpoint:
+         |  the exact filtered kernel over the aligned tier reads
+         |  **recall ${v("ann_filtered1pct_aligned_exact_recall")} at
+         |  ${v("ann_filtered1pct_aligned_exact_q_per_sec")} q/s**
+         |  (admission collapses each query to its one bucket). The
+         |  approximate aligned points around it: static 8× recall
          |  ${v("ann_filtered1pct_attrrc_recall")} at
-         |  **${v("ann_filtered1pct_attrrc_q_per_sec")} q/s**; in-walk
-         |  acceptance ON the aligned layout is the fastest probe point
-         |  (${v("ann_filtered1pct_attrrc_inwalk_recall")} at
-         |  ${v("ann_filtered1pct_attrrc_inwalk_q_per_sec")} q/s — the
-         |  aligned walk is DEPTH-bound, not filter-bound, so its plain
-         |  shortlist reads shallower than the static call's 8× one).
-         |  Measured frontier: the acceptance filter is the RECALL knob on
-         |  a mixed layout, the aligned layout is the THROUGHPUT knob, and
-         |  the exact filtered kernel over the aligned layout (admission
-         |  collapses each query to its one bucket) stays the lossless
-         |  endpoint.
+         |  **${v("ann_filtered1pct_attrrc_q_per_sec")} q/s**; in-walk at
+         |  plain shortlist 24 —
+         |  ${v("ann_filtered1pct_attrrc_inwalk_recall")} at
+         |  ${v("ann_filtered1pct_attrrc_inwalk_q_per_sec")} q/s (the
+         |  aligned walk is DEPTH-bound, not filter-bound, so the plain
+         |  shortlist reads shallower than the static call's 8× one);
+         |  in-walk at shortlist 96 — recall
+         |  ${v("ann_filtered1pct_attrrc_inwalk96_recall")} at
+         |  ${v("ann_filtered1pct_attrrc_inwalk96_q_per_sec")} q/s (the
+         |  depth-hypothesis test point). Measured frontier: the
+         |  acceptance filter is the RECALL knob on a mixed layout, the
+         |  aligned layout is the THROUGHPUT knob, and the aligned exact
+         |  kernel is the recall-1.0 endpoint.
+         |- **Budget discipline**: the suite runs under a wall-clock
+         |  budget (`bench_skipped`/`bench10x_skipped` list any trimmed
+         |  phase — normally empty); `binary_sha` stamps the exact build
+         |  so twin runs are verifiably the same binary.
          |""".stripMargin
     val p = java.nio.file.Paths.get(readmePath)
     if (!java.nio.file.Files.exists(p)) return
@@ -521,6 +641,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    // anchor the wall-time budget before any work (see [[BenchBudget]])
+    // and stamp the binary for the identical-binary twin discipline;
+    // hold the child's share back from the parent's optional extras
+    if (sys.env.getOrElse("SPARK_GRAFT_10X", "1") == "1")
+      BenchBudget.setReserve(sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_CHILD_RESERVE_SEC", "2300").toLong)
+    System.err.println(s"[bench] budget: ${BenchBudget.remainingSec}s, " +
+      s"binary ${binarySha()}")
     spark.range(1000000L).select(sum("id")).collect() // JVM/codegen warmup
 
     // environment calibration FIRST (cleanest point in the JVM's life):
@@ -606,17 +734,20 @@ object Bench {
     // stream_latency_p50_ms@N headline keys.
     val fanoutPoints =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_FANOUT", "1") != "1") Seq(headlinePoint)
-      else headlinePoint +: Seq(16, 32).filter(_ != streamParts).map { fp =>
-        System.gc()
-        streamBench(spark, streamRows, fp, nReps = 2)
-      }
+      else headlinePoint +: Seq(16, 32).filter(_ != streamParts)
+        .filter(fp => BenchBudget.allow(s"stream_fanout@$fp", 120))
+        .map { fp =>
+          System.gc()
+          streamBench(spark, streamRows, fp, nReps = 2)
+        }
     // @32 contention attribution: same 32-way fan-out at HALF the query
     // rate — if p50 drops roughly with the rate, the 32-way latency line
     // is local-core oversubscription (32 partitions x 32 local cores:
     // every query touches every core), not merge fan-in cost; the
     // reference's 160-way envelope runs across a multi-node cluster
     val fanoutHalfQ =
-      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_FANOUT", "1") != "1") None
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_FANOUT", "1") != "1" ||
+          !BenchBudget.allow("stream_halfq@32", 100)) None
       else {
         System.gc()
         Some(streamBench(spark, streamRows, 32, nReps = 2, rateScale = 0.5))
@@ -627,7 +758,8 @@ object Bench {
     // judged as such) — the halfq twin makes a noisy 16-way rep
     // self-diagnosing instead of adjudicable-only-by-rerun
     val fanoutHalfQ16 =
-      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_FANOUT", "1") != "1") None
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_FANOUT", "1") != "1" ||
+          !BenchBudget.allow("stream_halfq@16", 100)) None
       else {
         System.gc()
         Some(streamBench(spark, streamRows, 16, nReps = 2, rateScale = 0.5))
@@ -658,11 +790,15 @@ object Bench {
     val plainBigTrigger = streamBench(spark, streamRowsBig, streamParts,
       nReps = 2, chunkRows = composedTriggerRows)
     System.gc()
-    val composedSmall = composedStreamBench(spark, streamRows, streamParts,
-      flushEvery = 8, nReps = 2)
+    val composedSmall =
+      if (!BenchBudget.allow("stream_composed_smalltrigger", 120)) None
+      else Some(composedStreamBench(spark, streamRows, streamParts,
+        flushEvery = 8, nReps = 2))
     System.gc()
-    val composedPerBatch = composedStreamBench(spark,
-      streamRows.take(12000), streamParts, flushEvery = 1, nReps = 1)
+    val composedPerBatch =
+      if (!BenchBudget.allow("stream_composed_perbatch", 100)) None
+      else Some(composedStreamBench(spark,
+        streamRows.take(12000), streamParts, flushEvery = 1, nReps = 1))
     // drop the streaming section's heap garbage (state maps, batch
     // buffers) before the allocation-heavy index sections
     System.gc()
@@ -809,7 +945,8 @@ object Bench {
     // (recall@k vs efSearch): one extra run per point on the identical
     // build, recall against the same exact truth. Emitted as its own
     // JSON line so the curve is recorded evidence, not a claim.
-    val efPoints = Seq(16, 32, 128).map { ef =>
+    val efPoints = Seq(16, 32, 128)
+      .filter(ef => BenchBudget.allow(s"ef_sweep@$ef", 40)).map { ef =>
       System.gc()
       val (rows, sec) = time(
         Ann.search(vecs, queries, model, 10, Metric.L2,
@@ -857,7 +994,12 @@ object Bench {
     // pressure (r5: 0.247, a round-7 rerun: 0.62, vs 1.0-1.2 on clean
     // runs) — one extra rep is cheap insurance on the headline scale
     // metric, and ann_2x_sec in the output makes a noisy run diagnosable
-    val ann2Times = (1 to 3).map { _ => System.gc(); time(ann2Run())._2 }
+    val ann2First = { System.gc(); time(ann2Run())._2 }
+    val ann2Times = ann2First +: (2 to 3).flatMap { i =>
+      if (!BenchBudget.allow(s"ann_2x_rep$i", math.ceil(ann2First).toLong))
+        None
+      else { System.gc(); Some(time(ann2Run())._2) }
+    }
     val ann2Sec = ann2Times.min
     vecs2.unpersist()
     val vecPerSec2 = (nVec2 + nQ) / ann2Sec
@@ -909,7 +1051,8 @@ object Bench {
     // compactEvery knob buys. Keys ride a separate {"metric":"coldtier"}
     // line; they are scale evidence, not per-query regression rows.
     val coldKeys =
-      if (sys.env.getOrElse("SPARK_GRAFT_COLDBENCH", "1") != "1") ""
+      if (sys.env.getOrElse("SPARK_GRAFT_COLDBENCH", "1") != "1" ||
+          !BenchBudget.allow("coldtier_lifecycle", 150)) ""
       else {
         import graft.store.ColdTier
         val cdir = java.nio.file.Files.createTempDirectory("bench-cold").toString
@@ -1069,7 +1212,7 @@ object Bench {
     // the router's one-off build cost and its routing recall vs the
     // exact choice. Synthetic centroids — routing cost depends on S and
     // dim only, not on what the cells contain.
-    val routingKeys: String = {
+    val routingKeys: String = if (!BenchBudget.allow("routing", 60)) "" else {
       import graft.store.ColdTier
       val segS = 100000; val rdim = 32; val capR = 12; val nRq = 512
       val rrnd = new java.util.Random(11L)
@@ -1112,6 +1255,9 @@ object Bench {
         graft.CacheRegistry.clear()
         spark.catalog.clearCache()
         System.gc()
+        // the child takes over the budget from here — nothing heavy is
+        // left in the parent, so the reserve stops applying
+        BenchBudget.clearReserve()
         spawn10x().getOrElse {
           System.err.println("[bench] 10x child JVM failed; running in-process")
           // provenance: an in-parent run records the heap-history
@@ -1160,7 +1306,15 @@ object Bench {
         s"""{"parts":${p.parts},"p50_ms":${"%.1f".format(p.pct(0.5))},"p99_ms":${"%.1f".format(p.pct(0.99))},"insert_per_sec":${"%.1f".format(p.insertPerSec)},"reps":${
           p.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"queries":${p.nQueries}}""")
         .mkString(",")}]}"""
-    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))},"stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(composedSmall.insertPerSec)},"stream_composed_smalltrigger_reps":${composedSmall.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"stream_composed_perbatch_flushed_segments":${composedPerBatch.segs},$routingKeys,"knn_join_n":$joinN,"knn_join_pairs":$joinPairs,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"knn_join_pairs_per_sec":${"%.1f".format(joinPairs / knnJoinSec)},"knn_join_hnsw_sec":${"%.2f".format(joinHnswSec)},"knn_join_hnsw_vec_per_sec":${"%.1f".format(joinN / joinHnswSec)},"knn_join_hnsw_recall":${"%.4f".format(joinHRecall)},"partition_balance":${"%.3f".format(balance)}"""
+    val composedSmallFrag = composedSmall.map(c =>
+      s""","stream_composed_smalltrigger_insert_per_sec":${"%.1f".format(c.insertPerSec)},"stream_composed_smalltrigger_reps":${c.repRates.map("%.1f".format(_)).mkString("[", ",", "]")}""")
+      .getOrElse("")
+    val composedPerBatchFrag = composedPerBatch.map(c =>
+      s""","stream_composed_perbatch_insert_per_sec":${"%.1f".format(c.insertPerSec)},"stream_composed_perbatch_flushed_segments":${c.segs}""")
+      .getOrElse("")
+    val routingFrag =
+      if (routingKeys.isEmpty) """"routing_skipped":true""" else routingKeys
+    val scalars = s""""value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","calib_bf_100k_sec":${"%.2f".format(calibSec)},"n_vectors":$nVec,"n_queries":$nQ,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"ann_vectors_per_sec_2x":${"%.1f".format(vecPerSec2)},"ann_2x_sec":${"%.2f".format(ann2Sec)},"scaleup_efficiency":${"%.3f".format(vecPerSec2 / vecPerSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"dedup_docs_per_sec_2x":${"%.1f".format(docsPerSec2)},"dedup_scaleup_efficiency":${"%.3f".format(docsPerSec2 / docsPerSec)},$tenXFrag,"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_queries":$streamQueries,"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_insert_per_sec_reps":$streamRepsKey,$fanoutKeys$fanoutHalfQKeys,"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_insert_per_sec_reps":${composed.repRates.map("%.1f".format(_)).mkString("[", ",", "]")},"stream_composed_trigger_rows":$composedTriggerRows,"stream_composed_flush_every":$composedFlushEvery,"stream_composed_p50_ms":${"%.1f".format(composed.p50)},"stream_composed_p99_ms":${"%.1f".format(composed.p99)},"stream_composed_flushed_segments":${composed.segs},"stream_insert_per_sec@trigger8k":${"%.1f".format(plainBigTrigger.insertPerSec)},"stream_latency_p50_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.5))},"stream_latency_p99_ms@trigger8k":${"%.1f".format(plainBigTrigger.pct(0.99))}$composedSmallFrag$composedPerBatchFrag,$routingFrag,"binary_sha":"${binarySha()}",${Bench.BenchBudget.keys("bench_skipped")},"knn_join_n":$joinN,"knn_join_pairs":$joinPairs,"knn_join_sec":${"%.2f".format(knnJoinSec)},"knn_join_vec_per_sec":${"%.1f".format(joinN / knnJoinSec)},"knn_join_pairs_per_sec":${"%.1f".format(joinPairs / knnJoinSec)},"knn_join_hnsw_sec":${"%.2f".format(joinHnswSec)},"knn_join_hnsw_vec_per_sec":${"%.1f".format(joinN / joinHnswSec)},"knn_join_hnsw_recall":${"%.4f".format(joinHRecall)},"partition_balance":${"%.3f".format(balance)}"""
     val headline =
       s"""{"metric":"total",$scalars,"queries_parts":${qChunks.length},"file":"target/bench.json"}"""
     val coldLine =
@@ -1180,13 +1334,14 @@ object Bench {
     queryLines.foreach(println)
     coldLine.foreach(println)
     println(streamFanoutLine)
-    println(s"""{"metric":"routing",$routingKeys}""")
+    if (routingKeys.nonEmpty)
+      println(s"""{"metric":"routing",$routingKeys}""")
     println(headline)
     // the LAST stdout line is a compact headline sized to survive the
     // driver's tail-capture window (the r9 full headline outgrew it and
     // the judged artifact recorded "parsed": null) — ~15 keys, full
     // detail in the preceding lines and target/bench.json
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","queries":{"n_vectors":$nVec,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_flush_every":$composedFlushEvery,"stream_composed_perbatch_insert_per_sec":${"%.1f".format(composedPerBatch.insertPerSec)},"partition_balance":${"%.3f".format(balance)}},"detail":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","queries":{"n_vectors":$nVec,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_flush_every":$composedFlushEvery,"stream_composed_perbatch_insert_per_sec":${composedPerBatch.map(c => "%.1f".format(c.insertPerSec)).getOrElse("-1")},"partition_balance":${"%.3f".format(balance)}},"detail":"target/bench.json"}""")
     spark.stop()
   }
 }

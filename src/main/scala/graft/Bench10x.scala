@@ -123,8 +123,11 @@ object Bench10x {
       Metric.L2, useHnsw = false).count()
     System.gc()
     val (_, join1) = time(joinRun10())
-    val joinTimes = join1 +: (2 to reps).map { _ =>
-      System.gc(); time(joinRun10())._2 }
+    val joinTimes = join1 +: (2 to reps).flatMap { i =>
+      if (!Bench.BenchBudget.allow(s"knn_join_10x_rep$i",
+          math.ceil(join1).toLong)) None
+      else { System.gc(); Some(time(joinRun10())._2) }
+    }
     joinVecs10.unpersist()
 
     // --- the amortized serving shape: ann_10x_sec above REBUILDS every
@@ -214,8 +217,11 @@ object Bench10x {
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     System.gc()
     val filt1 = time(filtRun())._2
-    val filtTimes = filt1 +: (2 to reps).map { _ =>
-      System.gc(); time(filtRun())._2 }
+    val filtTimes = filt1 +: (2 to reps).flatMap { i =>
+      if (!Bench.BenchBudget.allow(s"ann_filtered_10x_rep$i",
+          math.ceil(filt1).toLong)) None
+      else { System.gc(); Some(time(filtRun())._2) }
+    }
     qF.unpersist()
 
     // --- selectivity-DRIVEN overfetch at 10x (the r11 verdict's ask):
@@ -233,67 +239,104 @@ object Bench10x {
       graft.store.ColdTier.sealAttrStats(spark, tier, "label100"))
     val selLbl = 37L
     val onePctNQ = 512
+    // r14 (the r13 rc=124 lesson): the SLOW rare-label points — the
+    // adaptive 39x over-fetch at ~1.6 q/s and the mixed-layout in-walk
+    // walk at ~0.5-0.8 q/s — run ONCE over a 128-query subsample. Their
+    // r13 twin spread (in-walk best-rep 1045 vs 628 s across twins) was
+    // wider than any within-run rep gain, so reps bought nothing, and
+    // the two points alone cost ~33 min of the driver's budget (the
+    // rc=124 timeout). The static point keeps the full 512 x min-of-2
+    // (the frontier anchor at ~3 min). Per-point query counts ride the
+    // artifact — no silent caps.
+    val sub1pNQ = 128
     val q1p = q10.limit(onePctNQ).cache(); q1p.count()
     val sel1p = graft.store.ColdTier.estimateSelectivity(spark, tier,
       "label100", Seq(selLbl.toDouble), Double.NaN, Double.NaN)
     val adaptiveFactor = graft.store.ColdTier.adaptiveOverfetch(8, sel1p)
     val q1pF = q1p.withColumn("qfilter", lit(selLbl)).cache(); q1pF.count()
+    val q1pS = q1p.limit(sub1pNQ).cache(); q1pS.count()
+    val q1pSF = q1pS.withColumn("qfilter", lit(selLbl)).cache()
+    val subQids = q1pS.select("qid").collect().map(_.getLong(0)).toSet
     def filtered1pTruth() = graft.store.ColdTier.search(spark, tier, q1pF,
         10, Metric.L2, firstWaveFraction = 1.0, terminationFactor = 1.0,
         filterColumn = Some("label100"))
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     val truth1p = filtered1pTruth()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-    def recall1p(rows: Array[org.apache.spark.sql.Row]): Double = {
-      val per = truth1p.toSeq.map { case (qid, t) =>
-        if (t.isEmpty) 1.0
-        else rows.collectFirst { case r if r.getLong(0) == qid =>
-          r.getSeq[Long](1).count(t.contains).toDouble / t.size
-        }.getOrElse(0.0)
-      }
+    // recall over the point's own query set (`qids` restricts to a
+    // subsample — a missing qid counts 0 only among the queries the
+    // point actually ran)
+    def recall1p(rows: Array[org.apache.spark.sql.Row],
+        qids: Set[Long] = null): Double = {
+      val per = truth1p.toSeq
+        .filter { case (qid, _) => qids == null || qids(qid) }
+        .map { case (qid, t) =>
+          if (t.isEmpty) 1.0
+          else rows.collectFirst { case r if r.getLong(0) == qid =>
+            r.getSeq[Long](1).count(t.contains).toDouble / t.size
+          }.getOrElse(0.0)
+        }
       if (per.nonEmpty) per.sum / per.length else 0.0
     }
+    def arr(ts: Seq[Double]) =
+      ts.map(t => "%.2f".format(t)).mkString("[", ",", "]")
+    // guarded phases append their keys here; a skipped phase's keys are
+    // simply absent AND its name lands in bench10x_skipped
+    val frags = scala.collection.mutable.ArrayBuffer.empty[String]
     def static1pRun() = graft.store.ColdTier.searchIndexedFiltered(spark,
         tier, q1pF, 10, "label100", Metric.L2, shortlist = 96,
         efSearch = 96, probeSegments = 12, overfetch = 8)
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     System.gc()
     val (staticRows, static1pA) = time(static1pRun())
-    val static1pTimes = static1pA +: (2 to reps).map { _ =>
-      System.gc(); time(static1pRun())._2 }
+    val static1pTimes =
+      if (reps >= 2 && Bench.BenchBudget.allow("1pct_static_rep2",
+          math.ceil(static1pA).toLong))
+        Seq(static1pA, { System.gc(); time(static1pRun())._2 })
+      else Seq(static1pA)
     val static1pRecall = recall1p(staticRows)
-    def adaptive1pRun() = graft.store.ColdTier
-      .searchIndexedLiteralFiltered(spark, tier, q1p, 10,
-        filters = Seq(("label100", Seq(selLbl),
-          org.apache.spark.sql.types.LongType)),
-        metric = Metric.L2, shortlist = 96, efSearch = 96,
-        probeSegments = 12, overfetch = 8)
-      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    System.gc()
-    val (adaptiveRows, adaptive1pA) = time(adaptive1pRun())
-    val adaptive1pTimes = adaptive1pA +: (2 to reps).map { _ =>
-      System.gc(); time(adaptive1pRun())._2 }
-    val adaptive1pRecall = recall1p(adaptiveRows)
+    if (Bench.BenchBudget.allow("1pct_adaptive", 300)) {
+      def adaptive1pRun() = graft.store.ColdTier
+        .searchIndexedLiteralFiltered(spark, tier, q1pS, 10,
+          filters = Seq(("label100", Seq(selLbl),
+            org.apache.spark.sql.types.LongType)),
+          metric = Metric.L2, shortlist = 96, efSearch = 96,
+          probeSegments = 12, overfetch = 8)
+        .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+      System.gc()
+      val (adaptiveRows, adaptive1pA) = time(adaptive1pRun())
+      val adaptive1pRecall = recall1p(adaptiveRows, subQids)
+      frags += s""""ann_filtered1pct_adaptive_queries":$sub1pNQ,""" +
+        s""""ann_filtered1pct_adaptive_sec":${"%.2f".format(adaptive1pA)},""" +
+        s""""ann_filtered1pct_adaptive_secs":${arr(Seq(adaptive1pA))},""" +
+        s""""ann_filtered1pct_adaptive_q_per_sec":${"%.1f".format(sub1pNQ / adaptive1pA)},""" +
+        s""""ann_filtered1pct_adaptive_recall":${"%.4f".format(adaptive1pRecall)}"""
+    }
 
     // --- IN-WALK filtered probe on the SAME mixed layout (r12 verdict
     // #2): the label applies at candidate acceptance inside each graph
     // walk (sidecars carry label100 hashes from the build), so every
     // surfaced candidate matches and the shortlist needs no
     // 1/selectivity inflation — 24 per probed segment replaces the
-    // adaptive point's 96x39. Same queries, same routing knobs, recall
-    // vs the same exact filtered kernel.
-    def inWalk1pRun() = graft.store.ColdTier.searchIndexedInWalkFiltered(
-        spark, tier, q1pF, 10, "label100", Metric.L2, shortlist = 24,
-        efSearch = 96, probeSegments = 12)
-      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    System.gc()
-    val (inWalkRows, inWalk1pA) = time(inWalk1pRun())
-    val inWalk1pTimes = inWalk1pA +: (2 to reps).map { _ =>
-      System.gc(); time(inWalk1pRun())._2 }
-    val inWalk1pRecall = recall1p(inWalkRows)
-    // q1p/q1pF stay cached: the attr-aligned recluster point below
+    // adaptive point's 96x39. Subsampled 128 queries x 1 rep (see the
+    // r14 note above); recall vs the same exact filtered kernel.
+    if (Bench.BenchBudget.allow("1pct_inwalk", 420)) {
+      def inWalk1pRun() = graft.store.ColdTier.searchIndexedInWalkFiltered(
+          spark, tier, q1pSF, 10, "label100", Metric.L2, shortlist = 24,
+          efSearch = 96, probeSegments = 12)
+        .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+      System.gc()
+      val (inWalkRows, inWalk1pA) = time(inWalk1pRun())
+      val inWalk1pRecall = recall1p(inWalkRows, subQids)
+      frags += s""""ann_filtered1pct_inwalk_queries":$sub1pNQ,""" +
+        s""""ann_filtered1pct_inwalk_sec":${"%.2f".format(inWalk1pA)},""" +
+        s""""ann_filtered1pct_inwalk_secs":${arr(Seq(inWalk1pA))},""" +
+        s""""ann_filtered1pct_inwalk_q_per_sec":${"%.1f".format(sub1pNQ / inWalk1pA)},""" +
+        s""""ann_filtered1pct_inwalk_recall":${"%.4f".format(inWalk1pRecall)}"""
+    }
+    // q1p/q1pF stay cached: the attr-aligned recluster points below
     // (after the early-termination section, which needs the tier's
-    // CURRENT cell-aligned layout) reuses the same queries and truth
+    // CURRENT cell-aligned layout) reuse the same queries and truth
 
     // --- V5 early termination at scale: the EWMA-assisted approximate
     // two-wave scan (terminationFactor 0.8, reference vector_options.h:
@@ -330,7 +373,11 @@ object Bench10x {
       .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
     System.gc()
     val (etRows, et1) = time(approxRun())
-    val etTimes = et1 +: (2 to reps).map { _ => System.gc(); time(approxRun())._2 }
+    val etTimes = et1 +: (2 to reps).flatMap { i =>
+      if (!Bench.BenchBudget.allow(s"coldscan_et_rep$i",
+          math.ceil(et1).toLong)) None
+      else { System.gc(); Some(time(approxRun())._2) }
+    }
     val etRecall = recallVsTruth(etRows)
     etQ.unpersist()
     val w2Planned = etStats.getOrElse("wave2_planned", 0L)
@@ -347,39 +394,82 @@ object Bench10x {
     // proved fan-out alone caps at ~0.88. Runs AFTER the early-
     // termination section so the et keys keep measuring the
     // cell-aligned layout they always measured.
-    val (rcSegs, attrRcBuildSec) = time(
-      graft.store.ColdTier.reclusterByAttr(spark, tier, "label100",
-        buckets = 100, cellsPerBucket = 1, metric = Metric.L2,
-        m = 16, efConstruction = 48, maxGraphRows = 150000))
-    def attrRc1pRun() = graft.store.ColdTier.searchIndexedFiltered(spark,
-        tier, q1pF, 10, "label100", Metric.L2, shortlist = 96,
-        efSearch = 96, probeSegments = 12, overfetch = 8)
-      .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    System.gc()
-    val (attrRcRows, attrRc1pA) = time(attrRc1pRun())
-    val attrRc1pTimes = attrRc1pA +: (2 to reps).map { _ =>
-      System.gc(); time(attrRc1pRun())._2 }
-    val attrRc1pRecall = recall1p(attrRcRows)
-    // --- the COMPOSITION point: in-walk acceptance ON the converged
-    // attr-aligned layout. reclusterByAttr's commit carried the label100
-    // sidecar payload forward (the attrs-marker contract), so each
-    // query's single admissible bucket walks with the acceptance filter
-    // at a PLAIN shortlist. Measured outcome (r13 artifacts): this is
-    // the FASTEST probe point, slightly below the static aligned call's
-    // recall — on a label-dense bucket the walk is DEPTH-bound, not
-    // filter-bound, so the 8x-deep static shortlist reads further into
-    // the graph than the plain one. Kept measured beside the others so
-    // the recall/cost frontier ships as data, not narrative.
-    def attrRcInWalk1pRun() =
-      graft.store.ColdTier.searchIndexedInWalkFiltered(spark, tier, q1pF,
-          10, "label100", Metric.L2, shortlist = 24, efSearch = 96,
-          probeSegments = 12)
+    if (Bench.BenchBudget.allow("1pct_attrrc", 500)) {
+      val (rcSegs, attrRcBuildSec) = time(
+        graft.store.ColdTier.reclusterByAttr(spark, tier, "label100",
+          buckets = 100, cellsPerBucket = 1, metric = Metric.L2,
+          m = 16, efConstruction = 48, maxGraphRows = 150000))
+      // --- the LOSSLESS endpoint (r13 verdict #2): the exact filtered
+      // kernel over the ALIGNED tier. Admission collapses every query
+      // to its one single-label bucket (distinct-value bucketing: 100
+      // int labels seal as 100 single-label segments since r14), so the
+      // full-wave scan reads ~1/100 of the tier per query — recall 1.0
+      // by construction (it IS the kernel the frontier recalls
+      // against), measured q/s closes the rare-label story.
+      def alignedExactRun() = filtered1pTruth()
+      System.gc()
+      val (alignedRows, alignedExactA) = time(alignedExactRun())
+      val alignedExactTimes =
+        if (reps >= 2 && Bench.BenchBudget.allow("1pct_aligned_exact_rep2",
+            math.ceil(alignedExactA).toLong))
+          Seq(alignedExactA, { System.gc(); time(alignedExactRun())._2 })
+        else Seq(alignedExactA)
+      val alignedExactRecall = recall1p(alignedRows)
+      def attrRc1pRun() = graft.store.ColdTier.searchIndexedFiltered(spark,
+          tier, q1pF, 10, "label100", Metric.L2, shortlist = 96,
+          efSearch = 96, probeSegments = 12, overfetch = 8)
         .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-    System.gc()
-    val (attrRcIwRows, attrRcIw1pA) = time(attrRcInWalk1pRun())
-    val attrRcIw1pTimes = attrRcIw1pA +: (2 to reps).map { _ =>
-      System.gc(); time(attrRcInWalk1pRun())._2 }
-    val attrRcIw1pRecall = recall1p(attrRcIwRows)
+      System.gc()
+      val (attrRcRows, attrRc1pA) = time(attrRc1pRun())
+      val attrRc1pTimes = attrRc1pA +: (2 to reps).map { _ =>
+        System.gc(); time(attrRc1pRun())._2 }
+      val attrRc1pRecall = recall1p(attrRcRows)
+      // --- the COMPOSITION point: in-walk acceptance ON the converged
+      // attr-aligned layout at a PLAIN shortlist (24). Measured r13
+      // outcome: fastest probe point, recall BELOW aligned-static — on
+      // a label-dense bucket the walk is DEPTH-bound, not filter-bound,
+      // so the plain shortlist reads shallower than the 8x-deep static
+      // one. Kept measured so the frontier ships as data.
+      def attrRcInWalk1pRun(sl: Int) =
+        graft.store.ColdTier.searchIndexedInWalkFiltered(spark, tier, q1pF,
+            10, "label100", Metric.L2, shortlist = sl, efSearch = 96,
+            probeSegments = 12)
+          .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+      System.gc()
+      val (attrRcIwRows, attrRcIw1pA) = time(attrRcInWalk1pRun(24))
+      val attrRcIw1pTimes = attrRcIw1pA +: (2 to reps).map { _ =>
+        System.gc(); time(attrRcInWalk1pRun(24))._2 }
+      val attrRcIw1pRecall = recall1p(attrRcIwRows)
+      // --- aligned in-walk at a DEEPER shortlist (r13 verdict #4): the
+      // depth-bound hypothesis' test point — shortlist 96 should read as
+      // deep as the static call's 96x8 over-fetched walk while keeping
+      // the acceptance filter, i.e. ~aligned-static recall at a multiple
+      // of its q/s.
+      System.gc()
+      val (attrRcIw96Rows, attrRcIw96A) = time(attrRcInWalk1pRun(96))
+      val attrRcIw96Times = attrRcIw96A +: (2 to reps).map { _ =>
+        System.gc(); time(attrRcInWalk1pRun(96))._2 }
+      val attrRcIw96Recall = recall1p(attrRcIw96Rows)
+      frags += s""""ann_filtered1pct_attrrc_build_sec":${"%.2f".format(attrRcBuildSec)},""" +
+        s""""ann_filtered1pct_attrrc_segments":${rcSegs.length},""" +
+        s""""ann_filtered1pct_aligned_exact_sec":${"%.2f".format(alignedExactTimes.min)},""" +
+        s""""ann_filtered1pct_aligned_exact_secs":${arr(alignedExactTimes)},""" +
+        s""""ann_filtered1pct_aligned_exact_q_per_sec":${"%.1f".format(onePctNQ / alignedExactTimes.min)},""" +
+        s""""ann_filtered1pct_aligned_exact_recall":${"%.4f".format(alignedExactRecall)},""" +
+        s""""ann_filtered1pct_attrrc_sec":${"%.2f".format(attrRc1pTimes.min)},""" +
+        s""""ann_filtered1pct_attrrc_secs":${arr(attrRc1pTimes)},""" +
+        s""""ann_filtered1pct_attrrc_q_per_sec":${"%.1f".format(onePctNQ / attrRc1pTimes.min)},""" +
+        s""""ann_filtered1pct_attrrc_recall":${"%.4f".format(attrRc1pRecall)},""" +
+        s""""ann_filtered1pct_attrrc_inwalk_sec":${"%.2f".format(attrRcIw1pTimes.min)},""" +
+        s""""ann_filtered1pct_attrrc_inwalk_secs":${arr(attrRcIw1pTimes)},""" +
+        s""""ann_filtered1pct_attrrc_inwalk_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw1pTimes.min)},""" +
+        s""""ann_filtered1pct_attrrc_inwalk_recall":${"%.4f".format(attrRcIw1pRecall)},""" +
+        s""""ann_filtered1pct_attrrc_inwalk96_sec":${"%.2f".format(attrRcIw96Times.min)},""" +
+        s""""ann_filtered1pct_attrrc_inwalk96_secs":${arr(attrRcIw96Times)},""" +
+        s""""ann_filtered1pct_attrrc_inwalk96_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw96Times.min)},""" +
+        s""""ann_filtered1pct_attrrc_inwalk96_recall":${"%.4f".format(attrRcIw96Recall)}"""
+    }
+    q1pSF.unpersist(); q1pS.unpersist()
     q1pF.unpersist(); q1p.unpersist()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tier))
 
@@ -453,8 +543,6 @@ object Bench10x {
     val pps10 = pairs10 / d10Times.min
 
     val recall = if (rc.nonEmpty) rc.sum / rc.length else 0.0
-    def arr(ts: Seq[Double]) =
-      ts.map(t => "%.2f".format(t)).mkString("[", ",", "]")
     s""""calib_bf_100k_10x_sec":${"%.2f".format(calibSec)},""" +
       s""""ann_recall_at_10_10x":${"%.4f".format(recall)},""" +
       s""""ann_vectors_per_sec_10x":${"%.1f".format((nVec10 + nQ10) / annTimes.min)},""" +
@@ -504,24 +592,8 @@ object Bench10x {
       s""""ann_filtered1pct_static_secs":${arr(static1pTimes)},""" +
       s""""ann_filtered1pct_static_q_per_sec":${"%.1f".format(onePctNQ / static1pTimes.min)},""" +
       s""""ann_filtered1pct_static_recall":${"%.4f".format(static1pRecall)},""" +
-      s""""ann_filtered1pct_adaptive_sec":${"%.2f".format(adaptive1pTimes.min)},""" +
-      s""""ann_filtered1pct_adaptive_secs":${arr(adaptive1pTimes)},""" +
-      s""""ann_filtered1pct_adaptive_q_per_sec":${"%.1f".format(onePctNQ / adaptive1pTimes.min)},""" +
-      s""""ann_filtered1pct_adaptive_recall":${"%.4f".format(adaptive1pRecall)},""" +
-      s""""ann_filtered1pct_inwalk_sec":${"%.2f".format(inWalk1pTimes.min)},""" +
-      s""""ann_filtered1pct_inwalk_secs":${arr(inWalk1pTimes)},""" +
-      s""""ann_filtered1pct_inwalk_q_per_sec":${"%.1f".format(onePctNQ / inWalk1pTimes.min)},""" +
-      s""""ann_filtered1pct_inwalk_recall":${"%.4f".format(inWalk1pRecall)},""" +
-      s""""ann_filtered1pct_attrrc_build_sec":${"%.2f".format(attrRcBuildSec)},""" +
-      s""""ann_filtered1pct_attrrc_segments":${rcSegs.length},""" +
-      s""""ann_filtered1pct_attrrc_sec":${"%.2f".format(attrRc1pTimes.min)},""" +
-      s""""ann_filtered1pct_attrrc_secs":${arr(attrRc1pTimes)},""" +
-      s""""ann_filtered1pct_attrrc_q_per_sec":${"%.1f".format(onePctNQ / attrRc1pTimes.min)},""" +
-      s""""ann_filtered1pct_attrrc_recall":${"%.4f".format(attrRc1pRecall)},""" +
-      s""""ann_filtered1pct_attrrc_inwalk_sec":${"%.2f".format(attrRcIw1pTimes.min)},""" +
-      s""""ann_filtered1pct_attrrc_inwalk_secs":${arr(attrRcIw1pTimes)},""" +
-      s""""ann_filtered1pct_attrrc_inwalk_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw1pTimes.min)},""" +
-      s""""ann_filtered1pct_attrrc_inwalk_recall":${"%.4f".format(attrRcIw1pRecall)},""" +
+      frags.map(_ + ",").mkString +
+      Bench.BenchBudget.keys("bench10x_skipped") + "," +
       s""""calib_dedup10x_sec":${"%.2f".format(calibDedupSec)},""" +
       s""""n_docs_10x":$nDoc10,""" +
       s""""dedup_docs_per_sec_1x_child":${"%.1f".format(nDoc1 / d1Times.min)},""" +
