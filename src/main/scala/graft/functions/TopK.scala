@@ -45,8 +45,20 @@ object TopK {
 /** Allocation-free bounded (dist, id) max-heap: root = current worst
  * entry, replaced when a strictly better (smaller (dist, id)) pair
  * arrives — the per-(query, partition) scan kernel shared by
- * [[graft.ops.Ann.bruteForce]] and the PQ code scan. NOT thread-safe;
- * one instance per (query, task). */
+ * [[graft.ops.Ann.bruteForce]], the cold-tier wave scan and the PQ/SQ
+ * code scans. NOT thread-safe; one instance per (query, task).
+ *
+ * DEDUPS BY ID (keep the best entry per id — the keyed-result contract
+ * every downstream merge already applies, reference
+ * SearchResult.java:106-114): without it, duplicate ids inside ONE
+ * partition occupy several of the k slots and starve the global
+ * dedup-merge of distinct candidates, so the "exact" answer becomes
+ * LAYOUT-dependent — the r14 probe caught an attr-aligned tier (which
+ * concentrates every copy of an id into one segment) returning the
+ * 12th-distinct id where the mixed layout returned the 10th, on a
+ * corpus whose source rows carry duplicate keys. The duplicate scan is
+ * O(k) but runs only for candidates already inside the admission bound
+ * (a ~k·ln(n)/n fraction of a random-order scan). */
 final class BoundedTopK(k: Int) {
   private val hd = new Array[Double](k)
   private val hi = new Array[Long](k)
@@ -55,7 +67,42 @@ final class BoundedTopK(k: Int) {
   @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
     d1 > d2 || (d1 == d2 && i1 > i2)
 
+  /** Restore the max-heap below `start` after its key DECREASED (a
+   * duplicate id arrived with a smaller distance): parents only ever
+   * got better, so only the downward property can break. */
+  private def siftDown(start: Int): Unit = {
+    var c = start
+    var done = false
+    while (!done) {
+      val l = 2 * c + 1; val r = l + 1
+      var m = c
+      if (l < n && worse(hd(l), hi(l), hd(m), hi(m))) m = l
+      if (r < n && worse(hd(r), hi(r), hd(m), hi(m))) m = r
+      if (m == c) done = true
+      else {
+        val td = hd(c); hd(c) = hd(m); hd(m) = td
+        val ti = hi(c); hi(c) = hi(m); hi(m) = ti
+        c = m
+      }
+    }
+  }
+
   def offer(d: Double, id: Long): Unit = {
+    // cheap reject first: worse than the current bound can neither
+    // enter nor improve an in-heap copy (the root IS the worst entry,
+    // so any in-heap copy of `id` is already better than this one)
+    if (n == k && worse(d, id, hd(0), hi(0))) return
+    // dedup: keep the single best entry per id
+    var j = 0
+    while (j < n) {
+      if (hi(j) == id) {
+        if (hd(j) <= d) return // existing copy is better or equal
+        hd(j) = d // better copy: decrease in place, restore downward
+        siftDown(j)
+        return
+      }
+      j += 1
+    }
     if (n < k) {
       var c = n; hd(c) = d; hi(c) = id; n = c + 1
       while (c > 0 && worse(hd(c), hi(c), hd((c - 1) / 2), hi((c - 1) / 2))) {
@@ -64,22 +111,9 @@ final class BoundedTopK(k: Int) {
         val ti = hi(c); hi(c) = hi(p); hi(p) = ti
         c = p
       }
-    } else if (worse(hd(0), hi(0), d, id)) {
+    } else {
       hd(0) = d; hi(0) = id
-      var c = 0
-      var done = false
-      while (!done) {
-        val l = 2 * c + 1; val r = l + 1
-        var m = c
-        if (l < k && worse(hd(l), hi(l), hd(m), hi(m))) m = l
-        if (r < k && worse(hd(r), hi(r), hd(m), hi(m))) m = r
-        if (m == c) done = true
-        else {
-          val td = hd(c); hd(c) = hd(m); hd(m) = td
-          val ti = hi(c); hi(c) = hi(m); hi(m) = ti
-          c = m
-        }
-      }
+      siftDown(0)
     }
   }
 

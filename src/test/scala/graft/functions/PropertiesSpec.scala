@@ -52,6 +52,33 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: BoundedTopK dedups by id — k slots = k distinct ids, best dist per id, any offer order and any duplicate placement") {
+    // the r14 bug shape: duplicate ids inside ONE partition's scan
+    // occupied several heap slots, so the partition's top-k starved the
+    // global dedup-merge of distinct candidates and the exact answer
+    // depended on the LAYOUT (the attr-aligned tier concentrates every
+    // copy of an id into one segment). The kernel must match the
+    // reference's keyed contract (SearchResult.java:106-114): top-k
+    // DISTINCT ids by (best dist, id).
+    val rnd = new scala.util.Random(104)
+    (0 until Cases).foreach { _ =>
+      // duplicate-heavy stream: few distinct ids, many copies, varied
+      // dists per id (versions) — including exact-equal copies
+      val es = List.fill(5 + rnd.nextInt(60))(
+        (rnd.nextInt(12).toLong, rnd.nextInt(20) / 4.0))
+      val k = 1 + rnd.nextInt(10)
+      val heap = new BoundedTopK(k)
+      es.foreach { case (id, d) => heap.offer(d, id) }
+      val (ids, dists) = heap.drainSorted()
+      val want = es.groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).min) }
+        .toArray.sortBy { case (id, d) => (d, id) }.take(k)
+      assert(ids.sameElements(want.map(_._1)),
+        s"ids ${ids.toList} != ${want.map(_._1).toList}")
+      assert(dists.sameElements(want.map(_._2)))
+      assert(ids.distinct.length == ids.length)
+    }
+  }
+
   test("property: lsh routing deterministic under seed, in range, data==query") {
     val rnd = new scala.util.Random(104)
     val m1 = graft.partitioners.LshPartitioner.seeded(16, 8, 3, 2, 4.0f, 99L)

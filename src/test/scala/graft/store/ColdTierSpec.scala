@@ -2585,4 +2585,60 @@ class ColdTierSpec extends AnyFunSuite {
     assert(ColdTier.inWalkPayloadPresent(spark, dir, Seq("label"),
       ColdTier.catalog(spark, dir)))
   }
+
+  test("duplicate-id corpus: the exact scan is layout-independent — striped and attr-aligned tiers return the same dedup'd top-k as a local keyed brute force") {
+    import spark.implicits._
+    // the r14 bench anomaly: source rows with duplicate keys (the
+    // driver's lineitem carries duplicate (orderkey, linenumber) pairs)
+    // made the "exact" scan return DIFFERENT top-k on the mixed vs the
+    // attr-aligned layout — BoundedTopK let copies occupy several of a
+    // partition's k slots while the global merge dedups, so an aligned
+    // layout (all copies of an id in ONE segment) starved the merge.
+    // Duplicate-heavy corpus: every 3rd row is a copy of another id.
+    val dim = 8
+    val base = (0 until 3000).map { i =>
+      val rnd = new java.util.Random(21000L + i)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat), i.toLong,
+        (i % 20).toLong)
+    }
+    val dups = (0 until 1500).map { j =>
+      val src = base(j * 2)
+      (src._1, src._2, src._3, src._4) // exact copy, same id
+    }
+    val rows = base ++ dups
+    val qs = (0 until 12).map { qi =>
+      (qi.toLong, base(qi * 211)._2, Long.MaxValue / 2, Long.MaxValue / 2,
+        (qi % 20).toLong)
+    }.toDF("qid", "qv", "qtime", "ttl", "qfilter")
+    def results(dir: String): Map[Long, Seq[Long]] =
+      ColdTier.search(spark, dir, qs, 10, Metric.L2,
+          firstWaveFraction = 1.0, terminationFactor = 1.0,
+          filterColumn = Some("label"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    // striped layout: copies scatter across 4 id-hash segments
+    val dirS = Files.createTempDirectory("coldtier-dup-striped").toString
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId",
+        pmod(xxhash64(monotonically_increasing_id()), lit(4))), dirS)
+    // aligned layout: ALL copies of an id land in its label's segment
+    val dirA = Files.createTempDirectory("coldtier-dup-aligned").toString
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", col("label")), dirA)
+    ColdTier.sealAttrStats(spark, dirA, "label")
+    val striped = results(dirS)
+    val aligned = results(dirA)
+    // keyed truth: top-10 DISTINCT ids by (best dist, id) per label
+    (0 until 12).foreach { qi =>
+      val lbl = (qi % 20).toLong
+      val qv = base(qi * 211)._2
+      val want = rows.filter(_._4 == lbl)
+        .groupBy(_._1).map { case (id, xs) =>
+          (id, xs.map(x => Distances.l2(qv, x._2)).min) }
+        .toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+      assert(striped(qi.toLong) == want, s"striped query $qi")
+      assert(aligned(qi.toLong) == want, s"aligned query $qi")
+    }
+  }
 }
