@@ -394,11 +394,18 @@ object Bench10x {
     // proved fan-out alone caps at ~0.88. Runs AFTER the early-
     // termination section so the et keys keep measuring the
     // cell-aligned layout they always measured.
-    if (Bench.BenchBudget.allow("1pct_attrrc", 500)) {
+    // split guards (r14c lesson: a slow hour skipped the WHOLE section
+    // under one 500 s estimate, losing the endpoint key the round
+    // existed to measure): the build gates the family, then each point
+    // gates itself — a tight run still ships the build + the lossless
+    // endpoint and drops the cheaper context points piecemeal.
+    if (Bench.BenchBudget.allow("1pct_attrrc_build", 300)) {
       val (rcSegs, attrRcBuildSec) = time(
         graft.store.ColdTier.reclusterByAttr(spark, tier, "label100",
           buckets = 100, cellsPerBucket = 1, metric = Metric.L2,
           m = 16, efConstruction = 48, maxGraphRows = 150000))
+      frags += s""""ann_filtered1pct_attrrc_build_sec":${"%.2f".format(attrRcBuildSec)},""" +
+        s""""ann_filtered1pct_attrrc_segments":${rcSegs.length}"""
       // --- the LOSSLESS endpoint (r13 verdict #2): the exact filtered
       // kernel over the ALIGNED tier. Admission collapses every query
       // to its one single-label bucket (distinct-value bucketing: 100
@@ -407,23 +414,38 @@ object Bench10x {
       // by construction (it IS the kernel the frontier recalls
       // against), measured q/s closes the rare-label story.
       def alignedExactRun() = filtered1pTruth()
-      System.gc()
-      val (alignedRows, alignedExactA) = time(alignedExactRun())
-      val alignedExactTimes =
-        if (reps >= 2 && Bench.BenchBudget.allow("1pct_aligned_exact_rep2",
-            math.ceil(alignedExactA).toLong))
-          Seq(alignedExactA, { System.gc(); time(alignedExactRun())._2 })
-        else Seq(alignedExactA)
-      val alignedExactRecall = recall1p(alignedRows)
+      if (Bench.BenchBudget.allow("1pct_aligned_exact", 60)) {
+        System.gc()
+        val (alignedRows, alignedExactA) = time(alignedExactRun())
+        val alignedExactTimes =
+          if (reps >= 2 && Bench.BenchBudget.allow("1pct_aligned_exact_rep2",
+              math.ceil(alignedExactA).toLong))
+            Seq(alignedExactA, { System.gc(); time(alignedExactRun())._2 })
+          else Seq(alignedExactA)
+        val alignedExactRecall = recall1p(alignedRows)
+        frags += s""""ann_filtered1pct_aligned_exact_sec":${"%.2f".format(alignedExactTimes.min)},""" +
+          s""""ann_filtered1pct_aligned_exact_secs":${arr(alignedExactTimes)},""" +
+          s""""ann_filtered1pct_aligned_exact_q_per_sec":${"%.1f".format(onePctNQ / alignedExactTimes.min)},""" +
+          s""""ann_filtered1pct_aligned_exact_recall":${"%.4f".format(alignedExactRecall)}"""
+      }
       def attrRc1pRun() = graft.store.ColdTier.searchIndexedFiltered(spark,
           tier, q1pF, 10, "label100", Metric.L2, shortlist = 96,
           efSearch = 96, probeSegments = 12, overfetch = 8)
         .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-      System.gc()
-      val (attrRcRows, attrRc1pA) = time(attrRc1pRun())
-      val attrRc1pTimes = attrRc1pA +: (2 to reps).map { _ =>
-        System.gc(); time(attrRc1pRun())._2 }
-      val attrRc1pRecall = recall1p(attrRcRows)
+      if (Bench.BenchBudget.allow("1pct_attrrc_static", 60)) {
+        System.gc()
+        val (attrRcRows, attrRc1pA) = time(attrRc1pRun())
+        val attrRc1pTimes = attrRc1pA +: (2 to reps).flatMap { i =>
+          if (!Bench.BenchBudget.allow(s"1pct_attrrc_static_rep$i",
+              math.ceil(attrRc1pA).toLong)) None
+          else { System.gc(); Some(time(attrRc1pRun())._2) }
+        }
+        val attrRc1pRecall = recall1p(attrRcRows)
+        frags += s""""ann_filtered1pct_attrrc_sec":${"%.2f".format(attrRc1pTimes.min)},""" +
+          s""""ann_filtered1pct_attrrc_secs":${arr(attrRc1pTimes)},""" +
+          s""""ann_filtered1pct_attrrc_q_per_sec":${"%.1f".format(onePctNQ / attrRc1pTimes.min)},""" +
+          s""""ann_filtered1pct_attrrc_recall":${"%.4f".format(attrRc1pRecall)}"""
+      }
       // --- the COMPOSITION point: in-walk acceptance ON the converged
       // attr-aligned layout at a PLAIN shortlist (24). Measured r13
       // outcome: fastest probe point, recall BELOW aligned-static — on
@@ -435,39 +457,39 @@ object Bench10x {
             10, "label100", Metric.L2, shortlist = sl, efSearch = 96,
             probeSegments = 12)
           .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-      System.gc()
-      val (attrRcIwRows, attrRcIw1pA) = time(attrRcInWalk1pRun(24))
-      val attrRcIw1pTimes = attrRcIw1pA +: (2 to reps).map { _ =>
-        System.gc(); time(attrRcInWalk1pRun(24))._2 }
-      val attrRcIw1pRecall = recall1p(attrRcIwRows)
+      if (Bench.BenchBudget.allow("1pct_attrrc_inwalk", 40)) {
+        System.gc()
+        val (attrRcIwRows, attrRcIw1pA) = time(attrRcInWalk1pRun(24))
+        val attrRcIw1pTimes = attrRcIw1pA +: (2 to reps).flatMap { i =>
+          if (!Bench.BenchBudget.allow(s"1pct_attrrc_inwalk_rep$i",
+              math.ceil(attrRcIw1pA).toLong)) None
+          else { System.gc(); Some(time(attrRcInWalk1pRun(24))._2) }
+        }
+        val attrRcIw1pRecall = recall1p(attrRcIwRows)
+        frags += s""""ann_filtered1pct_attrrc_inwalk_sec":${"%.2f".format(attrRcIw1pTimes.min)},""" +
+          s""""ann_filtered1pct_attrrc_inwalk_secs":${arr(attrRcIw1pTimes)},""" +
+          s""""ann_filtered1pct_attrrc_inwalk_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw1pTimes.min)},""" +
+          s""""ann_filtered1pct_attrrc_inwalk_recall":${"%.4f".format(attrRcIw1pRecall)}"""
+      }
       // --- aligned in-walk at a DEEPER shortlist (r13 verdict #4): the
       // depth-bound hypothesis' test point — shortlist 96 should read as
       // deep as the static call's 96x8 over-fetched walk while keeping
       // the acceptance filter, i.e. ~aligned-static recall at a multiple
       // of its q/s.
-      System.gc()
-      val (attrRcIw96Rows, attrRcIw96A) = time(attrRcInWalk1pRun(96))
-      val attrRcIw96Times = attrRcIw96A +: (2 to reps).map { _ =>
-        System.gc(); time(attrRcInWalk1pRun(96))._2 }
-      val attrRcIw96Recall = recall1p(attrRcIw96Rows)
-      frags += s""""ann_filtered1pct_attrrc_build_sec":${"%.2f".format(attrRcBuildSec)},""" +
-        s""""ann_filtered1pct_attrrc_segments":${rcSegs.length},""" +
-        s""""ann_filtered1pct_aligned_exact_sec":${"%.2f".format(alignedExactTimes.min)},""" +
-        s""""ann_filtered1pct_aligned_exact_secs":${arr(alignedExactTimes)},""" +
-        s""""ann_filtered1pct_aligned_exact_q_per_sec":${"%.1f".format(onePctNQ / alignedExactTimes.min)},""" +
-        s""""ann_filtered1pct_aligned_exact_recall":${"%.4f".format(alignedExactRecall)},""" +
-        s""""ann_filtered1pct_attrrc_sec":${"%.2f".format(attrRc1pTimes.min)},""" +
-        s""""ann_filtered1pct_attrrc_secs":${arr(attrRc1pTimes)},""" +
-        s""""ann_filtered1pct_attrrc_q_per_sec":${"%.1f".format(onePctNQ / attrRc1pTimes.min)},""" +
-        s""""ann_filtered1pct_attrrc_recall":${"%.4f".format(attrRc1pRecall)},""" +
-        s""""ann_filtered1pct_attrrc_inwalk_sec":${"%.2f".format(attrRcIw1pTimes.min)},""" +
-        s""""ann_filtered1pct_attrrc_inwalk_secs":${arr(attrRcIw1pTimes)},""" +
-        s""""ann_filtered1pct_attrrc_inwalk_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw1pTimes.min)},""" +
-        s""""ann_filtered1pct_attrrc_inwalk_recall":${"%.4f".format(attrRcIw1pRecall)},""" +
-        s""""ann_filtered1pct_attrrc_inwalk96_sec":${"%.2f".format(attrRcIw96Times.min)},""" +
-        s""""ann_filtered1pct_attrrc_inwalk96_secs":${arr(attrRcIw96Times)},""" +
-        s""""ann_filtered1pct_attrrc_inwalk96_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw96Times.min)},""" +
-        s""""ann_filtered1pct_attrrc_inwalk96_recall":${"%.4f".format(attrRcIw96Recall)}"""
+      if (Bench.BenchBudget.allow("1pct_attrrc_inwalk96", 50)) {
+        System.gc()
+        val (attrRcIw96Rows, attrRcIw96A) = time(attrRcInWalk1pRun(96))
+        val attrRcIw96Times = attrRcIw96A +: (2 to reps).flatMap { i =>
+          if (!Bench.BenchBudget.allow(s"1pct_attrrc_inwalk96_rep$i",
+              math.ceil(attrRcIw96A).toLong)) None
+          else { System.gc(); Some(time(attrRcInWalk1pRun(96))._2) }
+        }
+        val attrRcIw96Recall = recall1p(attrRcIw96Rows)
+        frags += s""""ann_filtered1pct_attrrc_inwalk96_sec":${"%.2f".format(attrRcIw96Times.min)},""" +
+          s""""ann_filtered1pct_attrrc_inwalk96_secs":${arr(attrRcIw96Times)},""" +
+          s""""ann_filtered1pct_attrrc_inwalk96_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw96Times.min)},""" +
+          s""""ann_filtered1pct_attrrc_inwalk96_recall":${"%.4f".format(attrRcIw96Recall)}"""
+      }
     }
     q1pSF.unpersist(); q1pS.unpersist()
     q1pF.unpersist(); q1p.unpersist()

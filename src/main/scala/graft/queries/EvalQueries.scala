@@ -1767,6 +1767,49 @@ object EvalQueries {
           org.apache.spark.sql.types.IntegerType)))
     },
 
+    "knn_tiered_qin" -> { (s, dir) =>
+      // the PER-QUERY-IN cross-tier composition — knn_tiered_in's qfin
+      // sibling: each query carries its OWN value set ([label,
+      // (label+3) % 10], re-derivable by the DuckDB twin), the hot
+      // quarter answers through the exact filterIn kernel (per-value
+      // equality decomposition), the cold three-quarters through the
+      // NEW per-query-IN in-walk probe (sidecars carry label hashes;
+      // each walk admits candidates matching ANY of the query's values
+      // at acceptance, PLAIN shortlist — no over-fetch), and ONE
+      // per-query-IN exact re-rank (rerankExact filterIn) over the
+      // union answers the query. The per-query value shape is exactly
+      // what the plan-time literal rewrite CANNOT serve — this entry is
+      // that column's composition gate.
+      val e = Tables(s, dir, "embeddings")
+      val (tmp, cut) = tieredInWalkTier(s, dir, e)
+      val queries = e.where(col("vec_id") % VectorQueries.QueryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"),
+          array(col("label"), pmod(col("label") + 3, lit(10))).as("qfin"))
+      val coldQ = queries
+        .withColumn("qtime", lit(cut - 1)).withColumn("ttl", lit(cut - 1))
+      OracleAux.write(
+        graft.store.ColdTier.probeCandidates(s, tmp, coldQ,
+          shortlist = PqQueries.Shortlist, graft.Metric.L2,
+          efSearch = 100, filterColumn = Some("label"),
+          inWalkFilterIn = true),
+        dir, "tiered_qin_cold_shortlist")
+      val hotQ = queries
+        .withColumn("ttl", lit(Long.MaxValue / 2 - cut))
+      OracleAux.write(
+        graft.store.ColdTier.search(s, tmp, hotQ, PqQueries.Shortlist,
+            graft.Metric.L2, firstWaveFraction = 1.0,
+            terminationFactor = 1.0, filterColumn = Some("label"),
+            filterIn = true)
+          .select(col("qid"), col("id")),
+        dir, "tiered_qin_hot_shortlist")
+      graft.store.ColdTier.rerankExact(s, tmp,
+        OracleAux.read(s, dir, "tiered_qin_cold_shortlist")
+          .unionByName(OracleAux.read(s, dir, "tiered_qin_hot_shortlist")),
+        queries, VectorQueries.K, graft.Metric.L2,
+        filterColumn = Some("label"), filterIn = true)
+    },
+
     "multimodal_decode" -> { (s, dir) =>
       val media = Tables(s, dir, "documents")
         .select(col("doc_id").as("id"), lit("image").as("media_type"),
@@ -2343,6 +2386,22 @@ object EvalQueries {
          |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
         .stripMargin,
 
+    // per-query-IN cross-tier merge replay: both tiers' shortlists union
+    // into one candidate set, re-ranked exactly under each query's OWN
+    // value set (re-derived from its embeddings row)
+    "knn_tiered_qin" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id % ${VectorQueries.QueryMod} = 0),
+         |c AS (SELECT qid, id FROM ${OracleAux.ref("tiered_qin_cold_shortlist")}
+         |  UNION SELECT qid, id FROM ${OracleAux.ref("tiered_qin_hot_shortlist")}),
+         |d AS (SELECT q.qid, c.id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM c JOIN q USING (qid) JOIN embeddings b ON b.vec_id = c.id
+         |  WHERE b.label = q.label OR b.label = (q.label + 3) % 10),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= ${VectorQueries.K}"""
+        .stripMargin,
 
     "eval_ndcg" -> {
       def knn(extraPred: String) =

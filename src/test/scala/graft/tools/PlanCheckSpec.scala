@@ -119,6 +119,10 @@ class PlanCheckSpec extends AnyFunSuite {
     // IN-filtered cross-tier merge OUTPUT = literal-IN exact re-rank over
     // the unioned aux shortlists — same broadcast shape
     ("knn_tiered_in", true, true, false),
+    // per-query-IN cross-tier merge OUTPUT = the qfin exact re-rank over
+    // the unioned aux shortlists — same broadcast shape (the any-of
+    // equality rides the broadcast probe tuple's array)
+    ("knn_tiered_qin", true, true, false),
     ("knn_coldtier_routed", true, true, false),
     ("knn_coldtier_reclustered", false, true, false), // kernel scan, see knn_coldtier
     // round-8 extension: every remaining oracle entry is audited, so no
