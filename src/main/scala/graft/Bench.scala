@@ -58,9 +58,10 @@ object Bench {
    * rc=124 (timeout, parsed null) because the suite outgrew the driver's
    * budget, so the round shipped NO driver-verified perf numbers. The
    * deadline anchors at first touch (Bench.main touches it before any
-   * work) at start + SPARK_GRAFT_BENCH_BUDGET_SEC (default 3000 s ≈ 50
-   * min — r12's last completed driver run was 57:45 TOTAL wall incl. sbt
-   * startup, so the measured suite must stay well under it). The
+   * work) at start + SPARK_GRAFT_BENCH_BUDGET_SEC (default 3480 s =
+   * 58 min — r12's last completed driver run was 57:45 TOTAL wall incl.
+   * ~1 min sbt startup, so the measured suite must fit the default with
+   * the startup minute to spare). The
    * [[Bench10x]] child draws on the SAME budget: [[spawn10x]] passes the
    * absolute deadline through SPARK_GRAFT_BENCH_DEADLINE_MS.
    *
@@ -104,6 +105,13 @@ object Bench {
       val sk = skipped.synchronized(skipped.toList)
       s""""$listName":[${sk.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""${listName}_remaining_sec":$remainingSec"""
+    }
+    /** Just the skip list as a JSON array (for the compact tail line —
+     * the r14 verdict asked for both skip lists in the PARSED summary,
+     * not only the full artifact). */
+    def skippedJson: String = {
+      val sk = skipped.synchronized(skipped.toList)
+      sk.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
   }
 
@@ -575,48 +583,46 @@ object Bench {
          |  ${v("dedup_1x_secs")} / ${v("dedup_10x_secs")}).
          |- **Rare-label filtered serving at 10×** (1%-selectivity label
          |  UNALIGNED with the cell layout,
-         |  ${v("ann_filtered1pct_queries")} queries — the two slowest
-         |  points subsample ${v("ann_filtered1pct_inwalk_queries")}
-         |  queries × 1 rep, recorded per point; every point recall'd
-         |  against the same exact filtered kernel): static 8× over-fetch
-         |  recall ${v("ann_filtered1pct_static_recall")} at
-         |  ${v("ann_filtered1pct_static_q_per_sec")} q/s; the attr-stats
-         |  histogram (selectivity estimate
-         |  ${v("ann_filtered1pct_selectivity_est")}) raises the over-fetch
-         |  to **${v("ann_filtered1pct_adaptive_overfetch")}×** — recall
-         |  ${v("ann_filtered1pct_adaptive_recall")} at
-         |  ${v("ann_filtered1pct_adaptive_q_per_sec")} q/s; the IN-WALK
-         |  acceptance filter (no over-fetch) reaches recall
-         |  ${v("ann_filtered1pct_inwalk_recall")} at
-         |  ${v("ann_filtered1pct_inwalk_q_per_sec")} q/s on the SAME mixed
-         |  layout; `reclusterByAttr` converges the tier label-aligned
-         |  (one-off ${v("ann_filtered1pct_attrrc_build_sec")} s,
-         |  ${v("ann_filtered1pct_attrrc_segments")} segments — one
-         |  single-label bucket per label since distinct-value
-         |  bucketing) and the frontier ENDS on the lossless endpoint:
-         |  the exact filtered kernel over the aligned tier reads
+         |  ${v("ann_filtered1pct_queries")} queries, every point
+         |  recall'd against the same exact filtered kernel): the mixed
+         |  anchor — static 8× over-fetch recall
+         |  ${v("ann_filtered1pct_static_recall")} at
+         |  ${v("ann_filtered1pct_static_q_per_sec")} q/s;
+         |  `reclusterByAttr` converges the tier label-aligned (one-off
+         |  ${v("ann_filtered1pct_attrrc_build_sec")} s,
+         |  ${v("ann_filtered1pct_attrrc_segments")} single-label
+         |  segments) and the CLOSED frontier's answer is the lossless
+         |  endpoint: the exact filtered kernel over the aligned tier —
          |  **recall ${v("ann_filtered1pct_aligned_exact_recall")} at
          |  ${v("ann_filtered1pct_aligned_exact_q_per_sec")} q/s**
-         |  (admission collapses each query to its one bucket). The
-         |  approximate aligned points around it: static 8× recall
+         |  (admission collapses each query to its one bucket); the
+         |  aligned static anchor reads
          |  ${v("ann_filtered1pct_attrrc_recall")} at
-         |  **${v("ann_filtered1pct_attrrc_q_per_sec")} q/s**; in-walk at
-         |  plain shortlist 24 —
-         |  ${v("ann_filtered1pct_attrrc_inwalk_recall")} at
-         |  ${v("ann_filtered1pct_attrrc_inwalk_q_per_sec")} q/s (the
-         |  aligned walk is DEPTH-bound, not filter-bound, so the plain
-         |  shortlist reads shallower than the static call's 8× one);
-         |  in-walk at shortlist 96 — recall
-         |  ${v("ann_filtered1pct_attrrc_inwalk96_recall")} at
-         |  ${v("ann_filtered1pct_attrrc_inwalk96_q_per_sec")} q/s (the
-         |  depth-hypothesis test point). Measured frontier: the
-         |  acceptance filter is the RECALL knob on a mixed layout, the
-         |  aligned layout is the THROUGHPUT knob, and the aligned exact
-         |  kernel is the recall-1.0 endpoint.
+         |  **${v("ann_filtered1pct_attrrc_q_per_sec")} q/s**. The same
+         |  endpoint serves END-TO-END THROUGH spark.sql: `WHERE label =
+         |  x ORDER BY l2_distance(vec, q) LIMIT 10` over the registered
+         |  corpus is optimizer-rewritten and the exact-kernel serving
+         |  decision fires (gated — the point THROWS if the graph probe
+         |  serves) — recall
+         |  **${v("ann_filtered1pct_sql_exact_recall")}** at
+         |  **${v("ann_filtered1pct_sql_exact_q_per_sec")} q/s** across
+         |  ${v("ann_filtered1pct_sql_exact_threads")} client threads;
+         |  per-query IN (|IN| = 2) through the exact filterIn kernel:
+         |  ${v("ann_filtered1pct_qin_exact_q_per_sec")} q/s (each value
+         |  admits its one bucket; lossless by the oracle-gated filterIn
+         |  construction). The closed frontier's CONTEXT points —
+         |  adaptive 39× over-fetch, mixed-layout in-walk, aligned
+         |  in-walk at shortlist 24/96 — are retired to an
+         |  every-other-round rotation (`bench_rotation_ran` /
+         |  `bench_rotation_deferred` in the artifact; their
+         |  post-kernel-fix values live in BENCH_local_r15_rotation.json
+         |  — see COVERAGE.md for the full frontier table).
          |- **Budget discipline**: the suite runs under a wall-clock
          |  budget (`bench_skipped`/`bench10x_skipped` list any trimmed
-         |  phase — normally empty); `binary_sha` stamps the exact build
-         |  so twin runs are verifiably the same binary.
+         |  phase — normally empty — and both lists plus the rotation
+         |  bookkeeping ride the compact tail line the driver parses);
+         |  `binary_sha` stamps the exact build so twin runs are
+         |  verifiably the same binary.
          |""".stripMargin
     val p = java.nio.file.Paths.get(readmePath)
     if (!java.nio.file.Files.exists(p)) return
@@ -1339,9 +1345,21 @@ object Bench {
     println(headline)
     // the LAST stdout line is a compact headline sized to survive the
     // driver's tail-capture window (the r9 full headline outgrew it and
-    // the judged artifact recorded "parsed": null) — ~15 keys, full
-    // detail in the preceding lines and target/bench.json
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","queries":{"n_vectors":$nVec,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_flush_every":$composedFlushEvery,"stream_composed_perbatch_insert_per_sec":${composedPerBatch.map(c => "%.1f".format(c.insertPerSec)).getOrElse("-1")},"partition_balance":${"%.3f".format(balance)}},"detail":"target/bench.json"}""")
+    // the judged artifact recorded "parsed": null) — ~18 keys, full
+    // detail in the preceding lines and target/bench.json. It carries
+    // BOTH skip lists and the rotation bookkeeping (r14 verdict: a
+    // trimmed run must be machine-detectable from `parsed` alone); a
+    // budget-skipped perbatch phase OMITS its key instead of printing a
+    // -1 that reads as a measured value (r14 advice).
+    def childList(key: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + key + "\":(\\[[^\\]]*\\])").matcher(tenXFrag)
+      if (m.find()) m.group(1) else "[]"
+    }
+    val tailPerBatch = composedPerBatch.map(c =>
+      s""","stream_composed_perbatch_insert_per_sec":${"%.1f".format(c.insertPerSec)}""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","queries":{"n_vectors":$nVec,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_flush_every":$composedFlushEvery$tailPerBatch,"bench_skipped":${BenchBudget.skippedJson},"bench10x_skipped":${childList("bench10x_skipped")},"bench_rotation_ran":${childList("bench_rotation_ran")},"bench_rotation_deferred":${childList("bench_rotation_deferred")},"partition_balance":${"%.3f".format(balance)}},"detail":"target/bench.json"}""")
     spark.stop()
   }
 }

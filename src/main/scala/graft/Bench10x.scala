@@ -283,6 +283,26 @@ object Bench10x {
     // guarded phases append their keys here; a skipped phase's keys are
     // simply absent AND its name lands in bench10x_skipped
     val frags = scala.collection.mutable.ArrayBuffer.empty[String]
+    // --- ROTATION (r15, closing r14 verdict #1): the rare-label
+    // frontier is ANSWERED (the aligned exact kernel dominates — r14d),
+    // so its expensive CONTEXT points — adaptive 39x over-fetch
+    // (~90-140 s), mixed-layout in-walk (~165-225 s), and the aligned
+    // in-walk pair (~70-90 s) — retire to an every-other-round rotation
+    // instead of eating the per-round budget (r14 margins: 65-217 s).
+    // SPARK_GRAFT_BENCH_ROTATION=1 runs them (their last
+    // per-round numbers: the r15 post-fix rotation artifact); the
+    // default run skips them BY DESIGN — named in bench_rotation_
+    // deferred, NOT in bench10x_skipped (which stays the budget-trim
+    // signal). Kept per-round: the mixed static anchor, the aligned
+    // static anchor, the lossless endpoint, and the cheap qin/SQL
+    // serving points below.
+    val rotationOn =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ROTATION", "0") == "1"
+    val rotationRan = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rotationDeferred = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rotate(point: String)(body: => Unit): Unit =
+      if (rotationOn) { rotationRan += point; body }
+      else rotationDeferred += point
     def static1pRun() = graft.store.ColdTier.searchIndexedFiltered(spark,
         tier, q1pF, 10, "label100", Metric.L2, shortlist = 96,
         efSearch = 96, probeSegments = 12, overfetch = 8)
@@ -295,7 +315,7 @@ object Bench10x {
         Seq(static1pA, { System.gc(); time(static1pRun())._2 })
       else Seq(static1pA)
     val static1pRecall = recall1p(staticRows)
-    if (Bench.BenchBudget.allow("1pct_adaptive", 300)) {
+    rotate("1pct_adaptive") { if (Bench.BenchBudget.allow("1pct_adaptive", 300)) {
       def adaptive1pRun() = graft.store.ColdTier
         .searchIndexedLiteralFiltered(spark, tier, q1pS, 10,
           filters = Seq(("label100", Seq(selLbl),
@@ -311,7 +331,7 @@ object Bench10x {
         s""""ann_filtered1pct_adaptive_secs":${arr(Seq(adaptive1pA))},""" +
         s""""ann_filtered1pct_adaptive_q_per_sec":${"%.1f".format(sub1pNQ / adaptive1pA)},""" +
         s""""ann_filtered1pct_adaptive_recall":${"%.4f".format(adaptive1pRecall)}"""
-    }
+    } }
 
     // --- IN-WALK filtered probe on the SAME mixed layout (r12 verdict
     // #2): the label applies at candidate acceptance inside each graph
@@ -320,7 +340,7 @@ object Bench10x {
     // 1/selectivity inflation — 24 per probed segment replaces the
     // adaptive point's 96x39. Subsampled 128 queries x 1 rep (see the
     // r14 note above); recall vs the same exact filtered kernel.
-    if (Bench.BenchBudget.allow("1pct_inwalk", 420)) {
+    rotate("1pct_inwalk") { if (Bench.BenchBudget.allow("1pct_inwalk", 420)) {
       def inWalk1pRun() = graft.store.ColdTier.searchIndexedInWalkFiltered(
           spark, tier, q1pSF, 10, "label100", Metric.L2, shortlist = 24,
           efSearch = 96, probeSegments = 12)
@@ -333,7 +353,7 @@ object Bench10x {
         s""""ann_filtered1pct_inwalk_secs":${arr(Seq(inWalk1pA))},""" +
         s""""ann_filtered1pct_inwalk_q_per_sec":${"%.1f".format(sub1pNQ / inWalk1pA)},""" +
         s""""ann_filtered1pct_inwalk_recall":${"%.4f".format(inWalk1pRecall)}"""
-    }
+    } }
     // q1p/q1pF stay cached: the attr-aligned recluster points below
     // (after the early-termination section, which needs the tier's
     // CURRENT cell-aligned layout) reuse the same queries and truth
@@ -457,7 +477,7 @@ object Bench10x {
             10, "label100", Metric.L2, shortlist = sl, efSearch = 96,
             probeSegments = 12)
           .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-      if (Bench.BenchBudget.allow("1pct_attrrc_inwalk", 40)) {
+      rotate("1pct_attrrc_inwalk") { if (Bench.BenchBudget.allow("1pct_attrrc_inwalk", 40)) {
         System.gc()
         val (attrRcIwRows, attrRcIw1pA) = time(attrRcInWalk1pRun(24))
         val attrRcIw1pTimes = attrRcIw1pA +: (2 to reps).flatMap { i =>
@@ -470,13 +490,13 @@ object Bench10x {
           s""""ann_filtered1pct_attrrc_inwalk_secs":${arr(attrRcIw1pTimes)},""" +
           s""""ann_filtered1pct_attrrc_inwalk_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw1pTimes.min)},""" +
           s""""ann_filtered1pct_attrrc_inwalk_recall":${"%.4f".format(attrRcIw1pRecall)}"""
-      }
+      } }
       // --- aligned in-walk at a DEEPER shortlist (r13 verdict #4): the
       // depth-bound hypothesis' test point — shortlist 96 should read as
       // deep as the static call's 96x8 over-fetched walk while keeping
       // the acceptance filter, i.e. ~aligned-static recall at a multiple
       // of its q/s.
-      if (Bench.BenchBudget.allow("1pct_attrrc_inwalk96", 50)) {
+      rotate("1pct_attrrc_inwalk96") { if (Bench.BenchBudget.allow("1pct_attrrc_inwalk96", 50)) {
         System.gc()
         val (attrRcIw96Rows, attrRcIw96A) = time(attrRcInWalk1pRun(96))
         val attrRcIw96Times = attrRcIw96A +: (2 to reps).flatMap { i =>
@@ -489,6 +509,118 @@ object Bench10x {
           s""""ann_filtered1pct_attrrc_inwalk96_secs":${arr(attrRcIw96Times)},""" +
           s""""ann_filtered1pct_attrrc_inwalk96_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw96Times.min)},""" +
           s""""ann_filtered1pct_attrrc_inwalk96_recall":${"%.4f".format(attrRcIw96Recall)}"""
+      } }
+      // --- the per-query-IN rare-label answer as DATA (r14 verdict #5):
+      // the qin IN-WALK probe sits on the same beam-bound cliff equality
+      // sat on (it runs a plain shortlist), so on the CONVERGED layout
+      // the serving answer for rare-label IN is the same as for equality
+      // — the EXACT filterIn kernel: per-value admission collapses each
+      // IN value to its one single-label bucket, the scan kernel answers
+      // each exactly and the by-qid merge recomposes (lossless by the
+      // oracle-gated filterIn construction; knn_coldtier* filterIn
+      // entries are bit-exact in DuckDB). This point measures that
+      // endpoint's throughput at |IN| = 2 — expected ~half the equality
+      // endpoint's q/s (two buckets scanned per query).
+      if (Bench.BenchBudget.allow("1pct_qin_exact", 60)) {
+        val qinLbl2 = 73L
+        val qQin = q1p.withColumn("qfin",
+          array(lit(selLbl), lit(qinLbl2))).cache()
+        qQin.count()
+        def qinExactRun() = graft.store.ColdTier.search(spark, tier, qQin,
+            10, Metric.L2, firstWaveFraction = 1.0,
+            terminationFactor = 1.0, filterColumn = Some("label100"),
+            filterIn = true)
+          .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
+        System.gc()
+        val (_, qinExactA) = time(qinExactRun())
+        val qinExactTimes =
+          if (reps >= 2 && Bench.BenchBudget.allow("1pct_qin_exact_rep2",
+              math.ceil(qinExactA).toLong))
+            Seq(qinExactA, { System.gc(); time(qinExactRun())._2 })
+          else Seq(qinExactA)
+        qQin.unpersist()
+        frags += s""""ann_filtered1pct_qin_exact_queries":$onePctNQ,""" +
+          s""""ann_filtered1pct_qin_exact_in_size":2,""" +
+          s""""ann_filtered1pct_qin_exact_sec":${"%.2f".format(qinExactTimes.min)},""" +
+          s""""ann_filtered1pct_qin_exact_secs":${arr(qinExactTimes)},""" +
+          s""""ann_filtered1pct_qin_exact_q_per_sec":${"%.1f".format(onePctNQ / qinExactTimes.min)}"""
+      }
+      // --- the lossless endpoint through the SQL SURFACE (r14 verdict
+      // #3): the same rare-label equality idiom a user writes — `WHERE
+      // label100 = x ORDER BY l2_distance(vec, q) LIMIT 10` — against a
+      // REGISTERED corpus, served end-to-end by the optimizer rewrite +
+      // the exact-kernel serving decision (searchIndexedLiteralFiltered
+      // picks the admission-collapsed exact scan on the aligned tier;
+      // the warm-up asserts it via literalServedVia and THROWS
+      // otherwise). Issued as 512 independent spark.sql statements
+      // through a 16-thread pool — the serving-deployment shape, where
+      // per-statement plan work (parse/analyze/rewrite) amortizes
+      // across concurrent queries. Recall vs the same exact filtered
+      // truth — 1.0000 expected by construction. The registered corpus
+      // parquet is a tiny schema stand-in: the rewrite REPLACES the
+      // corpus scan with the tier probe, so corpus bytes are never
+      // read; the 6M-row tier is the real serving target.
+      if (Bench.BenchBudget.allow("1pct_sql_exact", 90)) {
+        val standin = java.nio.file.Files
+          .createTempDirectory("bench10x-sqlcorpus").toString
+        vecs10.limit(64)
+          .withColumn("label100", pmod(col("id"), lit(100)).cast("long"))
+          .write.mode("overwrite").parquet(standin)
+        graft.GraftFunctions.register(spark)
+        graft.plans.KnnIndex.install(spark)
+        val qPairs = q1p.select("qid", "qv").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        try {
+          graft.plans.KnnIndex.register(standin, tier, idCol = "id",
+            vecCol = "vec", metric = Metric.L2, efSearch = 96,
+            probeSegments = 12, shortlist = 96,
+            filterColumns = Set("label100"), filterOverfetch = 8)
+          spark.read.parquet(standin)
+            .createOrReplaceTempView("graft_bench_corpus_al")
+          def sqlOne(qv: Array[Float]): Array[Long] = {
+            val arrLit = qv.map(f => s"CAST($f AS FLOAT)")
+              .mkString("array(", ",", ")")
+            spark.sql(
+              s"""SELECT id, l2_distance(vec, $arrLit) AS dist
+                 |FROM graft_bench_corpus_al WHERE label100 = $selLbl
+                 |ORDER BY dist LIMIT 10""".stripMargin)
+              .collect().map(_.getLong(0))
+          }
+          // warm-up (stats/catalog caches) + the serving-decision gate
+          graft.store.ColdTier.literalServedVia.remove()
+          sqlOne(qPairs.head._2)
+          require(graft.store.ColdTier.literalServedVia.get == "exact",
+            "1pct_sql_exact: the graph probe served the aligned tier " +
+              "through SQL — the exact-kernel decision did not fire")
+          val threads = 16
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(threads)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          System.gc()
+          val (hits, sqlA) = time {
+            val futs = qPairs.map { case (qid, qv) =>
+              scala.concurrent.Future((qid, sqlOne(qv)))
+            }
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(futs.toSeq),
+              scala.concurrent.duration.Duration.Inf)
+          }
+          pool.shutdown()
+          val sqlRecall = hits.map { case (qid, ids) =>
+            val t = truth1p.getOrElse(qid, Set.empty[Long])
+            if (t.isEmpty) 1.0 else ids.count(t.contains).toDouble / t.size
+          }.sum / hits.length
+          frags += s""""ann_filtered1pct_sql_exact_queries":${qPairs.length},""" +
+            s""""ann_filtered1pct_sql_exact_threads":$threads,""" +
+            s""""ann_filtered1pct_sql_exact_sec":${"%.2f".format(sqlA)},""" +
+            s""""ann_filtered1pct_sql_exact_q_per_sec":${"%.1f".format(qPairs.length / sqlA)},""" +
+            s""""ann_filtered1pct_sql_exact_recall":${"%.4f".format(sqlRecall)}"""
+        } finally {
+          graft.plans.KnnIndex.unregister(standin)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(standin))
+        }
       }
     }
     q1pSF.unpersist(); q1pS.unpersist()
@@ -615,6 +747,12 @@ object Bench10x {
       s""""ann_filtered1pct_static_q_per_sec":${"%.1f".format(onePctNQ / static1pTimes.min)},""" +
       s""""ann_filtered1pct_static_recall":${"%.4f".format(static1pRecall)},""" +
       frags.map(_ + ",").mkString +
+      // rotation bookkeeping: which retired rare-label context points
+      // ran this round (SPARK_GRAFT_BENCH_ROTATION=1) vs deferred by
+      // design — DISJOINT from bench10x_skipped, which stays the
+      // budget-trim signal
+      s""""bench_rotation_ran":[${rotationRan.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""bench_rotation_deferred":[${rotationDeferred.map("\"" + _ + "\"").mkString(",")}],""" +
       Bench.BenchBudget.keys("bench10x_skipped") + "," +
       s""""calib_dedup10x_sec":${"%.2f".format(calibDedupSec)},""" +
       s""""n_docs_10x":$nDoc10,""" +

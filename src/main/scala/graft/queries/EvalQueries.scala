@@ -195,6 +195,10 @@ object EvalQueries {
    * so the filter-oblivious shortlist (overfetched 4x) keeps headroom
    * over the matching-label candidate mass. */
   private val SqlRewriteFilteredK = 200
+  /** Top-n of the ALIGNED-EXACT SQL-rewrite entry: served by the exact
+   * kernel (no shortlist bound applies), sized under the per-label mass
+   * at sf0.01 so the twin compares full-length lists. */
+  private val SqlRewriteAlignedK = 100
   /** Top-n of the IN-list SQL-rewrite entry — two of ten labels match
    * (~20% of candidates), so the bound keeps the same headroom margin
    * the single-label entry keeps at 200. */
@@ -329,6 +333,31 @@ object EvalQueries {
       graft.store.ColdTier.sealIndexes(s, t, 0L until 3L,
         graft.Metric.L2, m = 16, efConstruction = 128,
         attrColumns = Seq("label"))
+      t
+    })
+
+  /** Label-ALIGNED + attr-stats + HNSW-INDEXED tier per sf dir — the
+   * converged layout of the r14 rare-label frontier (one segment per
+   * label, sidecars sealed WITH the label payload). On this layout the
+   * attr-stats admission collapses a label literal to its ONE segment,
+   * so [[graft.store.ColdTier.searchIndexedLiteralFiltered]]'s
+   * exact-kernel decision must pick the lossless scan over the graph
+   * probe the committed sidecars would otherwise serve — exactly what
+   * knn_sql_rewrite_aligned_exact gates. */
+  private val alignedIndexedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def alignedIndexedTier(s: SparkSession, dir: String): String =
+    alignedIndexedDirs.getOrElseUpdate(dir, {
+      val e = Tables(s, dir, "embeddings")
+      val t = java.nio.file.Files.createTempDirectory("graft-cold-alix")
+        .toString
+      val segStats = graft.store.ColdTier.sealMany(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("vec_id").as("eventTime"), col("label"),
+          col("label").cast("long").as("segmentId")), t)
+      graft.store.ColdTier.sealAttrStats(s, t, "label")
+      graft.store.ColdTier.sealIndexes(s, t,
+        segStats.map(_.segmentId).toSeq, graft.Metric.L2, m = 16,
+        efConstruction = 128, attrColumns = Seq("label"))
       t
     })
 
@@ -1281,6 +1310,64 @@ object EvalQueries {
       graft.store.ColdTier.rerankExact(s, tmp,
         OracleAux.read(s, dir, "sql_rewrite_filtered_ids"), queries,
         SqlRewriteFilteredK, graft.Metric.L2, filterColumn = Some("label"))
+    },
+
+    "knn_sql_rewrite_aligned_exact" -> { (s, dir) =>
+      // r15 (r14 verdict #3) as a THROWING gate: on an attr-ALIGNED
+      // registered tier — one segment per label, HNSW sidecars sealed
+      // WITH the label payload, attr-stats committed — the filtered SQL
+      // idiom (`WHERE label = x ORDER BY dist LIMIT k`) must be served
+      // by the EXACT admission-collapsed scan kernel (recall 1.0 by
+      // construction, the r14 lossless endpoint: 1.0 at 192.7 q/s vs
+      // ~32 q/s for the graph probe at 0.9468 on the 10x tier), NOT the
+      // graph probe the committed sidecars would otherwise serve. The
+      // entry THROWS if (a) the corpus is still scanned (rewrite did
+      // not fire) or (b) the graph probe served the plan
+      // (ColdTier.literalServedVia != "exact"). Because the serving
+      // kernel is exact, the DuckDB twin is the FULL independent
+      // filtered kNN — no aux replay, the strongest oracle shape here.
+      val tmp = alignedIndexedTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val r0 = e.where(col("vec_id") === 0L)
+        .select(col("embedding"), col("label")).head()
+      val qv = r0.getSeq[Float](0).toArray
+      val lbl = r0.getInt(1)
+      val df = try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = 2, shortlist = SqlRewriteAlignedK,
+          filterColumns = Set("label"), filterOverfetch = 4)
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_alx")
+        graft.store.ColdTier.literalServedVia.remove()
+        val df0 = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus_alx WHERE label = $lbl
+             |ORDER BY dist LIMIT $SqlRewriteAlignedK""".stripMargin)
+        // forcing the optimized plan runs the rewrite AND the serving
+        // decision on THIS thread — both gates observe exactly this plan
+        val corpusScans = corpusScansOf(df0)
+        require(corpusScans.isEmpty, "knn_sql_rewrite_aligned_exact: " +
+          "the filtered ORDER BY plan still scans the corpus — the " +
+          "index rewrite did not fire")
+        require(graft.store.ColdTier.literalServedVia.get == "exact",
+          "knn_sql_rewrite_aligned_exact: the GRAPH PROBE served an " +
+            "attr-aligned tier — the exact-kernel serving decision " +
+            "did not fire (admission should collapse the label literal " +
+            "to its one segment)")
+        df0
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      // the served plan IS exact — expose it as (qid, rn, id, dist)
+      // directly; the twin recomputes the same filtered kNN from scratch
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist"), col("id"))
+      df.select(lit(0L).as("qid"), col("vec_id").as("id"), col("dist"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("qid"), col("rn"), col("id"), col("dist"))
     },
 
     "knn_sql_rewrite_in" -> { (s, dir) =>
@@ -2241,6 +2328,21 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteFilteredK"""
+        .stripMargin,
+
+    // aligned-exact SQL-rewrite: the serving kernel is EXACT (admission
+    // collapses the label literal to its one aligned segment and the
+    // bounded-heap scan kernel answers it losslessly), so the twin is
+    // the FULL independent filtered kNN over the corpus — no aux replay
+    "knn_sql_rewrite_aligned_exact" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+         |  FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b WHERE b.label = q.label),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteAlignedK"""
         .stripMargin,
 
     // IN-list SQL-rewrite replay: the rewrite-served top-n's ids

@@ -328,6 +328,33 @@ object VectorQueries {
     graft.ops.Ann.bruteForce(corpus, q, K, graft.Metric.L2)
   }
 
+  /** The DUPLICATE-KEY kernel gate (r14 verdict #4): the corpus is the
+   * embeddings table with deterministic duplicate ids (every vec_id %
+   * 4 == 0 row expands to 2..6 identical copies — the bench corpus'
+   * duplicate-id density, which exposed the r14 BoundedTopK bug the
+   * unique-keyed oracle tables could never reach), hash-REPARTITIONED
+   * on id so every copy of an id lands in ONE partition — the
+   * adversarial layout: a kernel that lets copies occupy several of a
+   * partition's k slots starves the global dedup-merge of distinct
+   * candidates and the gate goes red (verified: reverting the r14
+   * in-heap dedup, commit fd22412, fails this entry). The DuckDB twin
+   * expands the same copies and applies the keyed contract explicitly —
+   * ROW_NUMBER() OVER (PARTITION BY qid, id) = 1 before the top-k
+   * (reference SearchResult.java:106-114). */
+  def knnBruteForceDup(s: SparkSession, dir: String): DataFrame = {
+    val copies = when(col("vec_id") % 4 === 0,
+      lit(2) + col("vec_id") % 5).otherwise(lit(1))
+    val corpus = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").as("eventTime"),
+        explode(sequence(lit(1L), copies.cast("long"))).as("copy"))
+      .drop("copy")
+      .repartition(NumPartitions, col("id"))
+    val q = queryDf(s, dir).select(col("qid"), col("qv"),
+      lit(Long.MaxValue / 2).as("qtime"), lit(Long.MaxValue / 2).as("ttl"))
+    graft.ops.Ann.bruteForce(corpus, q, K, graft.Metric.L2)
+  }
+
   /** Matryoshka-style truncated retrieval (Kusupati et al. 2022): MRL
    * embeddings front-load information, so the shortlist scan compares
    * only the first [[MrlDim]] dimensions (4x less scan arithmetic at
@@ -450,6 +477,7 @@ object VectorQueries {
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "knn_l2" -> knn(graft.Metric.L2) _,
     "knn_bruteforce" -> (knnBruteForce _),
+    "knn_bruteforce_dup" -> (knnBruteForceDup _),
     "knn_sql" -> (knnViaSql _),
     "knn_deletes" -> (knnWithDeletes _),
     "knn_ip" -> knn(graft.Metric.IP) _,
@@ -532,6 +560,26 @@ object VectorQueries {
 
     "knn_l2" -> knnOracle(l2Sql("q.qv", "b.embedding")),
     "knn_bruteforce" -> knnOracle(l2Sql("q.qv", "b.embedding")),
+    // duplicate-key gate: the twin expands the SAME deterministic copies
+    // and applies the keyed contract EXPLICITLY — one row per (qid, id)
+    // via ROW_NUMBER before the top-k (reference SearchResult.java:
+    // 106-114) — so a kernel that lets copies hold multiple k slots
+    // hash-mismatches
+    "knn_bruteforce_dup" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $QueryMod = 0),
+         |dup AS (SELECT b.vec_id AS id, b.embedding AS emb
+         |  FROM embeddings b, UNNEST(range(1, 1 + CASE
+         |    WHEN b.vec_id % 4 = 0 THEN CAST(2 + b.vec_id % 5 AS BIGINT)
+         |    ELSE 1 END))),
+         |d AS (SELECT q.qid, dup.id, ${l2Sql("q.qv", "dup.emb")} AS dist
+         |  FROM q, dup),
+         |dd AS (SELECT qid, id, dist, row_number()
+         |  OVER (PARTITION BY qid, id ORDER BY dist) AS cp FROM d),
+         |r AS (SELECT qid, id, dist, row_number()
+         |  OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM dd
+         |  WHERE cp = 1)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $K""".stripMargin,
     "knn_deletes" -> knnOracle(l2Sql("q.qv", "b.embedding"),
       "b.vec_id % 17 <> 3"),
     "knn_sql" -> knnOracle(l2Sql("q.qv", "b.embedding")),

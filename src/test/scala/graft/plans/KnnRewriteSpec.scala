@@ -665,6 +665,78 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  /** Label-ALIGNED corpus + tier: one segment per label, HNSW sidecars
+   * sealed WITH the label payload AND an attr-stats sidecar — the
+   * converged layout where admission collapses a label literal to its
+   * one segment and the exact-kernel serving decision must fire. */
+  private def alignedFixture()
+      : (String, String, Seq[(Long, Array[Float], Long, Int)]) = {
+    import spark.implicits._
+    val rows = clustered(800).map { case (id, v, _) =>
+      (id, v, 100L + id, (id % 5).toInt)
+    }
+    val corpusPath = Files.createTempDirectory("knnrw-alcorpus").toString
+    rows.toDF("id", "vec", "eventTime", "label").write.mode("overwrite")
+      .parquet(corpusPath)
+    val coldDir = Files.createTempDirectory("knnrw-altier").toString
+    ColdTier.sealMany(rows.toDF("id", "vec", "eventTime", "label")
+      .withColumn("segmentId", col("label").cast("long")), coldDir)
+    ColdTier.sealIndexes(spark, coldDir, 0L until 5L, Metric.L2, m = 8,
+      efConstruction = 64, attrColumns = Seq("label"))
+    ColdTier.sealAttrStats(spark, coldDir, "label")
+    (corpusPath, coldDir, rows)
+  }
+
+  test("attr-ALIGNED registered tier: WHERE label = x ORDER BY dist LIMIT k " +
+      "is served by the EXACT kernel (not the graph probe), bit-equal to " +
+      "the unindexed truth") {
+    val (corpusPath, coldDir, rows) = alignedFixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 5, shortlist = 64, filterColumns = Set("label"))
+      val q = rows(42)._2
+      val corpus = spark.read.parquet(corpusPath)
+      corpus.createOrReplaceTempView("knn_alcorpus")
+      val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      ColdTier.literalServedVia.remove()
+      val df = spark.sql(
+        s"""SELECT id, l2_distance(vec, $arr) AS dist
+           |FROM knn_alcorpus WHERE label = 2
+           |ORDER BY dist LIMIT 10""".stripMargin)
+      val paths = scanPaths(df) // forces the optimized plan + decision
+      assert(!paths.exists(_.contains(corpusPath)),
+        s"corpus scan survived the aligned filtered rewrite: $paths")
+      assert(ColdTier.literalServedVia.get == "exact",
+        "the GRAPH PROBE served an attr-aligned tier — admission " +
+          "collapses label=2 to one segment, the exact kernel must serve")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // BIT-equality with the unindexed truth: the kernel is exact, so
+      // ids AND order must match the full-scan filtered top-k exactly
+      val truth = rows.filter(_._4 == 2)
+        .map { case (id, v, _, _) => (id, Distances.l2(q, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(10)
+      assert(got.map(_._1).toSeq == truth.map(_._1).toSeq,
+        s"exact kernel must bit-match the truth: got ${got.map(_._1).toList} " +
+          s"want ${truth.map(_._1).toList}")
+
+      // control: the SAME literal through the direct API with the fast
+      // path DISABLED routes to the graph probe — proving the decision
+      // (not the layout) picked the kernel above
+      import spark.implicits._
+      val q1 = Seq((0L, q, Long.MaxValue / 2, Long.MaxValue / 2))
+        .toDF("qid", "qv", "qtime", "ttl")
+      ColdTier.literalServedVia.remove()
+      val probed = ColdTier.searchIndexedLiteralFiltered(spark, coldDir,
+        q1, 10, filters = Seq(("label", Seq(2),
+          org.apache.spark.sql.types.IntegerType)),
+        metric = Metric.L2, shortlist = 64, efSearch = 96,
+        exactKernelSegments = 0)
+      probed.collect()
+      assert(ColdTier.literalServedVia.get == "probe",
+        "exactKernelSegments = 0 must disable the fast path")
+    } finally KnnIndex.clear()
+  }
+
   test("no rewrite without registration, with the conf off, on DESC, or on wider projections") {
     val (corpusPath, coldDir, rows) = fixture()
     val q = rows(0)._2

@@ -868,7 +868,10 @@ class ColdTierSpec extends AnyFunSuite {
     ColdTier.evict(spark, dir, 5000L) // drops segment 1 from the catalog
     val deleted = ColdTier.gc(spark, dir)
     val names = deleted.map(p => new java.io.File(p).getName).toSet
-    assert(names == Set("segment-1", "segment-1-codes", "segment-1-hnsw"),
+    // -attrs: payload-less seals write an explicit EMPTY marker since
+    // r15 (the legacy-vs-v1 sentinel), and gc sweeps it with the rest
+    assert(names == Set("segment-1", "segment-1-codes", "segment-1-hnsw",
+        "segment-1-attrs"),
       s"deleted $names")
     assert(new java.io.File(s"$dir/segment-2").exists())
     assert(new java.io.File(s"$dir/segment-2-hnsw").exists())

@@ -139,6 +139,10 @@ class PlanCheckSpec extends AnyFunSuite {
     ("dedup_simhash", true, true, false),
     ("eval_recall", true, true, false),
     ("knn_bruteforce", false, true, false),
+    // duplicate-key kernel gate: same bounded-heap bf kernel shape as
+    // knn_bruteforce (mapPartitions over broadcast queries, no join) —
+    // the dup expansion + id repartition happen before the kernel
+    ("knn_bruteforce_dup", false, true, false),
     ("knn_cosine", true, true, false),
     ("knn_deletes", true, true, false),
     ("knn_filtered", true, true, false),
@@ -242,6 +246,11 @@ class PlanCheckSpec extends AnyFunSuite {
     // over the aux ids — same broadcast shape; the no-corpus-scan
     // property of the rewritten plan is asserted inside the entry
     ("knn_sql_rewrite_filtered", true, true, false),
+    // aligned-exact rewrite entry OUTPUT = the exact scan KERNEL's own
+    // plan (admission-collapsed wave scan, no join — the knn_coldtier
+    // shape) under a row_number window; the no-corpus-scan AND
+    // exact-kernel-served properties are asserted inside the entry
+    ("knn_sql_rewrite_aligned_exact", false, true, false),
     // IN-list rewrite entry OUTPUT = the literal-filtered exact re-rank
     // over the aux ids — same broadcast shape + no-corpus-scan assertion
     ("knn_sql_rewrite_in", true, true, false),
