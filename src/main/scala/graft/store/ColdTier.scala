@@ -3273,19 +3273,19 @@ object ColdTier {
       // refreshed stats simply never prunes — conservative)
       snapshot: Option[Long] = None,
       // EXACT-KERNEL serving decision (r14 verdict #3): when plan-time
-      // admission collapses a SINGLE-column equality/IN plan to at most
-      // this many segments — strictly fewer than the catalog, so the
-      // attr-stats sidecar genuinely pruned (an attr-ALIGNED tier) —
-      // the call is served by the exact filtered scan kernel
-      // ([[search]] at full wave, termination factor 1.0) over those
-      // segments instead of any graph probe: admission already bounds
-      // the scan to ~|admitted|/|catalog| of the tier, and on the
-      // converged layout the exact kernel dominates the probe on BOTH
-      // axes (r14 10x: recall 1.0 at 192.7 q/s vs 0.9468 at ~32 q/s
-      // static / 0.67 at ~40 q/s in-walk-96). A row guard keeps the
-      // path off degenerate layouts (one huge admitted segment).
-      // <= 0 disables the fast path. Which kernel served is observable
-      // via [[literalServedVia]].
+      // admission collapses the literal plan to at most this many
+      // segments — strictly fewer than the catalog, so the attr-stats
+      // sidecar genuinely pruned (an attr-ALIGNED tier) — the call is
+      // served LOSSLESSLY by a predicate-filtered scan of just those
+      // segments through the bounded-heap bf kernel instead of any
+      // graph probe: admission already bounds the scan to
+      // ~|admitted|/|catalog| of the tier, and on the converged layout
+      // the exact kernel dominates the probe on BOTH axes (r14 10x:
+      // recall 1.0 at ~200 q/s vs 0.9468 at ~32 q/s static / 0.67 at
+      // ~40 q/s in-walk-96). A row guard keeps the path off degenerate
+      // layouts (one huge admitted segment). <= 0 disables the fast
+      // path. Which kernel served is observable via
+      // [[literalServedVia]].
       exactKernelSegments: Int = 4,
       // row bound for the exact-kernel decision: the admitted segments'
       // total row count must stay under it (default 2^20 — at 128-dim
@@ -3308,17 +3308,14 @@ object ColdTier {
         admissibleIdsRange(spark, dir, f, bs, cat0 = cat)
       })
       .reduceOption(_ intersect _)
-    // the exact-kernel fast path (param scaladoc above): single-column
-    // equality/IN, admission strictly narrowed the catalog to a tiny
-    // segment set, total admitted rows bounded. tz-dependent literals
-    // are excluded — their stats admission is disabled upstream, so
-    // they can never collapse. The kernel re-derives the same admission
-    // internally (the literal rides each query as qfilter/qfin), scans
-    // the admitted buckets through the bounded-heap bf kernel, and is
-    // exact by construction — the measured r14 lossless endpoint.
+    // the exact-kernel fast path (param scaladoc above): admission
+    // strictly narrowed the catalog to a tiny segment set with a
+    // bounded row count. Any literal shape is servable — the executor
+    // below applies the FULL conjunction (equality, IN, ranges incl.
+    // strict bounds, tz-dependent columns) through literalPredicate,
+    // and admission from the collapsing column stays conservative for
+    // the others — so eligibility is purely the admission collapse.
     val exactEligible = exactKernelSegments > 0 &&
-      filters.size == 1 && ranges.isEmpty &&
-      !tzDependent(filters.head._3) &&
       admissible.exists { a =>
         a.size <= exactKernelSegments && a.size < cat.length &&
           cat.filter(s => a(s.segmentId)).map(_.count).sum <=
@@ -3326,16 +3323,31 @@ object ColdTier {
       }
     if (exactEligible) {
       literalServedVia.set("exact")
-      val (f, vs, vt) = filters.head
-      val qk =
-        if (vs.size == 1)
-          queries.withColumn("qfilter", lit(vs.head).cast(vt))
-        else queries.withColumn("qfin",
-          array(vs.map(v => lit(v).cast(vt)): _*))
-      return search(spark, dir, qk, k, metric,
-        firstWaveFraction = 1.0, terminationFactor = 1.0,
-        snapshot = snapshot, filterColumn = Some(f),
-        filterIn = vs.size > 1)
+      // LEAN lazy plan, not the wave machinery: the literal is a PLAN
+      // constant shared by every query, so the predicate-filtered scan
+      // of the admitted segments IS each query's full candidate set —
+      // push the literal to the parquet scan (PushedFilters + row-group
+      // pruning on an aligned tier) and run the bounded-heap bf kernel
+      // over the survivors. Zero plan-time Spark jobs (search()'s wave
+      // planning runs ~5 eager driver actions per call — measured 3.5
+      // q/s through 512 concurrent spark.sql statements where this
+      // shape serves the same statements at >= 100 q/s), row-level
+      // freshness inside the kernel, dedup-by-id heap (fd22412), the
+      // same (dist, id) merge contract. Exact by construction:
+      // admission is conservative (mayMatch superset), tombstones
+      // anti-join before the kernel.
+      import spark.implicits._
+      val admitted = admissible.get
+      val paths = cat.filter(s => admitted(s.segmentId)).map(_.path)
+      if (paths.isEmpty)
+        return spark.emptyDataset[(Long, Int, Long, Double)]
+          .toDF("qid", "rn", "id", "dist")
+      val raw = applyTombstonesFor(spark, dir, snapshot,
+        spark.read.parquet(paths.toIndexedSeq: _*))
+      return graft.ops.Ann.bruteForce(
+        raw.where(literalPredicate(raw, filters, ranges))
+          .select(col("id"), col("vec"), col("eventTime")),
+        queries, k, metric)
     }
     literalServedVia.set("probe")
     // histogram-driven shortlist sizing: the graph walk is
