@@ -1646,10 +1646,42 @@ object ColdTier {
         s"catalog heal: failed to rename $best back to $live")
   }
 
+  /** Driver-side catalog cache keyed by (path, file-listing signature):
+   * a serving workload plans MANY searches against the same tier, and
+   * an uncached catalog costs a full parquet-read Spark job per call
+   * (measured: the dominant per-statement cost of the SQL-rewrite
+   * serving path — each spark.sql statement re-read the catalog). The
+   * catalog is CORRECTNESS-critical (a stale read would silently skip
+   * freshly sealed segments), so unlike the advisory attrStatsCache the
+   * key is a FULL listing signature — (name, length, mtime) of every
+   * file under _segments, sorted — not a single mtime: any append
+   * (seal/flush), swap (evict/compact/recluster — tmp+rename replaces
+   * the dir) or heal changes it, and the signature costs one listStatus
+   * metadata op instead of a cluster job. Stale generations of a path
+   * evict on load. */
+  private val catalogCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Array[SegmentStats]]
+
   def catalog(spark: SparkSession, dir: String): Array[SegmentStats] = {
     import spark.implicits._
     heal(spark, dir)
-    spark.read.parquet(statsPath(dir)).as[SegmentStats].collect()
+    val p = new Path(statsPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig = try fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    catch { case scala.util.control.NonFatal(_) => null }
+    val key = (p.toString, sig)
+    if (sig != null) catalogCache.get(key) match {
+      case Some(c) => return c
+      case None => ()
+    }
+    val loaded = spark.read.parquet(statsPath(dir)).as[SegmentStats].collect()
+    if (sig != null) catalogCache.synchronized {
+      catalogCache.filterInPlace { case ((cp, _), _) => cp != key._1 }
+      catalogCache.put(key, loaded)
+    }
+    loaded
   }
 
   /** Whether the live catalog references `segmentId` — the crash-safe
