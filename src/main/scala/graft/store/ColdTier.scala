@@ -994,10 +994,21 @@ object ColdTier {
       .filter(_.getPath.getName.startsWith(".staging-"))
       .foreach(st => fs.delete(st.getPath, true))
     val staging = new Path(dir, s".staging-${java.util.UUID.randomUUID()}")
+    // ONE file per segment (the LSM contract — a segment is an SST):
+    // without the repartition, every upstream task writes its own sliver
+    // into every part dir, and a 128-partition source seals 128 ~16 KB
+    // files per segment — a per-statement exact scan then pays 128 task
+    // launches where one suffices (measured: the dominant cost of the
+    // SQL-rewrite serving path at 10x). Spark splits LARGE parquet files
+    // by row-group ranges at read time (maxPartitionBytes), so a
+    // one-file segment loses no scan parallelism at any size;
+    // maxRecordsPerFile bounds the pathological single-file case.
     vectors.select(col("segmentId") +: (coreColumns.tail ++
         attributeColumns(vectors)).map(col): _*)
+      .repartition(col("segmentId"))
       .withColumn("part", col("segmentId"))
-      .write.partitionBy("part").parquet(staging.toString)
+      .write.option("maxRecordsPerFile", 4000000)
+      .partitionBy("part").parquet(staging.toString)
     val staged = fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("part="))
     val ids = staged.map(_.getPath.getName.stripPrefix("part=").toLong).sorted
@@ -1349,9 +1360,15 @@ object ColdTier {
       segmentId: Long): SegmentStats = {
     val spark = vectors.sparkSession
     val path = s"$dir/segment-$segmentId"
+    // ONE file per segment (see sealManyStaged) — flush batches and
+    // compaction outputs alike; upstream compute stays parallel (the
+    // repartition is the only serialization point) and huge compaction
+    // outputs split at maxRecordsPerFile
     vectors.select(lit(segmentId).as("segmentId") +:
         (coreColumns.tail ++ attributeColumns(vectors)).map(col): _*)
-      .write.mode("overwrite").parquet(path)
+      .repartition(1)
+      .write.option("maxRecordsPerFile", 4000000)
+      .mode("overwrite").parquet(path)
     val written = spark.read.parquet(path)
     val dim = written.select(size(col("vec"))).first().getInt(0)
     val meanUdaf = udaf(new VecMeanAggregator(dim),
@@ -1494,7 +1511,15 @@ object ColdTier {
    * holder past `waitMs` fails the caller loudly rather than queueing
    * forever. */
   private def withCatalogLock[A](fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, waitMs: Long = 30000L, staleMs: Long = 300000L)
+      dir: String,
+      // the commit critical section INCLUDES the catalog append's (tiny)
+      // Spark job, so the wait budget must absorb job-queueing delay on
+      // a busy cluster (and cold-JVM codegen in a fresh session): 30 s
+      // tripped spuriously with four concurrent committers in a cold
+      // parallel-suite JVM. Tunable for tests/operators.
+      waitMs: Long = java.lang.Long.getLong(
+        "graft.coldtier.lockWaitMs", 120000L),
+      staleMs: Long = 300000L)
       (body: => A): A = {
     val lock = lockPath(dir)
     val token = java.util.UUID.randomUUID().toString
