@@ -1356,10 +1356,17 @@ object Bench {
         .compile("\"" + key + "\":(\\[[^\\]]*\\])").matcher(tenXFrag)
       if (m.find()) m.group(1) else "[]"
     }
+    // scalar sibling of childList: a number or quoted string from the
+    // child fragment (rotation round/policy evidence in the tail line)
+    def childRaw(key: String, dflt: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + key + "\":(\"[^\"]*\"|-?[0-9.]+)").matcher(tenXFrag)
+      if (m.find()) m.group(1) else dflt
+    }
     val tailPerBatch = composedPerBatch.map(c =>
       s""","stream_composed_perbatch_insert_per_sec":${"%.1f".format(c.insertPerSec)}""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","queries":{"n_vectors":$nVec,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_flush_every":$composedFlushEvery$tailPerBatch,"bench_skipped":${BenchBudget.skippedJson},"bench10x_skipped":${childList("bench10x_skipped")},"bench_rotation_ran":${childList("bench_rotation_ran")},"bench_rotation_deferred":${childList("bench_rotation_deferred")},"partition_balance":${"%.3f".format(balance)}},"detail":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","queries":{"n_vectors":$nVec,"ann_recall_at_10":${"%.4f".format(annRecall)},"ann_vectors_per_sec":${"%.1f".format(vecPerSec)},"exact_query_per_sec":${"%.2f".format(nQ / exactSec)},"dedup_docs_per_sec":${"%.1f".format(docsPerSec)},"latency_p50_ms":${"%.1f".format(pct(0.5))},"latency_p99_ms":${"%.1f".format(pct(0.99))},"stream_insert_per_sec":${"%.1f".format(streamInsertsPerSec)},"stream_composed_insert_per_sec":${"%.1f".format(composed.insertPerSec)},"stream_composed_flush_every":$composedFlushEvery$tailPerBatch,"bench_skipped":${BenchBudget.skippedJson},"bench10x_skipped":${childList("bench10x_skipped")},"bench_rotation_round":${childRaw("bench_rotation_round", "-1")},"bench_rotation_policy":${childRaw("bench_rotation_policy", "\"unknown\"")},"bench_rotation_ran":${childList("bench_rotation_ran")},"bench_rotation_deferred":${childList("bench_rotation_deferred")},"partition_balance":${"%.3f".format(balance)}},"detail":"target/bench.json"}""")
     spark.stop()
   }
 }

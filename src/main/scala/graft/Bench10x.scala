@@ -289,20 +289,44 @@ object Bench10x {
     // (~90-140 s), mixed-layout in-walk (~165-225 s), and the aligned
     // in-walk pair (~70-90 s) — retire to an every-other-round rotation
     // instead of eating the per-round budget (r14 margins: 65-217 s).
-    // SPARK_GRAFT_BENCH_ROTATION=1 runs them (their last
-    // per-round numbers: the r15 post-fix rotation artifact); the
-    // default run skips them BY DESIGN — named in bench_rotation_
-    // deferred, NOT in bench10x_skipped (which stays the budget-trim
-    // signal). Kept per-round: the mixed static anchor, the aligned
-    // static anchor, the lossless endpoint, and the cheap qin/SQL
-    // serving points below.
-    val rotationOn =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ROTATION", "0") == "1"
+    // The every-other-round schedule is ROUND-DETERMINISTIC (r15
+    // verdict #4 — an env flag the operator must remember is how
+    // "deferred" silently becomes "never ran"): the harness derives the
+    // current round from the committed BENCH_r{N}.json artifacts in the
+    // working directory (max N + 1 — the driver commits r{N}'s artifact
+    // before round N+1 starts) and runs rotation on ODD rounds (r15 ran
+    // it; the parity continues from there). SPARK_GRAFT_BENCH_ROTATION
+    // =1/=0 still force-overrides for hand-driven runs. The artifact
+    // stamps bench_rotation_round + bench_rotation_policy next to the
+    // ran/deferred lists so on-schedule deferral is machine-checkable.
+    // Kept per-round: the mixed static anchor, the aligned static
+    // anchor, the lossless endpoint, and the cheap qin/SQL serving
+    // points below.
+    val rotationRound: Int = {
+      val pat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
+      val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap { f =>
+          val m = pat.matcher(f.getName)
+          if (m.matches()) Some(m.group(1).toInt) else None
+        }
+      if (prior.isEmpty) 0 else prior.max + 1
+    }
+    val rotationOn = sys.env.get("SPARK_GRAFT_BENCH_ROTATION") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ => rotationRound % 2 == 1
+    }
     val rotationRan = scala.collection.mutable.ArrayBuffer.empty[String]
     val rotationDeferred = scala.collection.mutable.ArrayBuffer.empty[String]
-    def rotate(point: String)(body: => Unit): Unit =
-      if (rotationOn) { rotationRan += point; body }
-      else rotationDeferred += point
+    // a rotation-enabled point still clears the shared budget before it
+    // is listed as RAN — a budget denial lands in bench_rotation_
+    // deferred (and, via allow(), in bench10x_skipped) so ran/deferred
+    // can never claim a run that did not happen
+    def rotate(point: String, estSec: Long)(body: => Unit): Unit =
+      if (!rotationOn) rotationDeferred += point
+      else if (Bench.BenchBudget.allow(point, estSec)) {
+        rotationRan += point; body
+      } else rotationDeferred += point
     def static1pRun() = graft.store.ColdTier.searchIndexedFiltered(spark,
         tier, q1pF, 10, "label100", Metric.L2, shortlist = 96,
         efSearch = 96, probeSegments = 12, overfetch = 8)
@@ -315,7 +339,7 @@ object Bench10x {
         Seq(static1pA, { System.gc(); time(static1pRun())._2 })
       else Seq(static1pA)
     val static1pRecall = recall1p(staticRows)
-    rotate("1pct_adaptive") { if (Bench.BenchBudget.allow("1pct_adaptive", 300)) {
+    rotate("1pct_adaptive", 300) {
       def adaptive1pRun() = graft.store.ColdTier
         .searchIndexedLiteralFiltered(spark, tier, q1pS, 10,
           filters = Seq(("label100", Seq(selLbl),
@@ -331,7 +355,7 @@ object Bench10x {
         s""""ann_filtered1pct_adaptive_secs":${arr(Seq(adaptive1pA))},""" +
         s""""ann_filtered1pct_adaptive_q_per_sec":${"%.1f".format(sub1pNQ / adaptive1pA)},""" +
         s""""ann_filtered1pct_adaptive_recall":${"%.4f".format(adaptive1pRecall)}"""
-    } }
+    }
 
     // --- IN-WALK filtered probe on the SAME mixed layout (r12 verdict
     // #2): the label applies at candidate acceptance inside each graph
@@ -340,7 +364,7 @@ object Bench10x {
     // 1/selectivity inflation — 24 per probed segment replaces the
     // adaptive point's 96x39. Subsampled 128 queries x 1 rep (see the
     // r14 note above); recall vs the same exact filtered kernel.
-    rotate("1pct_inwalk") { if (Bench.BenchBudget.allow("1pct_inwalk", 420)) {
+    rotate("1pct_inwalk", 420) {
       def inWalk1pRun() = graft.store.ColdTier.searchIndexedInWalkFiltered(
           spark, tier, q1pSF, 10, "label100", Metric.L2, shortlist = 24,
           efSearch = 96, probeSegments = 12)
@@ -353,7 +377,7 @@ object Bench10x {
         s""""ann_filtered1pct_inwalk_secs":${arr(Seq(inWalk1pA))},""" +
         s""""ann_filtered1pct_inwalk_q_per_sec":${"%.1f".format(sub1pNQ / inWalk1pA)},""" +
         s""""ann_filtered1pct_inwalk_recall":${"%.4f".format(inWalk1pRecall)}"""
-    } }
+    }
     // q1p/q1pF stay cached: the attr-aligned recluster points below
     // (after the early-termination section, which needs the tier's
     // CURRENT cell-aligned layout) reuse the same queries and truth
@@ -477,7 +501,7 @@ object Bench10x {
             10, "label100", Metric.L2, shortlist = sl, efSearch = 96,
             probeSegments = 12)
           .groupBy("qid").agg(collect_set(col("id")).as("ids")).collect()
-      rotate("1pct_attrrc_inwalk") { if (Bench.BenchBudget.allow("1pct_attrrc_inwalk", 40)) {
+      rotate("1pct_attrrc_inwalk", 40) {
         System.gc()
         val (attrRcIwRows, attrRcIw1pA) = time(attrRcInWalk1pRun(24))
         val attrRcIw1pTimes = attrRcIw1pA +: (2 to reps).flatMap { i =>
@@ -490,13 +514,13 @@ object Bench10x {
           s""""ann_filtered1pct_attrrc_inwalk_secs":${arr(attrRcIw1pTimes)},""" +
           s""""ann_filtered1pct_attrrc_inwalk_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw1pTimes.min)},""" +
           s""""ann_filtered1pct_attrrc_inwalk_recall":${"%.4f".format(attrRcIw1pRecall)}"""
-      } }
+      }
       // --- aligned in-walk at a DEEPER shortlist (r13 verdict #4): the
       // depth-bound hypothesis' test point — shortlist 96 should read as
       // deep as the static call's 96x8 over-fetched walk while keeping
       // the acceptance filter, i.e. ~aligned-static recall at a multiple
       // of its q/s.
-      rotate("1pct_attrrc_inwalk96") { if (Bench.BenchBudget.allow("1pct_attrrc_inwalk96", 50)) {
+      rotate("1pct_attrrc_inwalk96", 50) {
         System.gc()
         val (attrRcIw96Rows, attrRcIw96A) = time(attrRcInWalk1pRun(96))
         val attrRcIw96Times = attrRcIw96A +: (2 to reps).flatMap { i =>
@@ -509,7 +533,7 @@ object Bench10x {
           s""""ann_filtered1pct_attrrc_inwalk96_secs":${arr(attrRcIw96Times)},""" +
           s""""ann_filtered1pct_attrrc_inwalk96_q_per_sec":${"%.1f".format(onePctNQ / attrRcIw96Times.min)},""" +
           s""""ann_filtered1pct_attrrc_inwalk96_recall":${"%.4f".format(attrRcIw96Recall)}"""
-      } }
+      }
       // --- the per-query-IN rare-label answer as DATA (r14 verdict #5):
       // the qin IN-WALK probe sits on the same beam-bound cliff equality
       // sat on (it runs a plain shortlist), so on the CONVERGED layout
@@ -748,9 +772,12 @@ object Bench10x {
       s""""ann_filtered1pct_static_recall":${"%.4f".format(static1pRecall)},""" +
       frags.map(_ + ",").mkString +
       // rotation bookkeeping: which retired rare-label context points
-      // ran this round (SPARK_GRAFT_BENCH_ROTATION=1) vs deferred by
-      // design — DISJOINT from bench10x_skipped, which stays the
-      // budget-trim signal
+      // ran this round vs deferred ON SCHEDULE (odd-round parity derived
+      // from the committed BENCH_r{N}.json artifacts — the round +
+      // policy keys make the schedule machine-checkable) — DISJOINT
+      // from bench10x_skipped, which stays the budget-trim signal
+      s""""bench_rotation_round":$rotationRound,""" +
+      s""""bench_rotation_policy":"odd-rounds${sys.env.get("SPARK_GRAFT_BENCH_ROTATION").map(v => s" (forced=$v)").getOrElse("")}",""" +
       s""""bench_rotation_ran":[${rotationRan.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""bench_rotation_deferred":[${rotationDeferred.map("\"" + _ + "\"").mkString(",")}],""" +
       Bench.BenchBudget.keys("bench10x_skipped") + "," +

@@ -36,7 +36,7 @@ object Ann {
    * contract for these kernels (bruteForce, the oracle-gated baseline,
    * has always behaved this way). One copy, so the bit-exactness
    * contract cannot drift between kernels. */
-  @inline private def offerBounded(h: graft.functions.BoundedTopK,
+  @inline private[graft] def offerBounded(h: graft.functions.BoundedTopK,
       qv: Array[Float], v: Array[Float], id: Long, l2Abandon: Boolean,
       distFn: (Array[Float], Array[Float]) => Double): Unit =
     if (l2Abandon) {

@@ -207,6 +207,11 @@ object EvalQueries {
    * over 0..9 at every sf, TESTDATA.md) — static so the DuckDB twin can
    * embed the same literals. */
   private val SqlRewriteInLabels = Seq(0, 1)
+  /** Top-n of the IN-collapse ALIGNED-EXACT entry: served by the exact
+   * kernel over the two admitted single-label segments (no shortlist
+   * bound applies), sized under the two-label candidate mass at sf0.01
+   * so the twin compares full-length lists. */
+  private val SqlRewriteAlignedInK = 80
   /** The IN-WALK in-list entry's static label set (2 of 10 labels) —
    * hashed once at plan time ([[graft.store.ColdTier.literalAttrHash]])
    * and applied at candidate acceptance inside every sidecar walk;
@@ -1370,6 +1375,58 @@ object EvalQueries {
         .select(col("qid"), col("rn"), col("id"), col("dist"))
     },
 
+    "knn_sql_rewrite_aligned_exact_in" -> { (s, dir) =>
+      // r16 (r15 verdict #3): exact-kernel serving ELIGIBILITY covers
+      // every literal shape, but until this entry only the
+      // single-equality collapse was oracle-gated. The IN-list idiom
+      // (`WHERE label IN (0, 1) ORDER BY dist LIMIT k`) on the
+      // attr-ALIGNED tier: per-value admission collapses each IN value
+      // to its one single-label segment (2 admitted segments <=
+      // exactKernelSegments, strictly fewer than the 10-segment
+      // catalog), so the EXACT kernel must serve. THROWS if (a) the
+      // corpus is still scanned (rewrite did not fire) or (b) the graph
+      // probe served (ColdTier.literalServedVia != "exact"). Because
+      // the serving kernel is exact, the DuckDB twin is the FULL
+      // independent IN-filtered kNN — no aux replay.
+      val tmp = alignedIndexedTier(s, dir)
+      graft.GraftFunctions.register(s)
+      graft.plans.KnnIndex.install(s)
+      val corpus = s"$dir/embeddings.parquet"
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val df = try {
+        graft.plans.KnnIndex.register(corpus, tmp, idCol = "vec_id",
+          vecCol = "embedding", metric = graft.Metric.L2, efSearch = 100,
+          probeSegments = 2, shortlist = SqlRewriteAlignedInK,
+          filterColumns = Set("label"), filterOverfetch = 4)
+        val arr = qv.map(f => s"CAST($f AS FLOAT)")
+          .mkString("array(", ",", ")")
+        e.createOrReplaceTempView("graft_knn_corpus_alin")
+        graft.store.ColdTier.literalServedVia.remove()
+        val df0 = s.sql(
+          s"""SELECT vec_id, l2_distance(embedding, $arr) AS dist
+             |FROM graft_knn_corpus_alin
+             |WHERE label IN (${SqlRewriteInLabels.mkString(", ")})
+             |ORDER BY dist LIMIT $SqlRewriteAlignedInK""".stripMargin)
+        val corpusScans = corpusScansOf(df0)
+        require(corpusScans.isEmpty,
+          "knn_sql_rewrite_aligned_exact_in: the IN-list ORDER BY " +
+            "plan still scans the corpus — the index rewrite did not " +
+            "fire")
+        require(graft.store.ColdTier.literalServedVia.get == "exact",
+          "knn_sql_rewrite_aligned_exact_in: the GRAPH PROBE served " +
+            "an attr-aligned tier for a collapsing IN literal — the " +
+            "exact-kernel serving decision did not fire")
+        df0
+      } finally graft.plans.KnnIndex.unregister(corpus)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist"), col("id"))
+      df.select(lit(0L).as("qid"), col("vec_id").as("id"), col("dist"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("qid"), col("rn"), col("id"), col("dist"))
+    },
+
     "knn_sql_rewrite_in" -> { (s, dir) =>
       // the IN-LIST SQL-rewrite surface (`WHERE label IN (0, 1) ORDER BY
       // dist LIMIT k` — the next most common production shape after
@@ -2343,6 +2400,22 @@ object EvalQueries {
          |r AS (SELECT qid, id, dist,
          |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
          |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteAlignedK"""
+        .stripMargin,
+
+    // IN-collapse aligned-exact: per-value admission collapses the
+    // static IN list to its single-label segments and the exact kernel
+    // serves losslessly, so the twin is again the FULL independent
+    // IN-filtered kNN over the corpus — no aux replay
+    "knn_sql_rewrite_aligned_exact_in" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT q.qid, b.vec_id AS id,
+         |  ${VectorQueries.l2Sql("q.qv", "b.embedding")} AS dist
+         |  FROM q, embeddings b
+         |  WHERE b.label IN (${SqlRewriteInLabels.mkString(", ")})),
+         |r AS (SELECT qid, id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn FROM d)
+         |SELECT qid, rn, id, dist FROM r WHERE rn <= $SqlRewriteAlignedInK"""
         .stripMargin,
 
     // IN-list SQL-rewrite replay: the rewrite-served top-n's ids

@@ -246,11 +246,18 @@ class PlanCheckSpec extends AnyFunSuite {
     // over the aux ids — same broadcast shape; the no-corpus-scan
     // property of the rewritten plan is asserted inside the entry
     ("knn_sql_rewrite_filtered", true, true, false),
-    // aligned-exact rewrite entry OUTPUT = the exact scan KERNEL's own
-    // plan (admission-collapsed wave scan, no join — the knn_coldtier
-    // shape) under a row_number window; the no-corpus-scan AND
-    // exact-kernel-served properties are asserted inside the entry
-    ("knn_sql_rewrite_aligned_exact", false, true, false),
+    // aligned-exact rewrite entry OUTPUT (r16): the exact kernel now
+    // serves admission-collapsed plans from the WARM SEGMENT CACHE by
+    // default (ColdTier.serveExactFromMemory — zero Spark jobs per
+    // statement), so the plan is a LocalRelation under the row_number
+    // window: no scan, hence no PushedFilters to audit here. The
+    // distributed scan FALLBACK's pushdown + bit-equality to this
+    // engine are asserted in ExactServeLocalSpec; the no-corpus-scan
+    // AND exact-kernel-served properties stay asserted inside the entry
+    ("knn_sql_rewrite_aligned_exact", false, false, false),
+    // the IN-collapse sibling (entry 138, r15 verdict #3): same
+    // memory-served LocalRelation shape, same in-entry assertions
+    ("knn_sql_rewrite_aligned_exact_in", false, false, false),
     // IN-list rewrite entry OUTPUT = the literal-filtered exact re-rank
     // over the aux ids — same broadcast shape + no-corpus-scan assertion
     ("knn_sql_rewrite_in", true, true, false),
