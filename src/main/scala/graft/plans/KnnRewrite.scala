@@ -540,10 +540,26 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           // ids so every parent operator keeps resolving; re-assert the
           // ordering contract the matched Sort promised — (dist, id) is
           // the probe's own total order, a superset of the single-key
-          // promise and exactly the tie-broken two-key one
-          val ordered = Sort(
-            Seq(SortOrder(pdist, Ascending), SortOrder(pid, Ascending)),
-            global = true, probePlan)
+          // promise and exactly the tie-broken two-key one.
+          //
+          // MEMORY-SERVED probes (ColdTier.serveExactFromMemory — the
+          // admission-collapsed exact kernel over warm cached segments)
+          // come back as a LocalRelation of <= k driver-resident rows.
+          // Wrapping those in a logical Sort + Project forced ONE
+          // single-task Spark job per spark.sql statement (neither
+          // SortExec nor ProjectExec has an executeCollect shortcut,
+          // and this rule runs AFTER ConvertToLocalRelation, so the
+          // optimizer never collapses the pair), and under a
+          // concurrent serving load every statement's job serializes
+          // through the DAGScheduler event loop — measured r16 twin:
+          // 23.7 q/s across 16 client threads where the kernel's own
+          // work is milliseconds. Sorting the local rows DRIVER-side,
+          // evaluating the rename projection driver-side too, and
+          // emitting ONE bare LocalRelation keeps both contracts
+          // (LocalTableScanExec preserves row order and serves
+          // executeCollect with ZERO jobs) — the whole statement is
+          // job-free. Scan-engine fallbacks are never LocalRelations,
+          // so they keep the distributed Sort + Project.
           val out: Seq[NamedExpression] = projList.map {
             case at: AttributeReference =>
               Alias(pid, at.name)(exprId = at.exprId)
@@ -552,7 +568,19 @@ case class KnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           logInfo(s"graft: serving ORDER BY ${metric} distance LIMIT $k " +
             s"over ${relationPaths(rel).head} from index ${r.coldDir}")
-          Project(out, ordered)
+          probePlan match {
+            case lr: LocalRelation =>
+              val di = lr.output.indexWhere(_.exprId == pdist.exprId)
+              val ii = lr.output.indexWhere(_.exprId == pid.exprId)
+              val sorted = lr.data.sortBy(r => (r.getDouble(di), r.getLong(ii)))
+              val proj = UnsafeProjection.create(out, lr.output)
+              LocalRelation(out.map(_.toAttribute),
+                sorted.map(r => proj(r).copy()), lr.isStreaming)
+            case p =>
+              Project(out, Sort(
+                Seq(SortOrder(pdist, Ascending), SortOrder(pid, Ascending)),
+                global = true, p))
+          }
         } } catch {
           case scala.util.control.NonFatal(e) =>
             logWarning("graft: kNN index rewrite failed at plan time " +

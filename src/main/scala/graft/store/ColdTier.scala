@@ -2941,6 +2941,47 @@ object ColdTier {
     }.toSeq
   }
 
+  /** The query set's overall freshness window for segment-level
+   * planning: Some((min(qtime - ttl), max(qtime))), None when the query
+   * set is empty or all-null — callers plan zero segments. When qtime
+   * and ttl are LITERAL plan constants (every declared query and every
+   * serving shape builds them with lit(...)), the window reads off the
+   * optimized plan with ZERO Spark jobs — at the per-call data volumes
+   * of a probe/re-rank the 2-stage agg job this replaces was a
+   * measurable slice of the whole call (r16, guide §1.2: count the
+   * jobs, then remove them; 5 call sites x 1 job each). Non-literal
+   * query sets keep the distributed agg bit-identically (same
+   * expression, same null-row contract). A literal window over an
+   * EMPTY query set plans segments the downstream query-broadcast plan
+   * then never probes — the same empty result through a slightly
+   * larger plan, accepted (the window exists to bound IO for real
+   * query sets). subtractExact mirrors the agg expression's ANSI
+   * overflow check: on driver-side overflow the helper falls back to
+   * the agg, which raises the identical ANSI error the caller would
+   * always have seen. */
+  private[store] def freshnessWindow(q: DataFrame): Option[(Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types.LongType
+    val lits =
+      try {
+        val plan = q.queryExecution.optimizedPlan
+        def litOf(name: String): Option[Long] =
+          plan.output.find(_.name == name).flatMap { attr =>
+            plan.collect { case p: Project => p.projectList }.flatten
+              .collectFirst {
+                case a: Alias if a.exprId == attr.exprId => a.child }
+              .collect { case Literal(v: Long, LongType) => v }
+          }
+        for (qt <- litOf("qtime"); tl <- litOf("ttl"))
+          yield (math.subtractExact(qt, tl), qt)
+      } catch { case _: ArithmeticException => None }
+    lits.orElse {
+      val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+      if (w.isNullAt(0)) None else Some((w.getLong(0), w.getLong(1)))
+    }
+  }
+
   def probeCandidates(spark: SparkSession, dir: String, queries: DataFrame,
       shortlist: Int, metric: Metric = Metric.L2,
       efSearch: Int = 64, probeSegments: Int = Int.MaxValue,
@@ -3019,13 +3060,15 @@ object ColdTier {
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       (if (inWalkFilterIn) Seq(col("qfin"))
        else filterColumn.map(_ => col("qfilter")).toSeq): _*)
-    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+    val w = freshnessWindow(q)
     val segs = snapshot.map(v => catalogAt(spark, dir, v))
       .getOrElse(catalog(spark, dir))
-    val fresh =
-      if (w.isNullAt(0)) Array.empty[SegmentStats]
-      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1)
-        && admissible.forall(_.contains(s.segmentId)))
+    val fresh = w match {
+      case None => Array.empty[SegmentStats]
+      case Some((lo, hi)) =>
+        segs.filter(s => s.maxTs >= lo && s.minTs <= hi
+          && admissible.forall(_.contains(s.segmentId)))
+    }
     val empty = spark.emptyDataset[(Long, Long)].toDF("qid", "id")
     if (fresh.isEmpty) return empty
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -3333,12 +3376,14 @@ object ColdTier {
     val probeK = math.max(k, shortlist)
     import spark.implicits._
     val q = queries.select(col("qid"), col("qv"), col("qtime"), col("ttl"))
-    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+    val w = freshnessWindow(q)
     val segs = snapshot.map(v => catalogAt(spark, dir, v))
       .getOrElse(catalog(spark, dir))
-    val fresh =
-      if (w.isNullAt(0)) Array.empty[SegmentStats]
-      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    val fresh = w match {
+      case None => Array.empty[SegmentStats]
+      case Some((lo, hi)) =>
+        segs.filter(s => s.maxTs >= lo && s.minTs <= hi)
+    }
     val empty = spark.emptyDataset[(Long, Long, Double)]
       .toDF("qid", "id", "dist")
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -3933,13 +3978,15 @@ object ColdTier {
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       (if (filterIn) Seq(col("qfin"))
        else filterColumn.map(_ => col("qfilter")).toSeq): _*)
-    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
+    val w = freshnessWindow(q)
     val segs = if (cat0 != null) cat0
       else snapshot.map(v => catalogAt(spark, dir, v))
         .getOrElse(catalog(spark, dir))
-    val fresh =
-      if (w.isNullAt(0)) Array.empty[SegmentStats]
-      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    val fresh = w match {
+      case None => Array.empty[SegmentStats]
+      case Some((lo, hi)) =>
+        segs.filter(s => s.maxTs >= lo && s.minTs <= hi)
+    }
     if (fresh.isEmpty)
       return spark.emptyDataset[(Long, Int, Long, Double)]
         .toDF("qid", "rn", "id", "dist")
@@ -4013,10 +4060,12 @@ object ColdTier {
       filterColumn.map(_ => col("qfilter")): _*)
     // segment-level freshness vs the query set's overall window (driver
     // work bounded by catalog size + one 2-value aggregate)
-    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
-    val fresh0 =
-      if (w.isNullAt(0)) Array.empty[SegmentStats]
-      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    val w = freshnessWindow(q)
+    val fresh0 = w match {
+      case None => Array.empty[SegmentStats]
+      case Some((lo, hi)) =>
+        segs.filter(s => s.maxTs >= lo && s.minTs <= hi)
+    }
     val fresh = unionAdmissible(spark, dir, filterColumn, q, fresh0)
     if (fresh.isEmpty)
       return spark.emptyDataset[(Long, Int, Long, Double)]
@@ -4110,10 +4159,12 @@ object ColdTier {
     val segs = catalog(spark, dir)
     val q = queries.select(Seq("qid", "qv", "qtime", "ttl").map(col) ++
       filterColumn.map(_ => col("qfilter")): _*)
-    val w = q.agg(min(col("qtime") - col("ttl")), max(col("qtime"))).first()
-    val fresh0 =
-      if (w.isNullAt(0)) Array.empty[SegmentStats]
-      else segs.filter(s => s.maxTs >= w.getLong(0) && s.minTs <= w.getLong(1))
+    val w = freshnessWindow(q)
+    val fresh0 = w match {
+      case None => Array.empty[SegmentStats]
+      case Some((lo, hi)) =>
+        segs.filter(s => s.maxTs >= lo && s.minTs <= hi)
+    }
     val fresh = unionAdmissible(spark, dir, filterColumn, q, fresh0)
     if (fresh.isEmpty)
       return spark.emptyDataset[(Long, Int, Long, Double)]
@@ -4382,6 +4433,20 @@ object ColdTier {
             min(col("lower_bound")).as("lower_bound"))
       else plannedDf)
       .persist()
+    // SINGLE-WAVE fast path (r16, guide §2.4 — remove dead plan
+    // machinery): fwf >= 1 or a non-L2 metric assigns EVERY admitted
+    // probe to wave 1 ([[planWavesAdmitted]]: `if (prune && i >= w1) 2
+    // else 1`), so the thresholds join, the wave-2 scan and the
+    // wave1Top persist below are provably dead — wave 2 is empty by
+    // construction. The two-wave tail spent a whole extra job
+    // materializing wave1Top into the block-manager cache just so the
+    // empty wave-2 planning could join against it, then re-aggregated
+    // the cached top-k in the final plan; one direct aggregation pass
+    // is bit-identical (TopKAggregator is deterministic and idempotent
+    // on its own output: topk(topk(S)) = topk(S)). Every lossless
+    // serving caller runs here: the tiered hot halves, the 10x
+    // qin/filtered-truth points, the cold lifecycle scans, cosine/IP.
+    val singleWave = firstWaveFraction >= 1.0 || !prune
 
     // one Parquet scan over every segment this wave touches, joined to the
     // broadcast probe set (per-query freshness bounds applied in the join)
@@ -4529,6 +4594,25 @@ object ColdTier {
 
     val topkUdaf = udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+
+    if (singleWave) {
+      // stats keep their exact two-wave values: every probe is wave 1,
+      // wave 2 plans and scans nothing (the counts the early-term
+      // attribution entries assert on are unchanged)
+      searchStats.foreach { m =>
+        m("wave1_probes") = probes.count()
+        m("wave2_planned") = 0L
+        m("wave2_scanned") = 0L
+      }
+      val scanned = scanWave(probes) // both eager collects happen here
+      probes.unpersist(false) // nothing lazy references the probe set
+      return scanned
+        .groupBy("qid").agg(topkUdaf(col("id"), col("dist")).as("topk"))
+        .select(col("qid"), posexplode(arrays_zip(col("topk.ids").as("id"),
+          col("topk.dists").as("dist"))))
+        .select(col("qid"), (col("pos") + 1).as("rn"),
+          col("col.id").as("id"), col("col.dist").as("dist"))
+    }
 
     // wave 1: unconditional hot-first scan, partial top-k per partition
     val wave1Top = scanWave(probes.where(col("wave") === 1))

@@ -737,6 +737,56 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  test("memory-served aligned statement is JOB-FREE: pre-sorted " +
+      "LocalRelation, no Sort node, zero Spark jobs per spark.sql") {
+    val (corpusPath, coldDir, rows) = alignedFixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 5, shortlist = 64, filterColumns = Set("label"))
+      val q = rows(42)._2
+      spark.read.parquet(corpusPath).createOrReplaceTempView("knn_alc_jf")
+      val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      def stmt() = spark.sql(
+        s"""SELECT id, l2_distance(vec, $arr) AS dist
+           |FROM knn_alc_jf WHERE label = 2
+           |ORDER BY dist LIMIT 10""".stripMargin)
+      // warm pass loads the segment into SegmentDataCache + caches
+      ColdTier.literalServedVia.remove()
+      stmt().collect()
+      assert(ColdTier.literalServedVia.get == "exact")
+      assert(ColdTier.exactServedFrom.get == "memory",
+        "aligned statement should serve from the warm segment cache")
+      // r16: the rewrite emits the kernel's rows as a PRE-SORTED
+      // LocalRelation — no logical Sort, so the statement executes via
+      // LocalTableScanExec.executeCollect with ZERO Spark jobs (the
+      // per-statement single-task Sort job was the measured 23.7 q/s
+      // serving ceiling: every statement's job serialized through the
+      // DAGScheduler event loop)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val df = stmt()
+        val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val s = df.queryExecution.executedPlan.toString
+        assert(!s.contains("Sort"), s"memory-served statement kept a " +
+          s"Sort node:\n$s")
+        // the ORDER BY contract must hold without the Sort node
+        val truth = rows.filter(_._4 == 2)
+          .map { case (id, v, _, _) => (id, Distances.l2(q, v)) }
+          .sortBy { case (id, d) => (d, id) }.take(10)
+        assert(got.map(_._1).toSeq == truth.map(_._1).toSeq)
+        Thread.sleep(1000) // listener bus drains asynchronously
+        assert(jobs.get() == 0,
+          s"memory-served statement ran ${jobs.get()} Spark job(s)")
+      } finally spark.sparkContext.removeSparkListener(l)
+    } finally KnnIndex.clear()
+  }
+
   test("no rewrite without registration, with the conf off, on DESC, or on wider projections") {
     val (corpusPath, coldDir, rows) = fixture()
     val q = rows(0)._2

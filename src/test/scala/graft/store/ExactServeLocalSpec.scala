@@ -214,6 +214,30 @@ class ExactServeLocalSpec extends AnyFunSuite {
     } finally spark.conf.unset(ColdTier.ExactServeLocalKey)
   }
 
+  test("single-wave fast path (fwf >= 1) is bit-identical to the two-wave " +
+      "plan and keeps the searchStats contract") {
+    import spark.implicits._
+    val (dir, all) = fixture
+    val qs = Seq(
+      (0L, all(123)._2, 100000L, 1000000L),
+      (1L, all(500)._2, 100000L, 1000000L))
+      .toDF("qid", "qv", "qtime", "ttl")
+    def run(fwf: Double) = ColdTier.search(spark, dir, qs, k, Metric.L2,
+        firstWaveFraction = fwf, terminationFactor = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // both are lossless exact plans; fwf = 1.0 takes the r16 single-wave
+    // path (no thresholds join, no wave-2 scan, no wave1Top persist)
+    assert(run(1.0) == run(0.34))
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    ColdTier.search(spark, dir, qs, k, Metric.L2, firstWaveFraction = 1.0,
+      terminationFactor = 1.0, searchStats = Some(stats)).collect()
+    assert(stats("wave1_probes") == 8L, // 2 queries x 4 fresh segments
+      s"got ${stats("wave1_probes")}")
+    assert(stats("wave2_planned") == 0L && stats("wave2_scanned") == 0L)
+  }
+
   test("catalog cache kill switch: catalog stays correct with the cache off") {
     val (dir, _) = fixture
     val on = ColdTier.catalog(spark, dir).map(_.segmentId).sorted
