@@ -171,9 +171,24 @@ class ExactServeLocalSpec extends AnyFunSuite {
       run(two)
       assert(ColdTier.exactServedFrom.get == "scan")
     } finally spark.conf.unset(ColdTier.ExactServeLocalMaxQueriesKey)
-    // and under the default bound the same batch serves from memory
-    run(two)
+    // and under the default bound the same batch serves from memory —
+    // through the PARALLEL per-query kernel (r16: >1 plan-time queries
+    // fan across ExecutionContext.global; slot-indexed assembly keeps
+    // the output bit-identical to the sequential order) — bit-equal to
+    // the distributed scan engine on the same batch
+    val memBatch = run(two)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
     assert(ColdTier.exactServedFrom.get == "memory")
+    spark.conf.set(ColdTier.ExactServeLocalKey, "false")
+    val scanBatch = try run(two)
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      finally spark.conf.unset(ColdTier.ExactServeLocalKey)
+    assert(memBatch == scanBatch,
+      "parallel batch kernel must be bit-identical to the scan engine")
+    // both queries share one qv: identical per-query answers, rn 1..k
+    assert(memBatch.count(_._1 == 0L) == k && memBatch.count(_._1 == 1L) == k)
   }
 
   test("warm cache: one load per admitted segment, reused across statements") {
