@@ -2316,7 +2316,13 @@ class ColdTierSpec extends AnyFunSuite {
             ColdTier.seal(mkVecs(60, 8, 80L + i, i * 1000L), dir, i.toLong)
         })
       }
-      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // 300 s, not 120: the default lockWaitMs is itself 120 s, and a
+      // loaded parallel-suite hour can push a waiter right up to it —
+      // a timeout equal to the wait budget makes the test flaky under
+      // load (observed: one full-suite run timed out here, the same
+      // test green in 13 s in isolation). The race being proved is
+      // integrity, not latency.
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
     } finally pool.shutdownNow()
     assert(ColdTier.catalog(spark, dir).map(_.segmentId).sorted.toList ==
       (0L to nWriters.toLong).toList,
