@@ -84,15 +84,33 @@ object Bench {
     private val reserve = new java.util.concurrent.atomic.AtomicLong(0)
     def setReserve(sec: Long): Unit = reserve.set(sec)
     def clearReserve(): Unit = reserve.set(0)
+    /** CORE-AWARE estimate scaling (r16 verdict #3): every estSec
+     * constant below is calibrated on the 32-core reference box, so an
+     * 8-core run's phases cost ~4x their estimate — the r16 8-core
+     * driver run kept admitting phases until it blew the external
+     * window (rc 124 mid-`ef_sweep`, no artifact at all). Scaling the
+     * estimates by the core deficit makes `allow` honest at any
+     * `$SPARK_GRAFT_CPUS`: low-core runs degrade by SKIPPING (recorded
+     * in bench_skipped, machine-detectable) instead of by timeout.
+     * Never scales below 1.0 — more cores than the calibration box do
+     * not make estimates optimistic. */
+    private val coreScale: Double = {
+      val c = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toDouble
+      math.max(1.0, 32.0 / math.max(1.0, c))
+    }
     /** true = run the phase; false = skip, recorded + logged. `estSec`
-     * is a conservative estimate of the phase's cost (callers guarding
-     * a repeat rep pass the measured first rep). */
+     * is a conservative estimate of the phase's cost at 32 cores
+     * (callers guarding a repeat rep pass the measured first rep, which
+     * is already at the run's real core count — coreScale still
+     * multiplies it, which only errs toward skipping sooner on the
+     * low-core run, never toward a timeout). */
     def allow(phase: String, estSec: Long): Boolean = {
-      val ok = remainingSec - reserve.get > estSec
+      val est = math.ceil(estSec * coreScale).toLong
+      val ok = remainingSec - reserve.get > est
       if (!ok) {
         skipped.synchronized(skipped += phase)
         System.err.println(s"[bench] budget: skipping $phase " +
-          s"(~${estSec}s est, ${remainingSec}s left, " +
+          s"(~${est}s est, ${remainingSec}s left, " +
           s"${reserve.get}s reserved)")
       }
       ok
@@ -663,8 +681,13 @@ object Bench {
 
     // warmup + repeated timed runs (min reported): a single cold pass per
     // query made round-over-round deltas unattributable — a 5x swing on a
-    // many-jobs query is indistinguishable from a real regression
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // many-jobs query is indistinguishable from a real regression.
+    // CORE-AWARE default (r16 verdict #3): below 16 cores the 2-rep spine
+    // alone outgrows the window (the 8-core run timed out with rc 124),
+    // so low-core runs default to 1 rep — the explicit env still wins,
+    // and the rep count is in the artifact via the per-query spreads
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+      .getOrElse(if (cpus.toInt >= 16) 2 else 1)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

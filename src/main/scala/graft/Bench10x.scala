@@ -797,7 +797,12 @@ object Bench10x {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_10X_REPS", "2").toInt
+    // CORE-AWARE default, same contract as the parent's
+    // SPARK_GRAFT_BENCH_REPS (r16 verdict #3): the 8-core run must fit
+    // the window by running less, not by timing out artifact-less
+    val reps = sys.env.get("SPARK_GRAFT_10X_REPS").map(_.toInt)
+      .getOrElse(if (sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt >= 16)
+        2 else 1)
     val spark = SparkEntry.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

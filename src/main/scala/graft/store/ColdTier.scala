@@ -923,9 +923,22 @@ object ColdTier {
   val ExactServeLocalMaxQueriesDefault = 4096
   /** LRU byte budget for [[SegmentDataCache]] (process-local decoded
    * segment columns backing the local exact kernel). <= 0 disables the
-   * local engine entirely. */
+   * local engine entirely. The budget also bounds a single statement's
+   * ADMISSION: a literal plan whose admitted segments decode past it
+   * falls back to the distributed scan engine instead of pinning more
+   * decoded bytes than the heap can hold ([[serveExactFromMemory]]). */
   val SegmentCacheBytesKey = "graft.coldtier.segmentCacheBytes"
   val SegmentCacheBytesDefault: Long = 1L << 30
+
+  /** Finite wait bound for the warm-cache PARALLEL batch kernel
+   * ([[serveExactFromMemory]]): a kernel thread dying fatally (OOM)
+   * must not hang the serving statement forever — past this many
+   * seconds the batch falls back to the distributed scan engine,
+   * bit-identically. <= 0 disables the parallel batch path outright
+   * (multi-query plans keep the scan engine; single statements still
+   * run inline). */
+  val ExactServeLocalTimeoutSecKey = "graft.coldtier.exactServeLocalTimeoutSec"
+  val ExactServeLocalTimeoutSecDefault: Long = 300L
 
   /** Files per sealed segment — the SST "block" unit. One file per
    * segment (r15) minimized per-statement scan startup but serialized
@@ -2513,7 +2526,21 @@ object ColdTier {
       val vecs: Array[Array[Float]],
       val metaSchema: org.apache.spark.sql.types.StructType,
       val metaRows: Array[org.apache.spark.sql.catalyst.InternalRow],
-      val bytes: Long)
+      val bytes: Long) {
+    /** Query-independent survival masks memoized per (literal shape,
+     * tombstone-log signature) — r16 measured the per-statement Catalyst
+     * predicate pass over the resident rows as a top-5 serving cost
+     * (~6% of thread time across 512 statements re-deriving the SAME
+     * mask). The mask indexes THIS instance's row order, so hanging it
+     * off the instance makes staleness impossible by construction: a
+     * re-decoded generation starts empty, an immutable segment path can
+     * never serve rows the mask was not computed against, and a
+     * delete-log append changes the signature half of the key. Bounded:
+     * a serving workload has a handful of literal shapes; the clear()
+     * guard caps pathological churn (metadata, never results). */
+    private[store] val maskMemo =
+      scala.collection.concurrent.TrieMap.empty[String, Array[Boolean]]
+  }
 
   /** Warm segment store for admission-collapsed serving — the
    * [[SidecarCache]] pattern applied to segment DATA. A serving workload
@@ -2605,6 +2632,11 @@ object ColdTier {
     private[store] def entryCount: Int = cache.size
     private[store] def cachedBytes: Long =
       cache.values.iterator.map(_._1.bytes).sum
+    /** Exact decoded size of an already-resident path (None = not
+     * resident) — the admitted-bytes precondition prefers the real
+     * number over the catalog estimate when it has one. */
+    private[store] def residentBytes(path: String): Option[Long] =
+      cache.get(path).map(_._1.bytes)
     private[store] def invalidateAll(): Unit = cache.clear()
   }
 
@@ -2654,6 +2686,69 @@ object ColdTier {
       tombstoneMapCache.put(key, m)
     }
     m
+  }
+
+  /** [[listingSignature]] plus the summed file bytes from the SAME
+   * listing — the warm serving path needs both (the signature keys the
+   * tombstone-map cache, the bytes gate the broadcast budget) and must
+   * not pay a second recursive getContentSummary per statement.
+   * (null, -1) on any listing error = caller falls back to the
+   * per-statement reads. */
+  private def listingSigAndBytes(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): (String, Long) =
+    try {
+      if (!fs.exists(p)) ("", 0L)
+      else {
+        var bytes = 0L
+        val parts = fs.listStatus(p).flatMap { st =>
+          val self =
+            s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+          if (!st.isDirectory) { bytes += st.getLen; Seq(self) }
+          else self +: fs.listStatus(st.getPath).map { c =>
+            bytes += c.getLen
+            s"${st.getPath.getName}/${c.getPath.getName}:" +
+              s"${c.getLen}:${c.getModificationTime}"
+          }.toSeq
+        }
+        (parts.sorted.mkString("|"), bytes)
+      }
+    } catch { case scala.util.control.NonFatal(_) => (null, -1L) }
+
+  /** The budget-gated tombstone map for the warm serving path, at ONE
+   * FS listing per statement: the listing yields both the cache key
+   * (signature) and the log bytes, so an unchanged log costs no parquet
+   * read, no DataFrame construction and no getContentSummary — the r16
+   * path rebuilt the `tombstones()` DataFrame per spark.sql statement.
+   * Returns None when the on-disk log exceeds the broadcast budget
+   * (caller falls back to the distributed scan engine, exactly as
+   * before); Some((null, sig)) when there is no log; Some((map, sig))
+   * otherwise. A null sig (listing error) degrades to the original
+   * per-statement reads — never cached. */
+  private def tombstoneMapBounded(spark: SparkSession, dir: String,
+      snapshot: Option[Long], tombBudget: Long)
+      : Option[(scala.collection.mutable.LongMap[Long], String)] = {
+    val logPath = snapshot.map(v => s"${snapPath(dir, v)}/deletes")
+      .getOrElse(deleteLogPath(dir))
+    val p = new Path(logPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (sig, bytes) = listingSigAndBytes(fs, p)
+    if (sig == "") return Some((null, sig)) // no log: nothing to apply
+    if (sig != null) {
+      if (bytes > tombBudget) return None
+      tombstoneMapCache.get((p.toString, sig)) match {
+        case Some(m) => return Some((m, sig))
+        case None => ()
+      }
+    }
+    // cold or unlistable: the original reads decide (and populate the
+    // signature-keyed cache for the next statement)
+    val (tombDf, tombBytes) = tombstonesFor(spark, dir, snapshot)
+    if (tombBytes > tombBudget) return None
+    val m = tombDf match {
+      case None => null
+      case Some(df) => tombstoneMap(spark, logPath, df)
+    }
+    Some((m, sig))
   }
 
   /** Observability: sidecar-graph cache entries resident in this JVM
@@ -3673,52 +3768,125 @@ object ColdTier {
    * same EXISTS(del_ts >= eventTime) tombstone semantics, same kernel
    * code — gated bit-exact by knn_sql_rewrite_aligned_exact and
    * ExactServeLocalSpec. */
-  private def serveExactFromMemory(spark: SparkSession, dir: String,
-      queries: DataFrame, k: Int,
+  /** Canonical rendering of a plan-time literal shape — the
+   * content-derived memo key fragment for the query-independent
+   * per-segment masks (never a result key: it names the predicate, not
+   * what it returned). Types ride along so `1L` and `"1"` can never
+   * collide. */
+  private def literalShapeKey(
       filters: Seq[(String, Seq[Any], org.apache.spark.sql.types.DataType)],
-      ranges: Seq[RangeBound], metric: Metric, snapshot: Option[Long],
-      segs: Array[SegmentStats]): Option[DataFrame] = {
-    import spark.implicits._
+      ranges: Seq[RangeBound]): String = {
+    val f = filters.map { case (c, vs, dt) =>
+      s"$c:${dt.catalogString}=${vs.mkString("")}" }
+    val r = ranges.map(b =>
+      s"${b.column}${b.op}${b.value}:${b.vt.catalogString}")
+    (f ++ r).mkString("")
+  }
+
+  /** Dedicated bounded pool for the warm-cache batch kernel. r16 fanned
+   * batch kernels across `ExecutionContext.global` — the same default
+   * pool concurrent statement planning lands on — and the r16 verdict
+   * named that contention as a co-conspirator in the SQL serving
+   * point's 3x run-to-run band. CPU-bound kernel work now runs on its
+   * own fixed pool (cores - 2: leaves planning headroom), daemon
+   * threads so it can never pin the JVM. */
+  private lazy val exactKernelEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(2, Runtime.getRuntime.availableProcessors() - 2),
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger()
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-exact-kernel-${n.incrementAndGet()}")
+            t.setDaemon(true); t
+          }
+        }))
+
+  /** The decoded-data + survival-mask skeleton of an admission-collapsed
+   * literal plan — everything about the statement that does NOT depend
+   * on the query vector, assembled from caches so a warm statement's
+   * marginal cost is the kernel itself:
+   *  - segment data via [[SegmentDataCache]] (immutable-path keyed);
+   *  - tombstone map via [[tombstoneMapBounded]] (one FS listing,
+   *    signature-keyed map reuse);
+   *  - masks via each [[SegmentData]]'s own memo, keyed by (literal
+   *    shape, tombstone signature) — see the field scaladoc for why
+   *    staleness is impossible by construction.
+   * None on any precondition miss (engine off, budget off, oversized
+   * delete log, or — r16 verdict #7 — an admission whose decoded bytes
+   * would exceed the cache budget: the statement must not pin more than
+   * the engine is allowed to hold, so it falls back to the distributed
+   * scan engine instead of risking the driver heap). */
+  private def exactServeSkeleton(spark: SparkSession, dir: String,
+      filters: Seq[(String, Seq[Any], org.apache.spark.sql.types.DataType)],
+      ranges: Seq[RangeBound], snapshot: Option[Long],
+      segs: Array[SegmentStats])
+      : Option[(Array[SegmentData], Array[Array[Boolean]])] = {
     if (!spark.conf.getOption(ExactServeLocalKey).forall(_.toBoolean))
       return None
     val budget = spark.conf.getOption(SegmentCacheBytesKey)
       .map(_.toLong).getOrElse(SegmentCacheBytesDefault)
     if (budget <= 0) return None
-    val maxQ = spark.conf.getOption(ExactServeLocalMaxQueriesKey)
-      .map(_.toInt).getOrElse(ExactServeLocalMaxQueriesDefault)
-    val qRows = planTimeQueries(queries, maxQ) match {
-      case Some(r) => r
-      case None => return None
-    }
-    val (tombDf, tombBytes) = tombstonesFor(spark, dir, snapshot)
     val tombBudget = spark.conf.getOption(TombstoneBroadcastMaxBytesKey)
       .map(_.toLong).getOrElse(TombstoneBroadcastMaxBytesDefault)
-    if (tombBytes > tombBudget) return None
-    val tomb = tombDf match {
-      case None => null
-      case Some(df) =>
-        val logPath = snapshot.map(v => s"${snapPath(dir, v)}/deletes")
-          .getOrElse(deleteLogPath(dir))
-        tombstoneMap(spark, logPath, df)
-    }
+    val (tomb, tombSig) =
+      tombstoneMapBounded(spark, dir, snapshot, tombBudget) match {
+        case Some(x) => x
+        case None => return None
+      }
+    // ADMITTED-BYTES precondition (r16 verdict #7): the statement holds
+    // strong references to every admitted segment's decoded arrays for
+    // its duration, so the admission itself must fit the cache budget —
+    // exact bytes for already-resident entries, a catalog estimate
+    // (rows x (4·dim vector + 112 B id/ts/meta floor)) for cold ones.
+    val est = segs.iterator.map { s =>
+      SegmentDataCache.residentBytes(s.path).getOrElse {
+        val dim = if (s.centroid == null) 0 else s.centroid.length
+        s.count * (4L * dim + 112L)
+      }
+    }.sum
+    if (est > budget) return None
     val datas = segs.map(s => SegmentDataCache.get(spark, s.path, budget))
-    // predicate + tombstone masks are query-independent: one Catalyst
-    // evaluation pass per (statement, segment), shared by every query
-    val masks =
-      datas.map(sd => localPredicateMask(spark, sd, filters, ranges, tomb))
+    // predicate + tombstone masks are query-independent AND
+    // statement-independent for an unchanged (literal shape, delete
+    // log): one Catalyst evaluation pass per (segment generation,
+    // shape), memoized on the SegmentData instance. r16 re-derived the
+    // mask per statement — measured ~6% of serving thread time.
+    val shapeKey =
+      if (tombSig == null) null
+      else literalShapeKey(filters, ranges) + "" + tombSig
+    val masks = datas.map { sd =>
+      if (shapeKey == null)
+        localPredicateMask(spark, sd, filters, ranges, tomb)
+      else sd.maskMemo.getOrElse(shapeKey, {
+        if (sd.maskMemo.size > 16) sd.maskMemo.clear()
+        val m = localPredicateMask(spark, sd, filters, ranges, tomb)
+        sd.maskMemo.putIfAbsent(shapeKey, m)
+        m
+      })
+    }
+    Some((datas, masks))
+  }
+
+  /** The bounded-heap kernel over a resident skeleton: one result slot
+   * per query, rows (qid, rn 1..k, id, dist) in ascending (dist, id)
+   * within a slot — [[graft.functions.BoundedTopK]] through
+   * [[graft.ops.Ann.offerBounded]], bit-identical distances, merge and
+   * keyed-dedup contract to the distributed engine. A single query runs
+   * inline on its client thread; a batch fans per-query kernels
+   * (independent heaps, shared read-only masks/data) across the
+   * dedicated [[exactKernelEc]] pool with slot-indexed assembly
+   * (order-deterministic). The batch Await is FINITE
+   * ([[ExactServeLocalTimeoutSecKey]]) — a fatally dying kernel thread
+   * (OOM) degrades to the scan engine instead of hanging the statement
+   * forever (r16 verdict #7); None = timed out / parallel path
+   * disabled, caller falls back. */
+  private def runExactKernel(spark: SparkSession,
+      datas: Array[SegmentData], masks: Array[Array[Boolean]],
+      qRows: Array[(Long, Array[Float], Long, Long)], k: Int,
+      metric: Metric): Option[Array[Array[(Long, Int, Long, Double)]]] = {
     val distFn = Distances.forMetric(metric)
     val l2Abandon = metric == Metric.L2
-    // queries are embarrassingly parallel over the resident arrays
-    // (per-query heap, shared read-only masks/data): a single spark.sql
-    // statement (1 query) runs inline on its client thread, while a
-    // BATCH call — the direct-API serving shape, up to maxQ plan-time
-    // rows — fans the per-query kernels across ExecutionContext.global
-    // (daemon ForkJoinPool sized to the cores). Results land in a
-    // per-query slot indexed by qRows order, so the assembled output is
-    // bit-identical to the sequential loop regardless of completion
-    // order. Without this, a 512-query batch ran the whole kernel on
-    // ONE driver thread — measured r16b/r16c: ~130 q/s where the
-    // distributed engine it replaced used every core (~200 q/s band).
     val results = new Array[Array[(Long, Int, Long, Double)]](qRows.length)
     def runOne(qi: Int): Unit = {
       val (qid, qv, qtime, ttl) = qRows(qi)
@@ -3744,15 +3912,133 @@ object ColdTier {
     }
     if (qRows.length <= 1) {
       if (qRows.length == 1) runOne(0)
+      Some(results)
     } else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(
-        Future.sequence(qRows.indices.map(i => Future(runOne(i)))),
-        scala.concurrent.duration.Duration.Inf)
+      import scala.concurrent.{Await, Future}
+      val timeoutSec = spark.conf.getOption(ExactServeLocalTimeoutSecKey)
+        .map(_.toLong).getOrElse(ExactServeLocalTimeoutSecDefault)
+      if (timeoutSec <= 0) return None
+      implicit val ec: scala.concurrent.ExecutionContext = exactKernelEc
+      try {
+        Await.result(
+          Future.sequence(qRows.indices.map(i => Future(runOne(i)))),
+          scala.concurrent.duration.Duration(timeoutSec,
+            java.util.concurrent.TimeUnit.SECONDS))
+        Some(results)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          logger.warn(s"exact batch kernel missed its ${timeoutSec}s " +
+            "bound; falling back to the distributed scan engine")
+          None
+      }
     }
-    Some(results.iterator.flatMap(_.iterator).toSeq
-      .toDF("qid", "rn", "id", "dist"))
+  }
+
+  private def serveExactFromMemory(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int,
+      filters: Seq[(String, Seq[Any], org.apache.spark.sql.types.DataType)],
+      ranges: Seq[RangeBound], metric: Metric, snapshot: Option[Long],
+      segs: Array[SegmentStats]): Option[DataFrame] = {
+    import spark.implicits._
+    val maxQ = spark.conf.getOption(ExactServeLocalMaxQueriesKey)
+      .map(_.toInt).getOrElse(ExactServeLocalMaxQueriesDefault)
+    val qRows = planTimeQueries(queries, maxQ) match {
+      case Some(r) => r
+      case None => return None
+    }
+    for {
+      (datas, masks) <- exactServeSkeleton(spark, dir, filters, ranges,
+        snapshot, segs)
+      results <- runExactKernel(spark, datas, masks, qRows, k, metric)
+    } yield results.iterator.flatMap(_.iterator).toSeq
+      .toDF("qid", "rn", "id", "dist")
+  }
+
+  /** The per-column admission sets of a literal plan, intersected — ONE
+   * copy shared by [[searchIndexedLiteralFiltered]] and the plan-time
+   * direct path [[serveExactLiteralLocal]] so the two serving surfaces
+   * can never disagree on what a literal admits. */
+  private def literalAdmission(spark: SparkSession, dir: String,
+      filters: Seq[(String, Seq[Any], org.apache.spark.sql.types.DataType)],
+      ranges: Seq[RangeBound],
+      cat: Array[SegmentStats]): Option[Set[Long]] =
+    (filters
+      .flatMap { case (f, vs, vt) =>
+        admissibleIds(spark, dir, f, vs, vt, cat0 = cat) } ++
+      ranges.groupBy(_.column).flatMap { case (f, bs) =>
+        admissibleIdsRange(spark, dir, f, bs, cat0 = cat)
+      })
+      .reduceOption(_ intersect _)
+
+  /** The admitted segments of an admission-COLLAPSED literal plan —
+   * Some(segs, catalog order) exactly when the exact-kernel serving
+   * decision fires (collapse to <= maxSegs segments, strictly fewer
+   * than the catalog, <= maxRows total rows); None keeps the graph
+   * probe path. The one copy of the eligibility predicate. */
+  private def exactCollapse(cat: Array[SegmentStats],
+      admissible: Option[Set[Long]], maxSegs: Int,
+      maxRows: Long): Option[Array[SegmentStats]] =
+    if (maxSegs <= 0) None
+    else admissible.filter { a =>
+      a.size <= maxSegs && a.size < cat.length &&
+        cat.filter(s => a(s.segmentId)).map(_.count).sum <= maxRows
+    }.map(a => cat.filter(s => a(s.segmentId)))
+
+  /** PLAN-TIME single-query exact serving for the SQL rewrite
+   * ([[graft.plans.KnnProbeRewrite]]): when the literal plan is
+   * admission-collapsed AND the warm memory engine can answer, returns
+   * the top-k (id, dist) rows directly — ascending (dist, id), the
+   * probe merge contract — so the rewrite splices ONE bare
+   * LocalRelation with no probe DataFrame at all. r16 measured the
+   * per-statement cost of the DataFrame route at ~37 ms single-thread
+   * (ProfileSqlServe): building the singleQuery DF, forcing ITS
+   * optimized plan, building the result DF, forcing THAT optimized
+   * plan, and re-deriving the survival masks — all per spark.sql
+   * statement, all query-independent except the kernel. This path's
+   * marginal cost is the admission math over cached stats plus the
+   * kernel itself.
+   *
+   * None = not exact-eligible or a memory-engine precondition missed;
+   * the caller falls back to the DataFrame path
+   * ([[searchIndexedLiteralFiltered]]), which re-derives the serving
+   * decision identically from the same caches and sets its own
+   * observables. Sets [[literalServedVia]]/[[exactServedFrom]] only
+   * when it serves. Results bit-equal to the DataFrame path by
+   * construction: same admission helper, same skeleton, same kernel —
+   * gated by KnnRewriteSpec and the knn_sql_rewrite_aligned_exact
+   * oracle entries. */
+  private[graft] def serveExactLiteralLocal(spark: SparkSession,
+      dir: String, qv: Array[Float], qtime: Long, ttl: Long, k: Int,
+      filters: Seq[(String, Seq[Any], org.apache.spark.sql.types.DataType)],
+      ranges: Seq[RangeBound], metric: Metric = Metric.L2,
+      snapshot: Option[Long] = None, exactKernelSegments: Int = 4,
+      exactKernelMaxRows: Long = 1L << 20)
+      : Option[Array[(Long, Double)]] = {
+    if (filters.isEmpty && ranges.isEmpty) return None
+    val cat = snapshot.map(v => catalogAt(spark, dir, v))
+      .getOrElse(catalog(spark, dir))
+    val segs = exactCollapse(cat,
+        literalAdmission(spark, dir, filters, ranges, cat),
+        exactKernelSegments, exactKernelMaxRows) match {
+      case Some(s) => s
+      case None => return None
+    }
+    if (segs.isEmpty) {
+      // same answer (and same observable) as the DataFrame path's
+      // shared empty early-return
+      literalServedVia.set("exact")
+      return Some(Array.empty)
+    }
+    for {
+      (datas, masks) <- exactServeSkeleton(spark, dir, filters, ranges,
+        snapshot, segs)
+      results <- runExactKernel(spark, datas, masks,
+        Array((0L, qv, qtime, ttl)), k, metric)
+    } yield {
+      literalServedVia.set("exact")
+      exactServedFrom.set("memory")
+      results(0).map { case (_, _, id, d) => (id, d) }
+    }
   }
 
   /** LITERAL-filtered sidecar search for plan-time rewrites — the
@@ -3826,13 +4112,7 @@ object ColdTier {
     // one catalog read for both admission math and selectivity
     val cat = snapshot.map(v => catalogAt(spark, dir, v))
       .getOrElse(catalog(spark, dir))
-    val admissible = (filters
-      .flatMap { case (f, vs, vt) =>
-        admissibleIds(spark, dir, f, vs, vt, cat0 = cat) } ++
-      ranges.groupBy(_.column).flatMap { case (f, bs) =>
-        admissibleIdsRange(spark, dir, f, bs, cat0 = cat)
-      })
-      .reduceOption(_ intersect _)
+    val admissible = literalAdmission(spark, dir, filters, ranges, cat)
     // the exact-kernel fast path (param scaladoc above): admission
     // strictly narrowed the catalog to a tiny segment set with a
     // bounded row count. Any literal shape is servable — the executor
@@ -3840,12 +4120,9 @@ object ColdTier {
     // strict bounds, tz-dependent columns) through literalPredicate,
     // and admission from the collapsing column stays conservative for
     // the others — so eligibility is purely the admission collapse.
-    val exactEligible = exactKernelSegments > 0 &&
-      admissible.exists { a =>
-        a.size <= exactKernelSegments && a.size < cat.length &&
-          cat.filter(s => a(s.segmentId)).map(_.count).sum <=
-            exactKernelMaxRows
-      }
+    val exactEligible =
+      exactCollapse(cat, admissible, exactKernelSegments,
+        exactKernelMaxRows).isDefined
     if (exactEligible) {
       literalServedVia.set("exact")
       import spark.implicits._

@@ -787,6 +787,59 @@ class KnnRewriteSpec extends AnyFunSuite {
     } finally KnnIndex.clear()
   }
 
+  test("warm-path memoization invalidates on tier mutation: a freshly " +
+      "sealed segment and a fresh delete are visible to the very next " +
+      "statement") {
+    import spark.implicits._
+    val (corpusPath, coldDir, rows) = alignedFixture()
+    try {
+      KnnIndex.register(corpusPath, coldDir, efSearch = 96,
+        probeSegments = 5, shortlist = 64, filterColumns = Set("label"))
+      val q = rows(42)._2
+      spark.read.parquet(corpusPath).createOrReplaceTempView("knn_alc_inv")
+      val arr = q.map(f => s"CAST($f AS FLOAT)").mkString("array(", ",", ")")
+      def stmt() = spark.sql(
+        s"""SELECT id, l2_distance(vec, $arr) AS dist
+           |FROM knn_alc_inv WHERE label = 2
+           |ORDER BY dist LIMIT 10""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      // warm: statements serve from the memoized skeleton
+      ColdTier.literalServedVia.remove()
+      val before = stmt()
+      assert(ColdTier.literalServedVia.get == "exact")
+      assert(ColdTier.exactServedFrom.get == "memory")
+      stmt() // second statement rides the memo
+      assert(!before.contains(999999L))
+
+      // SEAL a new segment holding an exact match (dist 0) under the
+      // served label: the catalog listing signature changes, so the
+      // admission set, the segment data and its mask must all refresh —
+      // the NEXT statement must rank the new id first
+      ColdTier.seal(
+        Seq((999999L, q, 500L, 2)).toDF("id", "vec", "eventTime", "label"),
+        coldDir, 5L)
+      val afterSeal = stmt()
+      assert(ColdTier.exactServedFrom.get == "memory",
+        "the refreshed admission should still collapse onto the kernel")
+      // rows(42) holds the SAME vector (dist 0), so the (dist, id) tie
+      // breaks to id 42 first and the fresh exact match lands at rank 2
+      assert(afterSeal.take(2) == Seq(42L, 999999L),
+        s"freshly sealed exact match must be visible at rank 2, got $afterSeal")
+
+      // DELETE the new id: the delete-log signature keys the mask memo,
+      // so the NEXT statement must drop it with no other invalidation
+      assert(ColdTier.sealDeletes(
+        Seq((999999L, 1000L)).toDF("id", "ts"), coldDir, batchId = 77L))
+      val afterDel = stmt()
+      assert(ColdTier.exactServedFrom.get == "memory")
+      assert(!afterDel.contains(999999L),
+        s"tombstoned id must vanish from the warm path, got $afterDel")
+      assert(afterDel == before,
+        "after sealing + deleting the synthetic row the statement " +
+          "must answer exactly as before")
+    } finally KnnIndex.clear()
+  }
+
   test("no rewrite without registration, with the conf off, on DESC, or on wider projections") {
     val (corpusPath, coldDir, rows) = fixture()
     val q = rows(0)._2
